@@ -1,0 +1,65 @@
+"""Catalog: load the driver's testdata parquet tables as DataFrames/views.
+
+Tables (see TESTDATA.md / FIXTURES.md): region nation customer supplier
+part orders lineitem events documents embeddings — one parquet per table
+under an ``sf_dir`` such as ``/root/testdata/sf0.01``.
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free; at 100 TB the
+same call simply points at a partitioned directory tree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # unless nanos are read as long. Runtime-settable SQL conf, so
+        # set it here too — the caller's session (e.g. the verify
+        # driver's) may not have gone through session.get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as nanos-since-epoch long (see
+        # session.py nanosAsLong); truncate to micros — the same thing
+        # DuckDB's ts::TIMESTAMP cast does — and restore TimestampType.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; return the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

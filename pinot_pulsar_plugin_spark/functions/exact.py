@@ -1,0 +1,95 @@
+"""Bit-reproducible aggregate helpers.
+
+Floating-point ``SUM`` is order-dependent; Spark's partial aggregation
+order varies with partitioning while the DuckDB oracle sums in its own
+order, so a naive ``SUM(double)`` can differ in the last ulps and break
+an exact value-hash comparison. These helpers make money-style
+aggregates exactly reproducible on BOTH engines by summing integers:
+
+    exact_sum(e)  =  SUM(CAST(ROUND(e * 10^d) AS BIGINT)) / 10^d
+
+Each term is rounded once to ``d`` digits (decimal fixed-point), the sum
+is exact 64-bit integer arithmetic (commutative — order can't matter),
+and the final division by a power of ten is a single IEEE-deterministic
+double op. The same formula is emitted as ANSI SQL for the oracle.
+
+Overflow headroom: with d=4, terms up to 9.2e14 and 1e9 rows per group
+stay within int64 — fine for the 100 TB design point per-group; for
+global sums over trillions of rows switch d down or aggregate
+hierarchically.
+
+Also here: sequential left-to-right fold helpers for array dot products
+(``F.aggregate`` in Spark ≡ ``list_reduce`` in DuckDB), which make
+cosine similarity bit-identical across engines by fixing the reduction
+order and accumulating in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_sum(expr: Column, name: str, digits: int = 4) -> Column:
+    """Order-independent fixed-point sum of a double expression."""
+    scale = 10**digits
+    return (F.sum(F.round(expr * scale).cast("long")) / float(scale)).alias(name)
+
+
+def exact_avg(expr: Column, name: str, digits: int = 4) -> Column:
+    """Order-independent average: integer sum / count / scale."""
+    scale = 10**digits
+    return (
+        F.sum(F.round(expr * scale).cast("long")) / F.count(expr) / float(scale)
+    ).alias(name)
+
+
+def exact_sum_sql(sql_expr: str, name: str, digits: int = 4) -> str:
+    scale = 10**digits
+    return (
+        f"SUM(CAST(ROUND(({sql_expr}) * {scale}) AS BIGINT)) / {scale}.0 AS {name}"
+    )
+
+
+def exact_avg_sql(sql_expr: str, name: str, digits: int = 4) -> str:
+    scale = 10**digits
+    return (
+        f"SUM(CAST(ROUND(({sql_expr}) * {scale}) AS BIGINT)) / COUNT({sql_expr})"
+        f" / {scale}.0 AS {name}"
+    )
+
+
+def fold_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two float arrays as a sequential double fold.
+
+    Left-to-right accumulation in double — bit-identical to DuckDB's
+    ``list_reduce(list_transform(list_zip(a,b), p -> p.one::DOUBLE *
+    p.two::DOUBLE), (acc, x) -> acc + x)``.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def fold_norm(a: Column | str) -> Column:
+    """sqrt of the sequential-fold sum of squares (double)."""
+    return F.sqrt(fold_dot(a, a))
+
+
+def fold_dot_sql(a: str, b: str) -> str:
+    """DuckDB SQL matching :func:`fold_dot` bit-for-bit.
+
+    DuckDB's ``list_reduce`` without an initial value seeds the
+    accumulator with the first element, which equals Spark's
+    ``aggregate(…, 0.0, +)`` because ``0.0 + x == x``.
+    """
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def fold_norm_sql(a: str) -> str:
+    return f"sqrt({fold_dot_sql(a, a)})"

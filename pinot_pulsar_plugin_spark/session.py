@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM); the configuration below is nonetheless written for a real
+multi-executor cluster at ~100 TB:
+
+- AQE on (runtime shuffle coalescing, skew-join splitting) so the same
+  declarative plans survive a 1000× scale-up without hand-tuned partition
+  counts.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE's coalescing makes the initial number a ceiling, not a
+  commitment.
+- Session timezone pinned to UTC so results are comparable with the
+  DuckDB oracle (and portable across clusters).
+- Arrow enabled for every Python<->JVM hop (pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pinot_pulsar_plugin_spark",
+    *,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``driver_memory`` only takes effect if the JVM is not yet started.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS); read as long then convert
+        # (catalog.load_table) — Spark has no nanos timestamp type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
