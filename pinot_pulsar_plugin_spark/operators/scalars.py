@@ -1,0 +1,293 @@
+"""Scalar function families: string, date/time, math, array, JSON/map,
+conditional, pivot/unpivot.
+
+Everything is built-in ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python UDFs. Where Spark and DuckDB differ in function
+spelling or result type (year() width, dayofweek origin, ceil type,
+libm last-ulp drift on pow/ln/exp), both sides are normalized in the
+query so the value-hash comparison is exact; see inline notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+
+@query(
+    "q34_string_funcs",
+    """
+    SELECT p_partkey,
+           p_brand || '/' || p_type AS brand_type,
+           SUBSTR(p_name, 1, 5) AS name5,
+           UPPER(p_name) AS name_up,
+           LOWER(p_brand) AS brand_lo,
+           TRIM(p_type) AS type_trim,
+           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
+           string_split(p_name, ' ')[1] AS first_word,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(p_brand, 12, '*') AS brand_pad
+    FROM part
+    """,
+)
+def q34_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.trim("p_type").alias("type_trim"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+    )
+
+
+@query(
+    "q35_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_95,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_1mo
+    FROM orders
+    """,
+)
+def q35_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Normalizations for oracle parity: DuckDB
+    year() is bigint → cast INT both sides; Spark dayofweek is
+    1=Sunday vs DuckDB isodow 1=Monday → convert Spark to ISO."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        ((F.dayofweek(d) + 5) % 7 + 1).cast("int").alias("iso_dow"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_add(d.cast("date"), 30).alias("plus_30d"),
+        F.add_months(d.cast("date"), 1).alias("plus_1mo"),
+    )
+
+
+@query(
+    "q36_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 4) AS disc_amt,
+           ABS(l_quantity - 25.0) AS qty_dev,
+           SQRT(l_extendedprice) AS price_sqrt,
+           ROUND(POWER(1.0 + l_discount, 2.0), 6) AS disc_pow2,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(EXP(l_discount), 6) AS disc_exp,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           l_linenumber % 3 AS ln_mod3,
+           CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS qty_sign
+    FROM lineitem
+    """,
+)
+def q36_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt/abs are IEEE-exact cross-engine; pow/ln/exp may
+    drift a last ulp between libms → rounded to 6 decimals both sides."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 4 decimals: a 2-dec × 2-dec product has ≤4 decimals, so
+        # no half-boundary exists (ROUND(x,2) here is engine-divergent —
+        # Spark rounds the decimal expansion, DuckDB multiplies first)
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2.0), 6).alias("disc_pow2"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+    )
+
+
+@query(
+    "q37_array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS e1,
+           CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             + CAST(embedding[3] AS DOUBLE) AS head3_sum,
+           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)
+             AS head3_x2,
+           CAST(list_max(embedding) AS DOUBLE) AS emax,
+           CAST(list_min(embedding) AS DOUBLE) AS emin
+    FROM embeddings
+    """,
+)
+def q37_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size, element_at, slice,
+    transform (lambda), array_max/min. Element math is cast to double
+    pre-op on both engines so results are bit-identical."""
+    em = t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    el = lambda i: F.element_at(e, i).cast("double")  # noqa: E731
+    return em.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        el(1).alias("e1"),
+        (el(1) + el(2) + el(3)).alias("head3_sum"),
+        F.transform(F.slice(e, 1, 3), lambda x: x.cast("double") * 2.0).alias(
+            "head3_x2"
+        ),
+        F.array_max(e).cast("double").alias("emax"),
+        F.array_min(e).cast("double").alias("emin"),
+    )
+
+
+@query(
+    "q38_explode_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 20),
+    idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tk[CAST(i AS INTEGER)] AS token
+    FROM idx
+    """,
+)
+def q38_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of a tokenized text column (lateral flatten)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@query(
+    "q39_map_json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_map,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+           json_extract_string(props, '$.k') AS k_tuple,
+           1 AS n_keys
+    FROM events
+    """,
+)
+def q39_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode three ways — the reference decoder's parse step
+    (PulsarJSONMessageDecoder.java:62-73): from_json to MapType,
+    from_json to StructType, json_tuple. Scalar outputs only (map/struct
+    types stay internal) so the oracle comparison is type-stable."""
+    e = t(spark, sf_dir, "events")
+    as_map = F.from_json("props", "map<string,int>")
+    as_struct = F.from_json("props", "struct<k:int>")
+    return e.select(
+        "event_id",
+        F.element_at(as_map, "k").alias("k_map"),
+        as_struct.getField("k").alias("k_struct"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple"),
+        F.size(F.map_keys(as_map)).alias("n_keys"),
+    )
+
+
+@query(
+    "q40_case_coalesce",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 250000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+           LEAST(o_totalprice, 150000.0) AS capped,
+           GREATEST(o_totalprice, 50000.0) AS floored,
+           IF(o_orderpriority LIKE '1-%', 1, 0) AS is_urgent
+    FROM orders
+    """,
+)
+def q40_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions: CASE / COALESCE / NULLIF / LEAST /
+    GREATEST / IF."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 250000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored"),
+        F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "q41_pivot",
+    f"""
+    SELECT c_nationkey,
+           {", ".join(f'''COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS "{s}"'''
+                      for s in _SEGMENTS)}
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-nation customer counts by segment. Explicit value list
+    (no extra distinct pass) and missing cells coalesced to 0 to match
+    conditional-aggregation semantics."""
+    c = t(spark, sf_dir, "customer")
+    piv = c.groupBy("c_nationkey").pivot("c_mktsegment", _SEGMENTS).count()
+    return piv.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(s) for s in _SEGMENTS],
+    )
+
+
+@query(
+    "q42_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+)
+def q42_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long) via DataFrame.unpivot (≡ SQL stack())."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -1,0 +1,210 @@
+"""Directory-backed fake Pulsar broker.
+
+Stands in for a Pulsar cluster so the streaming source is testable with
+no network (SURVEY.md §7 phase 3b: "file/directory-fed fake broker ...
+so CI needs no broker"). The real ``pulsar-client`` could back the same
+source by swapping this class behind the identical fetch interface.
+
+Topic layout on disk::
+
+    <root>/<topic>/partition-<N>/ledger-<LLLLLLLL>.jsonl
+
+One JSONL line per message payload (UTF-8). Entry ids are dense line
+numbers within a ledger; ledger rollover creates the offset gaps real
+Pulsar has, which is exactly what the gap-tolerant seek must handle.
+
+Semantics replicated from the reference consumer
+(`SRC/PulsarPartitionLevelConsumer.java`):
+
+- fetch returns the first message with ``offset >= start`` (broker-side
+  seek semantics, comment :108-110) — start offsets pointing into a
+  rollover gap are legal;
+- ``start == -1`` means earliest (:112-115);
+- batch admission: at most ``max_msgs`` messages and ``max_bytes``
+  cumulative payload bytes per fetch (BatchReceivePolicy :69-73,
+  defaults 500 / 10 MiB, PulsarPartitionLevelStreamConfig.java:36-40);
+- cumulative ack is advisory only — progress truth lives with the
+  engine (NonDurable subscription :66, "anyway it's pinot that choose
+  the cursor" :157); here acks land in a sidecar file, best-effort.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from bisect import bisect_left
+from dataclasses import dataclass
+
+from pinot_pulsar_plugin_spark.sources.offsets import (
+    EARLIEST_OFFSET,
+    encode_offset,
+)
+
+DEFAULT_MAX_MSGS = 500  # consumer.maxMsgs default, StreamConfig:38
+DEFAULT_MAX_BYTES = 10 * 1024 * 1024  # consumer.maxBytes default, StreamConfig:36
+
+_LEDGER_RE = re.compile(r"ledger-(\d+)\.jsonl$")
+_PART_RE = re.compile(r"partition-(\d+)$")
+
+
+@dataclass(frozen=True)
+class FetchedMessage:
+    offset: int
+    payload: bytes
+
+    @property
+    def next_offset(self) -> int:  # MessageAndOffset.java:46-48
+        return self.offset + 1
+
+
+class FakePulsarBroker:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---- topology (metadata provider parity) ----
+
+    def _topic_dir(self, topic: str) -> str:
+        return os.path.join(self.root, topic)
+
+    def partition_count(self, topic: str) -> int:
+        """# partitions (PulsarStreamMetadataProvider.java:51-58 —
+        returns 0 on failure rather than raising)."""
+        try:
+            return len(
+                [d for d in os.listdir(self._topic_dir(topic)) if _PART_RE.search(d)]
+            )
+        except OSError:
+            return 0
+
+    def _partition_dir(self, topic: str, partition: int) -> str:
+        # consumed by name "<topic>-partition-<N>" in the reference
+        # (PulsarPartitionLevelConsumer.java:58)
+        return os.path.join(self._topic_dir(topic), f"partition-{partition}")
+
+    def _ledgers(self, topic: str, partition: int) -> list[int]:
+        pdir = self._partition_dir(topic, partition)
+        out = []
+        try:
+            for f in os.listdir(pdir):
+                m = _LEDGER_RE.search(f)
+                if m:
+                    out.append(int(m.group(1)))
+        except OSError:
+            return []
+        return sorted(out)
+
+    def _offsets_index(self, topic: str, partition: int) -> list[tuple[int, str, int]]:
+        """Sorted (offset, ledger_path, line_no) triples for a partition."""
+        idx: list[tuple[int, str, int]] = []
+        for ledger in self._ledgers(topic, partition):
+            path = os.path.join(
+                self._partition_dir(topic, partition), f"ledger-{ledger:08d}.jsonl"
+            )
+            with open(path, "rb") as fh:
+                for entry, _ in enumerate(fh):
+                    idx.append((encode_offset(ledger, entry), path, entry))
+        idx.sort(key=lambda x: x[0])
+        return idx
+
+    def earliest_offset(self, topic: str, partition: int) -> int:
+        """Offset of the first message (≡ MessageId.earliest resolution,
+        PulsarStreamMetadataProvider.java:72-74)."""
+        idx = self._offsets_index(topic, partition)
+        return idx[0][0] if idx else 0
+
+    def latest_offset(self, topic: str, partition: int) -> int:
+        """One past the last message — the next position a new message
+        would take (≡ MessageId.latest, provider:70-71)."""
+        idx = self._offsets_index(topic, partition)
+        return idx[-1][0] + 1 if idx else 0
+
+    # ---- data plane (partition consumer parity) ----
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        start_offset: int,
+        *,
+        end_offset: int | None = None,
+        max_msgs: int = DEFAULT_MAX_MSGS,
+        max_bytes: int = DEFAULT_MAX_BYTES,
+    ) -> list[FetchedMessage]:
+        """Bounded batch fetch from ``start_offset`` (gap-tolerant).
+
+        Mirrors fetchMessages (consumer:88-166) with one deliberate
+        improvement: a bounded ``end_offset`` (exclusive) is honored —
+        the reference rejects bounded reads (:94-98) because Pulsar's
+        reader API predates them; Spark micro-batches are bounded by
+        construction, and the offset codec makes ranges well-defined.
+        """
+        if start_offset == EARLIEST_OFFSET:
+            start_offset = self.earliest_offset(topic, partition)
+        idx = self._offsets_index(topic, partition)
+        offsets = [o for o, _, _ in idx]
+        pos = bisect_left(offsets, start_offset)  # first msg offset >= start
+        out: list[FetchedMessage] = []
+        nbytes = 0
+        by_file: dict[str, list[str]] = {}
+        while pos < len(idx) and len(out) < max_msgs:
+            offset, path, line_no = idx[pos]
+            if end_offset is not None and offset >= end_offset:
+                break
+            if path not in by_file:
+                with open(path, "rb") as fh:
+                    by_file[path] = fh.read().splitlines()
+            payload = by_file[path][line_no]
+            if out and nbytes + len(payload) > max_bytes:
+                break
+            out.append(FetchedMessage(offset, bytes(payload)))
+            nbytes += len(payload)
+            pos += 1
+        return out
+
+    def acknowledge_cumulative(self, topic: str, partition: int, offset: int) -> bool:
+        """Best-effort cumulative ack (consumer:154-162 — failures are
+        logged and tolerated; the engine's checkpoint owns progress)."""
+        try:
+            path = os.path.join(self._partition_dir(topic, partition), "_acks.json")
+            with open(path, "w") as fh:
+                json.dump({"acked_through": offset}, fh)
+            return True
+        except OSError:
+            return False
+
+
+class TopicWriter:
+    """Test/fixture helper: append messages to a topic, with explicit
+    ledger rollover so fixtures contain real offset gaps."""
+
+    def __init__(self, root: str, topic: str, partitions: int, rollover_every: int = 1000):
+        self.root = root
+        self.topic = topic
+        self.partitions = partitions
+        self.rollover_every = rollover_every
+        self._state: dict[int, tuple[int, int]] = {}  # partition -> (ledger, entry)
+        for p in range(partitions):
+            os.makedirs(os.path.join(root, topic, f"partition-{p}"), exist_ok=True)
+            self._state[p] = (0, 0)
+
+    def set_ledger(self, partition: int, ledger: int) -> None:
+        """Force a rollover to a specific ledger id (creates a gap)."""
+        self._state[partition] = (ledger, 0)
+
+    def append(self, partition: int, payload: bytes | str) -> int:
+        """Write one message; returns its encoded offset."""
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        if b"\n" in payload:
+            raise ValueError("jsonl fake broker: payload may not contain newlines")
+        ledger, entry = self._state[partition]
+        if entry >= self.rollover_every:
+            ledger, entry = ledger + 1, 0
+        path = os.path.join(
+            self.root, self.topic, f"partition-{partition}", f"ledger-{ledger:08d}.jsonl"
+        )
+        with open(path, "ab") as fh:
+            fh.write(payload + b"\n")
+        self._state[partition] = (ledger, entry + 1)
+        return encode_offset(ledger, entry)

@@ -22,7 +22,8 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", sorted(_ORACLE))
 def test_oracle_parity(name, spark, sf_dir, duck):
     df = _QUERIES[name](spark, sf_dir)
-    expected = duck.sql(_ORACLE[name]).df()
+    # arrow round-trip keeps DATE as datetime.date (like Spark toPandas)
+    expected = duck.sql(_ORACLE[name]).arrow().to_pandas(date_as_object=True)
     problems = compare(name, df, expected)
     assert not problems, "\n".join(problems)
 
