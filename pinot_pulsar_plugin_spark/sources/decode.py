@@ -1,0 +1,83 @@
+"""JSON decode-or-drop projection — the PulsarJSONMessageDecoder analog.
+
+Reference semantics (PulsarJSONMessageDecoder.java):
+- bytes → JSON → typed row, restricted to ``fieldsToRead`` (:47-59);
+- any decode failure drops the row (logged, returns null) instead of
+  failing the pipeline (:69-72).
+
+Spark-first: ``from_json`` is a Catalyst expression (codegen'd, no
+Python), so the decode runs JVM-side at full scan speed and column
+pruning flows through it. Malformed detection uses PERMISSIVE mode's
+corrupt-record column (Spark's ``from_json`` yields an all-null struct,
+not a null, on parse failure — so a bare null check can't see drops);
+dropped-row accounting is then a cheap filter, batch- and
+streaming-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+_CORRUPT = "_corrupt_payload"
+
+
+def _with_corrupt_field(schema: StructType | str) -> StructType:
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    return StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
+
+
+def _decoded_col(payload_col: str, schema: StructType | str) -> Column:
+    return F.from_json(
+        F.col(payload_col).cast("string"),
+        _with_corrupt_field(schema),
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+    )
+
+
+def decode_json(
+    df: DataFrame,
+    schema: StructType | str,
+    fields: list[str] | None = None,
+    *,
+    payload_col: str = "value",
+    keep_cols: tuple[str, ...] = ("offset", "partition"),
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """Decode a binary JSON payload column into typed columns.
+
+    ``fields`` projects the decoded struct (the decoder's
+    ``fieldsToRead`` pushdown, decoder:48); ``drop_malformed`` drops
+    rows whose payload fails to parse (decoder:69-72). Rows whose
+    payload parses but misses fields keep nulls for those fields — the
+    same leniency Jackson + the extractor give the reference.
+    """
+    out = df.withColumn("_decoded", _decoded_col(payload_col, schema))
+    if drop_malformed:
+        out = out.filter(F.col(f"_decoded.{_CORRUPT}").isNull())
+    proj: list[Column] = [F.col(c) for c in keep_cols if c in df.columns]
+    if fields is None:
+        fields = [
+            f.name for f in out.schema["_decoded"].dataType.fields if f.name != _CORRUPT
+        ]
+    proj += [F.col(f"_decoded.{n}").alias(n) for n in fields]
+    return out.select(*proj)
+
+
+def malformed_count(
+    df: DataFrame, *, payload_col: str = "value", schema: StructType | str = ""
+) -> DataFrame:
+    """Count rows that would be dropped by :func:`decode_json` — the
+    observability hook for the decoder's drop-and-log behavior."""
+    bad = _decoded_col(payload_col, schema).getField(_CORRUPT).isNotNull()
+    return df.select(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(bad, 1)).alias("n_malformed"),
+    )

@@ -1,0 +1,294 @@
+"""``pulsarlike`` — Spark 4 Python DataSource with the reference
+plugin's ingestion semantics (SURVEY.md §2.A rows 1-11).
+
+Shape of the mapping (SURVEY.md §3):
+
+- EP1 partition discovery  → ``partitions()`` cardinality
+  (PulsarStreamMetadataProvider.java:51-58)
+- EP2 offset resolution    → ``initialOffset()`` (earliest ≡ the
+  Earliest-position subscription, PulsarPartitionLevelConsumer.java:64)
+- EP3 fetch loop           → Spark's micro-batch cycle:
+  ``latestOffset()`` bounds admission (≈ BatchReceivePolicy
+  maxMsgs/maxBytes, consumer:69-73), ``partitions(start, end)`` plans
+  one InputPartition per topic partition (consumer:58 — partitions are
+  fully independent), executors ``read()`` their partition
+  (≈ batchReceive + wrap, consumer:136-147), ``commit(end)`` issues the
+  best-effort cumulative ack (consumer:154-162) while real progress
+  lives in Spark's checkpoint WAL — exactly the reference's
+  NonDurable-subscription design ("anyway it's pinot that choose the
+  cursor", consumer:157).
+
+Output rows are ``(value: binary, offset: long, partition: int)`` — the
+wire shape of MessageAndOffset (MessageAndOffset.java:26-27) inside a
+PulsarMessageBatch (PulsarMessageBatch.java:38-60).
+
+Deliberate improvements over the reference, enabled by Spark's model:
+- bounded end offsets are honored (the reference returns an empty batch
+  and logs an error, consumer:94-98);
+- replay after restart is exact (checkpointed offset ranges) instead of
+  at-least-once-with-dupes.
+
+One deviation: after a restart the first micro-batch covers the whole
+backlog (the Python API's ``latestOffset()`` takes no start, so the cap
+can only be applied once the reader has seen a planned range); steady
+state honors maxMsgs/maxBytes per batch like the reference's per-fetch
+policy.
+
+At 100 TB scale: one InputPartition per topic partition gives the same
+partition-parallel, coordination-free scan as the reference (1000
+executors ↔ 1000+ topic partitions); admission control bounds per-batch
+memory exactly like BatchReceivePolicy.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from pinot_pulsar_plugin_spark.sources.fakebroker import (
+    DEFAULT_MAX_BYTES,
+    DEFAULT_MAX_MSGS,
+    FakePulsarBroker,
+)
+from pinot_pulsar_plugin_spark.sources.offsets import EARLIEST_OFFSET
+
+SCHEMA = "value binary, offset bigint, partition int"
+
+
+def _debug(msg: str) -> None:
+    """Reader methods run inside Spark's python-source worker process;
+    set PULSARLIKE_DEBUG_LOG=<file> to trace the offset protocol."""
+    path = os.environ.get("PULSARLIKE_DEBUG_LOG")
+    if path:
+        with open(path, "a") as fh:
+            fh.write(msg + "\n")
+
+
+@dataclass
+class _Range(InputPartition):
+    root: str
+    topic: str
+    partition: int
+    start: int
+    end: int  # exclusive
+
+
+def _read_range(rng: _Range) -> Iterator[tuple]:
+    """Executor-side scan of one partition's offset range. Loops the
+    bounded fetch (the reference's one-batchReceive-per-call shape,
+    consumer:136) until the range is exhausted."""
+    broker = FakePulsarBroker(rng.root)
+    pos = rng.start
+    while pos < rng.end:
+        batch = broker.fetch(rng.topic, rng.partition, pos, end_offset=rng.end)
+        if not batch:
+            break
+        for msg in batch:
+            yield (msg.payload, msg.offset, rng.partition)
+        pos = batch[-1].next_offset
+
+
+class PulsarLikeStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.root = options["path"]
+        self.topic = options.get("topic", "topic")
+        self.max_msgs = int(options.get("maxmsgs", DEFAULT_MAX_MSGS))
+        self.max_bytes = int(options.get("maxbytes", DEFAULT_MAX_BYTES))
+        self.broker = FakePulsarBroker(self.root)
+        self.n_parts = self.broker.partition_count(self.topic)
+        if self.n_parts == 0:
+            raise ValueError(f"topic {self.topic!r} has no partitions under {self.root}")
+        # Cursor for admission planning. Starts at earliest (the
+        # subscription's Earliest position, consumer:64); Spark calls
+        # latestOffset() before initialOffset() on a fresh query, so it
+        # must be valid from construction. After a restart the true
+        # position comes from the checkpoint via partitions(start, end),
+        # which snaps the cursor forward; until then latestOffset
+        # self-advances by at most one batch-cap per trigger, so a
+        # restarted query ramps to the checkpointed position instead of
+        # offering an unbounded first batch.
+        self._current: dict[str, int] = {
+            str(p): self.broker.earliest_offset(self.topic, p)
+            for p in range(self.n_parts)
+        }
+
+    # EP2: OffsetCriteria.smallest → earliest (provider:72-74); the
+    # subscription itself starts Earliest (consumer:64).
+    def initialOffset(self) -> dict:
+        start = {
+            str(p): self.broker.earliest_offset(self.topic, p)
+            for p in range(self.n_parts)
+        }
+        _debug(f"initialOffset -> {start}")
+        return start
+
+    def latestOffset(self) -> dict:
+        out = {}
+        for p in range(self.n_parts):
+            cur = self._current[str(p)]
+            batch = self.broker.fetch(
+                self.topic, p, cur, max_msgs=self.max_msgs, max_bytes=self.max_bytes
+            )
+            out[str(p)] = batch[-1].next_offset if batch else cur
+        _debug(f"latestOffset cur={self._current} -> {out}")
+        # self-advance: bounds the next offer even if Spark skips
+        # planning this range (restart ramp-up; see __init__ note)
+        self._current = dict(out)
+        return out
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Planning tells us the engine's cursor — keep it (restart path).
+        cur = dict(self._current or {})
+        for p, e in end.items():
+            cur[p] = max(cur.get(p, EARLIEST_OFFSET), int(e))
+        self._current = cur
+        _debug(f"partitions {start} {end}")
+        return [
+            _Range(self.root, self.topic, int(p), int(start[p]), int(end[p]))
+            for p in start
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return _read_range(partition)
+
+    def commit(self, end: dict) -> None:
+        # Best-effort cumulative ack; failures tolerated (consumer:154-162).
+        for p, off in end.items():
+            try:
+                self.broker.acknowledge_cumulative(self.topic, int(p), int(off) - 1)
+            except Exception:
+                pass
+
+    def stop(self) -> None:  # connection lifecycle (connhandler:57-63)
+        pass
+
+
+class PulsarLikeBatchReader(DataSourceReader):
+    """Bounded scan of the whole topic (earliest→latest at plan time) —
+    the capability the reference explicitly lacks (consumer:94-98)."""
+
+    def __init__(self, options: dict):
+        self.root = options["path"]
+        self.topic = options.get("topic", "topic")
+        self.broker = FakePulsarBroker(self.root)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        n = self.broker.partition_count(self.topic)
+        return [
+            _Range(
+                self.root,
+                self.topic,
+                p,
+                self.broker.earliest_offset(self.topic, p),
+                self.broker.latest_offset(self.topic, p),
+            )
+            for p in range(n)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return _read_range(partition)
+
+
+class PulsarLikeDataSource(DataSource):
+    """Factory vending batch and stream readers — the
+    PulsarConsumerFactory analog (PulsarConsumerFactory.java:35-68; like
+    it, there is no "stream-level" consumer: only partition-level)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pulsarlike"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return PulsarLikeBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return PulsarLikeStreamReader(self.options)
+
+
+def _ship_package(spark) -> None:
+    """Make the package importable in Spark's Python workers (the
+    DataSource class is unpickled there by reference). On a real cluster
+    the package would be pip-installed on executors; ``addPyFile`` of a
+    package zip is the self-contained equivalent and also covers the
+    driver-side planning workers."""
+    import tempfile
+    import zipfile
+
+    import pinot_pulsar_plugin_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pinot_pulsar_plugin_spark-{pkg.__version__}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        rel = os.path.join(
+                            "pinot_pulsar_plugin_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+
+
+def _pickle_by_value() -> None:
+    """Serialize the source's modules by value, not by reference.
+
+    Spark pickles the DataSource class into its Python planner/worker
+    processes; those import the defining module by name, which fails
+    unless the package is installed on every worker's sys.path.
+    Registering the three source modules with pyspark's cloudpickle
+    makes the pickled class self-contained — the same technique used
+    for notebook-defined sources."""
+    try:
+        from pyspark import cloudpickle
+
+        import pinot_pulsar_plugin_spark.sources.fakebroker as _fb
+        import pinot_pulsar_plugin_spark.sources.offsets as _off
+        import pinot_pulsar_plugin_spark.sources.pulsarlike as _self
+
+        for mod in (_off, _fb, _self):
+            cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # old cloudpickle: fall back to addPyFile shipping only
+
+
+def register(spark) -> None:
+    _pickle_by_value()
+    _ship_package(spark)
+    spark.dataSource.register(PulsarLikeDataSource)
+
+
+def read_stream(spark, root: str, topic: str, **options):
+    """Convenience: streaming DataFrame over a pulsarlike topic."""
+    register(spark)
+    reader = spark.readStream.format("pulsarlike").option("path", root).option(
+        "topic", topic
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def read_batch(spark, root: str, topic: str, **options):
+    register(spark)
+    reader = spark.read.format("pulsarlike").option("path", root).option("topic", topic)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

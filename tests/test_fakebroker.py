@@ -1,0 +1,96 @@
+"""Fake broker semantics (FIXTURES.md §B cases 1/3/4/6)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pinot_pulsar_plugin_spark.sources.fakebroker import FakePulsarBroker, TopicWriter
+from pinot_pulsar_plugin_spark.sources.offsets import (
+    EARLIEST_OFFSET,
+    encode_offset,
+)
+
+
+@pytest.fixture
+def topic(tmp_path):
+    w = TopicWriter(str(tmp_path), "t", partitions=2, rollover_every=5)
+    offs = []
+    for i in range(12):  # partition 0: ledgers 0,1,2 (5+5+2 msgs)
+        offs.append(w.append(0, json.dumps({"i": i})))
+    for i in range(3):
+        w.append(1, json.dumps({"i": 100 + i}))
+    return str(tmp_path), offs, w
+
+
+def test_partition_discovery(topic):
+    root, _, _ = topic
+    b = FakePulsarBroker(root)
+    assert b.partition_count("t") == 2
+    assert b.partition_count("nope") == 0  # 0 on failure (provider:56-57)
+
+
+def test_earliest_latest(topic):
+    root, offs, _ = topic
+    b = FakePulsarBroker(root)
+    assert b.earliest_offset("t", 0) == offs[0] == encode_offset(0, 0)
+    assert b.latest_offset("t", 0) == offs[-1] + 1
+
+
+def test_fetch_earliest_sentinel_and_order(topic):
+    root, offs, _ = topic
+    b = FakePulsarBroker(root)
+    msgs = b.fetch("t", 0, EARLIEST_OFFSET)
+    assert [m.offset for m in msgs] == offs
+    assert json.loads(msgs[3].payload)["i"] == 3
+
+
+def test_gap_tolerant_seek(topic):
+    """start = last+1 across a ledger rollover points into a gap; the
+    fetch must resume at the next ledger's first message
+    (consumer:108-110 broker-seek semantics)."""
+    root, offs, _ = topic
+    b = FakePulsarBroker(root)
+    end_of_ledger0 = encode_offset(0, 4)
+    in_gap = end_of_ledger0 + 1  # no such entry: ledger 0 has 5 entries
+    msgs = b.fetch("t", 0, in_gap)
+    assert msgs[0].offset == encode_offset(1, 0)
+
+
+def test_admission_max_msgs(topic):
+    root, offs, _ = topic
+    b = FakePulsarBroker(root)
+    msgs = b.fetch("t", 0, EARLIEST_OFFSET, max_msgs=4)
+    assert len(msgs) == 4
+    # next fetch continues exactly at the successor
+    nxt = b.fetch("t", 0, msgs[-1].next_offset, max_msgs=4)
+    assert nxt[0].offset == offs[4]
+
+
+def test_admission_max_bytes(topic):
+    root, _, _ = topic
+    b = FakePulsarBroker(root)
+    one = b.fetch("t", 0, EARLIEST_OFFSET)[0]
+    msgs = b.fetch("t", 0, EARLIEST_OFFSET, max_bytes=len(one.payload) * 3)
+    assert len(msgs) == 3
+    # a batch always makes progress even if the first payload exceeds the cap
+    msgs = b.fetch("t", 0, EARLIEST_OFFSET, max_bytes=1)
+    assert len(msgs) == 1
+
+
+def test_bounded_end_offset(topic):
+    """Improvement over the reference (which rejects bounded reads,
+    consumer:94-98): end offsets are honored exclusively."""
+    root, offs, _ = topic
+    b = FakePulsarBroker(root)
+    msgs = b.fetch("t", 0, EARLIEST_OFFSET, end_offset=offs[6])
+    assert [m.offset for m in msgs] == offs[:6]
+
+
+def test_ack_best_effort(topic):
+    root, offs, _ = topic
+    b = FakePulsarBroker(root)
+    assert b.acknowledge_cumulative("t", 0, offs[-1]) is True
+    # unknown partition directory → False, never raises (consumer:160-161)
+    assert b.acknowledge_cumulative("t", 9, 0) is False

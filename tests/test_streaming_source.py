@@ -1,0 +1,198 @@
+"""End-to-end streaming through the pulsarlike source (FIXTURES.md §B
+cases 2/4/5; SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pinot_pulsar_plugin_spark.sources.decode import decode_json, malformed_count
+from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+from pinot_pulsar_plugin_spark.sources.pulsarlike import read_batch, read_stream
+
+
+def _write_events_topic(root: str, n: int = 60, partitions: int = 2, malformed_every: int = 0):
+    w = TopicWriter(root, "events", partitions=partitions, rollover_every=25)
+    for i in range(n):
+        p = i % partitions
+        if malformed_every and i % malformed_every == 0:
+            w.append(p, b"{not json!!")
+        else:
+            w.append(
+                p,
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "user_id": i % 7,
+                        "event_type": "view" if i % 3 else "purchase",
+                        "value": round(i * 1.5, 2),
+                    }
+                ),
+            )
+    return w
+
+
+EVENT_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+def _drain(stream_df, query_name: str, spark, checkpoint: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def test_stream_reads_all_messages(spark, tmp_path):
+    _write_events_topic(str(tmp_path / "b"), n=60)
+    df = read_stream(spark, str(tmp_path / "b"), "events")
+    out = _drain(df, "t_all", spark, str(tmp_path / "ck")).collect()
+    assert len(out) == 60
+    assert {r.partition for r in out} == {0, 1}
+    # offsets strictly increasing per partition (monotonic cursor)
+    for p in (0, 1):
+        offs = [r.offset for r in out if r.partition == p]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_batch_bounding_micro_batches(spark, tmp_path):
+    """maxmsgs caps each micro-batch per partition (≈ BatchReceivePolicy
+    maxNumMessages, consumer:69-73)."""
+    _write_events_topic(str(tmp_path / "b"), n=40, partitions=1)
+    df = read_stream(spark, str(tmp_path / "b"), "events", maxmsgs=10)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_bound")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = q.recentProgress
+    q.stop()
+    rows = spark.sql("SELECT count(*) n FROM t_bound").first().n
+    assert rows == 40
+    batch_sizes = [p["numInputRows"] for p in progress if p["numInputRows"] > 0]
+    assert batch_sizes and max(batch_sizes) <= 10
+    assert len(batch_sizes) >= 4
+
+
+def test_decode_and_drop_malformed(spark, tmp_path):
+    """Decode-or-drop parity (PulsarJSONMessageDecoder.java:62-73):
+    malformed payloads are dropped, good rows decode with projection."""
+    _write_events_topic(str(tmp_path / "b"), n=60, malformed_every=10)  # 6 bad
+    raw = read_batch(spark, str(tmp_path / "b"), "events")
+    counts = malformed_count(raw, schema=EVENT_SCHEMA).first()
+    assert counts.n_total == 60 and counts.n_malformed == 6
+    decoded = decode_json(raw, EVENT_SCHEMA, fields=["event_id", "value"])
+    assert decoded.columns == ["offset", "partition", "event_id", "value"]
+    assert decoded.count() == 54
+    # projection pushdown analog: only requested fields survive
+    assert "event_type" not in decoded.columns
+
+
+def _drain_to_parquet(stream_df, spark, out_dir: str, checkpoint: str):
+    """File sink (fault-tolerant, unlike memory) — required for
+    checkpoint-recovery tests."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir)
+
+
+def test_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill after draining, append more, restart with the same
+    checkpoint: only the new messages are read (engine-owned cursor —
+    the checkpoint plays the role Pinot's cursor does, consumer:157)."""
+    root, ck, out = str(tmp_path / "b"), str(tmp_path / "ck"), str(tmp_path / "out")
+    w = _write_events_topic(root, n=30, partitions=2)
+    df = read_stream(spark, root, "events")
+    assert _drain_to_parquet(df, spark, out, ck).count() == 30
+
+    for i in range(30, 50):  # 20 new messages after the "crash"
+        w.append(i % 2, json.dumps({"event_id": i, "user_id": 0, "event_type": "view", "value": 1.0}))
+
+    df2 = read_stream(spark, root, "events")
+    all_rows = _drain_to_parquet(df2, spark, out, ck).collect()
+    ids = sorted(json.loads(bytes(r.value).decode())["event_id"] for r in all_rows)
+    assert ids == list(range(50))  # old 30 kept once + new 20, no dupes/loss
+
+
+def test_restart_replays_across_ledger_gaps(spark, tmp_path):
+    """Offsets are non-dense at rollovers (rollover_every=25); restart +
+    catch-up must not lose the first message of a new ledger."""
+    root, ck, out = str(tmp_path / "b"), str(tmp_path / "ck"), str(tmp_path / "out")
+    w = _write_events_topic(root, n=25, partitions=1)  # exactly one full ledger
+    df = read_stream(spark, root, "events")
+    assert _drain_to_parquet(df, spark, out, ck).count() == 25
+    w.append(0, json.dumps({"event_id": 999, "user_id": 0, "event_type": "view", "value": 0.0}))
+    rows = _drain_to_parquet(read_stream(spark, root, "events"), spark, out, ck).collect()
+    assert len(rows) == 26
+    ids = {json.loads(bytes(r.value).decode())["event_id"] for r in rows}
+    assert 999 in ids
+
+
+def test_compacted_view(spark, tmp_path):
+    """readCompacted(true) analog (consumer:68): latest value per key.
+    No Spark source equivalent — expressed as the documented post-source
+    dedup (max offset per key), which is what compaction serves."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "kv", partitions=1)
+    for i in range(20):
+        w.append(0, json.dumps({"key": f"k{i % 5}", "val": i}))
+    raw = read_batch(spark, root, "kv")
+    decoded = decode_json(raw, "key string, val bigint")
+    latest = (
+        decoded.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "key"
+                ).orderBy(F.desc("offset"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("key", "val")
+    )
+    rows = {r.key: r.val for r in latest.collect()}
+    assert rows == {"k0": 15, "k1": 16, "k2": 17, "k3": 18, "k4": 19}
+
+
+def test_stream_static_join_and_window_agg(spark, tmp_path):
+    """Decoded stream joined to a static dim + tumbling-window count —
+    the downstream OLAP shape the ingestion exists to serve."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "b")
+    _write_events_topic(root, n=30, partitions=2)
+    stream = read_stream(spark, root, "events")
+    decoded = decode_json(stream, EVENT_SCHEMA)
+    dim = spark.createDataFrame(
+        [(i, f"user_{i}") for i in range(7)], "user_id long, user_name string"
+    )
+    joined = decoded.join(dim, "user_id")  # stream-static join
+    agg = joined.groupBy("event_type").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_join")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = {r.event_type: r["count"] for r in spark.sql("SELECT * FROM t_join").collect()}
+    assert res == {"view": 20, "purchase": 10}
