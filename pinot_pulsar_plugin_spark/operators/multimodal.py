@@ -1,0 +1,136 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern (BASELINE.json north star): media travels as a ``binary``
+column with a typed metadata struct beside it; decode/feature-extract
+runs as Arrow-batched ``mapInPandas`` so each Python worker touches a
+columnar batch, never a row at a time. The actual image/audio codecs
+are NOT in this container, so the decode step is stubbed: a clearly
+marked try-import of PIL falls back to a deterministic fake decoder.
+The Spark-side plumbing — schema, batch iteration, partitioning — is
+real and oracle-checked (the fake decode is pure arithmetic on byte
+length, so DuckDB can verify the full pipeline).
+
+At 100 TB: binary payloads stay columnar end-to-end (parquet binary →
+Arrow batch → pandas), decode parallelism is per-partition, and the
+metadata struct lets Catalyst prune/filter without touching payload
+bytes (e.g. ``WHERE meta.n_bytes < 1e6`` never deserializes media).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+try:  # codecs not present in this environment — stubbed by design
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def fake_decode_dims(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for a media decoder: dimensions derived
+    from payload length. Replaced by a real codec when available."""
+    return (n_bytes * 7) % 640 + 1, (n_bytes * 13) % 480 + 1, n_bytes % 30 + 1
+
+
+@query(
+    "m55_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+    FROM documents
+    """,
+)
+def m55_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata columns: size, content digest,
+    modality tag. The binary column itself stays internal (payload
+    bytes never leave the JVM); only metadata is projected out."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")  # stand-in binary media
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, feat_mean double"
+)
+
+
+def make_decode_batches(have_pil: bool):
+    """Build the Arrow-batched decode function as a closure so
+    cloudpickle serializes it BY VALUE — executors never need this
+    package importable (same constraint as the pulsarlike source;
+    driver processes may run from any cwd).
+
+    With a real codec this is where ``Image.open(io.BytesIO(buf))`` /
+    resize / frame-sample would run; the fake decoder keeps the exact
+    same batch shape and output schema.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            if have_pil:  # pragma: no cover - codec not in this container
+                raise NotImplementedError(
+                    "real image decode path not implemented in this environment"
+                )
+            n_bytes = pdf["payload"].map(len)
+            width = (n_bytes * 7) % 640 + 1
+            height = (n_bytes * 13) % 480 + 1
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "n_frames": (n_bytes % 30 + 1).astype("int32"),
+                    "feat_mean": (width + height) / 1000.0,
+                }
+            )
+
+    return decode_batches
+
+
+@query(
+    "m56_decode_pipeline",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+    SELECT doc_id,
+           CAST((n_bytes * 7) % 640 + 1 AS INTEGER) AS width,
+           CAST((n_bytes * 13) % 480 + 1 AS INTEGER) AS height,
+           CAST(n_bytes % 30 + 1 AS INTEGER) AS n_frames,
+           CAST((n_bytes * 7) % 640 + 1 + (n_bytes * 13) % 480 + 1 AS DOUBLE)
+             / 1000.0 AS feat_mean
+    FROM b
+    """,
+)
+def m56_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal decode pipeline through ``mapInPandas``: binary
+    payload column → Arrow batch → (stub) decode → typed features. The
+    oracle replays the deterministic fake decode in SQL, verifying the
+    Python batch plumbing end-to-end (row alignment, dtype mapping,
+    batch boundaries)."""
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(make_decode_batches(_HAVE_PIL), schema=_DECODE_SCHEMA)

@@ -1,0 +1,112 @@
+"""Event-time window operators in their batch form (oracle-checkable).
+
+These are the batch twins of the Structured Streaming operators in
+``streaming/`` — identical window semantics (tumbling/sliding buckets,
+enrichment join), run over the bounded ``events`` table so the DuckDB
+oracle can verify them. The streaming executions of the same shapes are
+exercised in tests/test_streaming*.py with the pulsarlike source.
+
+All event-time arithmetic is epoch-microseconds (bigint), sidestepping
+timestamp-representation drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.functions.exact import exact_sum, exact_sum_sql
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+
+@query(
+    "st57_tumbling_window",
+    f"""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+             AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {exact_sum_sql("value", "sum_value", 2)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st57_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregate (``F.window`` — the same
+    operator Structured Streaming uses with a watermark)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "sum_value", 2),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "st58_sliding_window",
+    f"""
+    WITH ex AS (
+      SELECT e.*, unnest([
+        epoch_us(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))),
+        epoch_us(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL '30 minutes')
+      ]) AS window_start_us
+      FROM events e)
+    SELECT window_start_us, COUNT(*) AS n_events,
+           {exact_sum_sql("value", "sum_value", 2)}
+    FROM ex GROUP BY 1
+    """,
+)
+def st58_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    overlapping windows (Spark's ``window(ts, '1 hour', '30 minutes')``;
+    the oracle expands the two candidate starts explicitly)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "sum_value", 2),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "st59_stream_enrich_join",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {exact_sum_sql("e.value", "sum_value", 2)}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st59_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join shape: events joined to a
+    broadcast dim then aggregated (in streaming, the dim is the static
+    side — same plan, micro-batch at a time)."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "sum_value", 2),
+        )
+    )

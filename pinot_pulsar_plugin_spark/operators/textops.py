@@ -1,0 +1,172 @@
+"""Text analysis operators: stats, language-ID, quality score,
+fingerprinting, corpus rollups — all JVM-side expressions (no UDFs), so
+they run at scan speed inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@query(
+    "t50_text_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(tk) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct_tokens,
+           CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk) AS avg_token_len,
+           CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_intersect(list_distinct(tk), {_SW_SQL})) AS INTEGER)
+             AS stopword_hits
+    FROM toks
+    """,
+)
+def t50_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (whitespace tokenizer)."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    n_tokens = F.size(tk)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct_tokens"),
+        (
+            (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+        (
+            F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        F.size(F.array_intersect(F.array_distinct(tk), sw)).alias("stopword_hits"),
+    )
+
+
+_LANG_MARKERS = [("en", "the"), ("de", "der"), ("fr", "le"), ("es", "el")]
+
+
+def _lang_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN list_contains(tk, '{w}') THEN '{lang}'" for lang, w in _LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'other' END"
+
+
+@query(
+    "t51_lang_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS tk FROM documents)
+    SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred,
+           CAST(lang = {_lang_case_sql()} AS INTEGER) AS is_match
+    FROM toks
+    """,
+)
+def t51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (first-match-wins rule chain) — the
+    deterministic n-gram-heuristic pattern; a production version swaps
+    the rule chain for a char-n-gram profile scorer, same plan shape."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    pred = F
+    expr = None
+    for lang, w in _LANG_MARKERS:
+        cond = F.array_contains(tk, w)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("other")
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (F.col("lang") == pred).cast("int").alias("is_match"),
+    )
+
+
+@query(
+    "t52_quality_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents)
+    SELECT doc_id,
+           0.4 * LEAST(len(tk) / 200.0, 1.0)
+             + 0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+             + 0.2 * (CASE WHEN len(list_intersect(list_distinct(tk), {_SW_SQL})) > 0
+                      THEN 1.0 ELSE 0.0 END) AS quality
+    FROM toks
+    """,
+)
+def t52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    stopword presence (the classic pre-training quality-filter shape).
+    Pure double arithmetic with fixed association order → bit-equal to
+    the oracle."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    quality = (
+        0.4 * F.least(F.size(tk) / 200.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(tk)).cast("double") / F.size(tk))
+        + 0.2
+        * F.when(F.size(F.array_intersect(F.array_distinct(tk), sw)) > 0, 1.0).otherwise(
+            0.0
+        )
+    )
+    return d.select("doc_id", quality.alias("quality"))
+
+
+@query(
+    "t53_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8)
+             AS shard_key
+    FROM documents
+    """,
+)
+def t53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5) + an 8-hex shard prefix —
+    the partition-key pattern for content-addressed storage."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = F.md5(norm)
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key"))
+
+
+@query(
+    "t54_corpus_stats_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def t54_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per language (doc counts, char/token volume,
+    source diversity) — integer sums, exactly reproducible."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )

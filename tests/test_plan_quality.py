@@ -1,0 +1,88 @@
+"""Plan-quality gates: the physical plans we'd want at 100 TB, asserted
+at test scale. A correctness-preserving regression that degrades the
+plan (lost pushdown, broadcast→SMJ, extra shuffle) fails here."""
+
+from __future__ import annotations
+
+import pytest
+
+from pinot_pulsar_plugin_spark.operators import relational, scalars, windows
+from pinot_pulsar_plugin_spark.plans.explain import (
+    codegen_plan,
+    formatted_plan,
+    has_broadcast_join,
+    n_shuffles,
+    pushed_filters,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    df = relational.q01_pricing_summary(spark, SF)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+    # partial aggregation before the exchange (map-side combine)
+    plan = formatted_plan(df)
+    assert "partial" in plan.lower()
+
+
+def test_q01_single_shuffle(spark):
+    # one exchange for the group-by (plus the tiny sort exchange)
+    assert n_shuffles(relational.q01_pricing_summary(spark, SF)) <= 2
+
+
+def test_q02_all_predicates_pushed(spark):
+    pf = pushed_filters(relational.q02_filter_predicates(spark, SF))
+    for col in ("o_orderstatus", "o_totalprice", "o_custkey"):
+        assert col in pf, f"{col} missing from PushedFilters: {pf}"
+
+
+def test_q04_broadcasts_dim(spark):
+    assert has_broadcast_join(relational.q04_join_inner(spark, SF))
+
+
+def test_q08_broadcast_no_fact_shuffle_for_join(spark):
+    df = relational.q08_join_broadcast_agg(spark, SF)
+    assert has_broadcast_join(df)
+    # only the per-brand aggregation shuffles (1 exchange), never lineitem
+    assert n_shuffles(df) <= 1
+
+
+def test_q09_star_join_broadcasts_dims(spark):
+    df = relational.q09_join_multiway(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    # orders⋈lineitem is the only shuffle join allowed + final agg
+    assert n_shuffles(df) <= 3
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = relational.q02_filter_predicates(spark, SF)
+    plan = formatted_plan(df)
+    # ReadSchema must not include unprojected columns like o_orderdate
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "o_totalprice" in cols and "o_comment" not in cols
+    # only needed columns read (5 of 6: 4 projected + o_custkey filter)
+    assert len(cols.split(",")) <= 6
+
+
+def test_window_single_shuffle(spark):
+    df = windows.q21_window_rank(spark, SF)
+    # one hash exchange on the partition key; both window specs share it
+    assert n_shuffles(df) == 1
+
+
+def test_no_python_udfs_in_scalar_ops(spark):
+    for fn in (scalars.q34_string_funcs, scalars.q35_date_funcs, scalars.q36_math_funcs):
+        plan = formatted_plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = codegen_plan(relational.q01_pricing_summary(spark, SF))
+    assert "WholeStageCodegen" in plan
