@@ -1,0 +1,220 @@
+"""Advanced relational surface: percentiles, deterministic sampling,
+TPC-H-Q3 shape, Arrow-vectorized UDF, full-outer/cross joins,
+quantified subqueries, FILTER-clause aggregates, ordered string_agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.functions.exact import exact_sum_sql, exact_sum
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+
+@query(
+    "q43_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, both linear interpolation). The streaming/
+    approximate twin is ``percentile_approx`` (see q13's rows-only
+    pattern for sketch aggregates)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "q44_deterministic_sample",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 100 < 10
+    """,
+)
+def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hash sample (Knuth multiplicative hash on the
+    key) — reproducible across engines and runs, unlike TABLESAMPLE.
+    At 100 TB this is a scan-side filter: no shuffle, prunes early."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.pmod(F.col("o_orderkey") * 2654435761, 100) < 10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q45_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q45_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: filtered star join → grouped
+    revenue → global top-10. Customer dim broadcasts; exact-cents
+    revenue makes the LIMIT deterministic cross-engine."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q46_pandas_udf_scalar",
+    """
+    SELECT doc_id,
+           replace(lower(source), 'src', 'source-') AS source_slug,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def q46_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (the sanctioned slow path:
+    one Arrow batch per invocation, ~10-100× row-at-a-time UDFs). The
+    oracle replays the same transform in SQL, verifying the Arrow
+    round-trip byte-for-byte. Defined as a closure → pickled by value
+    (executors need no installed package)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def slugify(s):  # type: ignore[no-untyped-def]
+        return s.str.lower().str.replace("src", "source-", regex=False)
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        slugify(F.col("source")).alias("source_slug"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "q47_join_full_outer",
+    """
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+    FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q47_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join (null-extended on both sides)."""
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q48_cross_join",
+    """
+    SELECT r.r_name, st.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    """,
+)
+def q48_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two tiny inputs (the only sane cross join
+    shape at scale: both sides bounded, result |A|x|B| known small)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    st = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st)
+
+
+@query(
+    "q49_quantified_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.95 FROM orders)
+    """,
+)
+def q49_quantified_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """> ALL(...) expressed as > MAX(...) (Spark SQL's supported form of
+    quantified comparison; identical semantics on non-null data)."""
+    for name in ("orders",):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.95 FROM orders)
+        """
+    )
+
+
+@query(
+    "q50_filter_clause_agg",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q50_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the FILTER clause (one scan, many
+    predicated counts — the OLAP dashboard staple)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS n_urgent
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q51_string_agg_ordered",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q51_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered in a
+    distributed engine, so determinism requires an explicit sort —
+    array_sort(collect_list(...)) ≡ string_agg(... ORDER BY)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )

@@ -23,6 +23,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.textops",
     "pinot_pulsar_plugin_spark.operators.multimodal",
     "pinot_pulsar_plugin_spark.operators.streaming_batch",
+    "pinot_pulsar_plugin_spark.operators.advanced",
 ]
 
 

@@ -96,12 +96,26 @@ def _read_range(rng: _Range) -> Iterator[tuple]:
         pos = batch[-1].next_offset
 
 
+def int_option(options: dict, key: str, default: int) -> int:
+    """Int option with fallback-to-default on missing OR unparsable
+    values — the reference's config-parse semantics
+    (PulsarPartitionLevelStreamConfig.java:97-107:
+    ``getIntConfigWithDefault`` swallows the parse exception)."""
+    raw = options.get(key)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return default
+
+
 class PulsarLikeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.topic = options.get("topic", "topic")
-        self.max_msgs = int(options.get("maxmsgs", DEFAULT_MAX_MSGS))
-        self.max_bytes = int(options.get("maxbytes", DEFAULT_MAX_BYTES))
+        self.max_msgs = int_option(options, "maxmsgs", DEFAULT_MAX_MSGS)
+        self.max_bytes = int_option(options, "maxbytes", DEFAULT_MAX_BYTES)
         self.broker = FakePulsarBroker(self.root)
         self.n_parts = self.broker.partition_count(self.topic)
         if self.n_parts == 0:

@@ -1,0 +1,110 @@
+"""Custom stateful streaming (applyInPandasWithState), config-parse
+fallback parity, compacted view helper, partitioned batch writes."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pinot_pulsar_plugin_spark.sources.decode import compacted_view, decode_json
+from pinot_pulsar_plugin_spark.sources.fakebroker import (
+    DEFAULT_MAX_BYTES,
+    DEFAULT_MAX_MSGS,
+    TopicWriter,
+)
+from pinot_pulsar_plugin_spark.sources.pulsarlike import int_option, read_batch, read_stream
+
+
+def test_int_option_fallback_parity():
+    """Config parse with fallback-to-default on missing OR garbage —
+    PulsarPartitionLevelStreamConfig.java:97-107 semantics."""
+    assert int_option({}, "maxmsgs", DEFAULT_MAX_MSGS) == 500
+    assert int_option({"maxmsgs": "250"}, "maxmsgs", DEFAULT_MAX_MSGS) == 250
+    assert int_option({"maxmsgs": "garbage"}, "maxmsgs", DEFAULT_MAX_MSGS) == 500
+    assert int_option({"maxbytes": ""}, "maxbytes", DEFAULT_MAX_BYTES) == DEFAULT_MAX_BYTES
+
+
+def test_compacted_view_helper(spark, tmp_path):
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "kv", partitions=1)
+    for i in range(12):
+        w.append(0, json.dumps({"key": f"k{i % 4}", "val": i}))
+    decoded = decode_json(read_batch(spark, root, "kv"), "key string, val bigint")
+    rows = {r.key: r.val for r in compacted_view(decoded, ["key"]).collect()}
+    assert rows == {"k0": 8, "k1": 9, "k2": 10, "k3": 11}
+
+
+def test_apply_in_pandas_with_state(spark, tmp_path):
+    """Custom stateful operator: running per-user event count kept in
+    GroupState across micro-batches (the applyInPandasWithState
+    surface, SURVEY.md §2.B streaming row)."""
+    import pandas as pd
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    for i in range(10):
+        w.append(0, json.dumps({"event_id": i, "user_id": i % 3}))
+
+    def count_per_user(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=4), "event_id bigint, user_id bigint"
+    )
+    out = (
+        decoded.groupBy("user_id")
+        .applyInPandasWithState(
+            count_per_user,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    out.processAllAvailable()
+    out.stop()
+    # last update per user must be the full count (state survived batches)
+    final = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) n_events FROM t_state GROUP BY user_id"
+        ).collect()
+    }
+    assert final == {0: 4, 1: 3, 2: 3}
+
+
+def test_partitioned_parquet_write(spark, tmp_path):
+    """Batch sink: partitioned parquet layout (the write path a 100 TB
+    pipeline needs — partition pruning on read, per-partition files)."""
+    from pinot_pulsar_plugin_spark.catalog import load_table
+
+    out = str(tmp_path / "out")
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .repartition("order_year")  # one shuffle → one file set per partition
+        .write.partitionBy("order_year")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    # partition pruning: filter on the partition column scans one dir
+    pruned = back.filter(F.col("order_year") == 1997)
+    expected = o.filter(F.year("o_orderdate") == 1997).count()
+    assert pruned.count() == expected
+    import os
+
+    years = [d for d in os.listdir(out) if d.startswith("order_year=")]
+    assert len(years) >= 5
