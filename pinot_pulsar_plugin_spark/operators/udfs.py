@@ -1,0 +1,93 @@
+"""Remaining UDF/join surface: right join, grouped-map applyInPandas,
+row-at-a-time Python UDF (demonstrated, with the explicit caveat that
+it is the slowest path), and the distributed-rank pattern.
+
+Every Python function here is a closure → cloudpickle serializes it by
+value, so executors never need this package on sys.path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+
+@query(
+    "q52_join_right",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q52_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (kept-side = nation; null-extended suppliers)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@query(
+    "q53_grouped_map_rank",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS spend_rank,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS INTEGER) AS group_size
+    FROM orders
+    """,
+)
+def q53_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: whole group as one pandas frame in,
+    frame out (the UDTF-ish custom-operator escape hatch). Computes a
+    per-group rank so the DuckDB window oracle can verify the group
+    routing, intra-group ordering, and Arrow round-trip exactly.
+
+    Scale note: each group must fit one worker's memory — the right
+    tool for bounded groups (per-customer, per-session), not for
+    whole-table state; unbounded-group logic belongs in window
+    functions (q21-q29) which spill."""
+
+    def rank_group(pdf):  # closure → pickled by value
+        pdf = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        pdf["spend_rank"] = range(1, len(pdf) + 1)
+        pdf["group_size"] = len(pdf)
+        return pdf[["o_custkey", "o_orderkey", "spend_rank", "group_size"]]
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        rank_group, schema="o_custkey bigint, o_orderkey bigint, spend_rank int, group_size int"
+    )
+
+
+@query(
+    "q54_python_udf_row",
+    """
+    SELECT o_orderkey,
+           (o_orderkey * 2654435761) % 1000 AS key_hash,
+           CASE WHEN o_totalprice > 200000 THEN 'H' ELSE 'L' END AS band
+    FROM orders
+    """,
+)
+def q54_python_udf_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — demonstrated for surface completeness
+    ONLY. This path pays per-row serde and blocks codegen; q46's
+    pandas_udf or built-ins are the production answer (the plan-quality
+    tests forbid this node in the scalar-op hot paths)."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def key_hash(k):  # closure → pickled by value
+        return (k * 2654435761) % 1000
+
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        key_hash(F.col("o_orderkey")).alias("key_hash"),
+        F.when(F.col("o_totalprice") > 200000, "H").otherwise("L").alias("band"),
+    )

@@ -24,6 +24,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.multimodal",
     "pinot_pulsar_plugin_spark.operators.streaming_batch",
     "pinot_pulsar_plugin_spark.operators.advanced",
+    "pinot_pulsar_plugin_spark.operators.udfs",
 ]
 
 

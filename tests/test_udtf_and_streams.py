@@ -1,0 +1,93 @@
+"""Spark 4 Python UDTF, stream-stream join, rate test source."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.sources.decode import decode_json
+from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+from pinot_pulsar_plugin_spark.sources.pulsarlike import read_stream
+
+
+def test_python_udtf(spark):
+    """Python UDTF (table function): one input row → many output rows,
+    lateral-joined — Spark 4 surface (SURVEY.md §2.B UDF row)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="shingle: string, pos: int")
+    class Shingle:
+        def eval(self, text: str, k: int):
+            toks = text.split()
+            for i in range(max(0, len(toks) - k + 1)):
+                yield " ".join(toks[i : i + k]), i
+
+    spark.udtf.register("shingle", Shingle)
+    rows = spark.sql(
+        "SELECT s.* FROM VALUES ('a b c d') AS t(txt), "
+        "LATERAL shingle(txt, 2) s"
+    ).collect()
+    assert [(r.shingle, r.pos) for r in rows] == [("a b", 0), ("b c", 1), ("c d", 2)]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides: views
+    joined to purchases of the same user within 1 hour."""
+    root = str(tmp_path / "b")
+    wv = TopicWriter(root, "views", partitions=1)
+    wp = TopicWriter(root, "purch", partitions=1)
+    base = "2024-03-01 10:{:02d}:00"
+    for i in range(6):
+        wv.append(0, json.dumps({"view_id": i, "user_id": i % 2, "vts": base.format(i)}))
+    for i in range(3):
+        wp.append(0, json.dumps({"buy_id": 100 + i, "user_id": i % 2, "pts": base.format(i + 30)}))
+
+    views = decode_json(
+        read_stream(spark, root, "views"), "view_id bigint, user_id bigint, vts timestamp",
+        keep_cols=(),
+    ).withWatermark("vts", "2 hours")
+    purch = decode_json(
+        read_stream(spark, root, "purch"), "buy_id bigint, user_id bigint, pts timestamp",
+        keep_cols=(),
+    ).withWatermark("pts", "2 hours")
+    joined = views.join(
+        purch,
+        (views.user_id == purch.user_id)
+        & (purch.pts >= views.vts)
+        & (purch.pts <= views.vts + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT view_id, buy_id FROM t_ssj").collect()
+    # every purchase joins the views of its user in the preceding hour
+    assert len(out) == 9  # user0: views {0,2,4}x buys {100,102}; user1: {1,3,5}x{101}
+    assert {(r.view_id, r.buy_id) for r in out} == {
+        (0, 100), (2, 100), (4, 100),
+        (0, 102), (2, 102), (4, 102),
+        (1, 101), (3, 101), (5, 101),
+    }
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """Built-in rate source as the no-dependency test stream."""
+    df = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_rate")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    import time
+
+    time.sleep(2.5)
+    q.stop()
+    n = spark.sql("SELECT count(*) n FROM t_rate").first().n
+    assert n > 0
+    assert set(spark.sql("SELECT * FROM t_rate").columns) == {"timestamp", "value"}
