@@ -154,19 +154,24 @@ def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed by fixed seeds and checked by the rows-only gate.
     """
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
-                    f"i -> concat_ws(' ', slice(tk, i, {_SHINGLE_K})))"
-                )
-            ).alias("s"),
-        )
-        .distinct()
-        .withColumn("h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)))
+    # Hash each token once, then combine token hashes arithmetically per
+    # shingle — no per-shingle string materialization (k× cheaper than
+    # concat_ws+hash at every position). No distinct either: min over a
+    # multiset equals min over its set, so a dedup shuffle is overhead.
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(split(lower(text), ' '), w -> pmod(xxhash64(w), {_MERSENNE}L))"
+        ).alias("th"),
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(th) - {_SHINGLE_K - 1}), "
+                f"i -> pmod(th[i-1] * 1000003L + th[i] * 8191L + th[i+1], {_MERSENNE}L))"
+            )
+        ).alias("h"),
     )
     mins = shingles.groupBy("doc_id").agg(
         *[
@@ -176,13 +181,19 @@ def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_MINHASH_PERMS)
         ]
     )
+    # Signatures are referenced four times (both sides of the band
+    # self-join + both verification rejoins); persist so the 64-way
+    # min-agg runs once — the local analog of materializing a signature
+    # table, which is what a 100 TB pipeline does between stages.
     sig = mins.select(
         "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_PERMS)]).alias("mh")
-    )
+    ).persist()
     n_bands = _MINHASH_PERMS // _BAND_ROWS
+    # band join carries only (doc_id, band, sig) — the 64-wide signature
+    # arrays rejoin AFTER pair dedup, so the shuffle stays narrow and
+    # the verification cost tracks the (few) candidates, not the corpus
     bands = sig.select(
         "doc_id",
-        "mh",
         F.explode(
             F.array(
                 *[
@@ -200,7 +211,7 @@ def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "mh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -210,20 +221,21 @@ def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.mh").alias("mh_a"),
-            F.col("b.mh").alias("mh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    ma = sig.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    mb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
     est = F.aggregate(
         F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / float(_MINHASH_PERMS)
-    return cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
 
 
 _SIMHASH_BITS = 48

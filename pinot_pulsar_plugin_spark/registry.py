@@ -25,6 +25,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.streaming_batch",
     "pinot_pulsar_plugin_spark.operators.advanced",
     "pinot_pulsar_plugin_spark.operators.udfs",
+    "pinot_pulsar_plugin_spark.operators.patterns",
 ]
 
 
