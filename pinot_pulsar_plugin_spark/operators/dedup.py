@@ -100,6 +100,8 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency before the join."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    # the distinct shingle set feeds three consumers (both join sides +
+    # per-doc counts): persist so explode+distinct runs once
     shingles = (
         toks.select(
             "doc_id",
@@ -111,6 +113,7 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .distinct()
+        .persist()
     )
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
