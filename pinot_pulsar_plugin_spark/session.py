@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # managed tables (bucketed-join tests, scratch marts) land in
+        # tmp, never the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)

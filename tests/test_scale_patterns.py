@@ -1,0 +1,163 @@
+"""Scale-pattern correctness + plan shape: salted joins, bucketed
+shuffle-free joins, availableNow trigger, streaming differential vs the
+batch table."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.catalog import load_table
+from pinot_pulsar_plugin_spark.functions.skew import salted_join
+from pinot_pulsar_plugin_spark.plans.explain import formatted_plan
+from pinot_pulsar_plugin_spark.sources.decode import decode_json
+from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+from pinot_pulsar_plugin_spark.sources.pulsarlike import read_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be a pure physical rewrite: row-identical output."""
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, "o_custkey", n_salts=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in multiple salt groups."""
+    skewed = spark.range(10_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(7, "hot")], "k long, label string")
+    out = salted_join(skewed, dim, "k", n_salts=8)
+    assert out.count() == 10_000
+    # salt distribution: recompute the salt the helper uses
+    salts = (
+        skewed.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("k"), F.col("payload")), F.lit(8))
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 8
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key removes the exchange — the
+    co-located-join strategy for repeated 100 TB fact-fact joins."""
+    import shutil
+
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for stale in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{stale}", ignore_errors=True)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    # force the SMJ path (at test scale Catalyst would broadcast; at
+    # 100 TB neither side broadcasts and bucketing is what saves the
+    # shuffle — that's the plan under test)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucket co-location: no shuffle
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_available_now_trigger(spark, tmp_path):
+    """Trigger.AvailableNow: each run snapshots its end offsets once
+    (one admission window with our capped latestOffset), drains to the
+    snapshot, and stops — so a scheduled loop of availableNow runs
+    consumes the backlog incrementally through the shared checkpoint,
+    which is exactly the batch-catchup deployment pattern."""
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    for i in range(25):
+        w.append(0, json.dumps({"event_id": i}))
+
+    out = str(tmp_path / "out")
+
+    def drain_once() -> int:
+        df = decode_json(read_stream(spark, root, "ev", maxmsgs=10), "event_id bigint")
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # availableNow stops by itself
+        return spark.read.parquet(out).count()
+
+    seen = [drain_once() for _ in range(3)]
+    # cumulative counts: each run drains one 10-cap admission window
+    # through the shared checkpoint
+    assert seen == [10, 20, 25]
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == list(range(25))
+
+
+def test_streaming_decode_differential_vs_table(spark, tmp_path):
+    """FIXTURES.md §B.1: a topic whose payloads serialize the events
+    table must decode back to EXACTLY the table rows — the streaming
+    path's differential correctness against the batch path."""
+    events = load_table(spark, SF, "events")
+    pdf = events.toPandas()
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "events", partitions=3, rollover_every=100)
+    for i, row in pdf.iterrows():
+        payload = json.dumps(
+            {
+                "event_id": int(row.event_id),
+                "ts": pd.Timestamp(row.ts).strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "user_id": int(row.user_id),
+                "event_type": row.event_type,
+                "value": float(row.value),
+                "props": row.props,
+            }
+        )
+        w.append(int(row.event_id) % 3, payload)
+
+    decoded = decode_json(
+        read_stream(spark, root, "events"),
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        keep_cols=(),
+    )
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("t_diff")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM t_diff")
+    assert streamed.count() == events.count()
+    # exact row-set equality both directions
+    assert events.exceptAll(streamed).count() == 0
+    assert streamed.exceptAll(events).count() == 0
