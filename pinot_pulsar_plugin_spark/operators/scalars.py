@@ -139,8 +139,10 @@ def q36_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(embedding[1] AS DOUBLE) AS e1,
            CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
              + CAST(embedding[3] AS DOUBLE) AS head3_sum,
-           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)
-             AS head3_x2,
+           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)[1]
+             AS x2_1,
+           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)[3]
+             AS x2_3,
            CAST(list_max(embedding) AS DOUBLE) AS emax,
            CAST(list_min(embedding) AS DOUBLE) AS emin
     FROM embeddings
@@ -158,9 +160,14 @@ def q37_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(e).alias("dim"),
         el(1).alias("e1"),
         (el(1) + el(2) + el(3)).alias("head3_sum"),
-        F.transform(F.slice(e, 1, 3), lambda x: x.cast("double") * 2.0).alias(
-            "head3_x2"
-        ),
+        # transform (lambda) exercised; outputs flattened to scalars so
+        # the driver's value-hash never sees an array-typed column
+        F.element_at(
+            F.transform(F.slice(e, 1, 3), lambda x: x.cast("double") * 2.0), 1
+        ).alias("x2_1"),
+        F.element_at(
+            F.transform(F.slice(e, 1, 3), lambda x: x.cast("double") * 2.0), 3
+        ).alias("x2_3"),
         F.array_max(e).cast("double").alias("emax"),
         F.array_min(e).cast("double").alias("emin"),
     )

@@ -1,0 +1,71 @@
+"""Seeded random differential fuzzing (mini-sqllogictest).
+
+Generates queries from a grammar both engines parse identically (ANSI
+subset over integer/string columns with exact aggregates only), runs
+the SAME SQL text through Spark SQL and DuckDB, and requires exact
+equality. Complements the fixed oracle suite: the grammar explores
+predicate/group-by combinations no hand-written query covers.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pinot_pulsar_plugin_spark.catalog import load_table
+from tests.oracle_harness import compare, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+_INT_COLS = ["o_orderkey", "o_custkey"]
+_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+_STATUSES = ["O", "F", "P"]
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _gen_predicate(rng: random.Random) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        return f"{rng.choice(_INT_COLS)} % {rng.randrange(2, 9)} = {rng.randrange(0, 2)}"
+    if kind == 1:
+        return f"{rng.choice(_INT_COLS)} BETWEEN {rng.randrange(0, 500)} AND {rng.randrange(500, 1500)}"
+    if kind == 2:
+        vals = ", ".join(f"'{v}'" for v in rng.sample(_STATUSES, rng.randrange(1, 3)))
+        return f"o_orderstatus IN ({vals})"
+    if kind == 3:
+        return f"o_orderpriority = '{rng.choice(_PRIOS)}'"
+    if kind == 4:
+        return f"NOT ({_gen_predicate(rng)})"
+    left, op, right = _gen_predicate(rng), rng.choice(["AND", "OR"]), _gen_predicate(rng)
+    return f"({left} {op} {right})"
+
+
+def _gen_query(rng: random.Random) -> str:
+    pred = _gen_predicate(rng)
+    group = rng.choice(_STR_COLS)
+    aggs = rng.sample(
+        [
+            "COUNT(*) AS n",
+            "MIN(o_orderkey) AS min_k",
+            "MAX(o_orderkey) AS max_k",
+            "CAST(SUM(o_orderkey) AS BIGINT) AS sum_k",
+            "COUNT(DISTINCT o_custkey) AS n_cust",
+        ],
+        rng.randrange(2, 5),
+    )
+    return f"SELECT {group}, {', '.join(aggs)} FROM orders WHERE {pred} GROUP BY {group}"
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzz_differential(seed, spark):
+    rng = random.Random(9000 + seed)
+    sql = _gen_query(rng)
+    load_table(spark, SF, "orders").createOrReplaceTempView("orders")
+    con = duck_connection(SF)
+    try:
+        expected = con.sql(sql).arrow().to_pandas(date_as_object=True)
+        problems = compare(f"fuzz{seed}", spark.sql(sql), expected)
+        assert not problems, f"{sql}\n" + "\n".join(problems)
+    finally:
+        con.close()
