@@ -33,6 +33,7 @@ HEADLINE = [
     "q09_join_multiway",
     "q23_window_running_sum",
     "q25_topk_per_group",
+    "q45_shipping_priority",
     "q29_sessionize",
     "d43_dedup_exact",
     "d44_ngram_jaccard_pairs",
