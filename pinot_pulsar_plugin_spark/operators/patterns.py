@@ -96,6 +96,38 @@ def q56_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q58_latest_per_key",
+    """
+    SELECT user_id, event_id AS latest_event_id, epoch_us(ts) AS ts_us, value
+    FROM (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e)
+    WHERE rn = 1
+    """,
+)
+def q58_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the batch/oracle twin of the compacted
+    read (decode.compacted_view / the reference's readCompacted,
+    PulsarPartitionLevelConsumer.java:68). One shuffle on the key; at
+    scale Spark plans WindowGroupLimit so maps forward one row per key."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+
 @query("q57_approx_quantiles")  # sketch-based → rows-only check
 def q57_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): mergeable quantile summary

@@ -57,15 +57,41 @@ def _gen_query(rng: random.Random) -> str:
     return f"SELECT {group}, {', '.join(aggs)} FROM orders WHERE {pred} GROUP BY {group}"
 
 
+def _gen_join_query(rng: random.Random) -> str:
+    pred = _gen_predicate(rng)
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    agg = rng.choice(
+        ["COUNT(*) AS n", "COUNT(o.o_orderkey) AS n", "MIN(o.o_orderkey) AS mn"]
+    )
+    return (
+        f"SELECT c.c_mktsegment, {agg} "
+        f"FROM customer c {how} orders o ON c.c_custkey = o.o_custkey "
+        f"AND ({pred}) GROUP BY c.c_mktsegment"
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    load_table(spark, SF, "orders").createOrReplaceTempView("orders")
+    load_table(spark, SF, "customer").createOrReplaceTempView("customer")
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("seed", range(40))
-def test_fuzz_differential(seed, spark):
+def test_fuzz_differential(seed, spark, fuzz_env):
     rng = random.Random(9000 + seed)
     sql = _gen_query(rng)
-    load_table(spark, SF, "orders").createOrReplaceTempView("orders")
-    con = duck_connection(SF)
-    try:
-        expected = con.sql(sql).arrow().to_pandas(date_as_object=True)
-        problems = compare(f"fuzz{seed}", spark.sql(sql), expected)
-        assert not problems, f"{sql}\n" + "\n".join(problems)
-    finally:
-        con.close()
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"fuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_join_differential(seed, spark, fuzz_env):
+    rng = random.Random(7000 + seed)
+    sql = _gen_join_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"jfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
