@@ -1,0 +1,138 @@
+"""Event-analytics operators: histogram, funnel, retention — the
+realtime-OLAP workloads a Pinot-style serving layer exists for
+(the reference feeds exactly this kind of engine).
+
+All pure DataFrame compositions: integer bucket arithmetic, min-ts
+step comparisons, month-grain self-joins — every one oracle-checked
+and shuffle-bounded by #users / #buckets, not #events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+
+@query(
+    "q59_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER)
+             * CAST(50000.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS bucket_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q59_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (floor-bucket arithmetic — the
+    engine-portable form of width_bucket). Map-side combine makes the
+    shuffle #buckets-sized at any data scale."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    return o.groupBy(
+        bucket.alias("bucket"), (bucket * 50000.0).alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "bucket_total"
+        ),
+    )
+
+
+@query(
+    "q60_funnel",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             CAST(t_view IS NOT NULL AS INTEGER) AS s1,
+             CAST(t_view IS NOT NULL AND t_click IS NOT NULL
+                  AND t_click >= t_view AS INTEGER) AS s2,
+             CAST(t_view IS NOT NULL AND t_click IS NOT NULL
+                  AND t_click >= t_view AND t_purchase IS NOT NULL
+                  AND t_purchase >= t_click AS INTEGER) AS s3
+      FROM steps)
+    SELECT CAST(SUM(s1) AS BIGINT) AS n_view,
+           CAST(SUM(s2) AS BIGINT) AS n_view_click,
+           CAST(SUM(s3) AS BIGINT) AS n_view_click_purchase,
+           COUNT(*) AS n_users
+    FROM flags
+    """,
+)
+def q60_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, first-occurrence order
+    per user): one #users-sized aggregate carrying three min-timestamps
+    — the funnel_count shape Pinot serves, no per-event state."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    steps = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    flags = steps.select(
+        s1.cast("int").alias("s1"), s2.cast("int").alias("s2"), s3.cast("int").alias("s3")
+    )
+    return flags.agg(
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click"),
+        F.sum("s3").alias("n_view_click_purchase"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@query(
+    "q61_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      FROM events)
+    SELECT a.week,
+           COUNT(*) AS n_active,
+           COUNT(b.user_id) AS n_retained_next_week
+    FROM activity a
+    LEFT JOIN activity b
+      ON b.user_id = a.user_id AND b.week = a.week + 7
+    GROUP BY a.week
+    """,
+)
+def q61_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: distinct (user, week) activity grid
+    self-joined one week forward. Shuffle is #users×#weeks (tiny vs
+    events); the same plan at 100 TB/day just grows the dedup stage."""
+    e = t(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    a = activity.alias("a")
+    b = activity.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.week") == F.date_add(F.col("a.week"), 7)),
+            "left",
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.col("b.user_id")).alias("n_retained_next_week"),
+        )
+    )

@@ -26,6 +26,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.advanced",
     "pinot_pulsar_plugin_spark.operators.udfs",
     "pinot_pulsar_plugin_spark.operators.patterns",
+    "pinot_pulsar_plugin_spark.operators.eventanalytics",
 ]
 
 
