@@ -27,6 +27,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.udfs",
     "pinot_pulsar_plugin_spark.operators.patterns",
     "pinot_pulsar_plugin_spark.operators.eventanalytics",
+    "pinot_pulsar_plugin_spark.operators.subqueries",
 ]
 
 

@@ -75,6 +75,51 @@ def test_stream_stream_join(spark, tmp_path):
     }
 
 
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: views with no purchase inside the
+    interval emit null-extended once the watermark passes (state
+    eviction produces the outer rows)."""
+    root = str(tmp_path / "b")
+    wv = TopicWriter(root, "views", partitions=1)
+    wp = TopicWriter(root, "purch", partitions=1)
+    base = "2024-03-01 {:02d}:{:02d}:00"
+    # views at 10:00..10:05 for users 0/1; purchases only for user 0 at 10:30
+    for i in range(6):
+        wv.append(0, json.dumps({"view_id": i, "user_id": i % 2, "vts": base.format(10, i)}))
+    wp.append(0, json.dumps({"buy_id": 100, "user_id": 0, "pts": base.format(10, 30)}))
+    # watermark pushers far in the future on both streams
+    wv.append(0, json.dumps({"view_id": 99, "user_id": 9, "vts": base.format(20, 0)}))
+    wp.append(0, json.dumps({"buy_id": 199, "user_id": 9, "pts": base.format(20, 0)}))
+
+    views = decode_json(
+        read_stream(spark, root, "views"), "view_id bigint, user_id bigint, vts timestamp",
+        keep_cols=(),
+    ).withWatermark("vts", "10 minutes")
+    purch = decode_json(
+        read_stream(spark, root, "purch"), "buy_id bigint, user_id bigint, pts timestamp",
+        keep_cols=(),
+    ).withWatermark("pts", "10 minutes")
+    joined = views.join(
+        purch,
+        (views.user_id == purch.user_id)
+        & (purch.pts >= views.vts)
+        & (purch.pts <= views.vts + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("view_id", "buy_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_sslo")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.view_id, r.buy_id) for r in spark.sql("SELECT * FROM t_sslo").collect()}
+    # user0 views (0,2,4) matched buy 100; user1 views (1,3,5) null-extended
+    assert {(0, 100), (2, 100), (4, 100)} <= rows
+    assert {(1, None), (3, None), (5, None)} <= rows
+
+
 def test_rate_source_smoke(spark, tmp_path):
     """Built-in rate source as the no-dependency test stream."""
     df = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
