@@ -60,6 +60,41 @@ def q32_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65_intersect_all",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q65_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (min of multiplicities)."""
+    return _cust_nk(spark, sf_dir).intersectAll(_supp_nk(spark, sf_dir))
+
+
+@query(
+    "q66_nulls_ordering",
+    """
+    SELECT n.n_nationkey, s.s_suppkey
+    FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_suppkey NULLS FIRST, n.n_nationkey NULLS LAST
+    LIMIT 8
+    """,
+)
+def q66_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST placement under LIMIT (the ordering
+    semantics only observable through a deterministic top-N)."""
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "full_outer")
+        .select("n_nationkey", "s_suppkey")
+        .orderBy(F.col("s_suppkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_last())
+        .limit(8)
+    )
+
+
+@query(
     "q33_except_all",
     """
     SELECT c_nationkey AS nk FROM customer

@@ -1,0 +1,103 @@
+"""Capstone integration: the reference's whole purpose, end to end.
+
+Pulsar-shaped topic → pulsarlike streaming source → decode-or-drop →
+event-time window aggregation → exactly-once foreachBatch sink →
+OLAP queries over the served table — and the served numbers must equal
+the same computation done purely in batch over the original table.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.catalog import load_table
+from pinot_pulsar_plugin_spark.functions.exact import exact_sum
+from pinot_pulsar_plugin_spark.sources.decode import decode_json
+from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+from pinot_pulsar_plugin_spark.sources.pulsarlike import read_stream
+from pinot_pulsar_plugin_spark.streaming.sinks import exactly_once_parquet_sink
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def test_pulsar_to_olap_pipeline(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    pdf = events.toPandas()
+
+    # 1. produce the topic (3 partitions, ledger rollovers, 3% malformed)
+    root = str(tmp_path / "broker")
+    w = TopicWriter(root, "events", partitions=3, rollover_every=150)
+    for i, row in pdf.iterrows():
+        if i % 33 == 0:
+            w.append(i % 3, b"\x00garbage not json")
+        payload = json.dumps(
+            {
+                "event_id": int(row.event_id),
+                "ts": pd.Timestamp(row.ts).strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "user_id": int(row.user_id),
+                "event_type": row.event_type,
+                "value": float(row.value),
+                "props": row.props,
+            }
+        )
+        w.append(int(row.event_id) % 3, payload)
+
+    # 2. stream → decode → tumbling day aggregate → exactly-once sink
+    decoded = decode_json(
+        read_stream(spark, root, "events", maxmsgs=200), SCHEMA, keep_cols=()
+    )
+    agg = (
+        decoded.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    served = str(tmp_path / "served")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(exactly_once_parquet_sink(served))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # 3. OLAP over the served table (append mode only emits closed
+    #    windows; the last day stays open) vs the pure-batch truth
+    served_df = spark.read.parquet(served).drop("batch_id")
+    batch_truth = (
+        events.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    max_closed_day = served_df.agg(F.max("day")).first()[0]
+    truth_closed = batch_truth.filter(F.col("day") <= max_closed_day)
+    assert served_df.count() == truth_closed.count()
+    assert truth_closed.exceptAll(served_df).count() == 0
+    assert served_df.exceptAll(truth_closed).count() == 0
+
+    # 4. the served table answers OLAP queries like any other relation
+    top = (
+        served_df.groupBy("event_type")
+        .agg(exact_sum(F.col("value_cents") / 100.0, "total", 2))
+        .orderBy(F.desc("total"))
+        .first()
+    )
+    assert top.total > 0
