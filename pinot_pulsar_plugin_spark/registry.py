@@ -28,6 +28,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.patterns",
     "pinot_pulsar_plugin_spark.operators.eventanalytics",
     "pinot_pulsar_plugin_spark.operators.subqueries",
+    "pinot_pulsar_plugin_spark.operators.timeseries",
 ]
 
 
