@@ -29,6 +29,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.eventanalytics",
     "pinot_pulsar_plugin_spark.operators.subqueries",
     "pinot_pulsar_plugin_spark.operators.timeseries",
+    "pinot_pulsar_plugin_spark.operators.aggregates2",
 ]
 
 

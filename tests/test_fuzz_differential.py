@@ -95,3 +95,45 @@ def test_fuzz_join_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"jfuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    part = rng.choice(_STR_COLS)
+    fn = rng.choice(
+        [
+            "ROW_NUMBER()",
+            "RANK()",
+            "DENSE_RANK()",
+            "COUNT(*) OVER_FRAME",
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER_FRAME",
+            "MIN(o_orderkey) OVER_FRAME",
+        ]
+    )
+    frame = rng.choice(
+        [
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        ]
+    )
+    over = f"OVER (PARTITION BY {part} ORDER BY o_orderkey"
+    if "OVER_FRAME" in fn:
+        expr = fn.replace("OVER_FRAME", f"{over} {frame})")
+    else:
+        expr = f"{fn} {over})"
+    pred = _gen_predicate(rng)
+    return (
+        f"SELECT o_orderkey, {part}, CAST({expr} AS BIGINT) AS w "
+        f"FROM orders WHERE {pred}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_window_differential(seed, spark, fuzz_env):
+    """Random window functions with explicit ROWS frames (unique
+    order-by key keeps every spec deterministic)."""
+    rng = random.Random(5000 + seed)
+    sql = _gen_window_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"wfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
