@@ -84,6 +84,44 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
     assert final == {0: 4, 1: 3, 2: 3}
 
 
+def test_keyed_upsert_sink(spark, tmp_path):
+    """Update-mode running totals upserted into a keyed serving table:
+    after two ingest rounds the table holds exactly one latest row per
+    user, matching the batch-computed truth."""
+    from pinot_pulsar_plugin_spark.streaming.sinks import keyed_upsert_sink
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    served = str(tmp_path / "served")
+    ck = str(tmp_path / "ck")
+
+    def ingest(rows):
+        for r in rows:
+            w.append(0, json.dumps(r))
+        decoded = decode_json(
+            read_stream(spark, root, "ev"), "event_id bigint, user_id bigint, value double"
+        )
+        totals = decoded.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(keyed_upsert_sink(served, "user_id"))
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    ingest([{"event_id": i, "user_id": i % 3, "value": 1.5} for i in range(9)])
+    ingest([{"event_id": 100 + i, "user_id": 0, "value": 2.0} for i in range(4)])
+
+    out = {r.user_id: (r.n, r.cents) for r in spark.read.parquet(served).collect()}
+    # user 0: 3+4 events; users 1,2 untouched by round 2 but preserved
+    assert out == {0: (7, 1250), 1: (3, 450), 2: (3, 450)}
+
+
 def test_partitioned_parquet_write(spark, tmp_path):
     """Batch sink: partitioned parquet layout (the write path a 100 TB
     pipeline needs — partition pruning on read, per-partition files)."""
