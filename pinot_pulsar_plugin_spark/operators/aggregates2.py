@@ -74,6 +74,31 @@ def q71_string_funcs_2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q73_multi_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS d_parts,
+           COUNT(DISTINCT l_suppkey) AS d_supps,
+           COUNT(DISTINCT l_orderkey) AS d_orders,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q73_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT) over different columns in one aggregate —
+    Catalyst plans this with an Expand node (one row replicated per
+    distinct-column group), the multi-distinct strategy that avoids N
+    separate scans."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q72_percent_rank_cume",
     """
     SELECT c_custkey, c_mktsegment,

@@ -20,14 +20,17 @@ def tumbling_counts(
     *,
     ts_col: str = "ts",
     size: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     keys: tuple[str, ...] = ("event_type",),
 ) -> DataFrame:
     """Tumbling event-time window counts + value sum with late-data
-    drop via watermark (append-mode capable)."""
+    drop via watermark (append-mode capable). Pass ``watermark=None``
+    when chaining after another stateful operator that already set one
+    (Spark disallows redefining the watermark mid-chain)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, size), *keys)
+        events.groupBy(F.window(ts_col, size), *keys)
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(
             F.col("window.start").alias("window_start"),

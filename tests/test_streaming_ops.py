@@ -101,6 +101,26 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def test_chained_stateful_operators(spark, tmp_path):
+    """Two stateful operators in ONE streaming query (Spark 3.4+):
+    dropDuplicatesWithinWatermark → tumbling window count. Replayed
+    duplicates vanish before they can double-count a window."""
+    rows = [
+        _event(1, 0),
+        _event(1, 1),  # duplicate id (redelivery) — must not count twice
+        _event(2, 10),
+        _event(3, 70),
+        _event(4, 300),  # watermark pusher
+    ]
+    root = _topic(tmp_path, rows)
+    decoded = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    dedup = dedup_within_watermark(decoded, watermark="2 hours", keys=("event_id",))
+    agg = tumbling_counts(dedup, size="1 hour", watermark=None)  # inherit
+    out = _run_to_memory(agg, spark, tmp_path, "t_chain", mode="append").collect()
+    counts = {r.window_start.hour: r.n_events for r in out}
+    assert counts.get(22) == 2  # events 1,2 (dup removed), not 3
+
+
 def test_exactly_once_foreach_batch_sink(spark, tmp_path):
     rows = [_event(i, i) for i in range(20)]
     root = _topic(tmp_path, rows)
