@@ -31,8 +31,9 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def table_path(sf_dir: str, name: str) -> str:
-    return os.path.join(sf_dir, f"{name}.parquet")
+def table_path(sf_dir, name: str) -> str:
+    # str() so callers may pass pathlib.Path (spark.read wants str)
+    return os.path.join(str(sf_dir), f"{name}.parquet")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
