@@ -31,7 +31,24 @@ def salted_join(
     ``salt_source`` must be an expression over ``big``'s columns that
     varies within a key (defaults to a hash of all of big's columns);
     determinism of the salt keeps the join reproducible.
+
+    Only join types where the replicated small side cannot surface
+    unmatched rows are allowed: with ``right``/``full`` an unmatched
+    small-side row would be emitted once per salt (n_salts duplicates),
+    so those raise.
     """
+    safe = {
+        "inner", "cross",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — replicating the small "
+            "side per salt duplicates unmatched small-side rows under "
+            "right/full outer joins"
+        )
     if salt_source is None:
         salt_source = F.xxhash64(*[F.col(c) for c in big.columns])
     big_s = big.withColumn("_salt", F.pmod(salt_source, F.lit(n_salts)).cast("int"))

@@ -4,8 +4,10 @@ Pattern (BASELINE.json north star): media travels as a ``binary``
 column with a typed metadata struct beside it; decode/feature-extract
 runs as Arrow-batched ``mapInPandas`` so each Python worker touches a
 columnar batch, never a row at a time. The actual image/audio codecs
-are NOT in this container, so the decode step is stubbed: a clearly
-marked try-import of PIL falls back to a deterministic fake decoder.
+are NOT in this container, so the decode step is stubbed: the
+deterministic fake decoder is the DEFAULT, and the real codec is an
+explicit opt-in (``make_decode_batches(codec="real")``) — never chosen
+by import detection.
 The Spark-side plumbing — schema, batch iteration, partitioning — is
 real and oracle-checked (the fake decode is pure arithmetic on byte
 length, so DuckDB can verify the full pipeline).
@@ -29,12 +31,10 @@ from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
 
-try:  # codecs not present in this environment — stubbed by design
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+# The decode codec is chosen EXPLICITLY (``make_decode_batches(codec=)``),
+# never by import detection: the deterministic fake decoder is the
+# default so the pipeline's behavior doesn't change if an image library
+# happens to be installed; the real codec is opt-in.
 
 
 def fake_decode_dims(n_bytes: int) -> tuple[int, int, int]:
@@ -76,24 +76,31 @@ _DECODE_SCHEMA = (
 )
 
 
-def make_decode_batches(have_pil: bool):
+def make_decode_batches(codec: str = "fake"):
     """Build the Arrow-batched decode function as a closure so
     cloudpickle serializes it BY VALUE — executors never need this
     package importable (same constraint as the pulsarlike source;
     driver processes may run from any cwd).
 
-    With a real codec this is where ``Image.open(io.BytesIO(buf))`` /
-    resize / frame-sample would run; the fake decoder keeps the exact
-    same batch shape and output schema.
+    ``codec="fake"`` (default) is the deterministic stand-in decoder;
+    ``codec="real"`` is the opt-in hook where a production build would
+    run ``Image.open(io.BytesIO(buf))`` / resize / frame-sample — it is
+    a clearly-marked stub here because no image/audio library ships in
+    this container. The choice is an explicit option, NOT import
+    detection, so installing pillow can never change a green pipeline.
     """
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}: expected 'fake' or 'real'")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         for pdf in batches:
-            if have_pil:  # pragma: no cover - codec not in this container
+            if codec == "real":
                 raise NotImplementedError(
-                    "real image decode path not implemented in this environment"
+                    "real media decode is an opt-in stub: no image/audio "
+                    "codec ships in this container (plumbing is identical "
+                    "to the fake path: Arrow batch in, typed features out)"
                 )
             n_bytes = pdf["payload"].map(len)
             width = (n_bytes * 7) % 640 + 1
@@ -133,4 +140,4 @@ def m56_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch boundaries)."""
     d = t(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return payloads.mapInPandas(make_decode_batches(_HAVE_PIL), schema=_DECODE_SCHEMA)
+    return payloads.mapInPandas(make_decode_batches(), schema=_DECODE_SCHEMA)

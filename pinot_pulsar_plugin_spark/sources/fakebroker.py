@@ -152,8 +152,16 @@ class FakePulsarBroker:
             if end_offset is not None and offset >= end_offset:
                 break
             if path not in by_file:
+                # split on b"\n" only — the same delimiter
+                # _offsets_index counts entries by (iterating a binary
+                # file yields \n-terminated lines); splitlines() would
+                # also split on \r, \v, \f, \x1c-\x1e and misalign line
+                # numbers for payloads containing those bytes
                 with open(path, "rb") as fh:
-                    by_file[path] = fh.read().splitlines()
+                    lines = fh.read().split(b"\n")
+                    if lines and lines[-1] == b"":
+                        lines.pop()  # trailing newline
+                    by_file[path] = lines
             payload = by_file[path][line_no]
             if out and nbytes + len(payload) > max_bytes:
                 break
@@ -196,8 +204,12 @@ class TopicWriter:
         """Write one message; returns its encoded offset."""
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
-        if b"\n" in payload:
-            raise ValueError("jsonl fake broker: payload may not contain newlines")
+        # \n is the ledger delimiter; the other bytes are rejected too so
+        # fixtures stay safe even for tools that use splitlines()
+        if any(ch in payload for ch in (b"\n", b"\r", b"\x0b", b"\x0c", b"\x1c", b"\x1d", b"\x1e")):
+            raise ValueError(
+                "jsonl fake broker: payload may not contain line-boundary bytes"
+            )
         ledger, entry = self._state[partition]
         if entry >= self.rollover_every:
             ledger, entry = ledger + 1, 0

@@ -52,10 +52,13 @@ def encode_offset(ledger_id: int, entry_id: int) -> int:
 def decode_offset(offset: int) -> tuple[int, int]:
     """Inverse of :func:`encode_offset` → ``(ledger_id, entry_id)``.
 
-    MessageIdUtils.java:39-40: arithmetic shift for the ledger, mask for
-    the entry.
+    MessageIdUtils.java:39-40: UNSIGNED shift (Java ``>>>``) for the
+    ledger, mask for the entry. Masking to 64 bits before shifting
+    reproduces ``>>>`` for negative packed offsets (ledger bits
+    overflowing into the sign bit decode to the same large positive
+    ledger id Java produces, not a negative one).
     """
-    return offset >> ENTRY_BITS, offset & ENTRY_MASK
+    return (offset & ((1 << 64) - 1)) >> ENTRY_BITS, offset & ENTRY_MASK
 
 
 def assert_valid_entry(entry_id: int) -> int:

@@ -94,3 +94,25 @@ def test_ack_best_effort(topic):
     assert b.acknowledge_cumulative("t", 0, offs[-1]) is True
     # unknown partition directory → False, never raises (consumer:160-161)
     assert b.acknowledge_cumulative("t", 9, 0) is False
+
+
+def test_payload_with_carriage_return_keeps_alignment(tmp_path):
+    """fetch() splits ledgers on b"\\n" only — the same delimiter
+    _offsets_index counts by. A payload containing \\r (or \\v, \\f,
+    \\x1c-\\x1e) written by an external tool must not shift line numbers
+    for later entries (splitlines() would)."""
+    pdir = tmp_path / "t" / "partition-0"
+    pdir.mkdir(parents=True)
+    payloads = [b'{"i": 0}', b'{"s": "a\rb\x0c"}', b'{"i": 2}', b'{"i": 3}']
+    (pdir / "ledger-00000000.jsonl").write_bytes(b"\n".join(payloads) + b"\n")
+    b = FakePulsarBroker(str(tmp_path))
+    msgs = b.fetch("t", 0, EARLIEST_OFFSET)
+    assert [m.payload for m in msgs] == payloads
+    assert [m.offset for m in msgs] == [encode_offset(0, i) for i in range(4)]
+
+
+def test_writer_rejects_line_boundary_bytes(tmp_path):
+    w = TopicWriter(str(tmp_path), "t", partitions=1)
+    for bad in (b"a\nb", b"a\rb", b"a\x0bb", b"a\x0cb", b"a\x1cb", b"a\x1db", b"a\x1eb"):
+        with pytest.raises(ValueError):
+            w.append(0, bad)

@@ -70,3 +70,15 @@ def test_java_long_wrap():
     Python-only >64-bit values)."""
     v = encode_offset((1 << 62) - 1, 123)
     assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_decode_negative_offset_unsigned_shift():
+    """MessageIdUtils.java:39 uses '>>>' (unsigned shift): a packed
+    offset whose ledger bits reach the sign bit must decode to the same
+    large positive ledger id Java produces, never a negative one."""
+    assert decode_offset(-1) == ((1 << 36) - 1, ENTRY_MASK)
+    neg = encode_offset((1 << 35) + 5, 9)  # ledger bit 35 → sign bit
+    assert neg < 0  # java-long wrapped
+    ledger, entry = decode_offset(neg)
+    assert (ledger, entry) == ((1 << 35) + 5, 9)
+    assert ledger >= 0

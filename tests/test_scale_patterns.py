@@ -161,3 +161,15 @@ def test_streaming_decode_differential_vs_table(spark, tmp_path):
     # exact row-set equality both directions
     assert events.exceptAll(streamed).count() == 0
     assert streamed.exceptAll(events).count() == 0
+
+
+def test_salted_join_rejects_unsafe_how(spark):
+    """Replicating the small side once per salt would emit unmatched
+    small-side rows n_salts times under right/full joins — those hows
+    must raise instead of silently duplicating."""
+    import pytest as _pytest
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with _pytest.raises(ValueError):
+            salted_join(df, df, "k", how=how)
