@@ -172,14 +172,34 @@ class FakePulsarBroker:
 
     def acknowledge_cumulative(self, topic: str, partition: int, offset: int) -> bool:
         """Best-effort cumulative ack (consumer:154-162 — failures are
-        logged and tolerated; the engine's checkpoint owns progress)."""
+        logged and tolerated; the engine's checkpoint owns progress).
+
+        Monotonic: a cumulative ack can only move forward, like Pulsar's
+        broker-side cursor — a late/replayed ack for an older offset
+        never regresses the recorded position.
+        """
         try:
+            prev = self.acked_through(topic, partition)
+            if prev is not None and prev > offset:
+                return True
             path = os.path.join(self._partition_dir(topic, partition), "_acks.json")
             with open(path, "w") as fh:
                 json.dump({"acked_through": offset}, fh)
             return True
         except OSError:
             return False
+
+    def acked_through(self, topic: str, partition: int) -> int | None:
+        """Last cumulatively-acked offset, or None if never acked /
+        unreadable. Advisory only (NonDurable subscription): the engine
+        uses it to recover its admission cursor after a restart, never
+        as the source of truth for what was read."""
+        try:
+            path = os.path.join(self._partition_dir(topic, partition), "_acks.json")
+            with open(path) as fh:
+                return int(json.load(fh)["acked_through"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
 
 
 class TopicWriter:

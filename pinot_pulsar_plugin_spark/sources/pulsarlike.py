@@ -28,11 +28,13 @@ Deliberate improvements over the reference, enabled by Spark's model:
 - replay after restart is exact (checkpointed offset ranges) instead of
   at-least-once-with-dupes.
 
-One deviation: after a restart the first micro-batch covers the whole
-backlog (the Python API's ``latestOffset()`` takes no start, so the cap
-can only be applied once the reader has seen a planned range); steady
-state honors maxMsgs/maxBytes per batch like the reference's per-fetch
-policy.
+Restart behavior: the reader recovers its admission cursor from the
+commit-time ack sidecar (its own monotonic high-water mark), so after a
+restart ``latestOffset()`` resumes offering cap-sized batches FROM the
+committed position — it can never offer an offset behind the
+checkpoint, even when the backlog exceeds maxMsgs/maxBytes.
+``partitions()`` additionally snaps the cursor to every planned range
+and clamps ranges to start <= end, covering stale/failed ack writes.
 
 At 100 TB scale: one InputPartition per topic partition gives the same
 partition-parallel, coordination-free scan as the reference (1000
@@ -120,19 +122,30 @@ class PulsarLikeStreamReader(DataSourceStreamReader):
         self.n_parts = self.broker.partition_count(self.topic)
         if self.n_parts == 0:
             raise ValueError(f"topic {self.topic!r} has no partitions under {self.root}")
-        # Cursor for admission planning. Starts at earliest (the
-        # subscription's Earliest position, consumer:64); Spark calls
-        # latestOffset() before initialOffset() on a fresh query, so it
-        # must be valid from construction. After a restart the true
-        # position comes from the checkpoint via partitions(start, end),
-        # which snaps the cursor forward; until then latestOffset
-        # self-advances by at most one batch-cap per trigger, so a
-        # restarted query ramps to the checkpointed position instead of
-        # offering an unbounded first batch.
-        self._current: dict[str, int] = {
-            str(p): self.broker.earliest_offset(self.topic, p)
-            for p in range(self.n_parts)
-        }
+        # Cursor for admission planning. Spark calls latestOffset()
+        # before initialOffset() on a fresh query, so it must be valid
+        # from construction. Recovery order:
+        #   1. the commit-time ack sidecar (the reader's own high-water
+        #      mark, written monotonically on every commit()) — after a
+        #      restart the first offer starts AT the committed position,
+        #      so latestOffset() can never offer an offset behind the
+        #      checkpoint even when the backlog exceeds the admission
+        #      cap (a regressed offer would be recorded by Spark as the
+        #      next batch end and re-read committed ranges: duplicates);
+        #   2. earliest (the subscription's Earliest position,
+        #      consumer:64) when no ack exists.
+        # partitions(start, end) additionally snaps the cursor to the
+        # planned range, covering stale/failed ack writes (acks are
+        # best-effort, consumer:160-161). For a FRESH query an existing
+        # ack only enlarges the first batch (initialOffset is still
+        # earliest) — never skips data.
+        self._current: dict[str, int] = {}
+        for p in range(self.n_parts):
+            pos = self.broker.earliest_offset(self.topic, p)
+            acked = self.broker.acked_through(self.topic, p)
+            if acked is not None:
+                pos = max(pos, acked + 1)
+            self._current[str(p)] = pos
 
     # EP2: OffsetCriteria.smallest → earliest (provider:72-74); the
     # subscription itself starts Earliest (consumer:64).
@@ -159,14 +172,23 @@ class PulsarLikeStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # Planning tells us the engine's cursor — keep it (restart path).
+        # Planning tells us the engine's cursor — keep it (restart
+        # path). Max over BOTH ends of the planned range so the cursor
+        # never regresses even if a stale offer got recorded; clamp each
+        # planned range to start <= end so a regressed range reads
+        # nothing instead of reading garbage.
         cur = dict(self._current or {})
-        for p, e in end.items():
-            cur[p] = max(cur.get(p, EARLIEST_OFFSET), int(e))
+        for p in set(start) | set(end):
+            s = int(start.get(p, EARLIEST_OFFSET))
+            e = int(end.get(p, EARLIEST_OFFSET))
+            cur[p] = max(cur.get(p, EARLIEST_OFFSET), s, e)
         self._current = cur
         _debug(f"partitions {start} {end}")
         return [
-            _Range(self.root, self.topic, int(p), int(start[p]), int(end[p]))
+            _Range(
+                self.root, self.topic, int(p), int(start[p]),
+                max(int(start[p]), int(end[p])),
+            )
             for p in start
         ]
 

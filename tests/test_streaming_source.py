@@ -196,3 +196,64 @@ def test_stream_static_join_and_window_agg(spark, tmp_path):
     q.stop()
     res = {r.event_type: r["count"] for r in spark.sql("SELECT * FROM t_join").collect()}
     assert res == {"view": 20, "purchase": 10}
+
+
+def test_restart_with_backlog_exceeding_cap(spark, tmp_path):
+    """Restart after a clean commit with a backlog LARGER than the
+    admission cap (maxmsgs): latestOffset() must never offer an offset
+    behind the checkpointed position, or Spark records the regressed
+    range and re-reads already-committed messages (duplicates in an
+    append sink). The reader recovers its high-water mark from the
+    commit-time ack sidecar, so the first post-restart offer starts at
+    the committed position, not earliest."""
+    root, ck, out = str(tmp_path / "b"), str(tmp_path / "ck"), str(tmp_path / "out")
+    w = _write_events_topic(root, n=30, partitions=1)
+    df = read_stream(spark, root, "events", maxmsgs=10)
+    assert _drain_to_parquet(df, spark, out, ck).count() == 30
+
+    for i in range(30, 55):  # backlog of 25 > cap of 10
+        w.append(0, json.dumps({"event_id": i, "user_id": 0, "event_type": "view", "value": 1.0}))
+
+    df2 = read_stream(spark, root, "events", maxmsgs=10)
+    all_rows = _drain_to_parquet(df2, spark, out, ck).collect()
+    ids = sorted(json.loads(bytes(r.value).decode())["event_id"] for r in all_rows)
+    assert ids == list(range(55))  # no duplicates, no loss
+
+
+def test_reader_recovers_cursor_from_ack_sidecar(tmp_path):
+    """Unit-level check of the restart guarantee (no Spark): a fresh
+    reader instance starts its admission cursor at the acked position,
+    so the first latestOffset() offer is committed+cap, never behind."""
+    from pinot_pulsar_plugin_spark.sources.fakebroker import FakePulsarBroker
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import PulsarLikeStreamReader
+
+    root = str(tmp_path)
+    w = TopicWriter(root, "t", partitions=1, rollover_every=1000)
+    for i in range(40):
+        w.append(0, json.dumps({"i": i}))
+    b = FakePulsarBroker(root)
+    b.acknowledge_cumulative("t", 0, 29)  # committed through offset 29
+
+    r = PulsarLikeStreamReader({"path": root, "topic": "t", "maxmsgs": "10"})
+    assert r._current == {"0": 30}
+    assert r.latestOffset() == {"0": 40}  # cap-sized batch FROM committed
+
+    # acks are monotonic: a replayed older ack can't regress the record
+    b.acknowledge_cumulative("t", 0, 5)
+    assert b.acked_through("t", 0) == 29
+
+
+def test_reader_partitions_clamps_regressed_range(tmp_path):
+    """A (hypothetical) regressed planned range start>end must read
+    empty and snap the cursor forward, not read garbage."""
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import PulsarLikeStreamReader
+
+    root = str(tmp_path)
+    w = TopicWriter(root, "t", partitions=1, rollover_every=1000)
+    for i in range(40):
+        w.append(0, json.dumps({"i": i}))
+    r = PulsarLikeStreamReader({"path": root, "topic": "t", "maxmsgs": "10"})
+    rngs = r.partitions({"0": 30}, {"0": 10})
+    assert rngs[0].start == 30 and rngs[0].end == 30  # clamped → empty
+    assert list(r.read(rngs[0])) == []
+    assert r._current == {"0": 30}  # snapped to max(start, end)
