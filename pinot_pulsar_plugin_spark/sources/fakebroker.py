@@ -121,6 +121,41 @@ class FakePulsarBroker:
 
     # ---- data plane (partition consumer parity) ----
 
+    def _keys_index(self, topic: str, partition: int) -> dict[int, str | None]:
+        """offset → message key (None when unkeyed / no sidecar). Keys
+        live in ``ledger-<L>.keys`` sidecars, one JSON-encoded key per
+        line, aligned with the ledger's entries."""
+        keys: dict[int, str | None] = {}
+        for ledger in self._ledgers(topic, partition):
+            kpath = os.path.join(
+                self._partition_dir(topic, partition), f"ledger-{ledger:08d}.keys"
+            )
+            try:
+                with open(kpath, "rb") as fh:
+                    lines = fh.read().split(b"\n")
+                    if lines and lines[-1] == b"":
+                        lines.pop()
+            except OSError:
+                continue
+            for entry, raw in enumerate(lines):
+                keys[encode_offset(ledger, entry)] = json.loads(raw)
+        return keys
+
+    def _superseded(self, topic: str, partition: int) -> set[int]:
+        """Offsets hidden by compaction: keyed messages with a later
+        message (higher offset) carrying the same key. Unkeyed messages
+        are never compacted away."""
+        latest: dict[str, int] = {}
+        keys = self._keys_index(topic, partition)
+        for off, key in keys.items():
+            if key is not None and off > latest.get(key, -(1 << 62)):
+                latest[key] = off
+        return {
+            off
+            for off, key in keys.items()
+            if key is not None and latest[key] != off
+        }
+
     def fetch(
         self,
         topic: str,
@@ -130,6 +165,7 @@ class FakePulsarBroker:
         end_offset: int | None = None,
         max_msgs: int = DEFAULT_MAX_MSGS,
         max_bytes: int = DEFAULT_MAX_BYTES,
+        compacted: bool = False,
     ) -> list[FetchedMessage]:
         """Bounded batch fetch from ``start_offset`` (gap-tolerant).
 
@@ -138,12 +174,19 @@ class FakePulsarBroker:
         the reference rejects bounded reads (:94-98) because Pulsar's
         reader API predates them; Spark micro-batches are bounded by
         construction, and the offset codec makes ranges well-defined.
+
+        ``compacted=True`` serves the compacted view — the latest
+        message per key, unkeyed messages untouched — matching the
+        reference's source-level ``readCompacted(true)`` subscription
+        (PulsarPartitionLevelConsumer.java:68). Offsets are unchanged;
+        superseded messages are simply not delivered.
         """
         if start_offset == EARLIEST_OFFSET:
             start_offset = self.earliest_offset(topic, partition)
         idx = self._offsets_index(topic, partition)
         offsets = [o for o, _, _ in idx]
         pos = bisect_left(offsets, start_offset)  # first msg offset >= start
+        hidden = self._superseded(topic, partition) if compacted else set()
         out: list[FetchedMessage] = []
         nbytes = 0
         by_file: dict[str, list[str]] = {}
@@ -151,6 +194,9 @@ class FakePulsarBroker:
             offset, path, line_no = idx[pos]
             if end_offset is not None and offset >= end_offset:
                 break
+            if offset in hidden:
+                pos += 1
+                continue
             if path not in by_file:
                 # split on b"\n" only — the same delimiter
                 # _offsets_index counts entries by (iterating a binary
@@ -220,8 +266,10 @@ class TopicWriter:
         """Force a rollover to a specific ledger id (creates a gap)."""
         self._state[partition] = (ledger, 0)
 
-    def append(self, partition: int, payload: bytes | str) -> int:
-        """Write one message; returns its encoded offset."""
+    def append(self, partition: int, payload: bytes | str, key: str | None = None) -> int:
+        """Write one message; returns its encoded offset. ``key`` is the
+        Pulsar message key (drives compaction); a ``.keys`` sidecar line
+        is written per entry so the broker can serve compacted reads."""
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
         # \n is the ledger delimiter; the other bytes are rejected too so
@@ -238,5 +286,7 @@ class TopicWriter:
         )
         with open(path, "ab") as fh:
             fh.write(payload + b"\n")
+        with open(path[: -len(".jsonl")] + ".keys", "ab") as fh:
+            fh.write(json.dumps(key).encode("utf-8") + b"\n")
         self._state[partition] = (ledger, entry + 1)
         return encode_offset(ledger, entry)

@@ -81,16 +81,23 @@ class _Range(InputPartition):
     partition: int
     start: int
     end: int  # exclusive
+    compacted: bool = False
 
 
 def _read_range(rng: _Range) -> Iterator[tuple]:
     """Executor-side scan of one partition's offset range. Loops the
     bounded fetch (the reference's one-batchReceive-per-call shape,
-    consumer:136) until the range is exhausted."""
+    consumer:136) until the range is exhausted. With ``compacted`` the
+    fetch serves the compacted view (latest message per key), matching
+    the reference's readCompacted(true) subscription (consumer:68) —
+    offset PLANNING stays on raw offsets; compaction only affects which
+    messages the executor delivers."""
     broker = FakePulsarBroker(rng.root)
     pos = rng.start
     while pos < rng.end:
-        batch = broker.fetch(rng.topic, rng.partition, pos, end_offset=rng.end)
+        batch = broker.fetch(
+            rng.topic, rng.partition, pos, end_offset=rng.end, compacted=rng.compacted
+        )
         if not batch:
             break
         for msg in batch:
@@ -112,12 +119,29 @@ def int_option(options: dict, key: str, default: int) -> int:
         return default
 
 
+def bool_option(options: dict, key: str, default: bool = False) -> bool:
+    """Bool option with the same fallback-to-default-on-garbage
+    semantics as :func:`int_option`."""
+    raw = options.get(key)
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    if s in ("true", "1", "yes"):
+        return True
+    if s in ("false", "0", "no"):
+        return False
+    return default
+
+
 class PulsarLikeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.topic = options.get("topic", "topic")
         self.max_msgs = int_option(options, "maxmsgs", DEFAULT_MAX_MSGS)
         self.max_bytes = int_option(options, "maxbytes", DEFAULT_MAX_BYTES)
+        # readCompacted(true) analog at the source level (consumer:68):
+        # executors deliver only the latest message per key
+        self.compacted = bool_option(options, "compacted", False)
         self.broker = FakePulsarBroker(self.root)
         self.n_parts = self.broker.partition_count(self.topic)
         if self.n_parts == 0:
@@ -188,6 +212,7 @@ class PulsarLikeStreamReader(DataSourceStreamReader):
             _Range(
                 self.root, self.topic, int(p), int(start[p]),
                 max(int(start[p]), int(end[p])),
+                compacted=self.compacted,
             )
             for p in start
         ]
@@ -214,6 +239,7 @@ class PulsarLikeBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.topic = options.get("topic", "topic")
+        self.compacted = bool_option(options, "compacted", False)
         self.broker = FakePulsarBroker(self.root)
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -225,6 +251,7 @@ class PulsarLikeBatchReader(DataSourceReader):
                 p,
                 self.broker.earliest_offset(self.topic, p),
                 self.broker.latest_offset(self.topic, p),
+                compacted=self.compacted,
             )
             for p in range(n)
         ]

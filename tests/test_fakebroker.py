@@ -116,3 +116,33 @@ def test_writer_rejects_line_boundary_bytes(tmp_path):
     for bad in (b"a\nb", b"a\rb", b"a\x0bb", b"a\x0cb", b"a\x1cb", b"a\x1db", b"a\x1eb"):
         with pytest.raises(ValueError):
             w.append(0, bad)
+
+
+def test_compacted_fetch_latest_per_key(tmp_path):
+    """Source-level readCompacted(true) analog (consumer:68): the fetch
+    serves only the latest message per key; unkeyed messages are never
+    compacted away; offsets are unchanged."""
+    w = TopicWriter(str(tmp_path), "kv", partitions=1, rollover_every=4)
+    offs = {}
+    for i in range(10):  # keys k0..k2 repeat across ledger rollovers
+        offs[i] = w.append(0, json.dumps({"i": i}), key=f"k{i % 3}")
+    unkeyed = w.append(0, json.dumps({"i": 99}))  # no key
+    b = FakePulsarBroker(str(tmp_path))
+
+    plain = b.fetch("kv", 0, EARLIEST_OFFSET)
+    assert len(plain) == 11  # uncompacted read unchanged
+
+    msgs = b.fetch("kv", 0, EARLIEST_OFFSET, compacted=True)
+    # latest per key: i=9 (k0), i=7 (k1), i=8 (k2), plus the unkeyed one
+    assert [m.offset for m in msgs] == sorted([offs[7], offs[8], offs[9], unkeyed])
+    assert {json.loads(m.payload)["i"] for m in msgs} == {7, 8, 9, 99}
+
+
+def test_compacted_fetch_respects_bounds(tmp_path):
+    w = TopicWriter(str(tmp_path), "kv", partitions=1)
+    for i in range(6):
+        w.append(0, json.dumps({"i": i}), key=f"k{i % 2}")
+    b = FakePulsarBroker(str(tmp_path))
+    # max_msgs counts DELIVERED messages, skipped ones advance silently
+    msgs = b.fetch("kv", 0, EARLIEST_OFFSET, max_msgs=1, compacted=True)
+    assert len(msgs) == 1 and json.loads(msgs[0].payload)["i"] == 4

@@ -257,3 +257,31 @@ def test_reader_partitions_clamps_regressed_range(tmp_path):
     assert rngs[0].start == 30 and rngs[0].end == 30  # clamped → empty
     assert list(r.read(rngs[0])) == []
     assert r._current == {"0": 30}  # snapped to max(start, end)
+
+
+def test_source_level_compacted_stream(spark, tmp_path):
+    """compacted=true on the pulsarlike source (readCompacted(true),
+    consumer:68): the stream delivers the latest message per key even
+    when a key's versions span micro-batches and ledger rollovers.
+    decode.compacted_view remains the post-source fallback for topics
+    without broker compaction."""
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "kv", partitions=1, rollover_every=5)
+    for i in range(20):
+        w.append(0, json.dumps({"key": f"k{i % 4}", "val": i}), key=f"k{i % 4}")
+    df = read_stream(spark, root, "kv", compacted="true", maxmsgs=6)
+    out = _drain(df, "t_compacted", spark, str(tmp_path / "ck")).collect()
+    got = {json.loads(bytes(r.value).decode())["val"] for r in out}
+    assert got == {16, 17, 18, 19}  # latest write of each of the 4 keys
+
+
+def test_source_level_compacted_batch(spark, tmp_path):
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "kv", partitions=2)
+    for i in range(12):
+        w.append(i % 2, json.dumps({"key": f"k{i % 3}", "val": i}), key=f"k{i % 3}")
+    rows = read_batch(spark, root, "kv", compacted="true").collect()
+    vals = sorted(json.loads(bytes(r.value).decode())["val"] for r in rows)
+    # per-partition compaction (partitions are independent): latest of
+    # each (partition, key) pair
+    assert vals == [6, 7, 8, 9, 10, 11]
