@@ -31,16 +31,16 @@ from pinot_pulsar_plugin_spark.sources.offsets import (
     encode_offset,
 )
 
-try:  # pragma: no cover - not installed in this environment
+try:
     import pulsar  # type: ignore
 
     HAVE_PULSAR = True
-except ImportError:
+except ImportError:  # pragma: no cover - exercised via sys.modules stub
     pulsar = None
     HAVE_PULSAR = False
 
 
-class RealPulsarBroker:  # pragma: no cover - requires a live broker
+class RealPulsarBroker:
     """Drop-in for FakePulsarBroker against a real cluster.
 
     ``root`` is the service URL (e.g. ``pulsar://host:6650``) instead of
@@ -66,9 +66,11 @@ class RealPulsarBroker:  # pragma: no cover - requires a live broker
         except Exception:
             return 0  # provider:56-57 — 0 on failure
 
-    def _reader(self, topic: str, partition: int, message_id):
+    def _reader(self, topic: str, partition: int, message_id, compacted: bool = False):
         return self._client.create_reader(
-            self._partition_name(topic, partition), message_id
+            self._partition_name(topic, partition),
+            message_id,
+            is_read_compacted=compacted,  # readCompacted(true), consumer:68
         )
 
     def earliest_offset(self, topic: str, partition: int) -> int:
@@ -110,6 +112,7 @@ class RealPulsarBroker:  # pragma: no cover - requires a live broker
         end_offset: int | None = None,
         max_msgs: int = DEFAULT_MAX_MSGS,
         max_bytes: int = DEFAULT_MAX_BYTES,
+        compacted: bool = False,
     ) -> list[FetchedMessage]:
         if start_offset == EARLIEST_OFFSET:
             start_id = pulsar.MessageId.earliest
@@ -118,7 +121,7 @@ class RealPulsarBroker:  # pragma: no cover - requires a live broker
             # seek is gap-tolerant broker-side: positions at the first
             # message with id >= (ledger, entry) — consumer:108-110
             start_id = pulsar.MessageId(partition, ledger, entry, -1)
-        r = self._reader(topic, partition, start_id)
+        r = self._reader(topic, partition, start_id, compacted)
         out: list[FetchedMessage] = []
         nbytes = 0
         try:
