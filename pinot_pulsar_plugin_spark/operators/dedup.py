@@ -62,6 +62,7 @@ def d43_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_K = 3
 _JACCARD_MIN = 0.01  # tuned for the near-orthogonal synthetic corpus
+_STOP_MAX_DF = 0.10  # drop shingles present in >10% of documents
 
 
 @query(
@@ -77,10 +78,15 @@ _JACCARD_MIN = 0.01  # tuned for the near-orthogonal synthetic corpus
              tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
              tk[CAST(i AS INT) + 2] AS s
       FROM sh_idx),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    stop AS (
+      SELECT s FROM shingles GROUP BY s
+      HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {_STOP_MAX_DF}),
+    kept AS (
+      SELECT * FROM shingles WHERE s NOT IN (SELECT s FROM stop)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT i.doc_a, i.doc_b, i.n_common,
            CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
@@ -91,17 +97,26 @@ _JACCARD_MIN = 0.01  # tuned for the near-orthogonal synthetic corpus
     """,
 )
 def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs.
+    """Exact word-3-gram Jaccard near-dup pairs over stop-filtered
+    shingle sets.
 
     Candidate pairs come from an equi-join on the shingle itself (never
     a cross join): cost scales with shingle collisions. Hot shingles
-    (boilerplate) are the skew risk at 100 TB — AQE skew-join handles
-    moderate cases; a production run would also drop stop-shingles by
-    document frequency before the join."""
+    (boilerplate) are THE skew risk at 100 TB — a shingle present in a
+    large fraction of documents is a single join key whose collision
+    count is quadratic in its document frequency, and AQE skew-split
+    alone still has to materialize those pairs. So stop-shingles are
+    dropped by document frequency BEFORE the self-join: one map-side-
+    combinable aggregation over the shingle table finds shingles with
+    df > {_STOP_MAX_DF:.0%} of the corpus, and a broadcast anti-join
+    removes them from the sets (semantics: Jaccard over stop-filtered
+    shingle sets, identically on the oracle side). The stop list is
+    tiny by construction (few shingles can exceed a corpus-fraction
+    bound), so the anti-join never shuffles the shingle table."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
-    # the distinct shingle set feeds three consumers (both join sides +
-    # per-doc counts): persist so explode+distinct runs once
+    # the distinct shingle set feeds four consumers (stop-list agg, both
+    # join sides, per-doc counts): persist so explode+distinct runs once
     shingles = (
         toks.select(
             "doc_id",
@@ -115,9 +130,18 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("n_docs") * _STOP_MAX_DF)
+        .select("s")
+    )
+    kept = shingles.join(F.broadcast(stop), "s", "left_anti")
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -1,0 +1,31 @@
+"""Semantic unit tests for dedup operators on crafted corpora."""
+
+from __future__ import annotations
+
+
+def test_d44_drops_boilerplate_stop_shingles(spark, tmp_path):
+    """A corpus-wide boilerplate shingle (the hot join key at scale) is
+    stop-filtered, so docs sharing ONLY boilerplate never pair; docs
+    sharing genuine content still do."""
+    from pinot_pulsar_plugin_spark.operators.dedup import d44_ngram_jaccard_pairs
+
+    texts = []
+    for i in range(50):  # threshold: df > 5 (10% of 50)
+        # every doc opens with the same boilerplate 3-gram "corp legal
+        # disclaimer"; docs 4 and 5 also share a genuine tail
+        tail = "alpha beta gamma delta" if i in (4, 5) else f"u{i} v{i} p{i} q{i}"
+        texts.append((i, f"corp legal disclaimer {tail}"))
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = d44_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    # without the stop filter all C(50,2)=1225 doc pairs would collide
+    # on "corp legal disclaimer" (df=50 > 5 -> stopped); only the
+    # genuine pair survives
+    assert set(pairs) == {(4, 5)}, set(pairs)
+    r = pairs[(4, 5)]
+    # kept shingles per doc: "disclaimer alpha beta", "alpha beta
+    # gamma", "beta gamma delta" + ("legal disclaimer alpha" has df=2,
+    # kept) -> both docs have identical kept sets of size 4
+    assert r.n_common == 4 and abs(r.jaccard - 1.0) < 1e-12, r

@@ -86,3 +86,18 @@ def test_no_python_udfs_in_scalar_ops(spark):
 def test_whole_stage_codegen_active(spark):
     plan = codegen_plan(relational.q01_pricing_summary(spark, SF))
     assert "WholeStageCodegen" in plan
+
+
+def test_d44_stop_shingle_filter_stage(spark):
+    """The stop-shingle DF filter must appear as a broadcast anti-join
+    ahead of the shingle self-join (the skew guard at 100 TB): the stop
+    list is computed by one aggregation and never shuffles the shingle
+    table itself."""
+    from pinot_pulsar_plugin_spark.operators import dedup
+
+    plan = formatted_plan(dedup.d44_ngram_jaccard_pairs(spark, SF))
+    assert "LeftAnti" in plan, plan
+    # the anti-join side is broadcast, not a shuffled join
+    import re
+
+    assert re.search(r"Broadcast\w*Join [^\n]*LeftAnti", plan), plan
