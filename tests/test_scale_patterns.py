@@ -173,3 +173,25 @@ def test_salted_join_rejects_unsafe_how(spark):
     for how in ("right", "full", "full_outer", "rightouter"):
         with _pytest.raises(ValueError):
             salted_join(df, df, "k", how=how)
+
+
+def test_q69_composite_blocks_bounded(spark):
+    """The fuzzy-match blocking key must bound block size well below
+    brand-only blocking (whose in-block quadratic blows up at 100x):
+    each pass's largest block is >=4x smaller than the largest brand
+    block at sf0.01."""
+    from pyspark.sql import functions as F
+
+    p = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    brand_max = p.groupBy("p_brand").count().agg(F.max("count")).first()[0]
+    for tok in (
+        F.substring_index("p_name", " ", 1),
+        F.substring_index("p_name", " ", -1),
+    ):
+        m = (
+            p.groupBy("p_brand", tok.alias("blk"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert m * 4 <= brand_max, (m, brand_max)
