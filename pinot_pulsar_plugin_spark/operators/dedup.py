@@ -355,12 +355,14 @@ _COS_MIN = 0.30  # tuned: random 64-dim vectors, max pairwise cos ≈ 0.38
 )
 def d47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (the correctness baseline
-    the LSH path, s49, approximates). Dot products are sequential
-    double folds — bit-identical to the DuckDB oracle.
+    the LSH paths approximate). Dot products are sequential double
+    folds — bit-identical to the DuckDB oracle.
 
-    Scale note: this O(n²) form is the verification oracle only; at
-    100 TB candidates come from s49's hyperplane-LSH buckets and this
-    exact cosine runs only within buckets."""
+    Scale note: this O(n²) form is the small-SF verification oracle
+    ONLY — its nested-loop self-join must never run at scale. The
+    production path is :func:`d48_embedding_neardup_lsh`, which runs
+    the identical exact cosine but only on LSH bucket-mates; d48 is the
+    bench-tracked entry, d47 stays at oracle duty (sf<=0.01)."""
     em = t(spark, sf_dir, "embeddings")
     n = em.select(
         "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
@@ -377,5 +379,113 @@ def d47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine"),
         )
+        .filter(F.col("cosine") >= _COS_MIN)
+    )
+
+
+_D48_TABLES = 4  # independent bit-sampling tables
+_D48_BITS = 5  # 32 buckets per table; table t samples dims t*5 .. t*5+4
+
+
+def _d48_bucket_sql(tbl: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN embedding[{tbl * _D48_BITS + j + 1}] > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(_D48_BITS)
+    )
+    return f"SELECT vec_id, {tbl} AS tbl, ({terms}) AS bucket FROM embeddings"
+
+
+@query(
+    "d48_embedding_neardup_lsh",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({fold_dot_sql("embedding", "embedding")}) AS nrm
+      FROM embeddings),
+    buck AS ({" UNION ALL ".join(_d48_bucket_sql(t) for t in range(_D48_TABLES))}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buck a JOIN buck b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           {fold_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+    FROM cand c
+    JOIN n a ON a.vec_id = c.vec_a
+    JOIN n b ON b.vec_id = c.vec_b
+    WHERE {fold_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= {_COS_MIN}
+    """,
+)
+def d48_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed exact-rerank near-dup: the scale companion to d47.
+
+    Candidates come from multi-table bit-sampling LSH — table ``t``'s
+    5-bit signature is the sign pattern of dimensions ``5t..5t+4``
+    (axis-aligned hyperplanes; for isotropic embeddings these behave
+    like random planes, and unlike s49's sampled gaussian planes the
+    bucket function is plain SQL, so the WHOLE pipeline is
+    oracle-checked, not rows-only). The exact sequential-fold cosine —
+    the same expression as d47 — runs only on bucket-mates.
+
+    Scale shape (100 TB): signature computation is a per-row map (no
+    shuffle); candidate generation shuffles (vec_id, tbl, bucket) only
+    — signatures are 5 bits, never the 64-dim vectors; the embedding
+    vectors rejoin AFTER pair-dedup, so the wide rows move only for
+    true candidates. Recall/selectivity tune with tables x bits (more
+    bits → smaller buckets → fewer exact cosines), never an all-pairs
+    product. d47 remains the exhaustive-recall oracle at sf<=0.01."""
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
+    )
+    buck = em.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ti).alias("tbl"),
+                        sum(
+                            [
+                                F.when(
+                                    F.element_at("embedding", ti * _D48_BITS + j + 1) > 0,
+                                    F.lit(1 << j),
+                                ).otherwise(0)
+                                for j in range(_D48_BITS)
+                            ],
+                            F.lit(0),
+                        ).alias("bucket"),
+                    )
+                    for ti in range(_D48_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = buck.alias("a"), buck.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    na = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = fold_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= _COS_MIN)
     )
