@@ -1,0 +1,226 @@
+"""Training-data pipeline composites (north-star scope, SURVEY.md §2.B
+LLM-pipeline row): the steps that turn per-doc operators into a usable
+corpus pipeline.
+
+- d49 near-dup components — connected components over d44's near-dup
+  pairs: the pairs → clusters → survivors step every dedup pipeline
+  needs (emitting pairs alone doesn't dedup anything).
+- q74 train/val/test split — deterministic multiplicative-hash
+  bucketing; reproducible across engines and runs, no RNG state.
+- q75 sequence packing — token counts packed into budget-bounded
+  shards, the shaping step before LLM training; packing is
+  partition-local so it scales embarrassingly.
+- t55 BPE-ish token count — regex word-piece counting (letters runs /
+  digits / other-symbol), the cheap proxy for tokenizer cost used in
+  corpus budgeting.
+
+All four are oracle-checked (the component step via DuckDB's recursive
+CTE — transitive closure reaches the same fixpoint as Spark's
+iterative min-label propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+from pinot_pulsar_plugin_spark.operators.dedup import (
+    ORACLE as _DEDUP_ORACLE,
+    d44_ngram_jaccard_pairs,
+)
+
+QUERIES, ORACLE, query = make_registry()
+
+_MAX_CC_ITERS = 30
+
+
+@query(
+    "d49_neardup_components",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_DEDUP_ORACLE["d44_ngram_jaccard_pairs"]}) d44
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id,
+           MIN(label) AS component,
+           CAST(doc_id = MIN(label) AS INTEGER) AS is_keeper
+    FROM reach GROUP BY doc_id
+    """,
+)
+def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the d44 near-dup graph: every document
+    gets a component id (the min doc_id reachable through near-dup
+    edges) and a keeper flag (component representative). This is the
+    step that turns pairwise near-dup output into an actual dedup
+    decision.
+
+    Algorithm: iterative min-label propagation — each round, every node
+    takes the min of its own label and its neighbors' labels; fixpoint
+    in O(component diameter) rounds. Near-dup components are dense
+    (near-cliques), so diameter is tiny regardless of corpus size. Each
+    round is one distributed join + one aggregation; the driver only
+    coordinates the loop and checks convergence (a count, not a
+    collect) — the classic Spark shape for iterative graph algorithms.
+    ``localCheckpoint`` truncates lineage per round so plans stay flat.
+    The DuckDB oracle computes the same fixpoint via a recursive CTE."""
+    pairs = d44_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(_MAX_CC_ITERS):
+        prop = edges.join(labels, edges.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - defensive: diameter exceeded the cap
+        raise RuntimeError(f"components did not converge in {_MAX_CC_ITERS} rounds")
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_keeper"),
+    )
+
+
+# Knuth multiplicative hash: deterministic, engine-agnostic (pure
+# BIGINT arithmetic), uniform enough for split bucketing. 800/100/100.
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 1 << 32
+
+
+@query(
+    "q74_train_split",
+    f"""
+    SELECT doc_id,
+           CAST((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 AS INTEGER) AS bucket,
+           CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 800 THEN 'train'
+                WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q74_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by multiplicative hash
+    of the stable document id: no RNG state, reproducible across
+    engines/runs/backfills, and a pure per-row map (no shuffle — the
+    property that matters when splitting 100 TB). 80/10/10 by bucket
+    ranges; stratification composes by hashing (doc_id, stratum)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD)) % 1000
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_PACK_GROUPS = 8  # parallel packing lanes (↑ with cluster size)
+_PACK_BUDGET = 2048  # token budget per shard
+
+
+@query(
+    "q75_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(doc_id % {_PACK_GROUPS} AS INTEGER) AS pack_group
+      FROM documents)
+    SELECT doc_id, n_tokens, pack_group,
+           CAST(pack_group * 100000 +
+                FLOOR((SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS shard
+    FROM toks
+    """,
+)
+def q75_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents are assigned to shards whose
+    cumulative token count stays within a budget — the shaping step
+    before LLM training (fixed-size sample files / context packing).
+
+    Scale shape: documents hash into {_PACK_GROUPS} independent packing
+    lanes, and the running token sum is a window inside each lane — so
+    the only shuffle is the lane hash partition, lanes pack in
+    parallel, and lane count scales with the cluster (no global sort,
+    no single-partition window). A doc lands in the shard where its
+    PRECEDING lane total left off, so every shard holds ≥1 doc and at
+    most budget+max_doc tokens."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.pmod("doc_id", F.lit(_PACK_GROUPS)).cast("int").alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.col("pack_group") * 100000 + F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+    )
+    return toks.select(
+        "doc_id", "n_tokens", "pack_group", shard.cast("bigint").alias("shard")
+    )
+
+
+_BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@query(
+    "t55_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS bpe_per_ws
+    FROM documents
+    """,
+)
+def t55_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a word-piece regex (letter runs, single
+    digits, other symbols) approximates subword tokenizer output ~10x
+    cheaper than running one — the standard proxy for corpus token
+    budgeting. Pure built-in regexp (JVM-side, codegen'd); the pattern
+    uses only character classes so Java and RE2 dialects agree."""
+    d = t(spark, sf_dir, "documents")
+    n_ws = F.size(F.split("text", " ")).cast("bigint")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("bpe_per_ws"),
+    )

@@ -30,6 +30,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.subqueries",
     "pinot_pulsar_plugin_spark.operators.timeseries",
     "pinot_pulsar_plugin_spark.operators.aggregates2",
+    "pinot_pulsar_plugin_spark.operators.pipelines",
 ]
 
 

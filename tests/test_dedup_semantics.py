@@ -29,3 +29,25 @@ def test_d44_drops_boilerplate_stop_shingles(spark, tmp_path):
     # gamma", "beta gamma delta" + ("legal disclaimer alpha" has df=2,
     # kept) -> both docs have identical kept sets of size 4
     assert r.n_common == 4 and abs(r.jaccard - 1.0) < 1e-12, r
+
+
+def test_d49_components_chain_and_singletons(spark, tmp_path):
+    """A chain of pairwise near-dups (diameter 7 — forces several
+    propagation rounds) collapses to one component labeled by its min
+    doc_id; isolated docs stay their own keepers."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import d49_neardup_components
+
+    texts = []
+    for i in range(8):  # doc i shares exactly one 3-gram with doc i+1
+        texts.append((i, f"x{i} y{i} z{i} x{i+1} y{i+1} z{i+1}"))
+    for i in range(8, 24):  # isolated docs (no shared shingles)
+        texts.append((i, f"a{i} b{i} c{i} d{i} e{i} f{i}"))
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in d49_neardup_components(spark, str(tmp_path)).collect()}
+    assert len(rows) == 24
+    for i in range(8):
+        assert rows[i].component == 0 and rows[i].is_keeper == (1 if i == 0 else 0)
+    for i in range(8, 24):
+        assert rows[i].component == i and rows[i].is_keeper == 1
