@@ -141,3 +141,51 @@ def m56_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return payloads.mapInPandas(make_decode_batches(), schema=_DECODE_SCHEMA)
+
+
+@query(
+    "m57_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+      WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+    frames AS (
+      SELECT doc_id, n_bytes,
+             unnest(generate_series(0, CAST(n_bytes % 30 AS INTEGER), 5)) AS frame_idx
+      FROM b)
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((n_bytes * 7 + frame_idx * 31) % 256 AS INTEGER) AS frame_sig
+    FROM frames
+    """,
+)
+def m57_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads (every 5th frame of the
+    decoded n_frames): the explode-per-frame pattern a real video
+    pipeline uses — one row per sampled frame with a per-frame feature.
+    The decode is the deterministic fake (frame count from payload
+    length, signature from arithmetic) so the full explode/project
+    plumbing is oracle-checked; a real codec slots into the same shape
+    via make_decode_batches(codec='real').
+
+    Scale shape: explode multiplies rows ~6x but only (doc_id, n_bytes,
+    frame_idx) travel — payload bytes never leave the scan; no shuffle
+    at all (pure per-row generate + project)."""
+    d = t(spark, sf_dir, "documents")
+    vids = d.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes")
+    )
+    frames = vids.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_bytes") % 30).cast("int"), F.lit(5))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        ((F.col("n_bytes") * 7 + F.col("frame_idx") * 31) % 256)
+        .cast("int")
+        .alias("frame_sig"),
+    )

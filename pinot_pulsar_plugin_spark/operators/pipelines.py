@@ -13,8 +13,11 @@ corpus pipeline.
 - t55 BPE-ish token count — regex word-piece counting (letters runs /
   digits / other-symbol), the cheap proxy for tokenizer cost used in
   corpus budgeting.
+- d50 contamination — fraction of each training doc's shingles found
+  in the benchmark/eval set (broadcast join against the tiny benchmark
+  shingle table): the decontamination gate before training.
 
-All four are oracle-checked (the component step via DuckDB's recursive
+All are oracle-checked (the component step via DuckDB's recursive
 CTE — transitive closure reaches the same fixpoint as Spark's
 iterative min-label propagation).
 """
@@ -223,4 +226,83 @@ def t55_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
         (n_bpe.cast("double") / n_ws).alias("bpe_per_ws"),
+    )
+
+
+_BENCH_SET_MAX_ID = 25  # doc_id < 25 stands in for the eval/benchmark set
+
+
+@query(
+    "d50_contamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    sh_idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+             tk[CAST(i AS INT) + 2] AS s
+      FROM sh_idx),
+    bench AS (
+      SELECT DISTINCT s FROM shingles WHERE doc_id < {_BENCH_SET_MAX_ID}),
+    scored AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+      FROM shingles sh LEFT JOIN bench b ON sh.s = b.s
+      WHERE sh.doc_id >= {_BENCH_SET_MAX_ID}
+      GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles, n_contaminated,
+           CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+    FROM scored
+    """,
+)
+def d50_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scoring: for every training document,
+    the fraction of its 3-gram shingles that also occur in the
+    benchmark/eval set (here: ``doc_id < {_BENCH_SET_MAX_ID}`` as the
+    stand-in). Pipelines drop or flag documents above a contamination
+    threshold before training.
+
+    Scale shape: the benchmark shingle set is small by definition
+    (eval suites are MBs, corpora are TBs) → broadcast LEFT join
+    against it; the corpus shingle table streams through map-side, the
+    only shuffle is the per-doc count aggregation."""
+    d = t(spark, sf_dir, "documents")
+    shingles = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
+                    "i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    bench = (
+        shingles.filter(F.col("doc_id") < _BENCH_SET_MAX_ID)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        shingles.filter(F.col("doc_id") >= _BENCH_SET_MAX_ID)
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
     )

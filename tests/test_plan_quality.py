@@ -101,3 +101,39 @@ def test_d44_stop_shingle_filter_stage(spark):
     import re
 
     assert re.search(r"Broadcast\w*Join [^\n]*LeftAnti", plan), plan
+
+
+def test_q74_split_is_pure_map(spark):
+    """Train/val/test assignment must be a per-row map: zero exchanges
+    (what makes it free at 100 TB)."""
+    from pinot_pulsar_plugin_spark.operators import pipelines
+
+    assert n_shuffles(pipelines.q74_train_split(spark, SF)) == 0
+
+
+def test_q75_packing_single_lane_shuffle(spark):
+    """Sequence packing shuffles once (the lane hash partition for the
+    per-lane running-sum window); no global sort."""
+    from pinot_pulsar_plugin_spark.operators import pipelines
+
+    df = pipelines.q75_sequence_packing(spark, SF)
+    assert n_shuffles(df) == 1
+    plan = formatted_plan(df)
+    # the exchange is a lane HASH partition, never a global range sort
+    assert "hashpartitioning(pack_group" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_d50_benchmark_side_broadcast(spark):
+    """The benchmark shingle set joins by broadcast — the corpus
+    shingle table must not shuffle for the join (only the per-doc
+    aggregation exchanges)."""
+    from pinot_pulsar_plugin_spark.operators import pipelines
+
+    assert has_broadcast_join(pipelines.d50_contamination(spark, SF))
+
+
+def test_m57_frame_sample_no_shuffle(spark):
+    from pinot_pulsar_plugin_spark.operators import multimodal
+
+    assert n_shuffles(multimodal.m57_frame_sample(spark, SF)) == 0
