@@ -110,3 +110,28 @@ def st59_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("value"), "sum_value", 2),
         )
     )
+
+
+@query(
+    "st60_first_event_dedup",
+    """
+    SELECT user_id, event_type,
+           epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS first_ts_us,
+           arg_min(event_id, CAST(ts AS TIMESTAMP)) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def st60_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark`` keep-first
+    semantics: the earliest event per (user, type) key. In streaming
+    the same result comes from the stateful dedup operator with a
+    watermark bounding state (exercised in tests/test_streaming_ops);
+    the batch form is one hash aggregate carrying min + arg-min —
+    shuffle is #keys-sized. Event timestamps are globally unique in
+    this dataset, making arg-min deterministic."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+    )

