@@ -105,12 +105,36 @@ def _read_range(rng: _Range) -> Iterator[tuple]:
         pos = batch[-1].next_offset
 
 
+# The reference namespaces its config under "stream.pulsar." with
+# camelCase leaf keys (PulsarPartitionLevelStreamConfig.java:34-41:
+# stream.pulsar.broker.list / consumer.maxMsgs / consumer.maxBytes /
+# consumer.timeout). Spark lowercases DataSource option keys, so a user
+# porting a reference config can pass those keys verbatim — each short
+# option name below also resolves through its reference-key aliases.
+_OPTION_ALIASES: dict[str, tuple[str, ...]] = {
+    "path": ("path", "broker.list", "stream.pulsar.broker.list"),
+    "topic": ("topic", "topic.name", "stream.pulsar.topic.name"),
+    "maxmsgs": ("maxmsgs", "consumer.maxmsgs", "stream.pulsar.consumer.maxmsgs"),
+    "maxbytes": ("maxbytes", "consumer.maxbytes", "stream.pulsar.consumer.maxbytes"),
+    "timeout": ("timeout", "consumer.timeout", "stream.pulsar.consumer.timeout"),
+    "compacted": ("compacted", "readcompacted", "stream.pulsar.readcompacted"),
+}
+
+
+def _lookup(options: dict, key: str):
+    for alias in _OPTION_ALIASES.get(key, (key,)):
+        if alias in options:
+            return options[alias]
+    return None
+
+
 def int_option(options: dict, key: str, default: int) -> int:
     """Int option with fallback-to-default on missing OR unparsable
     values — the reference's config-parse semantics
     (PulsarPartitionLevelStreamConfig.java:97-107:
-    ``getIntConfigWithDefault`` swallows the parse exception)."""
-    raw = options.get(key)
+    ``getIntConfigWithDefault`` swallows the parse exception).
+    Reference-namespaced aliases accepted (see ``_OPTION_ALIASES``)."""
+    raw = _lookup(options, key)
     if raw is None:
         return default
     try:
@@ -122,7 +146,7 @@ def int_option(options: dict, key: str, default: int) -> int:
 def bool_option(options: dict, key: str, default: bool = False) -> bool:
     """Bool option with the same fallback-to-default-on-garbage
     semantics as :func:`int_option`."""
-    raw = options.get(key)
+    raw = _lookup(options, key)
     if raw is None:
         return default
     s = str(raw).strip().lower()
@@ -133,10 +157,22 @@ def bool_option(options: dict, key: str, default: bool = False) -> bool:
     return default
 
 
+def _required_path(options: dict) -> str:
+    """Broker root; missing ⇒ raise, the reference's required-config
+    check for broker.list (PulsarPartitionLevelStreamConfig.java:73-74)."""
+    root = _lookup(options, "path")
+    if root is None:
+        raise ValueError(
+            "pulsarlike: 'path' option is required "
+            "(alias: stream.pulsar.broker.list)"
+        )
+    return root
+
+
 class PulsarLikeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
-        self.root = options["path"]
-        self.topic = options.get("topic", "topic")
+        self.root = _required_path(options)
+        self.topic = _lookup(options, "topic") or "topic"
         self.max_msgs = int_option(options, "maxmsgs", DEFAULT_MAX_MSGS)
         self.max_bytes = int_option(options, "maxbytes", DEFAULT_MAX_BYTES)
         # readCompacted(true) analog at the source level (consumer:68):
@@ -237,8 +273,8 @@ class PulsarLikeBatchReader(DataSourceReader):
     the capability the reference explicitly lacks (consumer:94-98)."""
 
     def __init__(self, options: dict):
-        self.root = options["path"]
-        self.topic = options.get("topic", "topic")
+        self.root = _required_path(options)
+        self.topic = _lookup(options, "topic") or "topic"
         self.compacted = bool_option(options, "compacted", False)
         self.broker = FakePulsarBroker(self.root)
 

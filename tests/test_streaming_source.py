@@ -285,3 +285,41 @@ def test_source_level_compacted_batch(spark, tmp_path):
     # per-partition compaction (partitions are independent): latest of
     # each (partition, key) pair
     assert vals == [6, 7, 8, 9, 10, 11]
+
+
+def test_reference_namespaced_option_aliases(spark, tmp_path):
+    """A config ported verbatim from the reference plugin works: the
+    stream.pulsar.* camelCase keys (lowercased by Spark's option map)
+    alias the short names (PulsarPartitionLevelStreamConfig.java:34-41),
+    and a missing broker root raises like the reference's required-
+    config check (:73-74)."""
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import (
+        PulsarLikeBatchReader,
+        PulsarLikeStreamReader,
+    )
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "events", partitions=1)
+    for i in range(25):
+        w.append(0, json.dumps({"i": i}), key=f"k{i % 5}")
+
+    r = PulsarLikeStreamReader(
+        {
+            "stream.pulsar.broker.list": root,
+            "stream.pulsar.topic.name": "events",
+            "stream.pulsar.consumer.maxmsgs": "7",
+            "stream.pulsar.consumer.maxbytes": "999999",
+        }
+    )
+    assert r.root == root and r.topic == "events" and r.max_msgs == 7
+    first = r.latestOffset()
+    assert list(first.values()) == [7]  # maxMsgs honored through alias
+
+    b = PulsarLikeBatchReader(
+        {"stream.pulsar.broker.list": root, "topic": "events",
+         "stream.pulsar.readcompacted": "true"}
+    )
+    assert b.compacted is True
+
+    with pytest.raises(ValueError):
+        PulsarLikeStreamReader({"topic": "events"})  # no broker root
