@@ -10,6 +10,9 @@ would be (ts, event_id).
 q69: Levenshtein fuzzy-match pairs blocked by a cheap equality key —
 the fuzzy flavor of dedup: never all-pairs, the block key bounds the
 quadratic term.
+
+q76: exact heavy-hitters (frequent items) per group.
+q77: gap-fill with forward interpolation (LOCF) over a date spine.
 """
 
 from __future__ import annotations
@@ -137,4 +140,100 @@ def q69_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("n_a", "n_b").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 4)
+    )
+
+
+@query(
+    "q76_heavy_hitters",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id),
+    shared AS (
+      SELECT event_type, user_id, cnt,
+             CAST(cnt AS DOUBLE) /
+               SUM(cnt) OVER (PARTITION BY event_type) AS share
+      FROM counts)
+    SELECT event_type, user_id, cnt, share
+    FROM shared WHERE share > 0.0015
+    """,
+)
+def q76_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items / heavy-hitters per group: users contributing
+    more than a share threshold of an event type's traffic — the exact
+    form of the frequent-items query realtime OLAP stores serve (Pinot
+    exposes it via FREQUENTLONGSSKETCH; here exact, since groupBy+window
+    is cheap). Shuffle is #(type,user) pairs after map-side combine,
+    then a #types-partition window — never row-sized."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    share = F.col("cnt").cast("double") / F.sum("cnt").over(
+        W.partitionBy("event_type")
+    )
+    return (
+        counts.withColumn("share", share)
+        .filter(F.col("share") > 0.0015)
+        .select("event_type", "user_id", "cnt", "share")
+    )
+
+
+@query(
+    "q77_forward_fill",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) AS day_us,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE CAST(value AS DOUBLE) > 99.0
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT t.event_type, d.day_us
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT DISTINCT epoch_us(time_bucket(INTERVAL '1 day',
+                    CAST(ts AS TIMESTAMP))) AS day_us FROM events) d)
+    SELECT s.event_type, s.day_us,
+           last_value(daily.n IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+    FROM spine s LEFT JOIN daily
+      ON daily.event_type = s.event_type AND daily.day_us = s.day_us
+    """,
+)
+def q77_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with forward interpolation (LOCF): a sparse daily
+    series (days where a rare filter matched) is joined onto the full
+    date spine and missing days carry the last observation forward —
+    the time-series gap-fill primitive dashboards expect
+    (TimescaleDB's locf / Pinot gapfill). ``last(ignorenulls)`` over an
+    unbounded-preceding frame is the Spark form; the window partitions
+    by series key so filling never crosses series, and the only
+    shuffles are the spine join key and the per-series window."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    day = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    daily = (
+        e.filter(F.col("value").cast("double") > 99.0)
+        .groupBy("event_type", day.alias("day_us"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = (
+        e.select("event_type").distinct()
+        .crossJoin(e.select(day.alias("day_us")).distinct())
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day_us"], "left")
+        .select(
+            "event_type",
+            "day_us",
+            F.last("n", ignorenulls=True).over(w).alias("n_filled"),
+        )
     )
