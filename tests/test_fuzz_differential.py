@@ -137,3 +137,66 @@ def test_fuzz_window_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"wfuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_rollup_query(rng: random.Random) -> str:
+    k0, k1 = rng.sample(_STR_COLS, 2)
+    form = rng.choice(
+        [
+            f"ROLLUP ({k0}, {k1})",
+            f"CUBE ({k0}, {k1})",
+            f"GROUPING SETS (({k0}), ({k1}), ())",
+        ]
+    )
+    pred = _gen_predicate(rng)
+    return (
+        f"SELECT {k0}, {k1}, COUNT(*) AS n, "
+        f"CAST(SUM(o_orderkey) AS BIGINT) AS s, "
+        f"CAST(GROUPING({k0}) AS INTEGER) AS g0, "
+        f"CAST(GROUPING({k1}) AS INTEGER) AS g1 "
+        f"FROM orders WHERE {pred} GROUP BY {form}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_rollup_differential(seed, spark, fuzz_env):
+    """Random ROLLUP/CUBE/GROUPING SETS with GROUPING() indicators —
+    the super-aggregate NULL semantics both engines must agree on."""
+    rng = random.Random(3000 + seed)
+    sql = _gen_rollup_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"rfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+_SCALAR_EXPRS = [
+    "UPPER(o_orderpriority)",
+    "LOWER(o_orderpriority)",
+    "SUBSTR(o_orderpriority, 2, 4)",
+    "CAST(LENGTH(o_orderpriority) AS BIGINT)",
+    "CONCAT(o_orderstatus, '-', o_orderpriority)",
+    "REPLACE(o_orderpriority, '-', '_')",
+    "TRIM(o_orderstatus)",
+    "CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END",
+    "COALESCE(NULLIF(o_orderstatus, 'O'), 'open')",
+    "CAST(o_orderkey % 97 AS BIGINT)",
+    "CAST(ABS(o_custkey - 750) AS BIGINT)",
+]
+
+
+def _gen_scalar_query(rng: random.Random) -> str:
+    exprs = rng.sample(_SCALAR_EXPRS, rng.randrange(2, 5))
+    cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    pred = _gen_predicate(rng)
+    return f"SELECT o_orderkey, {cols} FROM orders WHERE {pred}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_scalar_differential(seed, spark, fuzz_env):
+    """Random scalar-function pipelines (string/case/arithmetic subset
+    both dialects define identically)."""
+    rng = random.Random(1000 + seed)
+    sql = _gen_scalar_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"sfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
