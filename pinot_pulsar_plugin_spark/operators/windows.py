@@ -111,17 +111,25 @@ def q23_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_window_range_frame",
     """
     SELECT o_orderkey, o_totalprice,
-           COUNT(*) OVER (ORDER BY o_totalprice
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
     FROM orders
     """,
 )
 def q24_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based RANGE frame: how many orders fall within 1000 below
-    this order's price. Range frames are tie-order independent, so no
-    tie-break is needed for determinism."""
+    """Value-based RANGE frame: how many of the same customer's orders
+    fall within 1000 below this order's price. Range frames are
+    tie-order independent, so no tie-break is needed for determinism.
+
+    Scale note: the window PARTITIONS by customer — a partition-less
+    range frame would move the whole table to one task (Spark warns
+    'No Partition Defined'), the classic global-window scale killer; a
+    truly global range count belongs to a range join / band bucketing,
+    not a window."""
     o = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice").rangeBetween(-1000, W.currentRow)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(
+        -1000, W.currentRow
+    )
     return o.select(
         "o_orderkey", "o_totalprice", F.count(F.lit(1)).over(w).alias("n_within_1k")
     )

@@ -137,3 +137,31 @@ def test_m57_frame_sample_no_shuffle(spark):
     from pinot_pulsar_plugin_spark.operators import multimodal
 
     assert n_shuffles(multimodal.m57_frame_sample(spark, SF)) == 0
+
+
+def test_no_partitionless_windows_in_registry(spark):
+    """No registry operator may use a partition-less window (single-
+    partition execution — the global-window scale killer). Every Window
+    physical node must carry a partition spec."""
+    import re
+
+    from pinot_pulsar_plugin_spark.registry import all_queries
+
+    offenders = []
+    for name, fn in all_queries().items():
+        if name == "d47_embedding_neardup":
+            continue  # documented sf<=0.01 oracle (no window anyway)
+        try:
+            plan = formatted_plan(fn(spark, SF))
+        except Exception:
+            continue  # iterative ops materialize internally
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            # a partitioned spec lists partition cols before the first
+            # ORDER BY expression ("col ASC NULLS FIRST"); a global spec
+            # starts directly with the order expression
+            first = spec.split(",")[0].strip()
+            if " ASC" in first or " DESC" in first:
+                offenders.append((name, spec[:80]))
+                break
+    assert not offenders, offenders
