@@ -165,3 +165,30 @@ def test_no_partitionless_windows_in_registry(spark):
                 offenders.append((name, spec[:80]))
                 break
     assert not offenders, offenders
+
+
+def test_no_accidental_cartesian_products(spark):
+    """No registry operator may compile to a nested-loop/cartesian join
+    except the two deliberate cases (d47's exact all-pairs oracle and
+    q48's tiny cross-join demo). The LSH/blocked candidate generators
+    (d44/d45/d46/d48/s49/q69) must stay equi-joins at the physical
+    level — this is the gate that keeps them bucketed as they evolve."""
+    from pinot_pulsar_plugin_spark.registry import all_queries
+
+    allowed = {"d47_embedding_neardup", "q48_cross_join"}
+    offenders = []
+    for name, fn in all_queries().items():
+        if name in allowed:
+            continue
+        try:
+            plan = formatted_plan(fn(spark, SF))
+        except Exception:
+            continue  # iterative ops materialize internally
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            # broadcast single-row scalars (e.g. d44's n_docs) are fine:
+            # only flag nested loops whose join condition is a real
+            # comparison (all-pairs candidate generation)
+            if node in plan and ("<" in plan.split(node, 1)[1][:200]):
+                offenders.append((name, node))
+                break
+    assert not offenders, offenders

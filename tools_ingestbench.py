@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Ingestion throughput of the pulsarlike source vs the reference's
+derived ceilings (BASELINE.md: ≈5,000 msg/s/partition and
+≈100 MiB/s/partition follow from the 500-msg / 10 MiB / 100 ms batch
+policy — derived, not measured; the reference ships no numbers).
+
+Writes a topic of N JSON messages across P partitions, reads it through
+the pulsarlike batch source (same executor read path as streaming, full
+plan execution into the noop sink), and prints ONE JSON line with
+msg/s and MiB/s per partition. Run: ``python tools_ingestbench.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pinot_pulsar_plugin_spark.session import get_spark
+from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+from pinot_pulsar_plugin_spark.sources.pulsarlike import read_batch
+
+N_MSGS = 200_000
+N_PARTS = 4
+
+
+def main() -> None:
+    spark = get_spark("ingestbench")
+    root = tempfile.mkdtemp(prefix="ingestbench-")
+    try:
+        w = TopicWriter(root, "bench", partitions=N_PARTS, rollover_every=25_000)
+        payload_bytes = 0
+        for i in range(N_MSGS):
+            p = json.dumps(
+                {"event_id": i, "user_id": i % 997, "event_type": "view", "value": i * 1.5}
+            )
+            payload_bytes += len(p)
+            w.append(i % N_PARTS, p)
+
+        read_batch(spark, root, "bench").write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        read_batch(spark, root, "bench").write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+
+        msg_s_part = N_MSGS / wall / N_PARTS
+        mib_s_part = payload_bytes / (1024 * 1024) / wall / N_PARTS
+        print(
+            json.dumps(
+                {
+                    "metric": "pulsarlike_ingest",
+                    "n_msgs": N_MSGS,
+                    "n_partitions": N_PARTS,
+                    "wall_sec": round(wall, 3),
+                    "msg_per_sec_per_partition": round(msg_s_part),
+                    "mib_per_sec_per_partition": round(mib_s_part, 2),
+                    "reference_derived_msg_ceiling": 5000,
+                    "reference_derived_mib_ceiling": 100,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
