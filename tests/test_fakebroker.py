@@ -146,3 +146,14 @@ def test_compacted_fetch_respects_bounds(tmp_path):
     # max_msgs counts DELIVERED messages, skipped ones advance silently
     msgs = b.fetch("kv", 0, EARLIEST_OFFSET, max_msgs=1, compacted=True)
     assert len(msgs) == 1 and json.loads(msgs[0].payload)["i"] == 4
+
+
+def test_fetch_error_containment(tmp_path):
+    """Reference parity (SURVEY §2.A row 13): a fetch against a
+    missing/unreadable topic or partition returns an EMPTY batch —
+    retry next cycle — never raises (consumer:148-151)."""
+    b = FakePulsarBroker(str(tmp_path / "nonexistent-root"))
+    assert b.fetch("nope", 0, EARLIEST_OFFSET) == []
+    assert b.fetch("nope", 3, 12345) == []
+    assert b.earliest_offset("nope", 0) == 0
+    assert b.latest_offset("nope", 0) == 0
