@@ -67,15 +67,17 @@ def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise near-dup output into an actual dedup
     decision.
 
-    Algorithm: iterative min-label propagation — each round, every node
-    takes the min of its own label and its neighbors' labels; fixpoint
-    in O(component diameter) rounds. Near-dup components are dense
-    (near-cliques), so diameter is tiny regardless of corpus size. Each
-    round is one distributed join + one aggregation; the driver only
-    coordinates the loop and checks convergence (a count, not a
-    collect) — the classic Spark shape for iterative graph algorithms.
-    ``localCheckpoint`` truncates lineage per round so plans stay flat.
-    The DuckDB oracle computes the same fixpoint via a recursive CTE."""
+    Algorithm: iterative min-label propagation with pointer-doubling —
+    each round, every node takes the min of its own label, its
+    neighbors' labels, AND its label's label (path shortcutting, the
+    small-star trick), so convergence is O(log diameter) rounds rather
+    than O(diameter): a 100-long dup chain closes in ~7 rounds, not
+    100. Each round is two distributed joins + an aggregation; the
+    driver only coordinates the loop and checks convergence (a count,
+    not a collect) — the classic Spark shape for iterative graph
+    algorithms. ``localCheckpoint`` truncates lineage per round so
+    plans stay flat. The DuckDB oracle computes the same fixpoint via
+    a recursive CTE."""
     pairs = d44_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = t(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.union(
@@ -86,8 +88,18 @@ def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop = edges.join(labels, edges.doc_a == labels.doc_id).select(
             F.col("doc_b").alias("doc_id"), "label"
         )
-        new_labels = (
+        stepped = (
             labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: follow one hop through the label table
+        # (labels are doc ids, so the inner self-join always matches)
+        x, y = stepped.alias("x"), stepped.alias("y")
+        new_labels = (
+            x.join(y, F.col("x.label") == F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.least(F.col("x.label"), F.col("y.label")).alias("label"),
+            )
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
