@@ -318,3 +318,41 @@ def d50_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_STRATUM_CAP = 40  # max docs kept per language
+
+
+@query(
+    "q78_stratified_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}, doc_id
+             ) AS INTEGER) AS pick_rank
+      FROM documents)
+    SELECT doc_id, lang, pick_rank
+    FROM ranked WHERE pick_rank <= {_STRATUM_CAP}
+    """,
+)
+def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sampling: keep at most {_STRATUM_CAP} documents
+    per language, chosen by deterministic hash order (reproducible, no
+    RNG state) — the rebalancing step that stops a dominant class from
+    swamping a training mix.
+
+    Scale shape: one hash exchange on the stratum key; Spark turns the
+    rank-then-filter into WindowGroupLimit, so each map task forwards
+    at most K rows per stratum BEFORE the shuffle — the shuffle is
+    bounded by K·#strata, not the corpus."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    order_hash = F.pmod(F.col("doc_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD))
+    w = W.partitionBy("lang").orderBy(order_hash, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= _STRATUM_CAP)
+    )
