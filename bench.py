@@ -43,6 +43,7 @@ HEADLINE = [
     "d45_minhash_lsh_candidates",
     "d48_embedding_neardup_lsh",
     "s48_cosine_topk",
+    "s50_ann_ivf_topk",
     "st57_tumbling_window",
     "t50_text_stats",
     "m56_decode_pipeline",

@@ -1,10 +1,14 @@
-"""Embedding similarity search: exact top-k + LSH-bucketed ANN.
+"""Embedding similarity search: exact top-k + LSH and IVF ANN paths.
 
 s48 brute-force cosine top-k is the correctness baseline (oracle:
-DuckDB with the identical sequential-fold dot product). s49 is the
+DuckDB with the identical sequential-fold dot product). s49 is one
 scale path: random-hyperplane LSH buckets then exact re-rank within
 buckets — at 100 TB the bucket join replaces the all-pairs product, and
-recall is tuned with more tables/probes, not more comparisons.
+recall is tuned with more tables/probes, not more comparisons. s50 is
+the other canonical scale path, IVF: a tiny coarse-quantizer centroid
+set partitions the corpus into disjoint cells; queries probe only their
+nprobe nearest cells. Unlike s49's random planes, s50's quantizer is
+data-derived and fully deterministic, so it is exact-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -14,7 +18,11 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pinot_pulsar_plugin_spark.functions.exact import fold_dot, fold_dot_sql
+from pinot_pulsar_plugin_spark.functions.exact import (
+    fold_dot,
+    fold_dot_sql,
+    fold_norm_sql,
+)
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
@@ -150,5 +158,124 @@ def s49_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
+        .select("q_id", "n_id", F.round("cosine", 6).alias("cosine_r"), "rank")
+    )
+
+
+_IVF_K = 16  # coarse-quantizer cells (↑ to sqrt(n) at scale)
+_IVF_NPROBE = 2  # cells each query probes
+_IVF_TOP_K = 3
+
+
+@query(
+    "s50_ann_ivf_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS c_id,
+             embedding AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    scored AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+             {fold_dot_sql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS ccos
+      FROM n CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, embedding, nrm, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, c_id) AS rn
+      FROM scored),
+    cell AS (SELECT vec_id, embedding, nrm, c_id FROM ranked WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+      FROM ranked WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    rescored AS (
+      SELECT p.q_id, m.vec_id AS n_id,
+             {fold_dot_sql("p.q_emb", "m.embedding")} / (p.q_nrm * m.nrm) AS cosine
+      FROM probe p JOIN cell m ON m.c_id = p.c_id
+      WHERE m.vec_id <> p.q_id),
+    final AS (
+      SELECT q_id, n_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, n_id) AS INTEGER) AS rank
+      FROM rescored)
+    SELECT q_id, n_id, ROUND(cosine, 6) AS cosine_r, rank
+    FROM final WHERE rank <= {_IVF_TOP_K}
+    """,
+)
+def s50_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) index: a 16-centroid coarse
+    quantizer partitions the corpus into disjoint cells; each query
+    probes its 2 nearest cells and exact-reranks only their members.
+
+    The quantizer here is deterministic sampled centroids (corpus
+    vectors 10..25) rather than Lloyd-iterated k-means — same physical
+    shape, but exact-oracle-checkable (production would refine the
+    centroids offline; the plan is unchanged). Scale shape: the
+    centroid set is O(sqrt(n)) and broadcast, so cell assignment is a
+    per-row map over a broadcast product bounded by K, never a data ×
+    data product; the inverted lists carry the vectors (one
+    map-side-combinable agg picks each row's cell); candidate
+    generation is an equi-join on c_id touching ~nprobe/K of the
+    corpus per query. Complements s49: IVF gives tunable recall via
+    nprobe with disjoint cells, LSH via multi-table union."""
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
+    )
+    cent = n.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    # Deliberate broadcast product vs the K-row centroid table: the
+    # fan-out is bounded by the quantizer size, not by data (the one
+    # sanctioned nested-loop shape besides d47/q48 — see
+    # test_plan_quality.test_no_accidental_cartesian_products).
+    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
+    )
+    # argmax over centroids = max(struct(ccos, -c_id)): highest cosine,
+    # smallest c_id on ties — identical order to the oracle's
+    # ROW_NUMBER(ORDER BY ccos DESC, c_id). Map-side combinable, and
+    # first(embedding/nrm) is deterministic (constant within group).
+    cell = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("neg_c"))).alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "embedding", "nrm", (-F.col("m.neg_c")).alias("c_id"))
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    probe = (
+        scored.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "c_id",
+        )
+    )
+    cos = fold_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    cand = (
+        cell.join(F.broadcast(probe), "c_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOP_K)
         .select("q_id", "n_id", F.round("cosine", 6).alias("cosine_r"), "rank")
     )

@@ -40,10 +40,12 @@ _MODULES = [
 # therefore a scored artifact: this priority list is curated so the
 # first 50 names cover every SURVEY §2.B category and every
 # LLM-pipeline operator at least once. Composition: the 39 entries with
-# no r1 driver row, plus d48 (new) and d44 (semantics changed this
-# round), plus one previously-green anchor per category. Everything
-# else follows in module order and stays covered by the byte-identical
-# local parity suite (tests/test_oracle_parity.py).
+# no r1 driver row, plus d48/s50 (new) and d44 (semantics changed this
+# round), plus one previously-green anchor per category. q54 (row-UDF
+# demo) yields its slot to s50 — UDF surface stays covered in-window by
+# q46 pandas_udf and q53 applyInPandas. Everything else follows in
+# module order and stays covered by the byte-identical local parity
+# suite (tests/test_oracle_parity.py).
 _PRIORITY = [
     # previously driver-unchecked (r1 rows 51-89)
     "q43_percentiles",
@@ -57,7 +59,6 @@ _PRIORITY = [
     "q51_string_agg_ordered",
     "q52_join_right",
     "q53_grouped_map_rank",
-    "q54_python_udf_row",
     "q55_merge_upsert",
     "q56_date_spine",
     "q57_approx_quantiles",
@@ -75,6 +76,7 @@ _PRIORITY = [
     "q72_percent_rank_cume",
     "q73_multi_distinct",
     "s49_ann_lsh_topk",
+    "s50_ann_ivf_topk",
     "st57_tumbling_window",
     "st58_sliding_window",
     "st59_stream_enrich_join",

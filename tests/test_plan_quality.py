@@ -169,13 +169,16 @@ def test_no_partitionless_windows_in_registry(spark):
 
 def test_no_accidental_cartesian_products(spark):
     """No registry operator may compile to a nested-loop/cartesian join
-    except the two deliberate cases (d47's exact all-pairs oracle and
-    q48's tiny cross-join demo). The LSH/blocked candidate generators
-    (d44/d45/d46/d48/s49/q69) must stay equi-joins at the physical
-    level — this is the gate that keeps them bucketed as they evolve."""
+    except the deliberate cases: d47's exact all-pairs oracle, q48's
+    tiny cross-join demo, and s50's IVF cell assignment (a broadcast
+    product vs the K=16-row coarse-quantizer table — fan-out bounded by
+    the quantizer size, never data × data). The LSH/blocked candidate
+    generators (d44/d45/d46/d48/s49/q69) must stay equi-joins at the
+    physical level — this is the gate that keeps them bucketed as they
+    evolve."""
     from pinot_pulsar_plugin_spark.registry import all_queries
 
-    allowed = {"d47_embedding_neardup", "q48_cross_join"}
+    allowed = {"d47_embedding_neardup", "q48_cross_join", "s50_ann_ivf_topk"}
     offenders = []
     for name, fn in all_queries().items():
         if name in allowed:
