@@ -356,3 +356,139 @@ def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
         .filter(F.col("pick_rank") <= _STRATUM_CAP)
     )
+
+
+# Domain-mixture reweighting: target share per source is derived from a
+# deterministic per-source weight ((index mod 4) + 1 — stand-in for the
+# curated weights a real mix ships). Downsample-only solution: the
+# largest achievable corpus T = min_i(tokens_i / share_i); source i
+# keeps share_i * T tokens, i.e. sample_prob_i = share_i * T /
+# tokens_i, = 1 for the binding source.
+_MIX_SHARES_SQL = """
+    toks AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    per_src AS (
+      SELECT source, MIN(w) AS w, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM toks GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(src_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(w) AS BIGINT) AS w_sum
+      FROM per_src),
+    shares AS (
+      SELECT s.source, s.n_docs, s.src_tokens,
+             CAST(s.src_tokens AS DOUBLE) / t.corpus_tokens AS natural_share,
+             CAST(s.w AS DOUBLE) / t.w_sum AS target_share
+      FROM per_src s CROSS JOIN tot t),
+    lim AS (SELECT MIN(src_tokens / target_share) AS t_max FROM shares)
+"""
+
+
+def _mixture_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shares × lim as a DataFrame: one row per source with token
+    volume, natural/target share, and the downsample-only sample_prob.
+    One map-side-combinable agg over the scan; the per-source table and
+    the two scalar totals are broadcast (a handful of rows at any
+    corpus size — #domains doesn't grow with data)."""
+    d = t(spark, sf_dir, "documents")
+    per_src = (
+        d.select(
+            "source",
+            (F.substring("source", 4, 10).cast("int") % 4 + 1).alias("w"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.min("w").alias("w"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("src_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("long").alias("corpus_tokens"),
+        F.sum("w").cast("long").alias("w_sum"),
+    )
+    shares = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        (F.col("src_tokens").cast("double") / F.col("corpus_tokens")).alias(
+            "natural_share"
+        ),
+        (F.col("w").cast("double") / F.col("w_sum")).alias("target_share"),
+    )
+    lim = shares.agg(F.min(F.col("src_tokens") / F.col("target_share")).alias("t_max"))
+    return shares.crossJoin(F.broadcast(lim)).withColumn(
+        "sample_prob",
+        F.least(F.lit(1.0), F.col("target_share") * F.col("t_max") / F.col("src_tokens")),
+    )
+
+
+@query(
+    "q79_mixture_weights",
+    f"""
+    WITH {_MIX_SHARES_SQL}
+    SELECT source, n_docs, src_tokens,
+           ROUND(natural_share, 6) AS natural_share,
+           ROUND(target_share, 6) AS target_share,
+           ROUND(LEAST(1.0, target_share * l.t_max / src_tokens), 6) AS sample_prob
+    FROM shares CROSS JOIN lim l
+    """,
+)
+def q79_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan: per-source token volume, natural vs target
+    share, and the downsample-only sampling probability that hits the
+    target mix at the largest achievable corpus size."""
+    return _mixture_shares(spark, sf_dir).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("sample_prob", 6).alias("sample_prob"),
+    )
+
+
+@query(
+    "q80_domain_resample",
+    f"""
+    WITH {_MIX_SHARES_SQL},
+    probs AS (
+      SELECT source, LEAST(1.0, target_share * l.t_max / src_tokens) AS sample_prob
+      FROM shares CROSS JOIN lim l),
+    docs AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} AS h
+      FROM documents)
+    SELECT d.doc_id, d.source, d.n_tokens
+    FROM docs d JOIN probs p ON p.source = d.source
+    WHERE d.h < CAST(FLOOR(p.sample_prob * {_SPLIT_MOD}) AS BIGINT)
+    """,
+)
+def q80_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply q79's mixture plan: keep each document iff its
+    multiplicative doc_id hash falls under its source's sampling
+    probability — deterministic, reproducible resampling with no RNG
+    state. Scale shape: the per-source probability table is broadcast
+    (#domains rows), so the corpus is filtered in place with one
+    equi-join and zero data shuffles."""
+    probs = _mixture_shares(spark, sf_dir).select("source", "sample_prob")
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.pmod(F.col("doc_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD)).alias("h"),
+    )
+    return (
+        docs.join(F.broadcast(probs), "source")
+        .filter(
+            F.col("h")
+            < F.floor(F.col("sample_prob") * _SPLIT_MOD).cast("long")
+        )
+        .select("doc_id", "source", "n_tokens")
+    )

@@ -279,3 +279,41 @@ def s50_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_TOP_K)
         .select("q_id", "n_id", F.round("cosine", 6).alias("cosine_r"), "rank")
     )
+
+
+@query(
+    "s51_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings)
+    SELECT label, pos, COUNT(*) AS n_vecs,
+           ROUND(SUM(CAST(ROUND(val * 1000000) AS BIGINT)) / COUNT(*)
+                 / 1000000.0, 6) AS mean_val
+    FROM ex GROUP BY label, pos
+    """,
+)
+def s51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, exploded to (label, dimension):
+    the assignment-step aggregate of distributed k-means and the class
+    diagnostic (centroid drift, intra-class scatter) of an embedding
+    pipeline. posexplode turns the vector column into (pos, val) rows
+    so the mean is one map-side-combinable hash aggregate keyed on
+    (label, pos) — shuffle bounded by #labels × dim, never corpus-sized.
+    Fixed-point integer sums (functions/exact.py rationale) keep the
+    float mean order-independent and bit-equal to the oracle."""
+    em = t(spark, sf_dir, "embeddings")
+    ex = em.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label", "pos", F.col("v").cast("double").alias("val")
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("val") * 1000000).cast("long"))
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("mean_val"),
+    )

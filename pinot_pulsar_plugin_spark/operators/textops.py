@@ -146,6 +146,163 @@ def t53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key"))
 
 
+# Duplicate-n-gram fractions (Gopher/C4-style repetition signals).
+# Bigrams are built without exploding: zip the token array with its own
+# tail (both engines pad the shorter side with NULL; the dangling last
+# pair concats to NULL and is filtered), so the whole computation stays
+# a per-row expression inside whole-stage codegen — no shuffle, no UDF.
+_BIGRAM_SQL = (
+    "list_filter(list_transform(list_zip(tk, tk[2:]), "
+    "p -> p[1] || '§' || p[2]), x -> x IS NOT NULL)"
+)
+
+
+def _bigrams(tk):
+    tails = F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0)))
+    joined = F.zip_with(tk, tails, lambda a, b: F.concat(a, F.lit("§"), b))
+    return F.array_compact(joined)
+
+
+@query(
+    "t57_repetition_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    b AS (
+      SELECT doc_id, tk, {_BIGRAM_SQL} AS big FROM toks)
+    SELECT doc_id,
+           CAST(len(tk) AS INTEGER) AS n_tokens,
+           ROUND(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+             AS dup_word_frac,
+           ROUND(CASE WHEN len(big) > 0
+                 THEN 1.0 - CAST(len(list_distinct(big)) AS DOUBLE) / len(big)
+                 ELSE 0.0 END, 6) AS dup_bigram_frac
+    FROM b
+    """,
+)
+def t57_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals: fraction of duplicate words
+    and duplicate bigrams (the Gopher repetition-filter family). Pure
+    array expressions — runs at scan speed at any scale."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    big = _bigrams(tk)
+    dup_w = 1.0 - F.size(F.array_distinct(tk)).cast("double") / F.size(tk)
+    dup_b = F.when(
+        F.size(big) > 0,
+        1.0 - F.size(F.array_distinct(big)).cast("double") / F.size(big),
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.round(dup_w, 6).alias("dup_word_frac"),
+        F.round(dup_b, 6).alias("dup_bigram_frac"),
+    )
+
+
+# Rule thresholds chosen to split the synthetic corpus non-trivially
+# (n_tokens 10-99 median 56; diversity p10 0.32; dup-bigram p90 0.065).
+_MIN_TOKENS = 20
+_MIN_DIVERSITY = 0.35
+_MAX_DUP_BIGRAM = 0.08
+
+
+@query(
+    "t56_quality_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    b AS (
+      SELECT doc_id, tk, {_BIGRAM_SQL} AS big FROM toks),
+    sig AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS diversity,
+             CASE WHEN len(big) > 0
+                  THEN 1.0 - CAST(len(list_distinct(big)) AS DOUBLE) / len(big)
+                  ELSE 0.0 END AS dupb
+      FROM b)
+    SELECT doc_id,
+           CAST(n_tokens >= {_MIN_TOKENS} AS INTEGER) AS pass_length,
+           CAST(diversity >= {_MIN_DIVERSITY} AS INTEGER) AS pass_diversity,
+           CAST(dupb <= {_MAX_DUP_BIGRAM} AS INTEGER) AS pass_repetition,
+           CAST(n_tokens >= {_MIN_TOKENS} AND diversity >= {_MIN_DIVERSITY}
+                AND dupb <= {_MAX_DUP_BIGRAM} AS INTEGER) AS keep,
+           CASE WHEN n_tokens < {_MIN_TOKENS} THEN 'too_short'
+                WHEN diversity < {_MIN_DIVERSITY} THEN 'low_diversity'
+                WHEN dupb > {_MAX_DUP_BIGRAM} THEN 'repetitive'
+                ELSE NULL END AS reject_reason
+    FROM sig
+    """,
+)
+def t56_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality filter: named pass/fail flags per
+    rule plus a first-failing-rule reject reason — the decision operator
+    real cleaning pipelines run downstream of signal scoring (t50/t52/
+    t57). One pass over the scan, no shuffle; the keep column is the
+    pre-training corpus gate."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    big = _bigrams(tk)
+    n_tokens = F.size(tk)
+    diversity = F.size(F.array_distinct(tk)).cast("double") / n_tokens
+    dupb = F.when(
+        F.size(big) > 0,
+        1.0 - F.size(F.array_distinct(big)).cast("double") / F.size(big),
+    ).otherwise(0.0)
+    pass_len = n_tokens >= _MIN_TOKENS
+    pass_div = diversity >= _MIN_DIVERSITY
+    pass_rep = dupb <= _MAX_DUP_BIGRAM
+    return d.select(
+        "doc_id",
+        pass_len.cast("int").alias("pass_length"),
+        pass_div.cast("int").alias("pass_diversity"),
+        pass_rep.cast("int").alias("pass_repetition"),
+        (pass_len & pass_div & pass_rep).cast("int").alias("keep"),
+        F.when(~pass_len, "too_short")
+        .when(~pass_div, "low_diversity")
+        .when(~pass_rep, "repetitive")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("reject_reason"),
+    )
+
+
+@query(
+    "t58_vocab_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    v AS (
+      SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT v.token, v.tf, v.df,
+           ROUND(ln(n.n_docs / v.df), 6) AS idf
+    FROM v CROSS JOIN n
+    """,
+)
+def t58_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency, document
+    frequency, and idf per token — the input to tokenizer/BPE training
+    and stop-list derivation. One explode + one hash aggregate keyed on
+    token (map-side combinable; the shuffle carries one row per
+    distinct term per task, not per occurrence); the corpus doc count
+    is a broadcast scalar."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return vocab.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "tf",
+        "df",
+        F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+    )
+
+
 @query(
     "t54_corpus_stats_by_lang",
     """
