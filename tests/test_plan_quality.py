@@ -133,6 +133,56 @@ def test_d50_benchmark_side_broadcast(spark):
     assert has_broadcast_join(pipelines.d50_contamination(spark, SF))
 
 
+def test_text_quality_ops_scan_speed(spark):
+    """t56/t57 are pure per-row expressions: zero exchanges, zero
+    Python nodes — they run at scan speed at any corpus size."""
+    from pinot_pulsar_plugin_spark.operators import textops
+
+    for fn in (textops.t56_quality_filter, textops.t57_repetition_ratio):
+        df = fn(spark, SF)
+        assert n_shuffles(df) == 0
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s50_ivf_cell_join_is_equi(spark):
+    """IVF scale shape: the corpus meets the quantizer only via
+    broadcast (fan-out bounded by K), cell assignment collapses in one
+    aggregate, and candidate generation is a broadcast-hash EQUI-join
+    on the cell id — never a data x data product."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import similarity
+
+    df = similarity.s50_ann_ivf_topk(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin\b[\s\S]{0,400}Left keys \[1\]: \[c_id", plan)
+    # cell-assignment agg + probe window + final top-k window
+    assert n_shuffles(df) <= 3
+
+
+def test_s51_centroids_single_aggregate(spark):
+    """posexplode + one map-side-combinable hash aggregate: the only
+    exchange is keyed on (label, pos) — bounded by #labels x dim."""
+    from pinot_pulsar_plugin_spark.operators import similarity
+
+    assert n_shuffles(similarity.s51_label_centroids(spark, SF)) == 1
+
+
+def test_q80_resample_doc_side_broadcast(spark):
+    """The mixture probabilities join onto documents by broadcast (a
+    #domains-row table); every exchange in the plan belongs to the tiny
+    per-source branch, so the corpus itself is filtered in place."""
+    from pinot_pulsar_plugin_spark.operators import pipelines
+
+    df = pipelines.q80_domain_resample(spark, SF)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # no sort-merge join anywhere: the doc side never shuffles for a join
+    assert "SortMergeJoin" not in plan
+
+
 def test_m57_frame_sample_no_shuffle(spark):
     from pinot_pulsar_plugin_spark.operators import multimodal
 
