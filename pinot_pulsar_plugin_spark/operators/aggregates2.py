@@ -123,3 +123,92 @@ def q72_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pr"),
         F.round(F.cume_dist().over(w), 9).alias("cd"),
     )
+
+
+@query(
+    "q81_stats_moments",
+    """
+    WITH scaled AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) AS s1,
+             CAST(SUM(q * q) AS DOUBLE) AS s2,
+             CAST(SUM(q * q * q) AS DOUBLE) AS s3,
+             CAST(SUM(d) AS DOUBLE) AS t1,
+             CAST(SUM(d * d) AS DOUBLE) AS t2,
+             CAST(SUM(q * d) AS DOUBLE) AS x1
+      FROM scaled GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND(s1 / n / 100.0, 6) AS mean_qty,
+           ROUND((s2 - s1 * s1 / n) / (n - 1) / 10000.0, 6) AS var_qty,
+           ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0, 6) AS std_qty,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / (sqrt((s2 - s1 * s1 / n) / n)
+                    * sqrt((s2 - s1 * s1 / n) / n)
+                    * sqrt((s2 - s1 * s1 / n) / n)), 6) AS skew_qty,
+           ROUND((x1 - s1 * t1 / n)
+                 / (sqrt(s2 - s1 * s1 / n) * sqrt(t2 - t1 * t1 / n)), 6)
+             AS corr_qty_disc
+    FROM m
+    """,
+)
+def q81_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed moment statistics (mean/variance/stddev/skewness/
+    correlation) computed from EXACT integer moment sums instead of
+    Spark's built-in float aggregates.
+
+    Why not stddev()/skewness()/corr() directly: their float partial
+    states merge in partition order, so the last ulps differ run-to-run
+    and engine-to-engine — unacceptable for a differential-tested
+    engine. Here every input is fixed-point scaled to int64
+    (quantity/discount have <=2 decimals), the six moment sums are
+    exact commutative integer arithmetic (order can't matter), and the
+    statistics derive from those sums with an identical double
+    expression tree on both engines (sqrt is IEEE-correctly-rounded;
+    pow is avoided). Same single map-side-combinable aggregate shape as
+    any SUM — at 100 TB the moments merge hierarchically like every
+    other partial agg. Overflow headroom: q^3 <= 1.25e11 per row —
+    ~7e7 rows/group within int64; beyond that, widen to DECIMAL(38,0)
+    sums or aggregate per-shard then combine moments."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    m = (
+        li.select(F.col("l_returnflag"), q.alias("q"), d.alias("d"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("double").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+            F.sum(F.col("q") * F.col("q") * F.col("q")).cast("double").alias("s3"),
+            F.sum("d").cast("double").alias("t1"),
+            F.sum(F.col("d") * F.col("d")).cast("double").alias("t2"),
+            F.sum(F.col("q") * F.col("d")).cast("double").alias("x1"),
+        )
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    t1, t2, x1 = F.col("t1"), F.col("t2"), F.col("x1")
+    pop_std = F.sqrt((s2 - s1 * s1 / n) / n)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(s1 / n / 100.0, 6).alias("mean_qty"),
+        F.round((s2 - s1 * s1 / n) / (n - 1) / 10000.0, 6).alias("var_qty"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0, 6).alias("std_qty"),
+        F.round(
+            (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+            / (pop_std * pop_std * pop_std),
+            6,
+        ).alias("skew_qty"),
+        F.round(
+            (x1 - s1 * t1 / n)
+            / (F.sqrt(s2 - s1 * s1 / n) * F.sqrt(t2 - t1 * t1 / n)),
+            6,
+        ).alias("corr_qty_disc"),
+    )
