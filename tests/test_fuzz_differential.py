@@ -74,6 +74,7 @@ def _gen_join_query(rng: random.Random) -> str:
 def fuzz_env(spark):
     load_table(spark, SF, "orders").createOrReplaceTempView("orders")
     load_table(spark, SF, "customer").createOrReplaceTempView("customer")
+    load_table(spark, SF, "documents").createOrReplaceTempView("documents")
     con = duck_connection(SF)
     yield con
     con.close()
@@ -199,4 +200,54 @@ def test_fuzz_scalar_differential(seed, spark, fuzz_env):
     sql = _gen_scalar_query(rng)
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"sfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+# String functions verified to have identical name + semantics in Spark
+# SQL and DuckDB (each templated over a documents column or snippet).
+_TEXT_EXPRS = [
+    "CAST(contains(text, '{w}') AS INTEGER)",
+    "CAST(instr(text, '{w}') AS BIGINT)",
+    "left(text, {n})",
+    "right(text, {n})",
+    "lpad(source, {n}, '*')",
+    "repeat(lang, {k})",
+    "reverse(left(text, {n}))",
+    "split_part(text, ' ', {k})",
+    "CAST(levenshtein(left(text, {k}), '{w}') AS BIGINT)",
+    "md5(left(text, {n}))",
+    "translate(left(text, {n}), 'aeiou', 'AEIOU')",
+]
+_TEXT_WORDS = ["table", "scan", "value", "query", "zzz"]
+
+
+def _gen_text_query(rng: random.Random) -> str:
+    exprs = rng.sample(_TEXT_EXPRS, rng.randrange(2, 5))
+    cols = ", ".join(
+        e.format(
+            w=rng.choice(_TEXT_WORDS), n=rng.randrange(3, 30), k=rng.randrange(1, 6)
+        )
+        + f" AS c{i}"
+        for i, e in enumerate(exprs)
+    )
+    pred = rng.choice(
+        [
+            f"lang = '{rng.choice(['en', 'de', 'fr', 'es'])}'",
+            f"n_chars BETWEEN {rng.randrange(0, 200)} AND {rng.randrange(200, 600)}",
+            f"doc_id % {rng.randrange(2, 7)} = 0",
+            f"text LIKE '%{rng.choice(_TEXT_WORDS)}%'",
+        ]
+    )
+    return f"SELECT doc_id, {cols} FROM documents WHERE {pred}"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_text_differential(seed, spark, fuzz_env):
+    """Random text-function pipelines over documents — the string
+    surface the LLM-pipeline ops (t50-t58) build on, explored beyond
+    the hand-written queries."""
+    rng = random.Random(11000 + seed)
+    sql = _gen_text_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"tfuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
