@@ -237,3 +237,80 @@ def q77_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("n", ignorenulls=True).over(w).alias("n_filled"),
         )
     )
+
+
+_IVL_BUCKET_US = 600_000_000  # 10-min bucket grid
+_IVL_LEN_US = 1_800_000_000  # 30-min interval per user
+
+
+@query(
+    "q82_interval_bucket_join",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    ev AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(FLOOR(ts_us / {_IVL_BUCKET_US}.0) AS BIGINT) AS bucket
+      FROM e),
+    iv AS (
+      SELECT user_id AS i_user, MIN(ts_us) AS start_us,
+             MIN(ts_us) + {_IVL_LEN_US} AS end_us
+      FROM e GROUP BY user_id),
+    ivb AS (
+      SELECT i_user, start_us, end_us,
+             unnest(generate_series(
+               CAST(FLOOR(start_us / {_IVL_BUCKET_US}.0) AS BIGINT),
+               CAST(FLOOR(end_us / {_IVL_BUCKET_US}.0) AS BIGINT))) AS bucket
+      FROM iv)
+    SELECT i.i_user, COUNT(*) AS n_events,
+           COUNT(DISTINCT ev.user_id) AS n_users
+    FROM ev JOIN ivb i ON i.bucket = ev.bucket
+    WHERE ev.ts_us BETWEEN i.start_us AND i.end_us
+    GROUP BY i.i_user
+    """,
+)
+def q82_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join done scale-safe: which events (any user)
+    fall inside each user's first-30-minutes activity window.
+
+    A naive interval join is a range theta join — quadratic and
+    unshuffleable. Here both sides are mapped onto a fixed 10-min
+    bucket grid: each event lands in exactly one bucket, each interval
+    explodes to the <=4 buckets it covers (fan-out bounded by
+    interval_len/bucket + 1, a constant), and the join is an EQUI-join
+    on bucket with the exact range predicate as a post-join refine —
+    so it hash-partitions/broadcasts like any other join, and each
+    event-interval pair is produced exactly once (the event's single
+    bucket). The grid constant is the tuning dial: coarser = fewer
+    replicas, finer = tighter refine selectivity."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    ev = e.withColumn(
+        "bucket", F.floor(F.col("ts_us") / float(_IVL_BUCKET_US)).cast("long")
+    )
+    iv = (
+        e.groupBy("user_id")
+        .agg(F.min("ts_us").alias("start_us"))
+        .select(
+            F.col("user_id").alias("i_user"),
+            "start_us",
+            (F.col("start_us") + _IVL_LEN_US).alias("end_us"),
+        )
+    )
+    ivb = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / float(_IVL_BUCKET_US)).cast("long"),
+                F.floor(F.col("end_us") / float(_IVL_BUCKET_US)).cast("long"),
+            )
+        ),
+    )
+    joined = ev.join(ivb, "bucket").filter(
+        (F.col("ts_us") >= F.col("start_us")) & (F.col("ts_us") <= F.col("end_us"))
+    )
+    return joined.groupBy("i_user").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -183,6 +183,20 @@ def test_q80_resample_doc_side_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q82_interval_join_is_equi(spark):
+    """The interval-overlap join must execute as an EQUI-join on the
+    bucket grid (hash-partitionable/broadcastable) with the range
+    predicate as a refine — never a range theta nested loop."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import timeseries
+
+    plan = formatted_plan(timeseries.q82_interval_bucket_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Left keys \[1\]: \[bucket", plan), plan
+
+
 def test_m57_frame_sample_no_shuffle(spark):
     from pinot_pulsar_plugin_spark.operators import multimodal
 
