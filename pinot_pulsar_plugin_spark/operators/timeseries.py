@@ -314,3 +314,70 @@ def q82_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q83_running_zscore",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events),
+    r AS (
+      SELECT user_id, event_id, v,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(v) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(v * v) OVER w AS DOUBLE) AS s2
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           ROUND(CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / n > 0
+                 THEN (v - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)
+                 ELSE NULL END, 6) AS z,
+           CAST(n >= 5 AND (s2 - s1 * s1 / n) / n > 0
+                AND (v - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) > 2
+                AS INTEGER) AS is_anomaly
+    FROM r
+    """,
+)
+def q83_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running z-score anomaly flag: each event scored against
+    the running mean/std of that user's history so far (>=5-event
+    warmup) — the batch twin of an online anomaly detector, and the
+    q81 exact-moment technique applied to a window: the running sums
+    are integer arithmetic over the fixed-point value (2-decimal
+    domain), so the float z derives identically on both engines.
+    One hash exchange on user_id; the three running aggregates share a
+    single window spec."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = e.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("s2"),
+    )
+    n, s1, s2, v = F.col("n"), F.col("s1"), F.col("s2"), F.col("v")
+    var_pop = (s2 - s1 * s1 / n) / n
+    z = (v - s1 / n) / F.sqrt(var_pop)
+    cond = (n >= 5) & (var_pop > 0)
+    return r.select(
+        "user_id",
+        "event_id",
+        F.round(F.when(cond, z), 6).alias("z"),
+        (cond & (z > 2)).cast("int").alias("is_anomaly"),
+    )
