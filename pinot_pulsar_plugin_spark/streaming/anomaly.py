@@ -1,0 +1,73 @@
+"""Online anomaly detection as a custom stateful streaming operator.
+
+The streaming twin of the batch ``q83_running_zscore`` operator
+(``operators/timeseries.py``): per-user running moments ``(n, s1, s2)``
+live in ``GroupState`` across micro-batches, so each event is scored
+against the user's full history the moment it arrives — the
+``applyInPandasWithState`` pattern the reference's ingestion path feeds
+(SURVEY.md §2.B streaming row).
+
+Scale shape: state is three int64s per user (constant size — no
+windowed buffering), updates are vectorized numpy cumsums over each
+Arrow batch, and the only shuffle is the hash partition on the group
+key. Ordering: like any online detector this assumes per-key arrival in
+event-time order; the pulsarlike source delivers per-partition offset
+order, so key-to-partition affinity (or an upstream sort per
+micro-batch, applied below) provides it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_WARMUP = 5
+_THRESHOLD = 2.0
+
+_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, z double, is_anomaly int"
+_STATE_SCHEMA = "n bigint, s1 bigint, s2 bigint"
+
+
+def _score_group(key, pdfs, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    n, s1, s2 = state.get if state.exists else (0, 0, 0)
+    frames = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        v = pdf["v"].to_numpy(dtype="int64")
+        cn = n + np.arange(1, len(v) + 1, dtype="int64")
+        c1 = s1 + np.cumsum(v)
+        c2 = s2 + np.cumsum(v * v)
+        var_pop = (c2 - (c1 * c1) / cn) / cn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - c1 / cn) / np.sqrt(var_pop)
+        valid = (cn >= _WARMUP) & (var_pop > 0)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": np.full(len(v), key[0], dtype="int64"),
+                    "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+                    "z": np.where(valid, np.round(z, 6), np.nan),
+                    "is_anomaly": (valid & (z > _THRESHOLD)).astype("int32"),
+                }
+            )
+        )
+        n, s1, s2 = int(cn[-1]), int(c1[-1]), int(c2[-1])
+    state.update((n, s1, s2))
+    yield pd.concat(frames) if frames else iter(())
+
+
+def running_zscore_stream(decoded: DataFrame) -> DataFrame:
+    """Score a decoded event stream ``(user_id, event_id, ts_us, v)``
+    where ``v`` is the fixed-point (×100) value — same domain as the
+    batch twin, so batch and streaming results are comparable row for
+    row (see test_state_and_sinks differential test)."""
+    return decoded.groupBy("user_id").applyInPandasWithState(
+        _score_group,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -146,3 +146,71 @@ def test_partitioned_parquet_write(spark, tmp_path):
 
     years = [d for d in os.listdir(out) if d.startswith("order_year=")]
     assert len(years) >= 5
+
+
+def test_running_zscore_stream_matches_batch(spark, tmp_path):
+    """Batch/streaming consistency for online anomaly detection: the
+    applyInPandasWithState operator, fed the same events through the
+    pulsarlike source in 4-message micro-batches, must reproduce the
+    batch q83 moment math row for row (state carries the running
+    moments across micro-batch boundaries)."""
+    import math
+
+    from pinot_pulsar_plugin_spark.streaming.anomaly import running_zscore_stream
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    # deterministic series with spikes; in event-time order per user
+    rows = []
+    for i in range(36):
+        user = i % 3
+        value = 10.0 + (i % 7) + (250.0 if i in (20, 31) else 0.0)
+        rows.append({"event_id": i, "user_id": user, "ts_us": 1_000_000 * i,
+                     "v": int(round(value * 100))})
+        w.append(0, json.dumps(rows[-1]))
+
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=4),
+        "event_id bigint, user_id bigint, ts_us bigint, v bigint",
+    )
+    q = (
+        running_zscore_stream(decoded)
+        .writeStream.format("memory")
+        .queryName("t_zscore")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_id: (r.z, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM t_zscore").collect()
+    }
+
+    # independent batch reference: running moments per user in plain python
+    expected = {}
+    state = {}
+    for r in rows:
+        n, s1, s2 = state.get(r["user_id"], (0, 0, 0))
+        v = r["v"]
+        n, s1, s2 = n + 1, s1 + v, s2 + v * v
+        state[r["user_id"]] = (n, s1, s2)
+        var_pop = (s2 - (s1 * s1) / n) / n
+        if n >= 5 and var_pop > 0:
+            z = (v - s1 / n) / math.sqrt(var_pop)
+            expected[r["event_id"]] = (z, 1 if z > 2.0 else 0)
+        else:
+            expected[r["event_id"]] = (None, 0)
+
+    assert set(got) == set(expected)
+    n_anom = 0
+    for eid, (ez, eflag) in expected.items():
+        gz, gflag = got[eid]
+        assert gflag == eflag, (eid, gz, ez)
+        n_anom += eflag
+        if ez is None:
+            assert gz is None or math.isnan(gz)
+        else:
+            assert gz is not None and abs(gz - ez) < 1e-6, (eid, gz, ez)
+    assert n_anom >= 2  # the injected spikes were flagged
