@@ -189,3 +189,89 @@ def m57_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("frame_sig"),
     )
+
+
+_TARGET = 224  # fit-within-square resize target (the ViT-style input)
+
+
+def make_resize_batches(codec: str = "fake"):
+    """Arrow-batched resize step (closure → pickled by value, like
+    make_decode_batches). The fake codec derives source dims from
+    payload length and computes the fit-within-224 scaled dims; a real
+    build swaps in ``Image.resize`` on the payload with the identical
+    batch signature — the plumbing (schema, alignment, dtypes) is what
+    the oracle verifies."""
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}: expected 'fake' or 'real'")
+
+    def resize_batches(batches):
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real resize is an opt-in stub: no image codec ships "
+                    "in this container"
+                )
+            n_bytes = pdf["payload"].map(len).to_numpy(dtype="int64")
+            w = (n_bytes * 7) % 640 + 1
+            h = (n_bytes * 13) % 480 + 1
+            scale = np.minimum(
+                np.minimum(float(_TARGET) / w, float(_TARGET) / h), 1.0
+            )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": np.maximum(1, np.floor(w * scale)).astype("int32"),
+                    "out_h": np.maximum(1, np.floor(h * scale)).astype("int32"),
+                    "scale": np.round(scale, 6),
+                }
+            )
+
+    return resize_batches
+
+
+@query(
+    "m58_resize_pipeline",
+    f"""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+      WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+    dims AS (
+      SELECT doc_id,
+             (n_bytes * 7) % 640 + 1 AS w,
+             (n_bytes * 13) % 480 + 1 AS h
+      FROM b),
+    scaled AS (
+      SELECT doc_id, w, h,
+             LEAST(LEAST({_TARGET}.0 / w, {_TARGET}.0 / h), 1.0) AS scale
+      FROM dims)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(GREATEST(1, FLOOR(w * scale)) AS INTEGER) AS out_w,
+           CAST(GREATEST(1, FLOOR(h * scale)) AS INTEGER) AS out_h,
+           ROUND(scale, 6) AS scale
+    FROM scaled
+    """,
+)
+def m58_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize step over 'image'-modality payloads: fit-within-224
+    preserving aspect ratio, computed in an Arrow-batched mapInPandas
+    (the step between decode and feature extraction in a real
+    multimodal ingest). The fake codec keeps it oracle-checkable; the
+    real codec is an explicit opt-in with the same batch shape. Scale
+    shape: per-partition map, payload bytes never shuffle, output is
+    metadata-width only."""
+    d = t(spark, sf_dir, "documents")
+    payloads = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    return payloads.mapInPandas(
+        make_resize_batches(),
+        schema="doc_id bigint, width int, height int, out_w int, out_h int, scale double",
+    )

@@ -32,3 +32,22 @@ def test_real_codec_is_explicit_opt_in_stub():
         list(make_decode_batches(codec="real")(_batch()))
     with pytest.raises(ValueError):
         make_decode_batches(codec="pil")
+
+
+def test_resize_codec_semantics():
+    """m58's resize step: explicit codec option (same contract as
+    decode), aspect ratio preserved within the 224 target, never
+    upscaled, floor-positive dims."""
+    from pinot_pulsar_plugin_spark.operators.multimodal import make_resize_batches
+
+    out = pd.concat(list(make_resize_batches()(_batch())))
+    assert (out["out_w"] <= 224).all() and (out["out_h"] <= 224).all()
+    assert (out["out_w"] >= 1).all() and (out["out_h"] >= 1).all()
+    assert (out["scale"] <= 1.0).all()
+    # no upscale: dims already within target stay identical
+    within = (out["width"] <= 224) & (out["height"] <= 224)
+    assert (out.loc[within, "out_w"] == out.loc[within, "width"]).all()
+    with pytest.raises(NotImplementedError):
+        list(make_resize_batches(codec="real")(_batch()))
+    with pytest.raises(ValueError):
+        make_resize_batches(codec="pil")
