@@ -101,3 +101,71 @@ def test_pulsar_to_olap_pipeline(spark, tmp_path):
         .first()
     )
     assert top.total > 0
+
+
+def test_llm_corpus_pipeline(spark, tmp_path):
+    """Training-corpus capstone: documents stream in through the
+    pulsarlike source (with injected duplicates and malformed payloads),
+    land exactly-once as a parquet table, and the LLM-pipeline registry
+    ops (t56 quality filter, q74 split, q75 packing) run over the LANDED
+    table — their outputs must equal the same ops over the pristine
+    batch table after exact dedup removes the replayed copies."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        q74_train_split,
+        q75_sequence_packing,
+    )
+    from pinot_pulsar_plugin_spark.operators.textops import t56_quality_filter
+    from pinot_pulsar_plugin_spark.streaming.sinks import start_exactly_once_query
+
+    docs = load_table(spark, SF, "documents")
+    pdf = docs.toPandas()
+
+    root = str(tmp_path / "broker")
+    w = TopicWriter(root, "docs", partitions=2, rollover_every=120)
+    for i, row in pdf.iterrows():
+        payload = json.dumps(
+            {
+                "doc_id": int(row.doc_id),
+                "text": row.text,
+                "lang": row.lang,
+                "source": row.source,
+                "n_chars": int(row.n_chars),
+            }
+        )
+        w.append(int(row.doc_id) % 2, payload)
+        if i % 10 == 0:  # duplicate ingestion (replays / double sends)
+            w.append(int(row.doc_id) % 2, payload)
+        if i % 37 == 0:  # malformed payloads must drop, not fail
+            w.append(i % 2, b"{not json")
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    decoded = decode_json(
+        read_stream(spark, root, "docs", maxmsgs=128), schema, keep_cols=()
+    )
+    landed_dir = str(tmp_path / "landed")
+    q = start_exactly_once_query(
+        decoded, f"{landed_dir}/documents_raw.parquet", str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # exact dedup by normalized-content fingerprint (t53's key), then
+    # serve the deduped corpus as a catalog-shaped table
+    raw = spark.read.parquet(f"{landed_dir}/documents_raw.parquet")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    deduped = raw.withColumn("fp", fp).dropDuplicates(["fp"]).drop("fp")
+    assert deduped.count() == len(pdf)  # replays removed, garbage dropped
+    deduped.write.mode("overwrite").parquet(f"{landed_dir}/documents.parquet")
+
+    def frames(sf_dir):
+        return [
+            t56_quality_filter(spark, sf_dir).toPandas(),
+            q74_train_split(spark, sf_dir).toPandas(),
+            q75_sequence_packing(spark, sf_dir).toPandas(),
+        ]
+
+    for got, want in zip(frames(landed_dir), frames(SF)):
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert got.equals(want)
