@@ -195,3 +195,41 @@ def test_q69_composite_blocks_bounded(spark):
             .first()[0]
         )
         assert m * 4 <= brand_max, (m, brand_max)
+
+
+def test_materialized_rollup_serves_every_grouping(spark, tmp_path):
+    """Star-tree analog: ONE cube materialization of lineitem answers
+    group-bys over every dim subset — served results equal direct
+    aggregation, and the serve plan scans only the tiny summary table
+    (pre-aggregation turns a 100 TB scan into a summary lookup)."""
+    from pinot_pulsar_plugin_spark.functions.exact import exact_sum
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        materialize_rollup,
+        serve_group_by,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    dims = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "n": F.count(F.lit(1)),
+        "sum_qty": exact_sum(F.col("l_quantity"), "sum_qty"),
+    }
+    out = str(tmp_path / "rollup.parquet")
+    materialize_rollup(li, dims, measures).write.parquet(out)
+    rollup = spark.read.parquet(out)
+
+    for subset in ([], ["l_returnflag"], ["l_linestatus"], dims):
+        served = serve_group_by(rollup, dims, subset, ["n", "sum_qty"]).toPandas()
+        direct = (
+            li.groupBy(*subset)
+            .agg(measures["n"].alias("n"), measures["sum_qty"].alias("sum_qty"))
+            .toPandas()
+        )
+        cols = sorted(served.columns)
+        served = served[cols].sort_values(cols).reset_index(drop=True)
+        direct = direct[cols].sort_values(cols).reset_index(drop=True)
+        assert served.equals(direct), subset
+
+    plan = formatted_plan(serve_group_by(rollup, dims, ["l_returnflag"], ["n"]))
+    assert "lineitem" not in plan  # summary lookup, never a fact scan
+    assert "HashAggregate" not in plan  # no query-time aggregation
