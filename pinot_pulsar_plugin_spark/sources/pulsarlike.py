@@ -84,14 +84,25 @@ class _Range(InputPartition):
     compacted: bool = False
 
 
-def _read_range(rng: _Range) -> Iterator[tuple]:
+def _read_range(rng: _Range) -> Iterator:
     """Executor-side scan of one partition's offset range. Loops the
     bounded fetch (the reference's one-batchReceive-per-call shape,
     consumer:136) until the range is exhausted. With ``compacted`` the
     fetch serves the compacted view (latest message per key), matching
     the reference's readCompacted(true) subscription (consumer:68) —
     offset PLANNING stays on raw offsets; compaction only affects which
-    messages the executor delivers."""
+    messages the executor delivers.
+
+    Yields one ``pyarrow.RecordBatch`` per fetch (the Python DataSource
+    vectorized path): the whole micro-fetch crosses the Python→JVM
+    boundary as one Arrow batch instead of N pickled tuples — the
+    PulsarMessageBatch container (PulsarMessageBatch.java:38-60)
+    re-expressed as a columnar batch."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("value", pa.binary()), ("offset", pa.int64()), ("partition", pa.int32())]
+    )
     broker = FakePulsarBroker(rng.root)
     pos = rng.start
     while pos < rng.end:
@@ -100,8 +111,14 @@ def _read_range(rng: _Range) -> Iterator[tuple]:
         )
         if not batch:
             break
-        for msg in batch:
-            yield (msg.payload, msg.offset, rng.partition)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([m.payload for m in batch], pa.binary()),
+                pa.array([m.offset for m in batch], pa.int64()),
+                pa.array([rng.partition] * len(batch), pa.int32()),
+            ],
+            schema=schema,
+        )
         pos = batch[-1].next_offset
 
 

@@ -323,3 +323,27 @@ def test_reference_namespaced_option_aliases(spark, tmp_path):
 
     with pytest.raises(ValueError):
         PulsarLikeStreamReader({"topic": "events"})  # no broker root
+
+
+def test_read_range_yields_arrow_batches(tmp_path):
+    """The executor read path must stay on the vectorized Arrow lane:
+    one RecordBatch per bounded fetch, columns (value, offset,
+    partition) — a regression to per-row tuples costs ~20% ingest
+    throughput (tools_ingestbench)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import _Range, _read_range
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "t", partitions=1)
+    for i in range(7):
+        w.append(0, _json.dumps({"i": i}))
+    out = list(
+        _read_range(_Range(root=root, topic="t", partition=0, start=0, end=7))
+    )
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    assert sum(b.num_rows for b in out) == 7
+    assert out[0].schema.names == ["value", "offset", "partition"]
