@@ -42,10 +42,21 @@ def main() -> None:
             payload_bytes += len(p)
             w.append(i % N_PARTS, p)
 
-        read_batch(spark, root, "bench").write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        read_batch(spark, root, "bench").write.format("noop").mode("overwrite").save()
-        wall = time.perf_counter() - t0
+        def run(**opts) -> float:
+            read_batch(spark, root, "bench", **opts).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm
+            t0 = time.perf_counter()
+            read_batch(spark, root, "bench", **opts).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+
+        # reference admission policy (500 msgs/fetch) vs relaxed caps:
+        # the 500-cap is the reference's batch-policy artifact, not this
+        # engine's ceiling — larger fetches mean larger Arrow batches.
+        wall = run()
+        wall_relaxed = run(maxmsgs=8000)
 
         msg_s_part = N_MSGS / wall / N_PARTS
         mib_s_part = payload_bytes / (1024 * 1024) / wall / N_PARTS
@@ -58,6 +69,9 @@ def main() -> None:
                     "wall_sec": round(wall, 3),
                     "msg_per_sec_per_partition": round(msg_s_part),
                     "mib_per_sec_per_partition": round(mib_s_part, 2),
+                    "msg_per_sec_per_partition_relaxed_caps": round(
+                        N_MSGS / wall_relaxed / N_PARTS
+                    ),
                     "reference_derived_msg_ceiling": 5000,
                     "reference_derived_mib_ceiling": 100,
                 }
