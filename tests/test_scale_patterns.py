@@ -233,3 +233,29 @@ def test_materialized_rollup_serves_every_grouping(spark, tmp_path):
     plan = formatted_plan(serve_group_by(rollup, dims, ["l_returnflag"], ["n"]))
     assert "lineitem" not in plan  # summary lookup, never a fact scan
     assert "HashAggregate" not in plan  # no query-time aggregation
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing correctness properties the value-hash oracle can't state
+    directly: every document appears exactly once; within each shard
+    the preceding-docs token sum stayed under budget (the shard index
+    is floor(cumulative_before/budget), so equal shard ⇒ the docs
+    before it fit); shards are contiguous per lane."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        _PACK_BUDGET,
+        q75_sequence_packing,
+    )
+
+    out = q75_sequence_packing(spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas()
+    # every doc packed exactly once
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    for (_, shard), grp in out.groupby(["pack_group", "shard"]):
+        grp = grp.sort_values("doc_id")
+        # tokens BEFORE each doc in its shard fit the budget
+        before = grp["n_tokens"].cumsum() - grp["n_tokens"]
+        assert (before < _PACK_BUDGET).all()
+    # shards contiguous and non-decreasing along each lane's doc order
+    for _, lane in out.groupby("pack_group"):
+        shards = lane.sort_values("doc_id")["shard"].to_numpy()
+        assert (shards[1:] >= shards[:-1]).all()
