@@ -327,3 +327,119 @@ def t54_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# t59 winnowing: polynomial rolling hash over token 3-grams, then the
+# MOSS winnowing selection (min hash per sliding window of 4) — the
+# rolling-hash fingerprint family, as pure array expressions via the
+# same zip-with-tail idiom as the bigram builder (no explode, no UDF).
+_WIN_MOD = 1_000_003
+_WIN_BASE = 256
+
+
+def _rolling_hashes(tk):
+    """k=3 rolling hashes of the token-value sequence (valid entries
+    only; the two dangling tail positions are dropped)."""
+    v = F.transform(
+        tk,
+        lambda s: (
+            F.ascii(s).cast("long") * 65599
+            + F.length(s).cast("long") * 31
+            + F.ascii(F.reverse(s)).cast("long")
+        ) % _WIN_MOD,
+    )
+    t2 = F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0)))
+    t3 = F.slice(v, 3, F.greatest(F.size(v) - 2, F.lit(0)))
+    pair = F.zip_with(v, t2, lambda a, b: F.when(b.isNull(), None).otherwise(a * _WIN_BASE + b))
+    return F.array_compact(
+        F.zip_with(
+            pair,
+            t3,
+            lambda ab, c: F.when(ab.isNull() | c.isNull(), None).otherwise(
+                (ab * _WIN_BASE + c) % _WIN_MOD
+            ),
+        )
+    )
+
+
+@query(
+    "t59_winnow_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    vals AS (
+      SELECT doc_id, list_transform(tk,
+               t -> (CAST(ascii(t) AS BIGINT) * 65599
+                     + CAST(length(t) AS BIGINT) * 31
+                     + CAST(ascii(reverse(t)) AS BIGINT)) % {_WIN_MOD}) AS v
+      FROM toks),
+    roll AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 list_zip(list_transform(list_zip(v, v[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                          ELSE p[1] * {_WIN_BASE} + p[2] END), v[3:]),
+                 q -> CASE WHEN q[1] IS NULL OR q[2] IS NULL THEN NULL
+                      ELSE (q[1] * {_WIN_BASE} + q[2]) % {_WIN_MOD} END),
+               x -> x IS NOT NULL) AS h
+      FROM vals),
+    winnow AS (
+      SELECT doc_id, h,
+             list_filter(
+               list_transform(
+                 list_zip(
+                   list_transform(list_zip(h, h[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                          ELSE least(p[1], p[2]) END),
+                   list_transform(list_zip(h, h[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                          ELSE least(p[1], p[2]) END)[4:]),
+                 q -> CASE WHEN q[1] IS NULL OR q[2] IS NULL THEN NULL
+                      ELSE least(q[1], q[2]) END),
+               x -> x IS NOT NULL) AS m
+      FROM roll)
+    SELECT doc_id,
+           CAST(len(h) AS INTEGER) AS n_hashes,
+           CAST(len(list_distinct(m)) AS INTEGER) AS n_fingerprints,
+           md5(array_to_string(list_sort(list_distinct(m)), ',')) AS fp_digest
+    FROM winnow
+    """,
+)
+def t59_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting with winnowing (the MOSS
+    scheme): k=3 token-gram polynomial rolling hashes, then the minimum
+    hash of every sliding window of 4 is selected; the sorted distinct
+    selection digests to the document fingerprint. Guarantees of the
+    scheme: any shared token run of length >= k+3 yields a shared
+    selected hash, so near-duplicate documents share fingerprint
+    members. Entirely per-row array expressions (the zip-with-tail
+    idiom) — no explode, no shuffle, scan-speed at any corpus size;
+    complement to t53's whole-content md5 (robust to local edits where
+    md5 is not)."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    h = _rolling_hashes(tk)
+    min2 = F.zip_with(
+        h,
+        F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0))),
+        lambda a, b: F.when(b.isNull(), None).otherwise(F.least(a, b)),
+    )
+    m = F.array_compact(
+        F.zip_with(
+            min2,
+            F.slice(min2, 4, F.greatest(F.size(min2) - 3, F.lit(0))),
+            lambda a, b: F.when(a.isNull() | b.isNull(), None).otherwise(
+                F.least(a, b)
+            ),
+        )
+    )
+    fps = F.array_sort(F.array_distinct(m))
+    return d.select(
+        "doc_id",
+        F.size(h).alias("n_hashes"),
+        F.size(F.array_distinct(m)).alias("n_fingerprints"),
+        F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
+            "fp_digest"
+        ),
+    )
