@@ -52,7 +52,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from pinot_pulsar_plugin_spark.sources.fakebroker import (
@@ -313,8 +315,98 @@ class PulsarLikeBatchReader(DataSourceReader):
         return _read_range(partition)
 
 
+@dataclass
+class _LedgerCommit(WriterCommitMessage):
+    """Per-task commit message: the staged .tmp ledger files this task
+    wrote (finalized by rename on driver-side commit)."""
+
+    tmp_paths: tuple = ()
+
+
+class PulsarLikeBatchWriter(DataSourceWriter):
+    """Native batch producer — full-duplex completion of the custom
+    DataSource (the reference plugin is consume-only; Pulsar itself is
+    of course written by producers, so round-trips need this side).
+
+    Two-phase commit on the shared broker store: each task appends its
+    rows into its OWN ledger files staged as ``*.jsonl.tmp`` /
+    ``*.keys.tmp`` (ledger id = base + taskAttemptId — writer tasks
+    never contend on a file, which is what makes the write
+    embarrassingly parallel), the driver's ``commit`` renames every
+    staged file to its final name, and ``abort`` deletes them. Readers
+    match only ``ledger-*.jsonl``, so a failed job leaves nothing
+    visible — all-or-nothing visibility without any lock.
+
+    Input rows: ``value binary`` (required), ``partition int``
+    (optional, defaults 0), ``key string`` (optional, drives
+    compaction sidecars)."""
+
+    def __init__(self, options: dict):
+        self.root = _required_path(options)
+        self.topic = _lookup(options, "topic") or "topic"
+        self.n_parts = max(1, int_option(options, "partitions", 1))
+        broker = FakePulsarBroker(self.root)
+        existing = 0
+        for p in range(max(self.n_parts, broker.partition_count(self.topic))):
+            led = broker._ledgers(self.topic, p)
+            if led:
+                existing = max(existing, led[-1] + 1)
+        self.base_ledger = existing
+
+    def write(self, iterator) -> _LedgerCommit:
+        from pyspark import TaskContext
+
+        task_id = TaskContext.get().taskAttemptId()
+        ledger = self.base_ledger + int(task_id)
+        handles: dict[int, tuple] = {}
+        entries: dict[int, int] = {}
+        tmp_paths: list[str] = []
+        try:
+            for row in iterator:
+                payload = bytes(row["value"])
+                part = int(row["partition"]) if "partition" in row else 0
+                part = part % self.n_parts
+                key = row["key"] if "key" in row else None
+                if part not in handles:
+                    pdir = os.path.join(self.root, self.topic, f"partition-{part}")
+                    os.makedirs(pdir, exist_ok=True)
+                    stem = os.path.join(pdir, f"ledger-{ledger:08d}")
+                    lf = open(stem + ".jsonl.tmp", "wb")
+                    kf = open(stem + ".keys.tmp", "wb")
+                    handles[part] = (lf, kf)
+                    tmp_paths += [stem + ".jsonl.tmp", stem + ".keys.tmp"]
+                    entries[part] = 0
+                if any(
+                    ch in payload
+                    for ch in (b"\n", b"\r", b"\x0b", b"\x0c", b"\x1c", b"\x1d", b"\x1e")
+                ):
+                    raise ValueError("payload may not contain line-boundary bytes")
+                lf, kf = handles[part]
+                lf.write(payload + b"\n")
+                kf.write(__import__("json").dumps(key).encode("utf-8") + b"\n")
+                entries[part] += 1
+        finally:
+            for lf, kf in handles.values():
+                lf.close()
+                kf.close()
+        return _LedgerCommit(tmp_paths=tuple(tmp_paths))
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            for tmp in m.tmp_paths:
+                os.replace(tmp, tmp[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            for tmp in m.tmp_paths:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+
+
 class PulsarLikeDataSource(DataSource):
-    """Factory vending batch and stream readers — the
+    """Factory vending batch/stream readers and the batch writer — the
     PulsarConsumerFactory analog (PulsarConsumerFactory.java:35-68; like
     it, there is no "stream-level" consumer: only partition-level)."""
 
@@ -327,6 +419,13 @@ class PulsarLikeDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return PulsarLikeBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError(
+                "pulsarlike topics are append-only logs: use mode('append')"
+            )
+        return PulsarLikeBatchWriter(self.options)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return PulsarLikeStreamReader(self.options)

@@ -347,3 +347,51 @@ def test_read_range_yields_arrow_batches(tmp_path):
     assert out and all(isinstance(b, pa.RecordBatch) for b in out)
     assert sum(b.num_rows for b in out) == 7
     assert out[0].schema.names == ["value", "offset", "partition"]
+
+
+def test_native_batch_writer_round_trip(spark, tmp_path):
+    """Full-duplex DataSource: df.write.format('pulsarlike') produces a
+    topic through the two-phase staged-ledger protocol (parallel tasks,
+    ledger-per-task, rename-on-commit), and the source reads every
+    message back; compacted read serves latest-per-key from the sidecars
+    the writer emitted."""
+    import glob
+    import json as _json
+
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import read_batch, register
+
+    register(spark)
+    root = str(tmp_path / "b")
+    rows = [
+        (_json.dumps({"i": i}).encode(), i % 3, f"k{i % 5}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "value binary, partition int, key string")
+    (
+        df.repartition(4)
+        .write.format("pulsarlike")
+        .option("path", root)
+        .option("topic", "out")
+        .option("partitions", "3")
+        .mode("append")
+        .save()
+    )
+    assert not glob.glob(f"{root}/**/*.tmp", recursive=True)  # all committed
+    back = read_batch(spark, root, "out")
+    vals = sorted(_json.loads(bytes(r.value))["i"] for r in back.collect())
+    assert vals == list(range(100))
+    # offsets must be valid, strictly increasing per partition
+    per_part = {}
+    for r in back.collect():
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for offs in per_part.values():
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    # compaction sidecars: latest-per-(partition, key) = 15 distinct pairs
+    comp = read_batch(spark, root, "out", compacted=True)
+    assert comp.count() == len({(i % 3, i % 5) for i in range(100)})
+    # append-only contract
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.write.format("pulsarlike").option("path", root).option(
+            "topic", "out"
+        ).mode("overwrite").save()
