@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -323,6 +324,67 @@ class _LedgerCommit(WriterCommitMessage):
     tmp_paths: tuple = ()
 
 
+def _stage_task_rows(
+    root: str, topic: str, n_parts: int, base_ledger: int, iterator
+) -> _LedgerCommit:
+    """Executor-side staging shared by the batch and stream writers:
+    this task's rows land in its OWN ledger files (ledger id = base +
+    taskAttemptId — parallel writer tasks never touch the same file),
+    suffixed ``.tmp`` so readers can't see them until driver commit."""
+    import json as _json
+
+    from pyspark import TaskContext
+
+    ledger = base_ledger + int(TaskContext.get().taskAttemptId())
+    handles: dict[int, tuple] = {}
+    tmp_paths: list[str] = []
+    try:
+        for row in iterator:
+            payload = bytes(row["value"])
+            part = (int(row["partition"]) if "partition" in row else 0) % n_parts
+            key = row["key"] if "key" in row else None
+            if part not in handles:
+                pdir = os.path.join(root, topic, f"partition-{part}")
+                os.makedirs(pdir, exist_ok=True)
+                stem = os.path.join(pdir, f"ledger-{ledger:08d}")
+                lf = open(stem + ".jsonl.tmp", "wb")
+                kf = open(stem + ".keys.tmp", "wb")
+                handles[part] = (lf, kf)
+                tmp_paths += [stem + ".jsonl.tmp", stem + ".keys.tmp"]
+            if any(
+                ch in payload
+                for ch in (b"\n", b"\r", b"\x0b", b"\x0c", b"\x1c", b"\x1d", b"\x1e")
+            ):
+                raise ValueError("payload may not contain line-boundary bytes")
+            lf, kf = handles[part]
+            lf.write(payload + b"\n")
+            kf.write(_json.dumps(key).encode("utf-8") + b"\n")
+    finally:
+        for lf, kf in handles.values():
+            lf.close()
+            kf.close()
+    return _LedgerCommit(tmp_paths=tuple(tmp_paths))
+
+
+def _finalize_staged(messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for tmp in m.tmp_paths:
+            os.replace(tmp, tmp[: -len(".tmp")])
+
+
+def _discard_staged(messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for tmp in m.tmp_paths:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+
 class PulsarLikeBatchWriter(DataSourceWriter):
     """Native batch producer — full-duplex completion of the custom
     DataSource (the reference plugin is consume-only; Pulsar itself is
@@ -354,61 +416,53 @@ class PulsarLikeBatchWriter(DataSourceWriter):
         self.base_ledger = existing
 
     def write(self, iterator) -> _LedgerCommit:
-        from pyspark import TaskContext
-
-        task_id = TaskContext.get().taskAttemptId()
-        ledger = self.base_ledger + int(task_id)
-        handles: dict[int, tuple] = {}
-        entries: dict[int, int] = {}
-        tmp_paths: list[str] = []
-        try:
-            for row in iterator:
-                payload = bytes(row["value"])
-                part = int(row["partition"]) if "partition" in row else 0
-                part = part % self.n_parts
-                key = row["key"] if "key" in row else None
-                if part not in handles:
-                    pdir = os.path.join(self.root, self.topic, f"partition-{part}")
-                    os.makedirs(pdir, exist_ok=True)
-                    stem = os.path.join(pdir, f"ledger-{ledger:08d}")
-                    lf = open(stem + ".jsonl.tmp", "wb")
-                    kf = open(stem + ".keys.tmp", "wb")
-                    handles[part] = (lf, kf)
-                    tmp_paths += [stem + ".jsonl.tmp", stem + ".keys.tmp"]
-                    entries[part] = 0
-                if any(
-                    ch in payload
-                    for ch in (b"\n", b"\r", b"\x0b", b"\x0c", b"\x1c", b"\x1d", b"\x1e")
-                ):
-                    raise ValueError("payload may not contain line-boundary bytes")
-                lf, kf = handles[part]
-                lf.write(payload + b"\n")
-                kf.write(__import__("json").dumps(key).encode("utf-8") + b"\n")
-                entries[part] += 1
-        finally:
-            for lf, kf in handles.values():
-                lf.close()
-                kf.close()
-        return _LedgerCommit(tmp_paths=tuple(tmp_paths))
+        return _stage_task_rows(self.root, self.topic, self.n_parts, self.base_ledger, iterator)
 
     def commit(self, messages) -> None:
-        for m in messages:
-            for tmp in m.tmp_paths:
-                os.replace(tmp, tmp[: -len(".tmp")])
+        _finalize_staged(messages)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            for tmp in m.tmp_paths:
-                try:
-                    os.remove(tmp)
-                except FileNotFoundError:
-                    pass
+        _discard_staged(messages)
+
+
+class PulsarLikeStreamWriter(DataSourceStreamWriter):
+    """Streaming producer: every micro-batch stages its task ledgers and
+    the driver renames them visible at batch commit — so a topic can be
+    both the source AND the sink of structured streams (topic→transform→
+    topic round-trips). Semantics are at-least-once like a real Pulsar
+    producer: a batch replayed after a commit-then-crash appends again;
+    exactly-once landing belongs to the keyed/idempotent sinks
+    (streaming/sinks.py), not the log."""
+
+    def __init__(self, options: dict):
+        self.root = _required_path(options)
+        self.topic = _lookup(options, "topic") or "topic"
+        self.n_parts = max(1, int_option(options, "partitions", 1))
+        broker = FakePulsarBroker(self.root)
+        existing = 0
+        for p in range(max(self.n_parts, broker.partition_count(self.topic))):
+            led = broker._ledgers(self.topic, p)
+            if led:
+                existing = max(existing, led[-1] + 1)
+        self.base_ledger = existing
+
+    def write(self, iterator) -> _LedgerCommit:
+        return _stage_task_rows(
+            self.root, self.topic, self.n_parts, self.base_ledger, iterator
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        _finalize_staged(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard_staged(messages)
 
 
 class PulsarLikeDataSource(DataSource):
-    """Factory vending batch/stream readers and the batch writer — the
-    PulsarConsumerFactory analog (PulsarConsumerFactory.java:35-68; like
-    it, there is no "stream-level" consumer: only partition-level)."""
+    """Factory vending batch/stream readers and the batch/stream
+    writers — the PulsarConsumerFactory analog
+    (PulsarConsumerFactory.java:35-68; like it, there is no
+    "stream-level" consumer: only partition-level)."""
 
     @classmethod
     def name(cls) -> str:
@@ -426,6 +480,9 @@ class PulsarLikeDataSource(DataSource):
                 "pulsarlike topics are append-only logs: use mode('append')"
             )
         return PulsarLikeBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return PulsarLikeStreamWriter(self.options)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return PulsarLikeStreamReader(self.options)

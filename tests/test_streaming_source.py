@@ -395,3 +395,50 @@ def test_native_batch_writer_round_trip(spark, tmp_path):
         df.write.format("pulsarlike").option("path", root).option(
             "topic", "out"
         ).mode("overwrite").save()
+
+
+def test_stream_topic_to_topic_round_trip(spark, tmp_path):
+    """Topic→transform→topic: the pulsarlike source feeds a structured
+    stream whose sink is ANOTHER pulsarlike topic (the streaming
+    producer). Every message arrives in the destination topic, readable
+    by the batch source, uppercased by the in-flight transform."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import (
+        read_batch,
+        read_stream,
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "src", partitions=2)
+    for i in range(30):
+        w.append(i % 2, _json.dumps({"i": i, "s": f"msg{i}"}))
+
+    transformed = (
+        read_stream(spark, root, "src", maxmsgs=7)
+        .select(
+            F.encode(F.upper(F.decode("value", "UTF-8")), "UTF-8").alias("value"),
+            F.col("partition"),
+        )
+    )
+    q = (
+        transformed.writeStream.format("pulsarlike")
+        .option("path", root)
+        .option("topic", "dst")
+        .option("partitions", "2")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    back = read_batch(spark, root, "dst")
+    got = sorted(_json.loads(bytes(r.value).lower())["i"] for r in back.collect())
+    assert got == list(range(30))
+    payloads = {bytes(r.value) for r in back.collect()}
+    assert all(b'"S": "MSG' in p for p in payloads)  # transform applied
