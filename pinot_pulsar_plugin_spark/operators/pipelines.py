@@ -121,6 +121,45 @@ def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d51_cluster_keeper_quality",
+    f"""
+    WITH comp AS ({ORACLE["d49_neardup_components"]})
+    SELECT c.doc_id, c.component, d.n_chars,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.component
+                ORDER BY d.n_chars DESC, c.doc_id) = 1 AS INTEGER) AS is_keeper
+    FROM comp c JOIN documents d USING (doc_id)
+    """,
+)
+def d51_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster-representative selection: within each d49
+    near-dup component, keep the document with the most content
+    (n_chars DESC, doc_id tiebreak) instead of d49's min-doc_id
+    convention — the policy real dedup pipelines use (FineWeb/Gopher
+    keep the longest/highest-quality member of a duplicate cluster,
+    not an arbitrary one). The quality signal is pluggable: any
+    per-doc score (t52's composite works as-is) slots into the ORDER.
+
+    Scale shape: one equi-join of the component labels against the
+    per-doc scores on doc_id, then a component-partitioned row_number —
+    shuffle keyed on component, group sizes are dup-cluster sizes
+    (small by construction after d44's stop-shingle filter). The
+    row_number total order (score DESC, doc_id) is deterministic, so
+    the keeper flag hash-matches the oracle exactly."""
+    comp = d49_neardup_components(spark, sf_dir).select("doc_id", "component")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).cast("int").alias("is_keeper"),
+    )
+
+
 # Knuth multiplicative hash: deterministic, engine-agnostic (pure
 # BIGINT arithmetic), uniform enough for split bucketing. 800/100/100.
 _SPLIT_MULT = 2654435761

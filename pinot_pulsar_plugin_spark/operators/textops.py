@@ -303,6 +303,100 @@ def t58_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII redaction. The synthetic corpus contains no PII, so the operator
+# injects deterministic synthetic PII (email/phone/IPv4 derived from
+# doc_id — pure string/modulo arithmetic, identical in both engines)
+# and then redacts it: an inject-then-redact differential that proves
+# the redaction regexes and replacement semantics match the oracle
+# engine exactly, which is the part that matters for a real corpus.
+# Patterns avoid lookarounds/backreferences so Java regex (Spark) and
+# RE2 (DuckDB) agree; counts are taken on the pre-redaction text (the
+# three pattern families are disjoint by construction: emails are
+# redacted first, phones use dashes where IPs require dots).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@query(
+    "t60_pii_redaction",
+    f"""
+    WITH dirty AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0
+             THEN ' contact ' || source || '.' || CAST(doc_id AS VARCHAR)
+                  || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+             THEN ' call +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END AS dt
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(dt, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(dt, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(dt, '{_IP_RE}')) AS INTEGER) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(dt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM dirty
+    """,
+)
+def t60_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails, phone numbers, and IPv4
+    addresses with placeholder tokens — the privacy gate every
+    training-data pipeline runs before the corpus leaves the cleaning
+    stage. Pure JVM-side ``regexp_count``/``regexp_replace`` (no UDFs),
+    so it runs at scan speed inside whole-stage codegen at any corpus
+    size. The synthetic corpus has no PII, so the operator injects
+    deterministic doc_id-derived PII first and redacts it — proving
+    redaction semantics differentially against the oracle engine."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact "), F.col("source"), F.lit("."), did.cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit(" call +1-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((did * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" host 10."), (did % 256).cast("string"),
+        F.lit("."), ((did * 7) % 256).cast("string"),
+        F.lit("."), ((did * 13) % 256).cast("string"),
+    )
+    dirty = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, email).otherwise(""),
+        F.when(did % 5 == 0, phone).otherwise(""),
+        F.when(did % 7 == 0, ip).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>",
+        ),
+        _IP_RE, "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(dirty, F.lit(_IP_RE)).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
 @query(
     "t54_corpus_stats_by_lang",
     """

@@ -51,3 +51,37 @@ def test_d49_components_chain_and_singletons(spark, tmp_path):
         assert rows[i].component == 0 and rows[i].is_keeper == (1 if i == 0 else 0)
     for i in range(8, 24):
         assert rows[i].component == i and rows[i].is_keeper == 1
+
+
+def test_d51_keeper_prefers_highest_quality(spark, tmp_path):
+    """Within a near-dup cluster the quality-aware keeper is the
+    longest document (n_chars DESC, doc_id tiebreak), NOT d49's min
+    doc_id; singletons keep themselves."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        d51_cluster_keeper_quality,
+    )
+
+    texts = []
+    for i in range(4):  # chain 0-1-2-3: one cluster, component 0
+        texts.append((i, f"x{i} y{i} z{i} x{i+1} y{i+1} z{i+1}"))
+    for i in range(4, 30):  # isolated; corpus of 30 keeps the df>10%
+        texts.append((i, f"a{i} b{i} c{i} d{i} e{i} f{i}"))  # stop filter above the chain's df=2 shingles
+    # doc 2 is the "best" (longest) member of the cluster; ties between
+    # 0 and 1 would break toward the lower doc_id
+    n_chars = {0: 100, 1: 100, 2: 400, 3: 50}
+    rows = [(i, txt, n_chars.get(i, 10)) for i, txt in texts]
+    spark.createDataFrame(rows, "doc_id long, text string, n_chars long").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.doc_id: r for r in d51_cluster_keeper_quality(spark, str(tmp_path)).collect()}
+    assert len(out) == 30
+    for i in range(4):
+        assert out[i].component == 0
+        assert out[i].is_keeper == (1 if i == 2 else 0), out[i]
+    for i in range(4, 30):
+        assert out[i].component == i and out[i].is_keeper == 1
+    # exactly one keeper per component
+    comps = {}
+    for r in out.values():
+        comps[r.component] = comps.get(r.component, 0) + r.is_keeper
+    assert all(v == 1 for v in comps.values()), comps

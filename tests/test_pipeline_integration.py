@@ -169,3 +169,30 @@ def test_llm_corpus_pipeline(spark, tmp_path):
         got = got[cols].sort_values(cols).reset_index(drop=True)
         want = want[cols].sort_values(cols).reset_index(drop=True)
         assert got.equals(want)
+
+
+def test_t60_redaction_removes_all_injected_pii(spark):
+    """Every injected PII instance is counted and redacted: no email/
+    phone/IP survives in the redacted text, placeholders appear exactly
+    where counts say they should, and docs with no injection pass
+    through byte-identical."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+        t60_pii_redaction,
+    )
+
+    rows = t60_pii_redaction(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0), r
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0), r
+        assert r.n_ips == (1 if r.doc_id % 7 == 0 else 0), r
+        for pat in (_EMAIL_RE, _PHONE_RE, _IP_RE):
+            assert not re.search(pat, r.redacted), (r.doc_id, r.redacted)
+        assert r.redacted.count("<EMAIL>") == r.n_emails
+        assert r.redacted.count("<PHONE>") == r.n_phones
+        assert r.redacted.count("<IP>") == r.n_ips
