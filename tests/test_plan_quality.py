@@ -259,3 +259,33 @@ def test_no_accidental_cartesian_products(spark):
                 offenders.append((name, node))
                 break
     assert not offenders, offenders
+
+
+def test_q84_bloom_prefilter_at_fact_scan(spark):
+    """The Bloom bitset probe must run in the fact-side Filter BEFORE
+    the semi join (the runtime-filter shape): literal-bitset element_at
+    + bitwise AND inside a codegen stage, no Python evaluation."""
+    from pinot_pulsar_plugin_spark.operators import advanced
+
+    df = advanced.q84_bloom_semi_prune(spark, SF)
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    filt = [i for i, ln in enumerate(lines) if "element_at" in ln and "pmod" in ln]
+    join = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    assert filt and join, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pinot_pulsar_plugin_spark.functions.bloom import build_bloom, might_contain
+
+    keys = spark.range(0, 500).selectExpr("id * 7 + 3 AS k")
+    bits = build_bloom(keys, "k")
+    # every inserted key passes
+    hits = keys.filter(might_contain(bits, "k")).count()
+    assert hits == 500
+    # disjoint probe set: fp rate well under 5%
+    probe = spark.range(1_000_000, 1_010_000).selectExpr("id AS k")
+    fp = probe.filter(might_contain(bits, "k")).count()
+    assert fp < 500, fp
