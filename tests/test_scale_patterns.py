@@ -259,3 +259,72 @@ def test_sequence_packing_invariants(spark):
     for _, lane in out.groupby("pack_group"):
         shards = lane.sort_values("doc_id")["shard"].to_numpy()
         assert (shards[1:] >= shards[:-1]).all()
+
+
+def test_zorder_morton_reference(spark):
+    """The JVM-side Morton spread matches a bit-by-bit Python
+    reference, including 32-bit extremes."""
+    from pinot_pulsar_plugin_spark.functions.zorder import zorder2
+
+    def ref(a, b):
+        z = 0
+        for i in range(31):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z  # 31 bits per dim -> 62-bit code, always positive
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (12345, 67890),
+             (0x7FFFFFFF, 0), (0, 0x7FFFFFFF), (0x7FFFFFFF, 0x7FFFFFFF)]
+    df = spark.createDataFrame(cases, "a long, b long").select(
+        "a", "b", zorder2("a", "b").alias("z")
+    )
+    for r in df.collect():
+        assert r.z == ref(r.a, r.b), (r.a, r.b, r.z, ref(r.a, r.b))
+
+
+def test_zorder_write_prunes_2d_box(spark, tmp_path):
+    """Row-group skipping for a 2-D box predicate: a z-ordered write
+    keeps min/max bounding boxes tight in BOTH dimensions, so far fewer
+    row groups intersect the box than under a single-column sort —
+    and the rows read back are identical."""
+    import pyarrow.parquet as pq
+
+    from pinot_pulsar_plugin_spark.functions.zorder import zorder2
+
+    # 200k rows over a 1024x1024 key space, uncorrelated dims
+    base = spark.range(200_000).selectExpr(
+        "pmod(id * 2654435761, 1024) AS u", "pmod(id * 2246822519, 1024) AS v"
+    )
+    sorted_dir, z_dir = str(tmp_path / "by_u"), str(tmp_path / "by_z")
+    rg = {"parquet.block.size": 64 * 1024}  # many small row groups
+    (base.repartitionByRange(4, "u").sortWithinPartitions("u")
+         .write.options(**rg).parquet(sorted_dir))
+    z = zorder2("u", "v")
+    (base.repartitionByRange(4, z).sortWithinPartitions(z)
+         .write.options(**rg).parquet(z_dir))
+
+    def groups_hit(d, lo, hi):
+        total = hit = 0
+        for piece in __import__("pathlib").Path(d).glob("*.parquet"):
+            md = pq.ParquetFile(piece).metadata
+            cols = {md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                total += 1
+                su = md.row_group(g).column(cols["u"]).statistics
+                sv = md.row_group(g).column(cols["v"]).statistics
+                if su.min <= hi and su.max >= lo and sv.min <= hi and sv.max >= lo:
+                    hit += 1
+        return hit, total
+
+    lo, hi = 256, 383  # 12.5% selectivity per dimension
+    hit_u, total_u = groups_hit(sorted_dir, lo, hi)
+    hit_z, total_z = groups_hit(z_dir, lo, hi)
+    assert total_u > 20 and total_z > 20, (total_u, total_z)
+    # sorted-by-u prunes u but not v -> ~12.5% of groups; z-order
+    # bounds both dims -> must hit strictly fewer groups
+    assert hit_z < hit_u, (hit_z, total_z, hit_u, total_u)
+    # and the data read back under the box predicate is identical
+    pred = f"u BETWEEN {lo} AND {hi} AND v BETWEEN {lo} AND {hi}"
+    a = sorted(map(tuple, spark.read.parquet(sorted_dir).filter(pred).collect()))
+    b = sorted(map(tuple, spark.read.parquet(z_dir).filter(pred).collect()))
+    assert a == b and len(a) > 0
