@@ -91,6 +91,19 @@ COMMENTARY = {
         "document side never shuffles, so the resample is scan-speed "
         "at any corpus size."
     ),
+    "q84_bloom_semi_prune": (
+        "Runtime-filter analog: the dim side reduces to a 1 KiB literal "
+        "bitset via a distributed bit_or aggregate; the probe predicate "
+        "runs in the FACT SCAN's codegen'd Filter, so at 100 TB "
+        "~24/25ths of the fact rows die before the semi-join shuffle. "
+        "False positives (~0.4%) are removed by the broadcast semi join "
+        "that follows — result identical to the plain join."
+    ),
+    "t60_pii_redaction": (
+        "Pure regexp_count/regexp_replace column expressions — the "
+        "whole redaction pass is one codegen'd scan projection; no "
+        "UDF, no shuffle, no driver involvement at any corpus size."
+    ),
 }
 
 
