@@ -51,3 +51,47 @@ def serve_group_by(
         raise ValueError(f"subset columns not in rollup dims: {sorted(unknown)}")
     gid = sum(1 << (len(dims) - 1 - i) for i, d in enumerate(dims) if d not in subset)
     return rollup.filter(F.col(GID) == gid).select(*subset, *measures)
+
+
+# --- Incremental maintenance (realtime star-tree analog) ------------
+#
+# Pinot keeps its star-tree fresh as realtime segments land; the Spark
+# analog: every micro-batch cubes ONLY its own rows (a partial
+# rollup — tiny, #cube-cells not #rows) and lands it exactly-once
+# under batch_id=N; the serving read merges partials with the
+# measure's re-aggregation function (count/sum→sum, min→min,
+# max→max — grouping_id is part of the merge key, so a real NULL dim
+# value never collides with an aggregated-away NULL). A replayed
+# batch overwrites its own partition, so the maintained rollup is
+# exactly-once end to end. Merge cost is #batches × #cells — compact
+# by rewriting the merged result whenever #batches grows large.
+
+_MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def incremental_rollup_sink(
+    out_dir: str, dims: list[str], measures: Mapping[str, Column]
+):
+    """foreachBatch function maintaining a materialized rollup: each
+    micro-batch writes its partial cube to ``out_dir/batch_id=N``
+    (idempotent overwrite — replays replace, never double-count)."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        materialize_rollup(df, dims, measures).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_rollup(
+    spark, out_dir: str, dims: list[str], merges: Mapping[str, str]
+) -> DataFrame:
+    """Serve the maintained rollup: merge all batch partials into the
+    same shape ``materialize_rollup`` produces on the full table.
+    ``merges`` maps measure name → 'sum' | 'min' | 'max'."""
+    parts = spark.read.parquet(out_dir)
+    return parts.groupBy(*dims, GID).agg(
+        *[_MERGE[how](name).alias(name) for name, how in merges.items()]
+    )
