@@ -47,6 +47,7 @@ HEADLINE = [
     "st57_tumbling_window",
     "t50_text_stats",
     "m56_decode_pipeline",
+    "q84_bloom_semi_prune",
 ]
 
 
