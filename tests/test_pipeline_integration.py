@@ -107,14 +107,18 @@ def test_llm_corpus_pipeline(spark, tmp_path):
     """Training-corpus capstone: documents stream in through the
     pulsarlike source (with injected duplicates and malformed payloads),
     land exactly-once as a parquet table, and the LLM-pipeline registry
-    ops (t56 quality filter, q74 split, q75 packing) run over the LANDED
-    table — their outputs must equal the same ops over the pristine
+    ops (t56 quality filter, t60 PII redaction, q74 split, q75 packing,
+    d51 near-dup keeper selection) run over the LANDED table — their outputs must equal the same ops over the pristine
     batch table after exact dedup removes the replayed copies."""
     from pinot_pulsar_plugin_spark.operators.pipelines import (
+        d51_cluster_keeper_quality,
         q74_train_split,
         q75_sequence_packing,
     )
-    from pinot_pulsar_plugin_spark.operators.textops import t56_quality_filter
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t56_quality_filter,
+        t60_pii_redaction,
+    )
     from pinot_pulsar_plugin_spark.streaming.sinks import start_exactly_once_query
 
     docs = load_table(spark, SF, "documents")
@@ -160,8 +164,10 @@ def test_llm_corpus_pipeline(spark, tmp_path):
     def frames(sf_dir):
         return [
             t56_quality_filter(spark, sf_dir).toPandas(),
+            t60_pii_redaction(spark, sf_dir).toPandas(),
             q74_train_split(spark, sf_dir).toPandas(),
             q75_sequence_packing(spark, sf_dir).toPandas(),
+            d51_cluster_keeper_quality(spark, sf_dir).toPandas(),
         ]
 
     for got, want in zip(frames(landed_dir), frames(SF)):
