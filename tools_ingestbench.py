@@ -58,6 +58,40 @@ def main() -> None:
         wall = run()
         wall_relaxed = run(maxmsgs=8000)
 
+        # produce path (full-duplex): the native batch writer staging
+        # the same message volume through the two-phase ledger commit.
+        from pyspark.sql import functions as F
+
+        from pinot_pulsar_plugin_spark.sources.pulsarlike import register
+
+        register(spark)
+        src = spark.range(N_MSGS).select(
+            F.encode(
+                F.to_json(
+                    F.struct(
+                        F.col("id").alias("event_id"),
+                        F.pmod("id", F.lit(997)).alias("user_id"),
+                        F.lit("view").alias("event_type"),
+                        (F.col("id") * 1.5).alias("value"),
+                    )
+                ),
+                "UTF-8",
+            ).alias("value"),
+            F.pmod("id", F.lit(N_PARTS)).cast("int").alias("partition"),
+        )
+
+        def produce() -> float:
+            out = os.path.join(root, "produced")
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.perf_counter()
+            (src.write.format("pulsarlike").option("path", out)
+                .option("topic", "sink").option("partitions", str(N_PARTS))
+                .mode("append").save())
+            return time.perf_counter() - t0
+
+        produce()  # warm
+        wall_produce = produce()
+
         msg_s_part = N_MSGS / wall / N_PARTS
         mib_s_part = payload_bytes / (1024 * 1024) / wall / N_PARTS
         print(
@@ -71,6 +105,9 @@ def main() -> None:
                     "mib_per_sec_per_partition": round(mib_s_part, 2),
                     "msg_per_sec_per_partition_relaxed_caps": round(
                         N_MSGS / wall_relaxed / N_PARTS
+                    ),
+                    "produce_msg_per_sec_per_partition": round(
+                        N_MSGS / wall_produce / N_PARTS
                     ),
                     "reference_derived_msg_ceiling": 5000,
                     "reference_derived_mib_ceiling": 100,
