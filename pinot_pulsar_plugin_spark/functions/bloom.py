@@ -57,7 +57,11 @@ def build_bloom(df: DataFrame, key_col: str, m_bits: int = 8192) -> list[int]:
         raise ValueError("m_bits must be a multiple of 64")
     positions = "array(" + ",".join(_positions_sql(key_col, m_bits)) + ")"
     words = (
-        df.select(F.explode(F.expr(positions)).alias("pos"))
+        # NULL keys are dropped: they can never match an equi-join, and
+        # the probe predicate is NULL (filtered) for a NULL probe key —
+        # the same semantics as the join the filter fronts.
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(F.expr(positions)).alias("pos"))
         .select(
             F.expr("CAST(pos div 64 AS INT)").alias("w"),
             F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("b"),

@@ -289,3 +289,16 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     probe = spark.range(1_000_000, 1_010_000).selectExpr("id AS k")
     fp = probe.filter(might_contain(bits, "k")).count()
     assert fp < 500, fp
+
+
+def test_bloom_null_keys_match_join_semantics(spark):
+    """NULL build keys are dropped (never equi-join matches); NULL
+    probe keys fail the predicate — same rows as the semi join."""
+    from pinot_pulsar_plugin_spark.functions.bloom import build_bloom, might_contain
+
+    build = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    bits = build_bloom(build, "k")
+    probe = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k long")
+    got = sorted(r.k for r in probe.filter(might_contain(bits, "k"))
+                 .join(build.dropna(), "k", "semi").collect())
+    assert got == [1, 2]
