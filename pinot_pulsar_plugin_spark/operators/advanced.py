@@ -262,3 +262,63 @@ def q84_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
+
+
+def _audit_branch(child: DataFrame, parent: DataFrame, on, label: str) -> DataFrame:
+    return (
+        child.join(parent, on, "anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit(label).alias("check"), "n_bad")
+    )
+
+
+@query(
+    "q85_referential_audit",
+    """
+    SELECT 'lineitem_orphan_order' AS check, (SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+    UNION ALL
+    SELECT 'lineitem_orphan_part', (SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem_orphan_supplier', (SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'order_orphan_customer', (SELECT COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_no_orders', (SELECT COUNT(*) FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'part_never_ordered', (SELECT COUNT(*) FROM part p
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+    UNION ALL
+    SELECT 'supplier_never_used', (SELECT COUNT(*) FROM supplier s
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+    """,
+)
+def q85_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned children (FK rows whose
+    parent is missing) and childless parents (dims never referenced) as
+    one summary table — the data-quality gate a warehouse runs after
+    every load. Each branch is an anti join; the distinct-key side
+    broadcasts where small, and every count is a partial-aggregated
+    scalar, so the audit costs one scan per table at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    branches = [
+        _audit_branch(li, o, li.l_orderkey == o.o_orderkey, "lineitem_orphan_order"),
+        _audit_branch(li, p, li.l_partkey == p.p_partkey, "lineitem_orphan_part"),
+        _audit_branch(li, s, li.l_suppkey == s.s_suppkey, "lineitem_orphan_supplier"),
+        _audit_branch(o, c, o.o_custkey == c.c_custkey, "order_orphan_customer"),
+        _audit_branch(c, o, c.c_custkey == o.o_custkey, "customer_no_orders"),
+        _audit_branch(p, li, p.p_partkey == li.l_partkey, "part_never_ordered"),
+        _audit_branch(s, li, s.s_suppkey == li.l_suppkey, "supplier_never_used"),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out

@@ -537,3 +537,49 @@ def t59_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+@query(
+    "t61_token_surprisal",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    v AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND((CAST(SUM(CAST(ROUND(ln(n.n_docs / v.df) * 1000000) AS BIGINT))
+                       AS DOUBLE) / 1000000.0) / COUNT(*), 6) AS mean_surprisal
+    FROM tok t JOIN v USING (token) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def t61_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal (mean idf of its tokens) — the
+    cheap perplexity proxy: documents of globally-rare tokens score
+    high (gibberish/noise candidates), boilerplate scores low. The
+    per-token idf is rounded to fixed-point BEFORE the per-doc sum so
+    the aggregation is an order-independent integer sum (double sums
+    reassociate differently per engine — functions/exact.py pattern).
+
+    Scale shape: one explode, a map-side-combinable df aggregate keyed
+    on token, an equi-join back on token, and the per-doc aggregate —
+    every exchange is keyed and combinable, nothing quadratic."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_fp = F.round(F.log(F.col("n_docs") / F.col("df")) * 1000000).cast("long")
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (F.sum(idf_fp).cast("double") / 1000000.0) / F.count(F.lit(1)), 6
+            ).alias("mean_surprisal"),
+        )
+    )
