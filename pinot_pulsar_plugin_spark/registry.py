@@ -53,12 +53,10 @@ _PRIORITY = [
     "q45_shipping_priority",
     "q46_pandas_udf_scalar",
     "q47_join_full_outer",
-    "q48_cross_join",
     "q49_quantified_subquery",
     "q50_filter_clause_agg",
     "q51_string_agg_ordered",
     "q52_join_right",
-    "q53_grouped_map_rank",
     "q55_merge_upsert",
     "q56_date_spine",
     "q57_approx_quantiles",
@@ -90,6 +88,13 @@ _PRIORITY = [
     # new / semantics-changed this round
     "d48_embedding_neardup_lsh",
     "d44_ngram_jaccard_pairs",
+    # late-round swaps: the flagship scale technique (q84 Bloom
+    # semi-join pruning) and the PII gate (t60) take the window slots
+    # of two deliberate demos (q48 tiny cross join; q53 applyInPandas
+    # overhead demo) — joins stay covered in-window by q47/q52/q55,
+    # UDF surface by q46; q48/q53 remain under local parity.
+    "q84_bloom_semi_prune",
+    "t60_pii_redaction",
     # new round-2 pipeline ops (dedup decision / decontamination /
     # split / packing — the LLM-pipeline steps the judge grades
     # first-class)
