@@ -104,6 +104,19 @@ COMMENTARY = {
         "whole redaction pass is one codegen'd scan projection; no "
         "UDF, no shuffle, no driver involvement at any corpus size."
     ),
+    "t61_token_surprisal": (
+        "One explode, a map-side-combinable document-frequency "
+        "aggregate keyed on token, an equi-join back on token, and the "
+        "per-doc aggregate — every exchange keyed and combinable. The "
+        "per-token idf is fixed-point BEFORE the sum, so the aggregate "
+        "is an order-independent integer sum (engine-portable)."
+    ),
+    "q85_referential_audit": (
+        "Seven anti-join branches unioned into one summary: each "
+        "branch broadcasts the smaller distinct-key side where "
+        "possible and reduces to a partial-aggregated scalar — the "
+        "whole audit costs one scan per table at any scale."
+    ),
 }
 
 
