@@ -217,6 +217,12 @@ _TEXT_EXPRS = [
     "CAST(levenshtein(left(text, {k}), '{w}') AS BIGINT)",
     "md5(left(text, {n}))",
     "translate(left(text, {n}), 'aeiou', 'AEIOU')",
+    # regexp_extract is the one regexp function with identical
+    # name+semantics in both dialects (leftmost match, '' on miss);
+    # patterns stay in the Java-regex ∩ RE2 subset (no lookarounds)
+    "regexp_extract(text, '({w}[a-z]*)', 1)",
+    "regexp_extract(text, '[a-z]{{{k}}} ', 0)",
+    "CAST(length(regexp_extract(text, '{w}[a-z]*', 0)) AS BIGINT)",
 ]
 _TEXT_WORDS = ["table", "scan", "value", "query", "zzz"]
 
