@@ -136,3 +136,83 @@ def q61_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("b.user_id")).alias("n_retained_next_week"),
         )
     )
+
+
+# q86 spatial radius join. Pinot ships a geospatial function family
+# (ST_Distance + geo-indexes); the engine analog is the grid-bucket
+# join: assign every point to a grid cell, explode each query center
+# to the 3x3 cells covering its radius (cell size >= radius), equi-join
+# on the cell id, refine with the exact distance predicate. Work is
+# #points-in-candidate-cells, never #points x #centers — the same
+# bucket-then-refine shape as q82's interval join, in 2-D. The events
+# table has no coordinates, so deterministic ones are injected from
+# the ids (multiplicative hash — the t60 inject pattern); distances
+# stay in integer arithmetic, so the oracle (which uses the naive
+# theta join as the semantic spec) matches bit-for-bit.
+_GRID = 100  # cell size
+_RADIUS = 75  # <= _GRID, so a 3x3 neighborhood covers the circle
+_N_CENTERS = 10
+
+
+@query(
+    "q86_geo_radius_join",
+    f"""
+    WITH ev AS (
+      SELECT event_id,
+             (user_id * 2654435761) % 1000 AS x,
+             (event_id * 2246822519) % 1000 AS y
+      FROM events),
+    c AS (
+      SELECT i AS center_id, (i * 97) % 1000 AS cx, (i * 131) % 1000 AS cy
+      FROM range({_N_CENTERS}) t(i))
+    SELECT c.center_id, c.cx, c.cy,
+           COUNT(*) AS n_within,
+           MIN((x - cx) * (x - cx) + (y - cy) * (y - cy)) AS min_dist2
+    FROM ev JOIN c
+      ON (x - cx) * (x - cx) + (y - cy) * (y - cy) <= {_RADIUS * _RADIUS}
+    GROUP BY c.center_id, c.cx, c.cy
+    """,
+)
+def q86_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-within-radius per query center via the grid-bucket join
+    (Pinot ST_Distance-within-radius analog). The center table explodes
+    to its 3x3 covering cells (bounded fan-out: 9 rows/center) and
+    BROADCASTS; the point side maps to its one cell and equi-joins —
+    the points never shuffle, never meet centers outside their cell,
+    and the exact integer-distance refine runs on candidates only."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id") * 2654435761, F.lit(1000)).alias("x"),
+        F.pmod(F.col("event_id") * 2246822519, F.lit(1000)).alias("y"),
+    )
+    ev = ev.withColumn("cellx", (F.col("x") / _GRID).cast("long")).withColumn(
+        "celly", (F.col("y") / _GRID).cast("long")
+    )
+    off = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    centers = (
+        spark.range(_N_CENTERS)
+        .select(
+            F.col("id").alias("center_id"),
+            F.pmod(F.col("id") * 97, F.lit(1000)).alias("cx"),
+            F.pmod(F.col("id") * 131, F.lit(1000)).alias("cy"),
+        )
+        .withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            "center_id", "cx", "cy",
+            ((F.col("cx") / _GRID).cast("long") + F.col("dx")).alias("cellx"),
+            ((F.col("cy") / _GRID).cast("long") + F.col("dy")).alias("celly"),
+        )
+    )
+    dist2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
+        F.col("y") - F.col("cy")
+    ) * (F.col("y") - F.col("cy"))
+    return (
+        ev.join(F.broadcast(centers), ["cellx", "celly"])
+        .filter(dist2 <= _RADIUS * _RADIUS)
+        .groupBy("center_id", "cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min(dist2).alias("min_dist2"),
+        )
+    )

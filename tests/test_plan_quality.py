@@ -302,3 +302,18 @@ def test_bloom_null_keys_match_join_semantics(spark):
     got = sorted(r.k for r in probe.filter(might_contain(bits, "k"))
                  .join(build.dropna(), "k", "semi").collect())
     assert got == [1, 2]
+
+
+def test_q86_radius_join_is_bucketed_equi(spark):
+    """The spatial radius join must execute as a broadcast EQUI-join on
+    the grid cell (candidates bounded by cell occupancy), with the
+    exact-distance predicate as a refine — never a distance theta
+    nested loop over points x centers."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    plan = formatted_plan(eventanalytics.q86_geo_radius_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"Left keys \[2\]: \[cellx", plan), plan
