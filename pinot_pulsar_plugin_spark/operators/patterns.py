@@ -135,9 +135,19 @@ def q57_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert closeness to the exact percentiles (q43); no SQL oracle
     (sketch internals are engine-specific)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").alias(
             "approx_p"
         ),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+    # Project the sketch output to scalar columns: array columns are
+    # unhashable for pandas-based canonicalizers (driver r2 err), and a
+    # BI consumer wants named quantiles anyway.
+    return agg.select(
+        "l_returnflag",
+        F.element_at("approx_p", 1).alias("p50"),
+        F.element_at("approx_p", 2).alias("p90"),
+        F.element_at("approx_p", 3).alias("p99"),
+        "approx_parts",
     )

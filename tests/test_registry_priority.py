@@ -42,10 +42,13 @@ def test_priority_names_resolve_and_lead():
     assert names[: len(_PRIORITY)] == _PRIORITY
 
 
-def test_scored_window_is_mostly_oracle_checked():
-    """At most 2 rows-only entries (q57 sketch, s49 random-plane ANN)
-    inside the scored window — everything else must hash-compare."""
+def test_scored_window_is_fully_oracle_checked():
+    """Every scored-window entry must have a DuckDB oracle: a rows-only
+    row can never turn hash-green, so it wastes a scored slot (VERDICT
+    r2 — s49 sat in the window as a permanent err). Rows-only ops
+    (sketches, seeded-random ANN) live outside the first 50 and are
+    covered by local tolerance / recall-floor tests instead."""
     names = list(all_queries())[:50]
     oracle = all_oracle_sql()
     rows_only = [n for n in names if n not in oracle]
-    assert set(rows_only) <= {"q57_approx_quantiles", "s49_ann_lsh_topk"}, rows_only
+    assert rows_only == [], rows_only

@@ -31,7 +31,10 @@ def test_hll_within_5pct_of_exact(spark):
 
 
 def test_approx_percentile_within_2pct_of_exact(spark):
-    approx = {r.l_returnflag: r.approx_p for r in q57_approx_quantiles(spark, SF).collect()}
+    approx = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in q57_approx_quantiles(spark, SF).collect()
+    }
     li = load_table(spark, SF, "lineitem")
     exact = {
         r.l_returnflag: r.qs
