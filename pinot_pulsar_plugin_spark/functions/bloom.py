@@ -45,7 +45,10 @@ _SHIFTS = (0, 13)  # disjoint bit windows of the mixed value
 def _positions_sql(key_sql: str, m_bits: int) -> list[str]:
     """The k bit positions for a key, as SQL strings — the single
     source of truth shared verbatim by build and probe."""
-    x = f"(CAST({key_sql} AS BIGINT) * {_GOLD}L)"
+    # mask to 32 bits first: an unmasked 64-bit key times _GOLD
+    # overflows int64 (throws under ANSI mode); masking keeps the
+    # product within 63 bits and is the identity for 32-bit keys
+    x = f"((CAST({key_sql} AS BIGINT) & 4294967295L) * {_GOLD}L)"
     mixed = f"({x} ^ shiftright({x}, 31))"
     return [f"pmod(shiftright({mixed}, {s}), {m_bits})" for s in _SHIFTS]
 

@@ -122,8 +122,13 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
+                    # guard: sequence(1, n) with n<1 DESCENDS in Spark
+                    # (step -1), so docs with < k tokens would crash
+                    # slice() — DuckDB's generate_series returns empty
+                    f"CASE WHEN size(tk) >= {_SHINGLE_K} THEN "
                     f"transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
-                    f"i -> concat_ws(' ', slice(tk, i, {_SHINGLE_K})))"
+                    f"i -> concat_ws(' ', slice(tk, i, {_SHINGLE_K}))) "
+                    f"ELSE array() END"
                 )
             ).alias("s"),
         )
@@ -195,8 +200,10 @@ def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
+                f"CASE WHEN size(th) >= {_SHINGLE_K} THEN "
                 f"transform(sequence(1, size(th) - {_SHINGLE_K - 1}), "
-                f"i -> pmod(th[i-1] * 1000003L + th[i] * 8191L + th[i+1], {_MERSENNE}L))"
+                f"i -> pmod(th[i-1] * 1000003L + th[i] * 8191L + th[i+1], {_MERSENNE}L)) "
+                f"ELSE array() END"
             )
         ).alias("h"),
     )

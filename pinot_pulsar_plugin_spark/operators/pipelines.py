@@ -327,8 +327,10 @@ def d50_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
+                    "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN "
                     "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
-                    "i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+                    "i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3))) "
+                    "ELSE array() END"
                 )
             ).alias("s"),
         )

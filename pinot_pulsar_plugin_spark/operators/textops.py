@@ -488,7 +488,7 @@ def _rolling_hashes(tk):
                           ELSE least(p[1], p[2]) END),
                    list_transform(list_zip(h, h[2:]),
                      p -> CASE WHEN p[2] IS NULL THEN NULL
-                          ELSE least(p[1], p[2]) END)[4:]),
+                          ELSE least(p[1], p[2]) END)[3:]),
                  q -> CASE WHEN q[1] IS NULL OR q[2] IS NULL THEN NULL
                       ELSE least(q[1], q[2]) END),
                x -> x IS NOT NULL) AS m
@@ -519,10 +519,13 @@ def t59_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0))),
         lambda a, b: F.when(b.isNull(), None).otherwise(F.least(a, b)),
     )
+    # min2[i] = min(h[i], h[i+1]); pairing it with min2 at offset 2
+    # gives m[i] = min(h[i..i+3]) — the true minimum of every sliding
+    # window of 4 (offset 3 skipped h[i+2]; ADVICE r2 medium).
     m = F.array_compact(
         F.zip_with(
             min2,
-            F.slice(min2, 4, F.greatest(F.size(min2) - 3, F.lit(0))),
+            F.slice(min2, 3, F.greatest(F.size(min2) - 2, F.lit(0))),
             lambda a, b: F.when(a.isNull() | b.isNull(), None).otherwise(
                 F.least(a, b)
             ),

@@ -127,15 +127,27 @@ class FakePulsarBroker:
         line, aligned with the ledger's entries."""
         keys: dict[int, str | None] = {}
         for ledger in self._ledgers(topic, partition):
-            kpath = os.path.join(
-                self._partition_dir(topic, partition), f"ledger-{ledger:08d}.keys"
-            )
+            pdir = self._partition_dir(topic, partition)
+            kpath = os.path.join(pdir, f"ledger-{ledger:08d}.keys")
             try:
                 with open(kpath, "rb") as fh:
                     lines = fh.read().split(b"\n")
                     if lines and lines[-1] == b"":
                         lines.pop()
             except OSError:
+                continue
+            # A truncated / partially written sidecar would silently
+            # shift the key→offset alignment and compaction would hide
+            # the WRONG messages; require exact line alignment with the
+            # ledger and treat the ledger as unkeyed otherwise
+            # (ADVICE r2).
+            lpath = os.path.join(pdir, f"ledger-{ledger:08d}.jsonl")
+            try:
+                with open(lpath, "rb") as fh:
+                    n_entries = sum(1 for _ in fh)
+            except OSError:
+                continue
+            if len(lines) != n_entries:
                 continue
             for entry, raw in enumerate(lines):
                 keys[encode_offset(ledger, entry)] = json.loads(raw)

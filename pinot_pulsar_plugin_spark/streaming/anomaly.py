@@ -56,7 +56,11 @@ def _score_group(key, pdfs, state: GroupState):
         )
         n, s1, s2 = int(cn[-1]), int(c1[-1]), int(c2[-1])
     state.update((n, s1, s2))
-    yield pd.concat(frames) if frames else iter(())
+    # applyInPandasWithState consumes a generator of pandas DataFrames;
+    # on an empty invocation produce no rows (yielding a non-DataFrame
+    # would fail serialization — ADVICE r2)
+    if frames:
+        yield pd.concat(frames)
 
 
 def running_zscore_stream(decoded: DataFrame) -> DataFrame:

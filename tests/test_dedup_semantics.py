@@ -85,3 +85,43 @@ def test_d51_keeper_prefers_highest_quality(spark, tmp_path):
     for r in out.values():
         comps[r.component] = comps.get(r.component, 0) + r.is_keeper
     assert all(v == 1 for v in comps.values()), comps
+
+
+def test_short_docs_do_not_crash_shingle_ops(spark, tmp_path):
+    """Docs with < 3 tokens hit Spark's descending-sequence footgun
+    (sequence(1, 0) == [1, 0] with implicit step -1), which crashed
+    slice() at runtime and diverged from DuckDB's empty
+    generate_series (ADVICE r2). Short docs must simply produce no
+    shingles on either engine."""
+    from pinot_pulsar_plugin_spark.operators.dedup import (
+        d44_ngram_jaccard_pairs,
+        d45_minhash_lsh_candidates,
+    )
+    from pinot_pulsar_plugin_spark.operators.pipelines import d50_contamination
+
+    texts = [
+        (1, ""),
+        (2, "one"),
+        (3, "one two"),
+        (30, "alpha beta gamma delta epsilon"),
+        (31, "alpha beta gamma delta epsilon"),
+        (40, "x"),  # short doc on the training side of d50
+    ]
+    # filler so the duplicate pair's shingles (df=2) stay under d44's
+    # stop threshold (df > 10% of corpus)
+    texts += [(50 + i, f"f{i}a f{i}b f{i}c f{i}d") for i in range(20)]
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    pairs = {(r.doc_a, r.doc_b) for r in d44_ngram_jaccard_pairs(spark, sf).collect()}
+    assert pairs == {(30, 31)}
+    # d45: short docs contribute no shingles -> no signatures -> absent
+    cand = d45_minhash_lsh_candidates(spark, sf).collect()
+    assert all(r.doc_a >= 30 and r.doc_b >= 30 for r in cand)
+    # d50: only docs with >= 3 tokens appear, contamination in [0,1]
+    cont = {r.doc_id: r for r in d50_contamination(spark, sf).collect()}
+    # every training-side doc with >= 3 tokens scores; doc 40 (1 token)
+    # has no shingles and must be absent, not crash
+    assert set(cont) == {30, 31} | {50 + i for i in range(20)}
+    assert all(0.0 <= r.contamination <= 1.0 for r in cont.values())

@@ -157,3 +157,21 @@ def test_fetch_error_containment(tmp_path):
     assert b.fetch("nope", 3, 12345) == []
     assert b.earliest_offset("nope", 0) == 0
     assert b.latest_offset("nope", 0) == 0
+
+
+def test_truncated_keys_sidecar_treated_as_unkeyed(tmp_path):
+    """A .keys sidecar with fewer lines than the ledger has entries
+    would silently shift the key->offset alignment (compaction hiding
+    the WRONG messages); the broker must treat that ledger as unkeyed
+    instead (ADVICE r2)."""
+    w = TopicWriter(str(tmp_path), "kv", partitions=1)
+    for i in range(6):
+        w.append(0, json.dumps({"i": i}), key=f"k{i % 2}")
+    kpath = tmp_path / "kv" / "partition-0" / "ledger-00000000.keys"
+    lines = kpath.read_bytes().split(b"\n")
+    kpath.write_bytes(b"\n".join(lines[:3]) + b"\n")  # truncate: 3 of 6
+
+    b = FakePulsarBroker(str(tmp_path))
+    msgs = b.fetch("kv", 0, EARLIEST_OFFSET, compacted=True)
+    # unkeyed fallback: nothing compacted away, all 6 delivered
+    assert [json.loads(m.payload)["i"] for m in msgs] == list(range(6))

@@ -275,3 +275,22 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         r.etype: r.n for r in serve_group_by(merged, dims, ["etype"], ["n"]).collect()
     }
     assert by_etype == {"t0": 14, "t1": 13, "t2": 13}
+
+
+def test_score_group_empty_input_yields_no_frames():
+    """An invocation with no input frames (e.g. timeout-driven calls)
+    must produce an empty generator, not a non-DataFrame sentinel
+    (ADVICE r2)."""
+    from pinot_pulsar_plugin_spark.streaming.anomaly import _score_group
+
+    class _FakeState:
+        exists = False
+        updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    st = _FakeState()
+    out = list(_score_group((7,), iter(()), st))
+    assert out == []
+    assert st.updated == (0, 0, 0)
