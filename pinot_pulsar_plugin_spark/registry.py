@@ -53,68 +53,65 @@ _MODULES = [
 # in favor of oracle-green t61 (token surprisal) and q86 (geo radius
 # join); both stay covered by local tolerance / recall-floor tests.
 # Enforced by tests/test_registry_priority.py.
+# Round-4 rotation (VERDICT r3 top item): the 22 oracle-backed entries
+# that had never been driver-scored after r1-r3 (union 91/113) lead the
+# window; 28 keepers preserve §2.B category coverage. Everything
+# rotated out was driver-green in r1/r2/r3 and stays byte-identically
+# covered by tests/test_oracle_parity.py. If all 50 score green the
+# cumulative driver-verified union reaches 113/113 oracle-backed.
 _PRIORITY = [
-    # previously driver-unchecked (r1 rows 51-89)
-    "q43_percentiles",
-    "q44_deterministic_sample",
-    "q45_shipping_priority",
-    "q46_pandas_udf_scalar",
-    "q47_join_full_outer",
-    "q49_quantified_subquery",
-    "q50_filter_clause_agg",
-    "q51_string_agg_ordered",
-    "q52_join_right",
-    "q55_merge_upsert",
-    "q56_date_spine",
-    "t61_token_surprisal",
-    "q58_latest_per_key",
-    "q59_histogram",
-    "q60_funnel",
-    "q61_retention",
-    "q62_correlated_scalar_subquery",
-    "q63_lateral_topk",
-    "q64_grouping_id",
-    "q67_ohlc_bars",
-    "q69_levenshtein_pairs",
-    "q70_bool_bit_aggs",
-    "q71_string_funcs_2",
-    "q72_percent_rank_cume",
-    "q73_multi_distinct",
-    "q86_geo_radius_join",
+    # never driver-scored through r3 — verify these first
+    "q76_heavy_hitters",
+    "q77_forward_fill",
+    "q78_stratified_sample",
+    "q79_mixture_weights",
+    "q80_domain_resample",
+    "q81_stats_moments",
+    "q82_interval_bucket_join",
+    "q83_running_zscore",
+    "q85_referential_audit",
+    "q48_cross_join",
+    "q53_grouped_map_rank",
+    "q54_python_udf_row",
+    "d51_cluster_keeper_quality",
+    "s51_label_centroids",
+    "t55_token_count_bpe",
+    "t56_quality_filter",
+    "t57_repetition_ratio",
+    "t58_vocab_stats",
+    "t59_winnow_fingerprint",
+    "st60_first_event_dedup",
+    "m57_frame_sample",
+    "m58_resize_pipeline",
+    # keepers: one-plus driver-green anchor per §2.B category
+    "q01_pricing_summary",       # scan + agg + sort
+    "q08_join_broadcast_agg",    # broadcast join
+    "q30_union_all",             # set ops
+    "q45_shipping_priority",     # sort/top-k
+    "q60_funnel",                # event analytics
+    "q62_correlated_scalar_subquery",  # subqueries
+    "q71_string_funcs_2",        # scalar families
+    "q72_percent_rank_cume",     # window functions
+    "q86_geo_radius_join",       # theta/range join
+    "q84_bloom_semi_prune",      # runtime-filter pruning
+    "q74_train_split",
+    "q75_sequence_packing",
+    "d43_dedup_exact",
+    "d44_ngram_jaccard_pairs",
+    "d48_embedding_neardup_lsh",
+    "d49_neardup_components",
+    "d50_contamination",
+    "s48_cosine_topk",
     "s50_ann_ivf_topk",
     "st57_tumbling_window",
     "st58_sliding_window",
     "st59_stream_enrich_join",
     "t50_text_stats",
     "t51_lang_id",
-    "t52_quality_score",
-    "t53_fingerprint",
-    "t54_corpus_stats_by_lang",
+    "t60_pii_redaction",
+    "t61_token_surprisal",
     "m55_multimodal_meta",
     "m56_decode_pipeline",
-    # new / semantics-changed this round
-    "d48_embedding_neardup_lsh",
-    "d44_ngram_jaccard_pairs",
-    # late-round swaps: the flagship scale technique (q84 Bloom
-    # semi-join pruning) and the PII gate (t60) take the window slots
-    # of two deliberate demos (q48 tiny cross join; q53 applyInPandas
-    # overhead demo) — joins stay covered in-window by q47/q52/q55,
-    # UDF surface by q46; q48/q53 remain under local parity.
-    "q84_bloom_semi_prune",
-    "t60_pii_redaction",
-    # new round-2 pipeline ops (dedup decision / decontamination /
-    # split / packing — the LLM-pipeline steps the judge grades
-    # first-class)
-    "d49_neardup_components",
-    "d50_contamination",
-    "q74_train_split",
-    "q75_sequence_packing",
-    # previously-green anchors for categories not otherwise in-window
-    "q01_pricing_summary",       # scan + agg + sort
-    "q08_join_broadcast_agg",    # broadcast join
-    "q30_union_all",             # set ops
-    "d43_dedup_exact",           # exact dedup
-    "s48_cosine_topk",           # similarity search
 ]
 
 

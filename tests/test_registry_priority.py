@@ -9,24 +9,24 @@ from pinot_pulsar_plugin_spark.registry import _PRIORITY, all_oracle_sql, all_qu
 # category → names that can represent it in the scored window
 _CATEGORY_REPS = {
     "scan_agg_sort": {"q01_pricing_summary"},
-    "projection_filter": {"q02_filter_predicates", "q44_deterministic_sample"},
-    "joins": {"q04_join_inner", "q47_join_full_outer", "q52_join_right", "q55_merge_upsert"},
+    "projection_filter": {"q02_filter_predicates", "q44_deterministic_sample", "q74_train_split", "q78_stratified_sample"},
+    "joins": {"q04_join_inner", "q47_join_full_outer", "q52_join_right", "q55_merge_upsert", "q82_interval_bucket_join", "q48_cross_join", "q85_referential_audit"},
     "broadcast_join": {"q08_join_broadcast_agg"},
-    "aggregations": {"q43_percentiles", "q50_filter_clause_agg", "q70_bool_bit_aggs", "q73_multi_distinct"},
+    "aggregations": {"q43_percentiles", "q50_filter_clause_agg", "q70_bool_bit_aggs", "q73_multi_distinct", "q76_heavy_hitters", "q81_stats_moments"},
     "windows": {"q72_percent_rank_cume", "q53_grouped_map_rank"},
-    "sort_topk": {"q25_topk_per_group", "q45_shipping_priority", "q63_lateral_topk"},
+    "sort_topk": {"q25_topk_per_group", "q45_shipping_priority", "q63_lateral_topk", "d51_cluster_keeper_quality"},
     "setops": {"q30_union_all"},
     "scalars": {"q71_string_funcs_2", "q56_date_spine"},
-    "subqueries": {"q49_quantified_subquery", "q62_correlated_scalar_subquery"},
-    "streaming": {"st57_tumbling_window", "st58_sliding_window", "st59_stream_enrich_join", "q29_sessionize"},
+    "subqueries": {"q49_quantified_subquery", "q62_correlated_scalar_subquery", "q85_referential_audit"},
+    "streaming": {"st57_tumbling_window", "st58_sliding_window", "st59_stream_enrich_join", "st60_first_event_dedup", "q29_sessionize"},
     "udf_surface": {"q46_pandas_udf_scalar", "q53_grouped_map_rank", "q54_python_udf_row"},
     "dedup_exact": {"d43_dedup_exact"},
     "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh"},
-    "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk"},
+    "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids"},
     "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang"},
-    "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline"},
+    "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline", "m57_frame_sample", "m58_resize_pipeline"},
     "event_analytics": {"q59_histogram", "q60_funnel", "q61_retention"},
-    "timeseries": {"q67_ohlc_bars", "q69_levenshtein_pairs"},
+    "timeseries": {"q67_ohlc_bars", "q69_levenshtein_pairs", "q77_forward_fill", "q83_running_zscore"},
 }
 
 
