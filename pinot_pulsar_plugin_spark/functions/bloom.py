@@ -45,10 +45,14 @@ _SHIFTS = (0, 13)  # disjoint bit windows of the mixed value
 def _positions_sql(key_sql: str, m_bits: int) -> list[str]:
     """The k bit positions for a key, as SQL strings — the single
     source of truth shared verbatim by build and probe."""
-    # mask to 32 bits first: an unmasked 64-bit key times _GOLD
-    # overflows int64 (throws under ANSI mode); masking keeps the
-    # product within 63 bits and is the identity for 32-bit keys
-    x = f"((CAST({key_sql} AS BIGINT) & 4294967295L) * {_GOLD}L)"
+    # mask to 31 bits first: an unmasked key times _GOLD overflows
+    # int64 (throws under ANSI mode). 31 bits bounds the product by
+    # (2^31-1)*0x9E3779B9 < 2^62.33, safely inside signed-64; a 32-bit
+    # mask would NOT (any key with bit 31 set in the low word, e.g.
+    # every negative key, still overflowed — ADVICE r3). Identity for
+    # non-negative 31-bit keys; wider keys just fold, which only adds
+    # false positives that the real join removes.
+    x = f"((CAST({key_sql} AS BIGINT) & 2147483647L) * {_GOLD}L)"
     mixed = f"({x} ^ shiftright({x}, 31))"
     return [f"pmod(shiftright({mixed}, {s}), {m_bits})" for s in _SHIFTS]
 
@@ -82,13 +86,75 @@ def build_bloom(df: DataFrame, key_col: str, m_bits: int = 8192) -> list[int]:
 def might_contain(words: list[int], key_sql: str, m_bits: int = 8192) -> Column:
     """Probe predicate: True for every key inserted at build time
     (never a false negative), almost always False otherwise. Pure SQL
-    expression over a literal bitset — codegen-friendly, scan-pushable."""
-    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    expression over a literal bitset — codegen-friendly, scan-pushable.
 
+    The literal embeds m_bits/64 longs in the expression tree, so it is
+    only for SMALL filters (the driver-collected ≤128-long default).
+    Above ``LITERAL_MAX_BITS`` use :func:`build_bloom_df` +
+    :func:`might_contain_subquery`, which keep the bitset out of the
+    plan text entirely."""
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    return _probe_expr(arr, key_sql, m_bits)
+
+
+def _probe_expr(arr_sql: str, key_sql: str, m_bits: int) -> Column:
     def test(h: str) -> str:
         return (
-            f"(element_at({arr}, CAST({h} div 64 AS INT) + 1) & "
+            f"(element_at({arr_sql}, CAST({h} div 64 AS INT) + 1) & "
             f"shiftleft(1L, CAST(pmod({h}, 64) AS INT))) != 0"
         )
 
     return F.expr(" AND ".join(f"({test(h)})" for h in _positions_sql(key_sql, m_bits)))
+
+
+# Largest filter the literal path may embed in the expression tree
+# (8192 bits = 128 longs ≈ 2.5 KB of plan text). A 100 TB runtime
+# filter wants millions of bits; inlining those as a literal would blow
+# plan compilation, hence the scalar-subquery path below.
+LITERAL_MAX_BITS = 8192
+
+
+def build_bloom_df(df: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """Distributed Bloom build with NO driver round-trip: returns a
+    one-row DataFrame ``bits: array<bigint>`` of length m_bits/64.
+
+    Same bit_or word aggregation as :func:`build_bloom`, then the words
+    fold into a dense array JVM-side (map lookup over a generated index
+    sequence) — the bitset never touches the driver, so m_bits can be
+    millions without a collect or a multi-MB literal. This is the
+    Python-visible analog of Spark's own ``bloom_filter_agg`` runtime
+    filter, which is not SQL-registered and unreachable from PySpark."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    positions = "array(" + ",".join(_positions_sql(key_col, m_bits)) + ")"
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(F.expr(positions)).alias("pos"))
+        .select(
+            F.expr("CAST(pos div 64 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {m_bits // 64 - 1}),"
+                " i -> coalesce(element_at(m, CAST(i AS INT)), 0L))"
+            ).alias("bits")
+        )
+    )
+
+
+def might_contain_subquery(
+    bloom_df: DataFrame, key_sql: str, m_bits: int, view_name: str = "__bloom_bits__"
+) -> Column:
+    """Probe predicate over a bitset held in a one-row relation,
+    referenced via a scalar subquery — the same shape Catalyst's
+    InjectRuntimeFilter emits. The expression tree carries only the
+    subquery node (plan text stays compact at ANY m_bits); Spark
+    executes the subquery once and broadcasts the value into the
+    codegen'd filter, so the probe still runs at the fact scan before
+    the join shuffle."""
+    bloom_df.createOrReplaceTempView(view_name)
+    return _probe_expr(f"(SELECT bits FROM {view_name})", key_sql, m_bits)

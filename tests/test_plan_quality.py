@@ -304,6 +304,47 @@ def test_bloom_null_keys_match_join_semantics(spark):
     assert got == [1, 2]
 
 
+def test_bloom_negative_keys_no_ansi_overflow(spark):
+    """The 31-bit pre-multiply mask must keep the hash inside signed-64
+    for EVERY key, including negatives (ADVICE r3: a 32-bit mask let
+    -1 & 0xFFFFFFFF = 4294967295 overflow under ANSI mode)."""
+    from pinot_pulsar_plugin_spark.functions.bloom import build_bloom, might_contain
+
+    build = spark.createDataFrame([(-1,), (-(2**63),), (2**63 - 1,), (7,)], "k long")
+    bits = build_bloom(build, "k")
+    # no false negatives, and evaluation itself must not throw
+    hits = build.filter(might_contain(bits, "k")).count()
+    assert hits == 4
+
+
+def test_bloom_scalable_subquery_path(spark):
+    """100 TB-sized filters (m_bits ≥ 1M) must keep the plan compact:
+    the bitset lives in a one-row relation behind a scalar subquery
+    (InjectRuntimeFilter shape), never as a plan literal, and the build
+    has no driver collect. Same no-false-negative contract."""
+    from pinot_pulsar_plugin_spark.functions.bloom import (
+        build_bloom_df,
+        might_contain_subquery,
+    )
+
+    m_bits = 1 << 20  # 16384 longs — a literal would be ~300 KB of plan text
+    keys = spark.range(0, 2000).selectExpr("id * 13 + 1 AS k")
+    bloom = build_bloom_df(keys, "k", m_bits)
+    row = bloom.collect()  # only the test materializes it
+    assert len(row) == 1 and len(row[0].bits) == m_bits // 64
+
+    pred = might_contain_subquery(bloom, "k", m_bits, view_name="__bloom_t1M__")
+    probed = keys.filter(pred)
+    plan = formatted_plan(probed)
+    assert "Subquery" in plan, plan[:1500]
+    assert len(plan) < 100_000, f"plan text blew up: {len(plan)} chars"
+    # no false negatives at 1M bits
+    assert probed.count() == 2000
+    # disjoint probes: at n=2000, m=1M, k=2 the fp rate is ~1.6e-5
+    miss = spark.range(10_000_000, 10_010_000).selectExpr("id AS k")
+    assert miss.filter(pred).count() < 50
+
+
 def test_q86_radius_join_is_bucketed_equi(spark):
     """The spatial radius join must execute as a broadcast EQUI-join on
     the grid cell (candidates bounded by cell occupancy), with the
