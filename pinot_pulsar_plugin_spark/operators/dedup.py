@@ -112,11 +112,23 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes them from the sets (semantics: Jaccard over stop-filtered
     shingle sets, identically on the oracle side). The stop list is
     tiny by construction (few shingles can exceed a corpus-fraction
-    bound), so the anti-join never shuffles the shingle table."""
+    bound), so the anti-join never shuffles the shingle table.
+
+    Shuffle-width optimization: every downstream key is the 8-byte
+    xxhash64 of the shingle, never the ~25-byte shingle string — the
+    distinct, the stop-list aggregation, and both self-join sides
+    shuffle (doc_id bigint, h bigint) rows only. Exact modulo 64-bit
+    hash collisions (a spurious intersection needs two distinct
+    co-occurring shingles to collide: P ≈ pairs·2⁻⁶⁴); the oracle stays
+    string-exact, so parity itself verifies collision-freedom on the
+    scored corpus."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
-    # the distinct shingle set feeds four consumers (stop-list agg, both
-    # join sides, per-doc counts): persist so explode+distinct runs once
+    # the distinct shingle-hash set feeds four consumers (stop-list agg,
+    # both join sides, per-doc counts): persist so it computes once.
+    # Per-(doc,shingle) distinct happens INSIDE the row via
+    # array_distinct before the explode — a free narrow map — so no
+    # shuffle is ever spent on deduplication.
     shingles = (
         toks.select(
             "doc_id",
@@ -126,29 +138,28 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # (step -1), so docs with < k tokens would crash
                     # slice() — DuckDB's generate_series returns empty
                     f"CASE WHEN size(tk) >= {_SHINGLE_K} THEN "
-                    f"transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
-                    f"i -> concat_ws(' ', slice(tk, i, {_SHINGLE_K}))) "
+                    f"array_distinct(transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
+                    f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_SHINGLE_K}))))) "
                     f"ELSE array() END"
                 )
-            ).alias("s"),
+            ).alias("h"),
         )
-        .distinct()
         .persist()
     )
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     stop = (
-        shingles.groupBy("s")
+        shingles.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") > F.col("n_docs") * _STOP_MAX_DF)
-        .select("s")
+        .select("h")
     )
-    kept = shingles.join(F.broadcast(stop), "s", "left_anti")
+    kept = shingles.join(F.broadcast(stop), "h", "left_anti")
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
