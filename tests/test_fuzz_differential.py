@@ -247,6 +247,75 @@ def _gen_text_query(rng: random.Random) -> str:
     return f"SELECT doc_id, {cols} FROM documents WHERE {pred}"
 
 
+def _gen_filter_agg_query(rng: random.Random) -> str:
+    """Aggregates with FILTER clauses and DISTINCT modifiers — the
+    corner where Spark and DuckDB semantics diverge most (VERDICT r3
+    next-round item #4): per-aggregate predicates, distinct-within-
+    group, and their combination."""
+    group = rng.choice(_STR_COLS)
+    aggs = rng.sample(
+        [
+            f"COUNT(*) FILTER (WHERE {_gen_predicate(rng)}) AS f0",
+            f"COUNT(DISTINCT o_custkey) FILTER (WHERE {_gen_predicate(rng)}) AS f1",
+            f"CAST(SUM(o_orderkey) FILTER (WHERE {_gen_predicate(rng)}) AS BIGINT) AS f2",
+            f"CAST(SUM(DISTINCT o_custkey % 50) AS BIGINT) AS f3",
+            f"MIN(o_orderkey) FILTER (WHERE {_gen_predicate(rng)}) AS f4",
+            f"MAX(o_custkey) FILTER (WHERE {_gen_predicate(rng)}) AS f5",
+            "COUNT(DISTINCT o_orderstatus) AS f6",
+            f"CAST(AVG(DISTINCT o_custkey % 25) AS DOUBLE) AS f7",
+        ],
+        rng.randrange(2, 5),
+    )
+    pred = _gen_predicate(rng)
+    return (
+        f"SELECT {group}, {', '.join(aggs)} FROM orders "
+        f"WHERE {pred} GROUP BY {group}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_filter_agg_differential(seed, spark, fuzz_env):
+    """Random FILTER-clause / DISTINCT aggregates (both engines define
+    FILTER per ANSI: the aggregate sees only qualifying rows, NULL /
+    zero identity when none qualify)."""
+    rng = random.Random(13000 + seed)
+    sql = _gen_filter_agg_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"ffuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_setop_query(rng: random.Random) -> str:
+    """Set operations over aligned projections — DISTINCT and ALL
+    variants, optionally composed, with multiset (ALL) semantics the
+    order-insensitive compare checks exactly."""
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    )
+    cols = f"o_orderstatus, o_orderpriority, o_orderkey % {rng.randrange(3, 9)} AS b"
+    p1, p2 = _gen_predicate(rng), _gen_predicate(rng)
+    q = (
+        f"SELECT {cols} FROM orders WHERE {p1} "
+        f"{op} SELECT {cols} FROM orders WHERE {p2}"
+    )
+    if rng.random() < 0.4:  # three-branch composition, left-associative
+        op2 = rng.choice(["UNION", "UNION ALL", "EXCEPT"])
+        q += f" {op2} SELECT {cols} FROM orders WHERE {_gen_predicate(rng)}"
+    return q
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_setop_differential(seed, spark, fuzz_env):
+    """Random UNION/INTERSECT/EXCEPT chains incl. ALL multiset forms —
+    both engines are left-associative with equal precedence for the
+    grammar produced here (no mixed INTERSECT precedence cases)."""
+    rng = random.Random(17000 + seed)
+    sql = _gen_setop_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"ufuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
 @pytest.mark.parametrize("seed", range(15))
 def test_fuzz_text_differential(seed, spark, fuzz_env):
     """Random text-function pipelines over documents — the string
