@@ -8,10 +8,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Materialization uses the noop sink (full execution, no collect/IO
 skew); one warm-up query amortizes JVM/codegen startup so the numbers
-reflect plan execution, not session boot. Each query runs TWICE and the
-min is kept: single runs on a shared host swing up to ~1.7x with load
-(ROUND1_NOTES), which would swamp round-over-round comparisons; min-of-2
-keeps the signal while still executing the full plan each time.
+reflect plan execution, not session boot. Each query runs THREE times
+and the min is kept: single runs on a shared host swing up to ~1.7x
+with load (ROUND1_NOTES), which would swamp round-over-round
+comparisons; min-of-3 keeps the signal while still executing the full
+plan each time. Per-query ``spread`` (max-min across the runs) is
+emitted so a few tens of ms of host noise is visibly noise, not a
+regression (VERDICT r3 #7 — d43's +32ms).
 """
 
 from __future__ import annotations
@@ -65,9 +68,13 @@ def main() -> None:
 
     run("q01_pricing_summary")  # warm-up (JVM, codegen, file listing)
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = round(min(run(name), run(name)), 3)
+        samples = [run(name) for _ in range(n_runs)]
+        times[name] = round(min(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -78,6 +85,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "spread": spread,
             }
         )
     )

@@ -511,7 +511,14 @@ def t59_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiom) — no explode, no shuffle, scan-speed at any corpus size;
     complement to t53's whole-content md5 (robust to local edits where
     md5 is not)."""
-    d = t(spark, sf_dir, "documents")
+    return winnow_fingerprints(t(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Winnowing selection over any (doc_id, text) frame — factored out
+    of t59 so the property suite can drive it on adversarial token
+    streams against a brute-force min-of-window reference
+    (tests/test_textops_semantics.py)."""
     tk = F.split(F.lower("text"), " ")
     h = _rolling_hashes(tk)
     min2 = F.zip_with(

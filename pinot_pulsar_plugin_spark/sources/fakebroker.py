@@ -126,6 +126,13 @@ class FakePulsarBroker:
         live in ``ledger-<L>.keys`` sidecars, one JSON-encoded key per
         line, aligned with the ledger's entries."""
         keys: dict[int, str | None] = {}
+        # per-ledger entry counts come from the offsets index (already
+        # one line-scan per ledger) instead of re-reading every .jsonl
+        # here — _keys_index runs on each compacted fetch, so counting
+        # again doubled the ledger I/O (ADVICE r3)
+        entry_counts: dict[str, int] = {}
+        for _, path, _ in self._offsets_index(topic, partition):
+            entry_counts[path] = entry_counts.get(path, 0) + 1
         for ledger in self._ledgers(topic, partition):
             pdir = self._partition_dir(topic, partition)
             kpath = os.path.join(pdir, f"ledger-{ledger:08d}.keys")
@@ -142,12 +149,7 @@ class FakePulsarBroker:
             # ledger and treat the ledger as unkeyed otherwise
             # (ADVICE r2).
             lpath = os.path.join(pdir, f"ledger-{ledger:08d}.jsonl")
-            try:
-                with open(lpath, "rb") as fh:
-                    n_entries = sum(1 for _ in fh)
-            except OSError:
-                continue
-            if len(lines) != n_entries:
+            if len(lines) != entry_counts.get(lpath, 0):
                 continue
             for entry, raw in enumerate(lines):
                 keys[encode_offset(ledger, entry)] = json.loads(raw)

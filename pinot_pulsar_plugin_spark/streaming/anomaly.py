@@ -55,7 +55,12 @@ def _score_group(key, pdfs, state: GroupState):
             )
         )
         n, s1, s2 = int(cn[-1]), int(c1[-1]), int(c2[-1])
-    state.update((n, s1, s2))
+    # only touch state when there is something to record: updating on a
+    # dataless invocation would materialize (0,0,0) state for a key
+    # that produced no rows — benign under NoTimeout, but it would
+    # persist forever if a timeout conf is ever enabled (ADVICE r3)
+    if frames or state.exists:
+        state.update((n, s1, s2))
     # applyInPandasWithState consumes a generator of pandas DataFrames;
     # on an empty invocation produce no rows (yielding a non-DataFrame
     # would fail serialization — ADVICE r2)

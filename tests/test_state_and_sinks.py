@@ -293,4 +293,17 @@ def test_score_group_empty_input_yields_no_frames():
     st = _FakeState()
     out = list(_score_group((7,), iter(()), st))
     assert out == []
-    assert st.updated == (0, 0, 0)
+    # no data and no prior state → state must NOT be materialized
+    # (ADVICE r3: a (0,0,0) write would persist an empty per-key entry
+    # forever if a state timeout were ever configured)
+    assert st.updated is None
+
+    class _ExistingState(_FakeState):
+        exists = True
+        get = (3, 10, 40)
+
+    st2 = _ExistingState()
+    out2 = list(_score_group((7,), iter(()), st2))
+    assert out2 == []
+    # prior state survives a dataless invocation unchanged
+    assert st2.updated == (3, 10, 40)
