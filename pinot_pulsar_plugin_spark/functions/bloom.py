@@ -35,6 +35,8 @@ BIGINT arithmetic — deterministic and engine-portable.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -138,16 +140,26 @@ def build_bloom_df(df: DataFrame, key_col: str, m_bits: int) -> DataFrame:
         .agg(F.bit_or("b").alias("bits"))
         .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
         .select(
+            # try_element_at: absent words (zero bits — the common case
+            # at large m_bits) must yield NULL→0, not the ANSI
+            # MAP_KEY_DOES_NOT_EXIST error plain element_at raises.
             F.expr(
                 f"transform(sequence(0, {m_bits // 64 - 1}),"
-                " i -> coalesce(element_at(m, CAST(i AS INT)), 0L))"
+                " i -> coalesce(try_element_at(m, CAST(i AS INT)), 0L))"
             ).alias("bits")
         )
     )
 
 
+# Each subquery probe registers its bitset under a fresh view name:
+# reusing one name across two filters would silently rebind the first
+# predicate's subquery to the second bitset (wrong bits, possibly wrong
+# m_bits) — false negatives, violating the no-false-negative contract.
+_VIEW_SEQ = itertools.count()
+
+
 def might_contain_subquery(
-    bloom_df: DataFrame, key_sql: str, m_bits: int, view_name: str = "__bloom_bits__"
+    bloom_df: DataFrame, key_sql: str, m_bits: int, view_name: str | None = None
 ) -> Column:
     """Probe predicate over a bitset held in a one-row relation,
     referenced via a scalar subquery — the same shape Catalyst's
@@ -155,6 +167,19 @@ def might_contain_subquery(
     subquery node (plan text stays compact at ANY m_bits); Spark
     executes the subquery once and broadcasts the value into the
     codegen'd filter, so the probe still runs at the fact scan before
-    the join shuffle."""
+    the join shuffle.
+
+    The backing temp view gets a unique generated name per call unless
+    an explicit ``view_name`` is given; an explicit name that already
+    exists raises rather than clobbering another filter's bitset."""
+    if view_name is None:
+        view_name = f"__bloom_bits_{next(_VIEW_SEQ)}__"
+    else:
+        catalog = bloom_df.sparkSession.catalog
+        if catalog.tableExists(view_name):
+            raise ValueError(
+                f"temp view {view_name!r} already exists; reusing it would "
+                "rebind earlier bloom probes to the wrong bitset"
+            )
     bloom_df.createOrReplaceTempView(view_name)
     return _probe_expr(f"(SELECT bits FROM {view_name})", key_sql, m_bits)

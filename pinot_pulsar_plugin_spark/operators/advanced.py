@@ -264,6 +264,57 @@ def q84_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q87_bloom_subquery_prune",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {exact_sum_sql("o_totalprice", "total_price")}
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def q87_bloom_subquery_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q84's big sibling: the SCALABLE Bloom path. q84's literal probe
+    embeds the bitset in the expression tree, which caps m_bits at
+    ~8192 before plan text/compile time blows up; a 100 TB runtime
+    filter wants millions of bits. Here the bitset is built fully
+    distributed (``build_bloom_df`` — zero driver collect) and probed
+    through a scalar subquery (``might_contain_subquery``), the exact
+    shape Catalyst's InjectRuntimeFilter emits: the plan carries only a
+    subquery node, Spark evaluates the one-row bitset relation once and
+    broadcasts the value into the codegen'd scan filter. m_bits=2^20
+    here — 128× past the literal cap — and the plan stays compact
+    (gated in tests/test_plan_quality.py). False positives are removed
+    by the real broadcast semi join, so the oracle is the plain semi
+    join."""
+    from pinot_pulsar_plugin_spark.functions.bloom import (
+        build_bloom_df,
+        might_contain_subquery,
+    )
+
+    m_bits = 1 << 20
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bloom = build_bloom_df(c, "c_custkey", m_bits)
+    o = t(spark, sf_dir, "orders").filter(
+        might_contain_subquery(bloom, "o_custkey", m_bits)
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
 def _audit_branch(child: DataFrame, parent: DataFrame, on, label: str) -> DataFrame:
     return (
         child.join(parent, on, "anti")

@@ -59,8 +59,14 @@ _MODULES = [
 # rotated out was driver-green in r1/r2/r3 and stays byte-identically
 # covered by tests/test_oracle_parity.py. If all 50 score green the
 # cumulative driver-verified union reaches 113/113 oracle-backed.
+# Round-6 rotation (VERDICT r4 #1/#2): d52 (the only oracle-backed
+# entry with no driver row) replaces d44 (green r1/r3/r4; dedup_near
+# stays covered by d48), and the new q87 scalable-Bloom-subquery query
+# replaces q84 (literal path, green r3/r4) — both leading the window.
 _PRIORITY = [
-    # never driver-scored through r3 — verify these first
+    # never driver-scored — verify these first
+    "d52_prefix_filter_jaccard",
+    "q87_bloom_subquery_prune",
     "q76_heavy_hitters",
     "q77_forward_fill",
     "q78_stratified_sample",
@@ -93,11 +99,9 @@ _PRIORITY = [
     "q71_string_funcs_2",        # scalar families
     "q72_percent_rank_cume",     # window functions
     "q86_geo_radius_join",       # theta/range join
-    "q84_bloom_semi_prune",      # runtime-filter pruning
     "q74_train_split",
     "q75_sequence_packing",
     "d43_dedup_exact",
-    "d44_ngram_jaccard_pairs",
     "d48_embedding_neardup_lsh",
     "d49_neardup_components",
     "d50_contamination",

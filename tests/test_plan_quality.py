@@ -345,6 +345,49 @@ def test_bloom_scalable_subquery_path(spark):
     assert miss.filter(pred).count() < 50
 
 
+def test_bloom_subquery_view_names_never_clobber(spark):
+    """Two filters built without explicit view names must NOT share a
+    temp view (ADVICE r4 medium): a shared name rebinds the first
+    predicate's scalar subquery to the second bitset — silent false
+    negatives. Each default call gets a fresh generated view; an
+    explicit name that already exists raises instead of replacing."""
+    from pinot_pulsar_plugin_spark.functions.bloom import (
+        build_bloom_df,
+        might_contain_subquery,
+    )
+
+    m = 8192 * 8
+    evens = spark.range(0, 1000).selectExpr("id * 2 AS k")
+    odds = spark.range(0, 1000).selectExpr("id * 2 + 1 AS k")
+    pred_even = might_contain_subquery(build_bloom_df(evens, "k", m), "k", m)
+    pred_odd = might_contain_subquery(build_bloom_df(odds, "k", m), "k", m)
+    # the FIRST predicate, evaluated after the second was built, must
+    # still probe the even bitset: zero false negatives on evens
+    assert evens.filter(pred_even).count() == 1000
+    assert odds.filter(pred_odd).count() == 1000
+    # disjoint bitsets stayed disjoint (would be ~100% hits if clobbered)
+    assert odds.filter(pred_even).count() < 50
+    with pytest.raises(ValueError, match="already exists"):
+        bloom = build_bloom_df(evens, "k", m)
+        might_contain_subquery(bloom, "k", m, view_name="__clobber_t__")
+        might_contain_subquery(bloom, "k", m, view_name="__clobber_t__")
+
+
+def test_q87_probe_is_subquery_not_literal(spark):
+    """q87's probe must reach the orders scan as a scalar-subquery
+    predicate (InjectRuntimeFilter shape): compact plan text at
+    m_bits=2^20, a Subquery node, and the real semi join still
+    broadcast — the 100 TB runtime-filter contract."""
+    from pinot_pulsar_plugin_spark.operators import advanced
+
+    df = advanced.q87_bloom_subquery_prune(spark, SF)
+    plan = formatted_plan(df)
+    assert "Subquery" in plan, plan[:1500]
+    assert len(plan) < 100_000, f"plan text blew up: {len(plan)} chars"
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_q86_radius_join_is_bucketed_equi(spark):
     """The spatial radius join must execute as a broadcast EQUI-join on
     the grid cell (candidates bounded by cell occupancy), with the

@@ -21,7 +21,8 @@ _CATEGORY_REPS = {
     "streaming": {"st57_tumbling_window", "st58_sliding_window", "st59_stream_enrich_join", "st60_first_event_dedup", "q29_sessionize"},
     "udf_surface": {"q46_pandas_udf_scalar", "q53_grouped_map_rank", "q54_python_udf_row"},
     "dedup_exact": {"d43_dedup_exact"},
-    "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh"},
+    "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh", "d52_prefix_filter_jaccard"},
+    "runtime_filter": {"q84_bloom_semi_prune", "q87_bloom_subquery_prune"},
     "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids"},
     "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang"},
     "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline", "m57_frame_sample", "m58_resize_pipeline"},
