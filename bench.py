@@ -31,8 +31,9 @@ from pinot_pulsar_plugin_spark.registry import all_queries
 from pinot_pulsar_plugin_spark.session import get_spark
 
 # Representative, scale-stressing subset: scan+agg, broadcast join,
-# multiway star join, window, top-k, dedup (exact + shingle + minhash),
-# similarity, event-time windows, text stats, pandas-batch pipeline.
+# multiway star join, window, top-k, dedup (exact + shingle + minhash
+# + prefix-filtered), similarity, event-time windows, text stats,
+# pandas-batch pipeline, Bloom pruning (literal + scalar-subquery).
 HEADLINE = [
     "q01_pricing_summary",
     "q08_join_broadcast_agg",
@@ -43,6 +44,7 @@ HEADLINE = [
     "q29_sessionize",
     "d43_dedup_exact",
     "d44_ngram_jaccard_pairs",
+    "d52_prefix_filter_jaccard",
     "d45_minhash_lsh_candidates",
     "d48_embedding_neardup_lsh",
     "s48_cosine_topk",
@@ -51,7 +53,60 @@ HEADLINE = [
     "t50_text_stats",
     "m56_decode_pipeline",
     "q84_bloom_semi_prune",
+    "q87_bloom_subquery_prune",
 ]
+
+# Most recent prior-round bench result (driver artifact), used for
+# spread-aware round-over-round verdicts (VERDICT r4 #4).
+_PRIOR_GLOB = "BENCH_r*.json"
+
+
+def _load_prior() -> dict | None:
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, _PRIOR_GLOB)))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            return json.load(f).get("parsed")
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _verdicts(
+    times: dict[str, float],
+    spread: dict[str, float],
+    prior: dict | None,
+    sf: float,
+) -> dict[str, str]:
+    """Per-query verdict vs the prior round, noise-aware.
+
+    A query only counts as ``regressed`` when the min-of-N delta
+    exceeds the observed host-noise envelope (max of this round's and
+    the prior round's spread, floored at 100 ms): BENCH_r04 showed
+    spreads up to 1.9s on sub-second mins, so raw deltas are mostly
+    noise. ``improved`` is symmetric; everything else is ``flat``.
+    """
+    if not prior or prior.get("sf") != sf:
+        return {}
+    p_times = prior.get("queries", {})
+    p_spread = prior.get("spread", {})
+    out: dict[str, str] = {}
+    for name, t in times.items():
+        if name not in p_times:
+            out[name] = "new"
+            continue
+        envelope = max(spread.get(name, 0.0), p_spread.get(name, 0.0), 0.1)
+        delta = t - p_times[name]
+        if delta > envelope:
+            out[name] = "regressed"
+        elif delta < -envelope:
+            out[name] = "improved"
+        else:
+            out[name] = "flat"
+    return out
 
 
 def main() -> None:
@@ -87,6 +142,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "spread": spread,
+                "verdict_vs_prior": _verdicts(times, spread, _load_prior(), sf),
             }
         )
     )

@@ -40,11 +40,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # unless nanos are read as long. Runtime-settable SQL conf, so
-        # set it here too — the caller's session (e.g. the verify
-        # driver's) may not have gone through session.get_spark().
+        # events.ts was parquet TIMESTAMP(NANOS) in early testdata drops,
+        # which Spark rejects unless nanos are read as long. Runtime-
+        # settable SQL conf, so set it here too — the caller's session
+        # (e.g. the verify driver's) may not have gone through
+        # session.get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Time columns carry no tz flag; read them as TimestampType (UTC
+    # instants — the session tz is pinned UTC, so wall-clocks match the
+    # DuckDB oracle's naive timestamps), never TIMESTAMP_NTZ, which
+    # unix_micros()/window() reject.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # parquet TIMESTAMP(NANOS) read as nanos-since-epoch long (see

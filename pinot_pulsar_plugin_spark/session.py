@@ -50,6 +50,11 @@ def get_spark(
         # events.ts is parquet TIMESTAMP(NANOS); read as long then convert
         # (catalog.load_table) — Spark has no nanos timestamp type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamp columns are micros with no tz flag; read them
+        # as TimestampType (UTC instants — session tz is pinned UTC, so
+        # wall-clocks match the DuckDB oracle's naive timestamps), not
+        # TIMESTAMP_NTZ, which unix_micros/window() reject.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")

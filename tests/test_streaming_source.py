@@ -287,6 +287,51 @@ def test_source_level_compacted_batch(spark, tmp_path):
     assert vals == [6, 7, 8, 9, 10, 11]
 
 
+def test_compacted_stream_matches_latest_per_key_batch(spark, tmp_path):
+    """Differential (VERDICT r4 #6): the compacted STREAM read must
+    produce exactly the rows of the q58-style latest-per-key BATCH
+    query over the same ledgers. Keys route to a fixed partition (the
+    broker's key-hash routing), so per-partition compaction equals
+    global latest-per-key; ts_us increases with offset, so "latest
+    offset" and "latest timestamp" agree — the same equivalence the
+    reference relies on when readCompacted(true) stands in for a
+    latest-value table (PulsarPartitionLevelConsumer.java:68)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=2, rollover_every=7)
+    for i in range(60):
+        uid = i % 7
+        w.append(
+            uid % 2,  # stable key→partition routing
+            json.dumps(
+                {"user_id": uid, "event_id": i, "ts_us": 1_000_000 * i, "value": i * 1.5}
+            ),
+            key=f"u{uid}",
+        )
+    schema = "user_id bigint, event_id bigint, ts_us bigint, value double"
+
+    stream = read_stream(spark, root, "ev", compacted="true", maxmsgs=9)
+    got = sorted(
+        decode_json(_drain(stream, "t_cmp58", spark, str(tmp_path / "ck")), schema)
+        .select("user_id", "event_id", "ts_us", "value")
+        .collect()
+    )
+
+    # batch twin: full uncompacted read + the q58 latest-per-key shape
+    full = decode_json(read_batch(spark, root, "ev"), schema)
+    win = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    want = sorted(
+        full.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "value")
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 7  # one row per user key
+
+
 def test_reference_namespaced_option_aliases(spark, tmp_path):
     """A config ported verbatim from the reference plugin works: the
     stream.pulsar.* camelCase keys (lowercased by Spark's option map)
