@@ -109,6 +109,25 @@ def _verdicts(
     return out
 
 
+def _data_fingerprint(sf_dir: str) -> dict[str, int]:
+    """Row counts per table (parquet metadata, no scan) — lets a reader
+    of round-over-round tables tell a code regression from a testdata
+    regeneration (r5: documents/embeddings were regenerated denser,
+    shifting d44/d45/d48 at identical code)."""
+    import glob as _glob
+
+    out: dict[str, int] = {}
+    try:
+        import pyarrow.parquet as pq
+
+        for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            name = os.path.basename(p).removesuffix(".parquet")
+            out[name] = pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -143,6 +162,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "spread": spread,
                 "verdict_vs_prior": _verdicts(times, spread, _load_prior(), sf),
+                "data_fingerprint": _data_fingerprint(sf_dir),
             }
         )
     )
