@@ -593,3 +593,89 @@ def t61_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+_T62_MAX_DUP3 = 0.2  # Gopher-style repetition cut on duplicate 3-grams
+
+
+@query(
+    "t62_repetition_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])
+             ELSE [] END AS g2,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+                      || ' ' || tk[CAST(i AS INT) + 2])
+             ELSE [] END AS g3
+      FROM toks)
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CASE WHEN len(g2) > 0 THEN
+             CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+           ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0 THEN
+             CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+           ELSE 0.0 END AS dup_3gram_frac,
+           CASE WHEN len(g3) > 0 THEN
+             CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+           ELSE 0.0 END <= {_T62_MAX_DUP3} AS keep_repetition
+    FROM grams
+    """,
+)
+def t62_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring — the Gopher/C4-family
+    quality filter that drops self-repetitive documents (looped
+    boilerplate, template spam) by the fraction of DUPLICATE n-grams:
+    dup_frac_n = (count - distinct_count) / count over the document's
+    n-gram multiset, n ∈ {{2, 3}}, with keep = dup3 <= 0.2.
+
+    Complements t52 (surface quality: length/punct/stopwords) and t61
+    (corpus-level surprisal): repetition is the one axis neither sees —
+    a document of perfectly normal tokens repeated ten times passes
+    both but fails here.
+
+    Scale shape (100 TB): ZERO shuffles — tokenization, n-gram
+    construction (transform over an index sequence), distinct-count
+    (array_distinct), and the fractions are all per-row JVM
+    expressions inside whole-stage codegen; the filter runs at scan
+    speed like t50. Integer-over-integer double division is
+    bit-identical cross-engine, so the oracle is exact."""
+    return repetition_metrics(t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", max_dup3: float = _T62_MAX_DUP3
+) -> DataFrame:
+    """t62's per-row metric pipeline over any frame with a text column
+    (kept separate so tests and ad-hoc corpora exercise the SAME
+    expressions the scored query runs)."""
+
+    def dup_frac(n: int):
+        grams = F.expr(
+            f"CASE WHEN size(tk) >= {n} THEN "
+            f"transform(sequence(1, size(tk) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(tk, i, {n}))) "
+            f"ELSE array() END"
+        )
+        tot = F.size(grams)
+        dis = F.size(F.array_distinct(grams))
+        return F.when(tot > 0, (tot - dis).cast("double") / tot).otherwise(F.lit(0.0))
+
+    keep = [c for c in df.columns if c != text_col]
+    out = df.select(
+        *keep, F.split(F.lower(text_col), " ").alias("tk")
+    ).select(
+        *keep,
+        F.size("tk").alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "keep_repetition", F.col("dup_3gram_frac") <= F.lit(max_dup3)
+    )

@@ -127,6 +127,17 @@ def test_d52_three_narrow_shuffles(spark):
     assert keys == {"h", "doc_id", "doc_a"}, keys
 
 
+def test_t62_repetition_is_pure_map(spark):
+    """t62's quality filter must stay a per-row map: zero exchanges and
+    no Python eval — it runs at scan speed at 100 TB."""
+    from pinot_pulsar_plugin_spark.operators import textops
+
+    df = textops.t62_repetition_score(spark, SF)
+    assert n_shuffles(df) == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q74_split_is_pure_map(spark):
     """Train/val/test assignment must be a per-row map: zero exchanges
     (what makes it free at 100 TB)."""

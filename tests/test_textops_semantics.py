@@ -121,3 +121,22 @@ def test_winnow_moss_guarantee_shared_run_shares_fingerprint(spark):
     fa = set(_py_winnow(_py_rolling_hashes(doc_a)))
     fb = set(_py_winnow(_py_rolling_hashes(doc_b)))
     assert fa & fb
+
+
+def test_t62_repetition_flags_looped_text(spark):
+    """A document that is one phrase repeated must score dup-3gram
+    fraction near 1 and fail the keep cut; all-distinct prose scores
+    exactly 0 and passes; a sub-3-token document defaults to 0/keep."""
+    from pinot_pulsar_plugin_spark.operators.textops import repetition_metrics
+
+    looped = " ".join(["the quick brown fox"] * 10)
+    prose = "every token here appears exactly once in this short sentence"
+    df = spark.createDataFrame(
+        [(0, looped), (1, prose), (2, "too short")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    # looped: 40 tokens -> 38 3-grams, only 4 distinct -> dup = 34/38
+    assert out[0].dup_3gram_frac > 0.85 and not out[0].keep_repetition
+    assert out[1].dup_3gram_frac == 0.0 and out[1].keep_repetition
+    assert out[2].dup_3gram_frac == 0.0 and out[2].keep_repetition
+    assert out[2].n_tokens == 2
