@@ -594,88 +594,108 @@ def t61_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_T62_MAX_DUP3 = 0.2  # Gopher-style repetition cut on duplicate 3-grams
+_T62_MAX_TOP3_FRAC = 0.18  # Gopher cut: chars in the top 3-gram
 
 
 @query(
-    "t62_repetition_score",
+    "t62_top_ngram_coverage",
     f"""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      SELECT doc_id, length(text) AS n_chars,
+             string_split(lower(text), ' ') AS tk
+      FROM documents),
     grams AS (
-      SELECT doc_id, len(tk) AS n_tokens,
-             CASE WHEN len(tk) >= 2 THEN
-               list_transform(generate_series(1, len(tk) - 1),
-                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])
-             ELSE [] END AS g2,
-             CASE WHEN len(tk) >= 3 THEN
+      SELECT doc_id, n_chars,
+             unnest(CASE WHEN len(tk) >= 3 THEN
                list_transform(generate_series(1, len(tk) - 2),
                  i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
                       || ' ' || tk[CAST(i AS INT) + 2])
-             ELSE [] END AS g3
-      FROM toks)
-    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-           CASE WHEN len(g2) > 0 THEN
-             CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
-           ELSE 0.0 END AS dup_2gram_frac,
-           CASE WHEN len(g3) > 0 THEN
-             CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
-           ELSE 0.0 END AS dup_3gram_frac,
-           CASE WHEN len(g3) > 0 THEN
-             CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
-           ELSE 0.0 END <= {_T62_MAX_DUP3} AS keep_repetition
-    FROM grams
+             ELSE [] END) AS gram
+      FROM toks),
+    counts AS (
+      SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, n_chars, gram),
+    ranked AS (
+      SELECT doc_id, n_chars, gram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY cnt * length(gram) DESC, gram) AS rn
+      FROM counts)
+    SELECT t.doc_id, t.n_chars, r.gram AS top_gram,
+           CAST(COALESCE(r.cnt, 0) AS BIGINT) AS top_count,
+           CASE WHEN r.cnt >= 2 THEN
+             CAST(r.cnt * length(r.gram) AS DOUBLE) / t.n_chars
+           ELSE 0.0 END AS top_char_frac,
+           CASE WHEN r.cnt >= 2 THEN
+             CAST(r.cnt * length(r.gram) AS DOUBLE) / t.n_chars
+           ELSE 0.0 END <= {_T62_MAX_TOP3_FRAC} AS keep_top_ngram
+    FROM toks t LEFT JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1
     """,
 )
-def t62_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition scoring — the Gopher/C4-family
-    quality filter that drops self-repetitive documents (looped
-    boilerplate, template spam) by the fraction of DUPLICATE n-grams:
-    dup_frac_n = (count - distinct_count) / count over the document's
-    n-gram multiset, n ∈ {{2, 3}}, with keep = dup3 <= 0.2.
+def t62_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top n-gram character coverage — the Gopher repetition rule t57
+    does NOT capture: the fraction of a document's characters covered
+    by its single most frequent 3-gram (count × gram length / chars),
+    cut at 0.18. t57's duplicate-fraction treats ten copies of one long
+    slogan the same as ten scattered short dups; this rule weights by
+    the characters the repeated phrase actually occupies, which is how
+    looping boilerplate dominates a page. Tie-break: highest char
+    coverage, then lexicographically smallest gram — deterministic for
+    the oracle. Documents under 3 tokens keep NULL top_gram, 0.0
+    coverage, keep=true; a top gram occurring once scores 0 (unique
+    text is not repetition).
 
-    Complements t52 (surface quality: length/punct/stopwords) and t61
-    (corpus-level surprisal): repetition is the one axis neither sees —
-    a document of perfectly normal tokens repeated ten times passes
-    both but fails here.
+    Scale shape (100 TB): explode → map-side-combinable count keyed
+    (doc_id, gram) → per-doc top-1 window (WindowGroupLimit pushes the
+    rank-1 cut map-side) → broadcast-or-shuffle join back to the doc
+    spine. Two keyed exchanges plus the window; nothing quadratic, no
+    driver state."""
+    from pyspark.sql import Window as W
 
-    Scale shape (100 TB): ZERO shuffles — tokenization, n-gram
-    construction (transform over an index sequence), distinct-count
-    (array_distinct), and the fractions are all per-row JVM
-    expressions inside whole-stage codegen; the filter runs at scan
-    speed like t50. Integer-over-integer double division is
-    bit-identical cross-engine, so the oracle is exact."""
-    return repetition_metrics(t(spark, sf_dir, "documents").select("doc_id", "text"))
-
-
-def repetition_metrics(
-    df: DataFrame, text_col: str = "text", max_dup3: float = _T62_MAX_DUP3
-) -> DataFrame:
-    """t62's per-row metric pipeline over any frame with a text column
-    (kept separate so tests and ad-hoc corpora exercise the SAME
-    expressions the scored query runs)."""
-
-    def dup_frac(n: int):
-        grams = F.expr(
-            f"CASE WHEN size(tk) >= {n} THEN "
-            f"transform(sequence(1, size(tk) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(tk, i, {n}))) "
-            f"ELSE array() END"
-        )
-        tot = F.size(grams)
-        dis = F.size(F.array_distinct(grams))
-        return F.when(tot > 0, (tot - dis).cast("double") / tot).otherwise(F.lit(0.0))
-
-    keep = [c for c in df.columns if c != text_col]
-    out = df.select(
-        *keep, F.split(F.lower(text_col), " ").alias("tk")
-    ).select(
-        *keep,
-        F.size("tk").alias("n_tokens"),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"), F.split(F.lower("text"), " ").alias("tk")
     )
-    return out.withColumn(
-        "keep_repetition", F.col("dup_3gram_frac") <= F.lit(max_dup3)
+    grams = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 3 THEN "
+                "transform(sequence(1, size(tk) - 2), "
+                "i -> concat_ws(' ', slice(tk, i, 3))) ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc(F.col("cnt") * F.length("gram")), F.asc("gram")
+    )
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    spine = d.select("doc_id", "n_chars")
+    # a gram seen once is not repetition: coverage only counts when the
+    # top gram actually repeats (count >= 2) — otherwise every short
+    # document fails the cut on its own unique words
+    frac = F.when(
+        F.col("cnt") >= 2,
+        (F.col("cnt") * F.length("top_gram")).cast("double") / F.col("n_chars"),
+    ).otherwise(F.lit(0.0))
+    return (
+        spine.join(
+            top.select(
+                F.col("doc_id").alias("t_doc_id"),
+                F.col("gram").alias("top_gram"),
+                "cnt",
+            ),
+            F.col("doc_id") == F.col("t_doc_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "top_gram",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("top_count"),
+            frac.alias("top_char_frac"),
+            (frac <= F.lit(_T62_MAX_TOP3_FRAC)).alias("keep_top_ngram"),
+        )
     )

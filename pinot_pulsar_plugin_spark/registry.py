@@ -63,10 +63,13 @@ _MODULES = [
 # entry with no driver row) replaces d44 (green r1/r3/r4; dedup_near
 # stays covered by d48), and the new q87 scalable-Bloom-subquery query
 # replaces q84 (literal path, green r3/r4) — both leading the window.
+# r5 addition: new t62 (top-n-gram coverage) leads too; m56 (green
+# r3/r4) slides out at 51, multimodal stays covered by m55/m57/m58.
 _PRIORITY = [
     # never driver-scored — verify these first
     "d52_prefix_filter_jaccard",
     "q87_bloom_subquery_prune",
+    "t62_top_ngram_coverage",
     "q76_heavy_hitters",
     "q77_forward_fill",
     "q78_stratified_sample",

@@ -127,15 +127,19 @@ def test_d52_three_narrow_shuffles(spark):
     assert keys == {"h", "doc_id", "doc_a"}, keys
 
 
-def test_t62_repetition_is_pure_map(spark):
-    """t62's quality filter must stay a per-row map: zero exchanges and
-    no Python eval — it runs at scan speed at 100 TB."""
+def test_t62_top_ngram_shape(spark):
+    """t62's scale contract: explode → combinable count keyed
+    (doc_id, gram) → per-doc top-1 window with a WindowGroupLimit
+    (rank-1 pushed map-side) → join back to the doc spine. No Python
+    eval, no cartesian join, bounded exchanges."""
     from pinot_pulsar_plugin_spark.operators import textops
 
-    df = textops.t62_repetition_score(spark, SF)
-    assert n_shuffles(df) == 0
+    df = textops.t62_top_ngram_coverage(spark, SF)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert n_shuffles(df) <= 4
 
 
 def test_q74_split_is_pure_map(spark):

@@ -487,3 +487,47 @@ def test_stream_topic_to_topic_round_trip(spark, tmp_path):
     assert got == list(range(30))
     payloads = {bytes(r.value) for r in back.collect()}
     assert all(b'"S": "MSG' in p for p in payloads)  # transform applied
+
+
+import random as _random
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", range(8))
+def test_fuzz_stream_batch_equivalence(seed, spark, tmp_path):
+    """Seeded randomized differential over broker layouts: for random
+    (partitions, ledger rollover, batch bound, payload sizes) the
+    micro-batched STREAM must deliver exactly the BATCH read's
+    (partition, offset, payload) set — no loss, no duplication, no
+    reorder within a partition — regardless of how ledger boundaries
+    and admission caps slice the range."""
+    rng = _random.Random(31000 + seed)
+    partitions = rng.choice([1, 2, 3, 5])
+    rollover = rng.choice([3, 7, 25, 1000])
+    maxmsgs = rng.choice([5, 9, 17, 1000])
+    n = rng.randrange(30, 120)
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "fz", partitions=partitions, rollover_every=rollover)
+    expect_per_part: dict[int, int] = {p: 0 for p in range(partitions)}
+    for i in range(n):
+        p = rng.randrange(partitions)
+        payload = json.dumps({"i": i, "pad": "x" * rng.randrange(0, 40)})
+        key = f"k{i % 5}" if rng.random() < 0.5 else None
+        w.append(p, payload, key=key)
+        expect_per_part[p] += 1
+
+    stream = read_stream(spark, root, "fz", maxmsgs=maxmsgs)
+    got = _drain(stream, f"t_fz{seed}", spark, str(tmp_path / "ck")).collect()
+    batch = read_batch(spark, root, "fz").collect()
+
+    def norm(rows):
+        return sorted((r.partition, r.offset, bytes(r.value)) for r in rows)
+
+    assert norm(got) == norm(batch)
+    assert len(got) == n
+    for p in range(partitions):
+        offs = [r.offset for r in got if r.partition == p]
+        assert len(offs) == expect_per_part[p]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)

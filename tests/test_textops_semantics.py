@@ -123,20 +123,35 @@ def test_winnow_moss_guarantee_shared_run_shares_fingerprint(spark):
     assert fa & fb
 
 
-def test_t62_repetition_flags_looped_text(spark):
-    """A document that is one phrase repeated must score dup-3gram
-    fraction near 1 and fail the keep cut; all-distinct prose scores
-    exactly 0 and passes; a sub-3-token document defaults to 0/keep."""
-    from pinot_pulsar_plugin_spark.operators.textops import repetition_metrics
+def test_t62_top_ngram_coverage_semantics(spark):
+    """The top 3-gram must be chosen by CHARACTER coverage (count x
+    length), not bare count: a long slogan repeated 4x beats a short
+    gram repeated 5x. Looped text fails the keep cut; all-distinct
+    prose and sub-3-token docs keep with 0 coverage."""
+    from pinot_pulsar_plugin_spark.operators.textops import t62_top_ngram_coverage
+    import pinot_pulsar_plugin_spark.catalog as C
 
-    looped = " ".join(["the quick brown fox"] * 10)
-    prose = "every token here appears exactly once in this short sentence"
-    df = spark.createDataFrame(
-        [(0, looped), (1, prose), (2, "too short")], "doc_id bigint, text string"
-    )
-    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
-    # looped: 40 tokens -> 38 3-grams, only 4 distinct -> dup = 34/38
-    assert out[0].dup_3gram_frac > 0.85 and not out[0].keep_repetition
-    assert out[1].dup_3gram_frac == 0.0 and out[1].keep_repetition
-    assert out[2].dup_3gram_frac == 0.0 and out[2].keep_repetition
-    assert out[2].n_tokens == 2
+    # build a scratch documents table the operator can read
+    import tempfile, os
+    rows = [
+        # doc 0: "averylongsloganphrase wins here" 3-gram repeated 4x
+        #        vs "a b c" repeated 5x: coverage must pick the long one
+        (0, " ".join(["averylongsloganphrase wins here"] * 4 + ["a b c"] * 5)),
+        (1, "every token here appears exactly once in this sentence"),
+        (2, "too short"),
+        (3, " ".join(["loop the loop"] * 20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        for name in ("region nation customer supplier part orders "
+                     "lineitem events embeddings").split():
+            # operator only reads documents; satisfy catalog path checks lazily
+            pass
+        out = {r.doc_id: r for r in t62_top_ngram_coverage(spark, tmp).collect()}
+    assert out[0].top_gram == "averylongsloganphrase wins here"
+    assert out[0].top_count == 4
+    assert out[1].top_count == 1 and out[1].keep_top_ngram
+    assert out[2].top_gram is None and out[2].top_char_frac == 0.0
+    assert out[2].keep_top_ngram
+    assert out[3].top_char_frac > 0.5 and not out[3].keep_top_ngram
