@@ -466,6 +466,46 @@ def _gen_range_frame_query(rng: random.Random) -> str:
     )
 
 
+def _gen_nullkey_join_query(rng: random.Random) -> str:
+    """Outer joins with NULL-INJECTED join keys: NULLIF plants NULLs on
+    one or both sides, and ANSI equi-join semantics (NULL matches
+    nothing, outer sides still emit the row with NULL partners) must
+    agree row-for-row across engines."""
+    how = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    null_left = rng.random() < 0.7
+    null_right = rng.random() < 0.7
+    lkey = (
+        f"NULLIF(o_custkey % {rng.randrange(50, 200)}, {rng.randrange(0, 40)})"
+        if null_left
+        else f"o_custkey % {rng.randrange(50, 200)}"
+    )
+    rkey = (
+        f"NULLIF(c_custkey % {rng.randrange(50, 200)}, {rng.randrange(0, 40)})"
+        if null_right
+        else f"c_custkey % {rng.randrange(50, 200)}"
+    )
+    pred = _gen_predicate(rng)
+    return (
+        f"SELECT l.k AS lk, r.k2 AS rk, "
+        f"COUNT(*) AS n, COUNT(l.k) AS n_l, COUNT(r.k2) AS n_r "
+        f"FROM (SELECT {lkey} AS k FROM orders WHERE {pred}) l "
+        f"{how} (SELECT {rkey} AS k2 FROM customer) r ON l.k = r.k2 "
+        f"GROUP BY l.k, r.k2"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_nullkey_join_differential(seed, spark, fuzz_env):
+    """Random inner/left/right/full joins over NULL-injected keys —
+    NULL never matches, outer rows survive with NULL partners, and
+    COUNT(col) vs COUNT(*) see the difference identically."""
+    rng = random.Random(37000 + seed)
+    sql = _gen_nullkey_join_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"nkfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_fuzz_range_frame_differential(seed, spark, fuzz_env):
     """Random RANGE-frame windows over duplicate order keys — peer

@@ -531,3 +531,23 @@ def test_fuzz_stream_batch_equivalence(seed, spark, tmp_path):
         offs = [r.offset for r in got if r.partition == p]
         assert len(offs) == expect_per_part[p]
         assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_restart_with_changed_batch_bound(spark, tmp_path):
+    """Operational case: a restart may ship a DIFFERENT admission cap
+    (maxmsgs) than the checkpointed run used. The cursor lives in the
+    checkpoint as plain offsets, so the bound change must only affect
+    future micro-batch sizing — no loss, no replay."""
+    root, ck, out = str(tmp_path / "b"), str(tmp_path / "ck"), str(tmp_path / "out")
+    w = _write_events_topic(root, n=30, partitions=2)
+    assert (
+        _drain_to_parquet(read_stream(spark, root, "events", maxmsgs=7), spark, out, ck).count()
+        == 30
+    )
+    for i in range(30, 54):
+        w.append(i % 2, json.dumps({"event_id": i, "user_id": 0, "event_type": "view", "value": 1.0}))
+    rows = _drain_to_parquet(
+        read_stream(spark, root, "events", maxmsgs=3), spark, out, ck
+    ).collect()
+    ids = sorted(json.loads(bytes(r.value).decode())["event_id"] for r in rows)
+    assert ids == list(range(54))
