@@ -466,6 +466,49 @@ def _gen_range_frame_query(rng: random.Random) -> str:
     )
 
 
+def _gen_layered_query(rng: random.Random) -> str:
+    """Composite shapes: GROUP BY in a derived table, a window over the
+    aggregated rows, and an outer filter on the window value — the
+    optimizer path (agg → window → filter pushdown barriers) no
+    single-layer family exercises."""
+    group = rng.choice(_STR_COLS)
+    inner_pred = _gen_predicate(rng)
+    agg = rng.choice(
+        [
+            "COUNT(*)",
+            "CAST(SUM(o_orderkey) AS BIGINT)",
+            "MIN(o_orderkey)",
+            "COUNT(DISTINCT o_custkey)",
+        ]
+    )
+    win = rng.choice(
+        [
+            "ROW_NUMBER() OVER (ORDER BY m DESC, g)",
+            "RANK() OVER (ORDER BY m DESC, g)",
+            "CAST(SUM(m) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            "CAST(LAG(m, 1, 0) OVER (ORDER BY g) AS BIGINT)",
+        ]
+    )
+    outer = rng.choice(["w > 1", "w <= 3", "m > 5", "TRUE"])
+    return (
+        f"SELECT g, m, w FROM ("
+        f"  SELECT g, m, {win} AS w FROM ("
+        f"    SELECT {group} AS g, CAST({agg} AS BIGINT) AS m"
+        f"    FROM orders WHERE {inner_pred} GROUP BY {group}) a"
+        f") b WHERE {outer}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_layered_differential(seed, spark, fuzz_env):
+    """Random agg→window→filter compositions over derived tables."""
+    rng = random.Random(41000 + seed)
+    sql = _gen_layered_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"lyfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
 def _gen_nullkey_join_query(rng: random.Random) -> str:
     """Outer joins with NULL-INJECTED join keys: NULLIF plants NULLs on
     one or both sides, and ANSI equi-join semantics (NULL matches
