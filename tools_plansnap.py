@@ -117,6 +117,32 @@ COMMENTARY = {
         "possible and reduces to a partial-aggregated scalar — the "
         "whole audit costs one scan per table at any scale."
     ),
+    "d52_prefix_filter_jaccard": (
+        "Exactly three narrow shuffles (gated): document frequency "
+        "(groupBy h), per-doc rarity-sorted arrays (groupBy doc_id), "
+        "candidate dedup (doc_a, doc_b). The prefix self-join carries "
+        "bare (doc_id, bigint-hash) pairs; full arrays rejoin only for "
+        "deduplicated candidates and the exact intersection is a "
+        "per-row array_intersect. Indexing only rarity-first prefixes "
+        "is EXACT pruning (AllPairs/PPJoin proof in the docstring) — "
+        "hot shingles land in suffixes and never generate candidates."
+    ),
+    "q87_bloom_subquery_prune": (
+        "The scalable runtime-filter shape: the 2^20-bit bitset is "
+        "built fully distributed (range-join densification, no driver "
+        "collect), persisted, and probed through a scalar subquery at "
+        "the orders scan — plan text stays constant-size at any "
+        "m_bits, and non-matching rows drop inside codegen before the "
+        "join shuffle. False positives are removed by the broadcast "
+        "semi join that follows."
+    ),
+    "t62_top_ngram_coverage": (
+        "Explode to (doc_id, gram) → map-side-combinable count → "
+        "per-doc top-1 window where WindowGroupLimit forwards one row "
+        "per doc before the exchange → join back to the doc spine. "
+        "Two keyed combinable exchanges plus the group-limited window; "
+        "nothing quadratic, no Python."
+    ),
 }
 
 
