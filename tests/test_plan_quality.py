@@ -440,3 +440,39 @@ def test_q86_radius_join_is_bucketed_equi(spark):
     import re
 
     assert re.search(r"Left keys \[2\]: \[cellx", plan), plan
+
+
+def test_bloom_no_false_negatives_both_paths(spark):
+    """The contract both probe paths must never break: every inserted
+    key passes the filter — including negative keys, zero, and keys
+    wider than the 31-bit hash window (which fold, adding only false
+    positives). Checked for the literal path and the scalar-subquery
+    path at the same m_bits; plus a false-positive sanity bound on a
+    disjoint probe set (the filter must actually filter)."""
+    from pinot_pulsar_plugin_spark.functions.bloom import (
+        build_bloom,
+        build_bloom_df,
+        might_contain,
+        might_contain_subquery,
+    )
+    from pyspark.sql import functions as F
+
+    keys = [0, 1, -1, -(2**40), 2**40 + 7, 123456789, -987654321] + [
+        k * 977 - 400_000 for k in range(200)
+    ]
+    m_bits = 4096
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+
+    words = build_bloom(df, "k", m_bits)
+    lit_pass = df.filter(might_contain(words, "k", m_bits)).count()
+    assert lit_pass == len(set(keys)), "literal path dropped an inserted key"
+
+    bloom = build_bloom_df(df, "k", m_bits)
+    sub_pass = df.filter(might_contain_subquery(bloom, "k", m_bits)).count()
+    assert sub_pass == len(set(keys)), "subquery path dropped an inserted key"
+
+    probe = spark.createDataFrame(
+        [(10_000_000 + i * 131,) for i in range(2000)], "k bigint"
+    )
+    fp = probe.filter(might_contain(words, "k", m_bits)).count()
+    assert fp < 2000 * 0.25, f"false-positive rate implausibly high: {fp}/2000"
