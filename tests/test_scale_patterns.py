@@ -328,3 +328,39 @@ def test_zorder_write_prunes_2d_box(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(sorted_dir).filter(pred).collect()))
     b = sorted(map(tuple, spark.read.parquet(z_dir).filter(pred).collect()))
     assert a == b and len(a) > 0
+
+
+def test_partition_pruning_on_date_partitioned_layout(spark, tmp_path):
+    """The 100 TB layout contract (SCALING.md §3): a table written
+    partitioned by date serves a date-filtered query by reading ONLY
+    the matching partition directories — the filter must appear as a
+    PartitionFilters entry at the scan (pruning happens at planning,
+    before any file is opened), and the scanned file count must equal
+    one partition's files, not the table's."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.catalog import load_table
+    from pinot_pulsar_plugin_spark.plans.explain import formatted_plan
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(out)
+    n_days = ev.select("event_date").distinct().count()
+    assert n_days > 1  # layout actually split
+
+    one_day = ev.select(F.max("event_date")).first()[0]
+    q = (
+        spark.read.parquet(out)
+        .filter(F.col("event_date") == F.lit(one_day))
+        .select("event_id", "value")
+    )
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+
+    # pruning is visible in the files actually read
+    files = {r[0] for r in q.select(F.input_file_name()).distinct().collect()}
+    assert all(f"event_date={one_day}" in f for f in files), files
