@@ -181,3 +181,36 @@ def test_d52_prefix_filter_full_recall_at_boundary(spark, tmp_path):
     assert got == expected
     assert (0, 1) in expected  # sanity: the crafted dup pairs exist
     assert (0, 2) in expected
+
+
+def test_d45_minhash_recall_on_near_identical_docs(spark, tmp_path):
+    """MinHash-LSH semantic guarantee the rows-only gate can't see:
+    near-identical document pairs (one word edited → shingle Jaccard
+    well above 0.9) MUST surface as candidates with a high estimated
+    Jaccard — with 32 bands of 2 rows, miss probability per such pair
+    is (1-J^2)^32 < 1e-25 — while unrelated documents (disjoint
+    vocabularies) must produce no candidate pair at all."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.dedup import d45_minhash_lsh_candidates
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = base.replace("tok30", "tokEDIT")
+    other = " ".join(f"zzz{i}" for i in range(60))
+    rows = [(0, base), (1, edited), (2, other)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tmp = str(tmp_path / "corpus")
+    os.makedirs(tmp)
+    df.write.parquet(os.path.join(tmp, "documents.parquet"))
+
+    pairs = {
+        (r.doc_a, r.doc_b): r
+        for r in d45_minhash_lsh_candidates(spark, tmp).collect()
+    }
+    assert (0, 1) in pairs, "near-identical pair missed by banded MinHash"
+    assert pairs[(0, 1)].est_jaccard > 0.8
+    assert not any({0, 1} & {a, b} and 2 in (a, b) for a, b in pairs), (
+        "disjoint-vocabulary doc produced a candidate"
+    )
