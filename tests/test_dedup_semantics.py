@@ -214,3 +214,29 @@ def test_d45_minhash_recall_on_near_identical_docs(spark, tmp_path):
     assert not any({0, 1} & {a, b} and 2 in (a, b) for a, b in pairs), (
         "disjoint-vocabulary doc produced a candidate"
     )
+
+
+def test_d46_simhash_recall_on_near_identical_docs(spark, tmp_path):
+    """SimHash semantic guarantee (rows-only op): a one-word edit on a
+    60-token document perturbs few of the 48 majority-vote bit sums, so
+    the pair must collide in at least one 12-bit band AND pass the
+    Hamming cut with a small distance; disjoint-vocabulary documents
+    (independent fingerprints, E[hamming] = 24) must not pair."""
+    import os
+
+    from pinot_pulsar_plugin_spark.operators.dedup import d46_simhash_candidates
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = base.replace("tok30", "tokEDIT")
+    other = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other)], "doc_id bigint, text string"
+    )
+    tmp = str(tmp_path / "corpus")
+    os.makedirs(tmp)
+    df.write.parquet(os.path.join(tmp, "documents.parquet"))
+
+    pairs = {(r.doc_a, r.doc_b): r for r in d46_simhash_candidates(spark, tmp).collect()}
+    assert (0, 1) in pairs, "near-identical pair missed by SimHash banding"
+    assert pairs[(0, 1)].hamming <= 10, pairs[(0, 1)]
+    assert not any(2 in (a, b) for a, b in pairs), pairs
