@@ -551,3 +551,43 @@ def test_restart_with_changed_batch_bound(spark, tmp_path):
     ).collect()
     ids = sorted(json.loads(bytes(r.value).decode())["event_id"] for r in rows)
     assert ids == list(range(54))
+
+
+def test_writer_abort_leaves_no_visible_or_staged_data(tmp_path):
+    """The two-phase writer's abort contract: staged .tmp ledgers are
+    removed, nothing becomes reader-visible, and a later successful
+    commit still works against the same topic. Driven at the staging
+    API level (the same calls the executor/driver make)."""
+    import glob
+    import os
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import FakePulsarBroker
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import (
+        _discard_staged,
+        _finalize_staged,
+        _LedgerCommit,
+    )
+
+    root = str(tmp_path / "b")
+    pdir = os.path.join(root, "t", "partition-0")
+    os.makedirs(pdir)
+
+    def stage(ledger: int, payload: bytes) -> _LedgerCommit:
+        stem = os.path.join(pdir, f"ledger-{ledger:08d}")
+        with open(stem + ".jsonl.tmp", "wb") as lf:
+            lf.write(payload + b"\n")
+        with open(stem + ".keys.tmp", "wb") as kf:
+            kf.write(b"null\n")
+        return _LedgerCommit(tmp_paths=(stem + ".jsonl.tmp", stem + ".keys.tmp"))
+
+    # abort: tmp files vanish, broker sees an empty topic
+    _discard_staged([stage(0, b'{"i": 0}'), None])
+    assert glob.glob(os.path.join(pdir, "*")) == []
+    broker = FakePulsarBroker(root)
+    assert broker.latest_offset("t", 0) == broker.earliest_offset("t", 0)
+
+    # a fresh commit after the abort becomes visible atomically
+    _finalize_staged([stage(1, b'{"i": 1}')])
+    files = sorted(os.path.basename(p) for p in glob.glob(os.path.join(pdir, "*")))
+    assert files == ["ledger-00000001.jsonl", "ledger-00000001.keys"]
+    assert not any(f.endswith(".tmp") for f in files)
