@@ -591,3 +591,32 @@ def test_writer_abort_leaves_no_visible_or_staged_data(tmp_path):
     files = sorted(os.path.basename(p) for p in glob.glob(os.path.join(pdir, "*")))
     assert files == ["ledger-00000001.jsonl", "ledger-00000001.keys"]
     assert not any(f.endswith(".tmp") for f in files)
+
+
+def test_byte_bounding_micro_batches(spark, tmp_path):
+    """maxbytes caps each micro-batch per partition by payload size
+    (≈ BatchReceivePolicy maxNumBytes — the second admission bound,
+    PulsarPartitionLevelStreamConfig.java defaults 10 MiB), end-to-end
+    through the stream: batches stay under the cap in rows-worth of
+    bytes, and every message still arrives exactly once."""
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    payload = json.dumps({"pad": "x" * 100})  # ~110 bytes each
+    for _ in range(30):
+        w.append(0, payload)
+
+    cap = (len(payload) + 1) * 3  # admits ~3 messages per batch
+    df = read_stream(spark, root, "ev", maxbytes=str(cap))
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_bytecap")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = q.recentProgress
+    q.stop()
+    assert spark.sql("SELECT count(*) n FROM t_bytecap").first().n == 30
+    sizes = [p["numInputRows"] for p in progress if p["numInputRows"] > 0]
+    assert sizes and max(sizes) <= 4  # 3 full messages (+1 boundary admit)
+    assert len(sizes) >= 8  # the cap actually split the backlog
