@@ -364,3 +364,39 @@ def test_partition_pruning_on_date_partitioned_layout(spark, tmp_path):
     # pruning is visible in the files actually read
     files = {r[0] for r in q.select(F.input_file_name()).distinct().collect()}
     assert all(f"event_date={one_day}" in f for f in files), files
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """The session enables AQE skew-join splitting (session.py); prove
+    it actually ENGAGES: a 200k-row fact with one hot key joined to a
+    tiny dim (broadcast disabled to force the shuffle join) must show
+    skew=true in the finalized adaptive plan — the hot partition was
+    split across tasks instead of serializing on one."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 == 0, F.col("id") % 50)
+            .otherwise(7)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = fact.join(dim, "k")
+        assert j.count() == 200_000
+        j.collect()  # finalize THIS query's adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
