@@ -216,3 +216,64 @@ def q86_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(dist2).alias("min_dist2"),
         )
     )
+
+
+_DECAY_HALFLIFE_DAYS = 7.0
+
+
+@query(
+    "q88_decayed_engagement",
+    f"""
+    WITH mx AS (SELECT MAX(ts) AS t_max FROM events),
+    term AS (
+      SELECT e.user_id,
+             CAST(ROUND(power(0.5,
+               CAST(epoch_us(mx.t_max) - epoch_us(e.ts) AS DOUBLE)
+                 / (86400000000.0 * {_DECAY_HALFLIFE_DAYS})) * 1000000)
+               AS BIGINT) AS w_fp,
+             e.value
+      FROM events e CROSS JOIN mx)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w_fp) AS DOUBLE) / 1000000.0 AS decayed_count,
+           CAST(SUM(CAST(ROUND(w_fp * value) AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS decayed_value
+    FROM term
+    GROUP BY user_id
+    """,
+)
+def q88_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed engagement per user — the recency-weighted
+    rollup a serving layer keeps instead of raw counts: each event
+    contributes 2^(-age/halflife) (halflife 7 days, anchored at the
+    corpus max timestamp so the result is deterministic data, not
+    wall-clock). The per-event weight is rounded to 1e-6 fixed point
+    BEFORE the per-user sum, so the aggregate is an order-independent
+    integer sum (functions/exact.py pattern; pow last-ulp drift is
+    absorbed the same way q36 rounds its math functions).
+
+    Scale shape (100 TB): one global max reduced map-side and broadcast
+    (one-row crossJoin), then a single combinable aggregate keyed on
+    user_id — identical exchange budget to a plain per-user count."""
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("t_max"))
+    age_days = (
+        (F.unix_micros("t_max") - F.unix_micros("ts")).cast("double")
+        / (86400000000.0 * _DECAY_HALFLIFE_DAYS)
+    )
+    w_fp = F.round(F.pow(F.lit(0.5), age_days) * 1000000).cast("long")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("user_id", w_fp.alias("w_fp"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("w_fp").cast("double") / 1000000.0).alias("decayed_count"),
+            (
+                F.sum(F.round(F.col("w_fp") * F.col("value")).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("decayed_value"),
+        )
+    )

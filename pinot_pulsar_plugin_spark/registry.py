@@ -70,6 +70,7 @@ _PRIORITY = [
     "d52_prefix_filter_jaccard",
     "q87_bloom_subquery_prune",
     "t62_top_ngram_coverage",
+    "q88_decayed_engagement",
     "q76_heavy_hitters",
     "q77_forward_fill",
     "q78_stratified_sample",

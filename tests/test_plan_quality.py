@@ -142,6 +142,20 @@ def test_t62_top_ngram_shape(spark):
     assert n_shuffles(df) <= 4
 
 
+def test_q88_decay_single_keyed_aggregate(spark):
+    """q88's scale contract: the global max reduces map-side and joins
+    by broadcast (one row), then ONE combinable aggregate keyed on
+    user_id — the same exchange budget as a plain per-user count.
+    Two exchanges total (the one-row max + the keyed agg)."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    df = eventanalytics.q88_decayed_engagement(spark, SF)
+    assert n_shuffles(df) <= 2
+    plan = formatted_plan(df)
+    assert "partial" in plan.lower()  # map-side combine on both aggs
+    assert "CartesianProduct" not in plan
+
+
 def test_q74_split_is_pure_map(spark):
     """Train/val/test assignment must be a per-row map: zero exchanges
     (what makes it free at 100 TB)."""
