@@ -51,9 +51,11 @@ HEADLINE = [
     "s50_ann_ivf_topk",
     "st57_tumbling_window",
     "t50_text_stats",
+    "t62_top_ngram_coverage",
     "m56_decode_pipeline",
     "q84_bloom_semi_prune",
     "q87_bloom_subquery_prune",
+    "q88_decayed_engagement",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for
