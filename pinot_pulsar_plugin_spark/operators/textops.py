@@ -654,9 +654,10 @@ def t62_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars"), F.split(F.lower("text"), " ").alias("tk")
     )
+    # n_chars rides the spine join at the end, NOT the gram shuffle:
+    # the count/window exchanges carry only (doc_id, gram, cnt)
     grams = d.select(
         "doc_id",
-        "n_chars",
         F.explode(
             F.expr(
                 "CASE WHEN size(tk) >= 3 THEN "
@@ -665,9 +666,7 @@ def t62_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy("doc_id").orderBy(
         F.desc(F.col("cnt") * F.length("gram")), F.asc("gram")
     )
