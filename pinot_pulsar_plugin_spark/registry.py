@@ -63,8 +63,10 @@ _MODULES = [
 # entry with no driver row) replaces d44 (green r1/r3/r4; dedup_near
 # stays covered by d48), and the new q87 scalable-Bloom-subquery query
 # replaces q84 (literal path, green r3/r4) — both leading the window.
-# r5 addition: new t62 (top-n-gram coverage) leads too; m56 (green
-# r3/r4) slides out at 51, multimodal stays covered by m55/m57/m58.
+# r5 additions: new t62 (top-n-gram coverage) and q88 (decayed
+# engagement) lead too; m56 and m55 (both multiply driver-green) slide
+# out at 51-52 — multimodal stays covered in-window by m57/m58, and
+# every rotated-out entry remains in the local parity suite.
 _PRIORITY = [
     # never driver-scored — verify these first
     "d52_prefix_filter_jaccard",
