@@ -33,9 +33,16 @@ def _score_group(key, pdfs, state: GroupState):
     import pandas as pd
 
     n, s1, s2 = state.get if state.exists else (0, 0, 0)
+    # Concatenate the group's Arrow chunks BEFORE the event-time sort:
+    # a per-chunk sort orders within chunks only, and when a group's
+    # micro-batch spans chunks whose arrival interleaves in time the
+    # moments would update out of order (different z for the same
+    # input). One concat + one sort bounds memory at exactly the rows
+    # Spark already shuffled to this group for this batch.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     frames = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
         v = pdf["v"].to_numpy(dtype="int64")
         cn = n + np.arange(1, len(v) + 1, dtype="int64")
         c1 = s1 + np.cumsum(v)

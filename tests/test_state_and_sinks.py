@@ -307,3 +307,73 @@ def test_score_group_empty_input_yields_no_frames():
     assert out2 == []
     # prior state survives a dataless invocation unchanged
     assert st2.updated == (3, 10, 40)
+
+
+def test_running_zscore_multichunk_out_of_order_batch(spark, tmp_path):
+    """The cross-chunk ordering hazard: with tiny Arrow batches
+    (maxRecordsPerBatch=5) a single micro-batch delivers one group as
+    SEVERAL chunks, and writing the events time-DESCENDING makes every
+    chunk later in arrival than the ones after it in event time. The
+    operator must concat all chunks and sort once — per-chunk sorting
+    would update the moments out of order and score differently."""
+    import math
+
+    from pinot_pulsar_plugin_spark.streaming.anomaly import running_zscore_stream
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        root = str(tmp_path / "b")
+        w = TopicWriter(root, "ev", partitions=1)
+        rows = []
+        for i in range(24):  # one user; appended in REVERSE event time
+            value = 10.0 + (i % 7) + (250.0 if i == 20 else 0.0)
+            rows.append({"event_id": i, "user_id": 0, "ts_us": 1_000_000 * i,
+                         "v": int(round(value * 100))})
+        for r in reversed(rows):
+            w.append(0, json.dumps(r))
+
+        decoded = decode_json(
+            read_stream(spark, root, "ev", maxmsgs=1000),  # ONE micro-batch
+            "event_id bigint, user_id bigint, ts_us bigint, v bigint",
+        )
+        q = (
+            running_zscore_stream(decoded)
+            .writeStream.format("memory")
+            .queryName("t_zchunk")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.event_id: (r.z, r.is_anomaly)
+            for r in spark.sql("SELECT * FROM t_zchunk").collect()
+        }
+
+        state = (0, 0, 0)
+        expected = {}
+        for r in rows:  # event-time order — the order scoring must use
+            n, s1, s2 = state
+            v = r["v"]
+            n, s1, s2 = n + 1, s1 + v, s2 + v * v
+            state = (n, s1, s2)
+            var_pop = (s2 - (s1 * s1) / n) / n
+            if n >= 5 and var_pop > 0:
+                z = (v - s1 / n) / math.sqrt(var_pop)
+                expected[r["event_id"]] = (z, 1 if z > 2.0 else 0)
+            else:
+                expected[r["event_id"]] = (None, 0)
+
+        assert set(got) == set(expected)
+        for eid, (ez, eflag) in expected.items():
+            gz, gflag = got[eid]
+            assert gflag == eflag, (eid, gz, ez)
+            if ez is None:
+                assert gz is None or math.isnan(gz)
+            else:
+                assert abs(gz - ez) < 1e-6, (eid, gz, ez)
+        assert sum(f for _, f in expected.values()) >= 1  # spike flagged
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
