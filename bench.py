@@ -32,8 +32,9 @@ from pinot_pulsar_plugin_spark.session import get_spark
 
 # Representative, scale-stressing subset: scan+agg, broadcast join,
 # multiway star join, window, top-k, dedup (exact + shingle + minhash
-# + prefix-filtered), similarity, event-time windows, text stats,
-# pandas-batch pipeline, Bloom pruning (literal + scalar-subquery).
+# + prefix-filtered + span-frequency), similarity, event-time windows,
+# text stats, pandas-batch pipeline, Bloom pruning (literal +
+# scalar-subquery), rank-trimmed robust aggregation.
 HEADLINE = [
     "q01_pricing_summary",
     "q08_join_broadcast_agg",
@@ -45,6 +46,7 @@ HEADLINE = [
     "d43_dedup_exact",
     "d44_ngram_jaccard_pairs",
     "d52_prefix_filter_jaccard",
+    "d53_dup_span_fraction",
     "d45_minhash_lsh_candidates",
     "d48_embedding_neardup_lsh",
     "s48_cosine_topk",
@@ -56,6 +58,7 @@ HEADLINE = [
     "q84_bloom_semi_prune",
     "q87_bloom_subquery_prune",
     "q88_decayed_engagement",
+    "q91_trimmed_mean",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

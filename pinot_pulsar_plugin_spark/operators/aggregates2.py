@@ -212,3 +212,67 @@ def q81_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_disc"),
     )
+
+
+@query(
+    "q91_trimmed_mean",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    k AS (
+      SELECT event_type, value, n FROM r
+      WHERE rn > CAST(FLOOR(n * 0.05) AS BIGINT)
+        AND rn <= n - CAST(FLOOR(n * 0.05) AS BIGINT))
+    SELECT event_type,
+           MAX(n) AS n_total,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS trimmed_mean
+    FROM k GROUP BY event_type
+    """,
+)
+def q91_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per group — the robust-statistics aggregate a
+    data-quality pipeline uses where outliers (bot traffic, sensor
+    spikes) poison a plain mean. Trimming is by RANK, not by
+    interpolated quantile value: row_number over (value, event_id)
+    makes the cut deterministic and engine-exact even with duplicate
+    values, where a quantile-threshold filter would be ambiguous about
+    which duplicates survive.
+
+    Shape: one exchange on event_type for the rank window (rank and the
+    per-group count share it), then a combinable aggregate over the
+    same key — no second shuffle (the agg reuses the window's
+    partitioning). The mean is a fixed-point integer sum (2-decimal
+    values, functions/exact.py pattern) divided by the kept count: both
+    engines do identical integer arithmetic plus two IEEE divisions.
+
+    At 100 TB a full sort-per-group is the honest cost of exact
+    rank-trimming; the approximate alternative (percentile_approx
+    bounds) trades that sort for a sketch and is what q43/q57 cover."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    rank_w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt_w = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("n"),
+    )
+    lo = F.floor(F.col("n") * 0.05).cast("long")
+    k = r.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    return k.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )

@@ -625,3 +625,91 @@ def d52_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _D52_TAU)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+_SPAN_K = 8  # tokens per span — Lee et al. use 50 BPE tokens at corpus
+# scale; 8 keeps the synthetic sf corpora (10-99 token docs) meaningful
+
+
+@query(
+    "d53_dup_span_fraction",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    sp AS (
+      SELECT doc_id,
+             array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + {_SPAN_K - 1}], ' ') AS s
+      FROM toks, unnest(generate_series(1, len(tk) - {_SPAN_K - 1})) AS u(i)),
+    tot AS (SELECT s, COUNT(*) AS c FROM sp GROUP BY s),
+    dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup
+      FROM sp JOIN tot USING (s) WHERE c >= 2
+      GROUP BY doc_id),
+    base AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(tk) - {_SPAN_K - 1}, 0) AS BIGINT) AS n_spans
+      FROM toks)
+    SELECT b.doc_id, b.n_spans,
+           COALESCE(d.n_dup, 0) AS n_dup_spans,
+           CASE WHEN b.n_spans > 0
+                THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / b.n_spans
+                ELSE 0.0 END AS dup_frac
+    FROM base b LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def d53_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection, the document-level form of
+    suffix-array training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a k-token span is
+    duplicated if it occurs ≥2 times ANYWHERE in the corpus (another
+    document or a repeat within the same one), and each document is
+    scored by the fraction of its spans that are duplicated — the
+    signal used to strip boilerplate/templated text before training.
+
+    Unlike d44/d52 (set-similarity between document PAIRS) this is a
+    per-occurrence corpus frequency problem, so the plan never forms
+    pairs and has no quadratic term anywhere: a hot boilerplate span
+    contributes its occurrence count linearly.
+
+    Shape: spans hash to 8 bytes in the row (xxhash64 over the token
+    slice, multiplicity preserved — no array_distinct, occurrences ARE
+    the signal); one combinable count on h; the span table rejoins the
+    count on h (both sides exchange on h, AQE skew-split covers hot
+    spans); one combinable per-doc count; broadcast-size left join back
+    to the doc spine for zero-span docs. Every shuffled row is ≤16
+    bytes. The string-exact oracle doubles as the hash-collision check
+    (same argument as d44)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tk) >= {_SPAN_K} THEN "
+                f"transform(sequence(1, size(tk) - {_SPAN_K - 1}), "
+                f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_SPAN_K})))) "
+                f"ELSE array() END"
+            )
+        ).alias("h"),
+    ).persist()
+    tot = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        spans.join(tot.where(F.col("c") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    base = toks.select(
+        "doc_id",
+        F.greatest(F.expr(f"size(tk) - {_SPAN_K - 1}"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_spans"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -277,3 +277,107 @@ def q88_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_value"),
         )
     )
+
+
+@query(
+    "q89_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, event_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def q89_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-flow model behind next-event prediction and
+    anomaly scoring in a Pinot-style serving layer).
+
+    Two-stage shape: the lag window shuffles once on user_id (the same
+    exchange every per-user sequence op pays), then the (prev, curr)
+    counts are a map-side-combinable aggregate over a key space of
+    #event_types² — at 100 TB the second exchange carries dozens of
+    rows per partition regardless of event volume. The normalizing
+    window runs over that tiny matrix. Probabilities are exact: bigint
+    count / bigint partition sum, one IEEE division on both engines."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", F.lag("event_type").over(seq_w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    norm_w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm_w).cast("double")).alias("p"),
+    )
+
+
+@query(
+    "q90_scd2_intervals",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, event_id, ts_us
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, ts_us AS valid_from_us,
+           lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+           (lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL)
+             AS is_current
+    FROM ch
+    """,
+)
+def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build from an event stream: collapse consecutive
+    duplicate states per user (lag ≠ current), then stamp each surviving
+    state with its validity interval [valid_from, valid_to) via lead —
+    the CDC-to-dimension-table compaction every warehouse ingest runs.
+
+    Single-exchange shape: both windows and the change filter share the
+    user_id partitioning and (ts, event_id) sort, and a filter preserves
+    distribution AND order, so Catalyst plans ONE shuffle + ONE sort for
+    the whole pipeline (plan-gated in test_plan_quality). At 100 TB the
+    cost is the same one exchange a bare lag() pays."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.lag("event_type").over(seq_w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    iv_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(iv_w)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

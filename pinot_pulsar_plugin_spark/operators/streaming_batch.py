@@ -135,3 +135,54 @@ def st60_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("first_ts_us"),
         F.min_by("event_id", "ts").alias("first_event_id"),
     )
+
+
+@query(
+    "st61_interval_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+             - epoch_us(CAST(v.ts AS TIMESTAMP)) AS delay_us
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL '2 hours'
+    """,
+)
+def st61_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: every purchase
+    within 2 hours after a view by the same user (the attribution /
+    conversion-delay join). In streaming the identical predicate runs
+    as a watermarked stream-stream inner join where the time bound is
+    what lets Spark expire join state (exercised differentially against
+    this batch form in tests/test_streaming_ops).
+
+    Batch shape: equi-join on user_id (one exchange per side, the range
+    predicate evaluated inside the join) — never a cartesian; per-user
+    event counts bound the pair work, and a hot user is AQE
+    skew-splittable because the range condition is a post-filter on the
+    equi-match."""
+    e = t(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    return joined.select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+    )

@@ -98,3 +98,49 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    ts_col: str = "ts",
+    max_delay: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase within ``max_delay``
+    after a view by the same user (st61's streaming form — the
+    attribution join). Both sides carry a watermark and the join
+    condition bounds purchase time against view time, which is exactly
+    what lets Spark expire join state: a buffered view can be dropped
+    once the purchase-side watermark passes view_ts + max_delay, so
+    state is O(in-flight window), not O(stream history).
+
+    Inner join → results emit as soon as both sides match; no
+    watermark-delayed output (that cost only applies to outer interval
+    joins)."""
+    v = views.withWatermark(ts_col, watermark).select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col(ts_col).alias("v_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col(ts_col).alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            F.expr(
+                f"user_id = p_user AND p_ts > v_ts "
+                f"AND p_ts <= v_ts + INTERVAL {max_delay}"
+            ),
+        )
+        .select(
+            "user_id",
+            "view_event_id",
+            "purchase_event_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+    )

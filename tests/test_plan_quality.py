@@ -490,3 +490,80 @@ def test_bloom_no_false_negatives_both_paths(spark):
     )
     fp = probe.filter(might_contain(words, "k", m_bits)).count()
     assert fp < 2000 * 0.25, f"false-positive rate implausibly high: {fp}/2000"
+
+
+def test_d53_span_dedup_linear_shape(spark):
+    """d53's scale contract: duplicated-span scoring is a per-occurrence
+    FREQUENCY problem, not a pair problem — the plan must contain no
+    join that can go quadratic (no cartesian/BNLJ; the h-join matches a
+    one-row-per-h count table) and every exchange key is one of the
+    documented narrow keys (h, doc_id)."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    df = dedup.d53_dup_span_fraction(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys <= {"h", "doc_id"}, keys
+    # the span-frequency aggregate combines map-side
+    assert "partial_count" in plan
+
+
+def test_q90_scd2_single_exchange(spark):
+    """q90's scale contract: the change-detection lag window, the
+    collapse filter, and the validity lead window all share the
+    user_id partitioning — Catalyst must plan exactly ONE exchange for
+    the whole SCD2 build (a filter preserves distribution, so the
+    second window reuses the first's shuffle)."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    df = eventanalytics.q90_scd2_intervals(spark, SF)
+    assert n_shuffles(df) == 1
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 2  # both windows survive in one stage chain
+
+
+def test_q91_trimmed_mean_single_exchange(spark):
+    """q91's scale contract: rank window, per-group count window, and
+    the final aggregate all key on event_type — one exchange total,
+    with the final mean combining map-side (partial_sum of the
+    fixed-point terms)."""
+    from pinot_pulsar_plugin_spark.operators import aggregates2
+
+    df = aggregates2.q91_trimmed_mean(spark, SF)
+    assert n_shuffles(df) == 1
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan
+
+
+def test_q89_markov_heavy_exchange_is_user_keyed(spark):
+    """q89's scale contract: the only event-volume-sized exchange is
+    the per-user sequence shuffle; the transition-count and
+    normalization exchanges carry ≤ #event_types² rows. Gate: ≤3
+    exchanges, the count aggregate combines map-side, no cartesian."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    df = eventanalytics.q89_markov_transitions(spark, SF)
+    assert n_shuffles(df) <= 3
+    plan = formatted_plan(df)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_st61_interval_join_is_equi(spark):
+    """st61's scale contract: the interval join must be an equi-join on
+    user_id with the time-range condition evaluated as a join
+    post-filter — never a BroadcastNestedLoopJoin/cartesian over the
+    range predicate."""
+    from pinot_pulsar_plugin_spark.operators import streaming_batch
+
+    df = streaming_batch.st61_interval_join(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -188,3 +188,70 @@ def test_exactly_once_foreach_batch_sink(spark, tmp_path):
     assert result.select("event_id").distinct().count() == 20
     # multiple micro-batches landed as separate idempotent partitions
     assert result.select("batch_id").distinct().count() >= 2
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Differential batch↔stream interval join (st61): the watermarked
+    stream-stream join and the batch equi-join-plus-range-filter are
+    independent implementations of 'purchase within 2h after view by
+    the same user' — on identical events every emitted streaming pair
+    must equal the batch pairs exactly (inner interval joins emit
+    eagerly, so no open-state cutoff is needed)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.streaming.windows import interval_join
+
+    rng = _random.Random(61)
+    rows = []
+    i = 0
+    for user in (1, 2, 3, 4):
+        m = rng.randrange(0, 10)
+        for _ in range(rng.randrange(8, 16)):
+            etype = rng.choice(["view", "purchase", "click"])
+            rows.append(_event(i, m, etype=etype, user=user))
+            i += 1
+            m += rng.choice([1, 5, 30, 90, 150])
+    root = _topic(tmp_path, rows)
+    decoded_v = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    decoded_p = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    joined = interval_join(
+        decoded_v.where(F.col("event_type") == "view"),
+        decoded_p.where(F.col("event_type") == "purchase"),
+        max_delay="2 hours",
+    )
+    out = _run_to_memory(joined, spark, tmp_path, "t_ivj").collect()
+    got = {
+        (r.user_id, r.view_event_id, r.purchase_event_id, r.delay_us) for r in out
+    }
+
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", "user_id", "event_type", F.to_timestamp("ts").alias("ts"))
+    v = batch.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("v_ts")
+    )
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    expected = {
+        (r.user_id, r.view_event_id, r.purchase_event_id, r.delay_us)
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .select(
+            "user_id",
+            "view_event_id",
+            "purchase_event_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+        .collect()
+    }
+    assert got == expected and len(expected) >= 5

@@ -143,6 +143,29 @@ COMMENTARY = {
         "Two keyed combinable exchanges plus the group-limited window; "
         "nothing quadratic, no Python."
     ),
+    "d53_dup_span_fraction": (
+        "Span hashes are computed in-row (xxhash64 over the token slice, "
+        "multiplicity kept) → one map-side-combinable count on the 8-byte "
+        "hash → the span table rejoins that count on h (both sides already "
+        "hash-partitioned on h; AQE skew-split covers boilerplate spans) → "
+        "per-doc combinable count → broadcast-sized left join back to the "
+        "doc spine. No pair formation anywhere: a hot span costs its "
+        "occurrence count linearly, unlike a similarity self-join."
+    ),
+    "q90_scd2_intervals": (
+        "The whole SCD2 build — lag change-detection, collapse filter, "
+        "lead validity stamp — shares one user_id hash partition: Catalyst "
+        "plans exactly ONE exchange (a filter preserves distribution and "
+        "order). At 100 TB this is the same exchange budget as a bare "
+        "lag() window."
+    ),
+    "q91_trimmed_mean": (
+        "Rank window and per-group count share the event_type exchange; "
+        "the final aggregate reuses the same partitioning, so the exact "
+        "rank-trim costs ONE exchange plus the per-group sort that "
+        "exactness inherently requires. The mean is a fixed-point integer "
+        "sum — partial_sum combines map-side."
+    ),
 }
 
 
