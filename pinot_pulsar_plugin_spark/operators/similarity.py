@@ -317,3 +317,83 @@ def s51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_val"),
     )
+
+
+_N_PROBES = 200  # leave-one-out eval probe set: vec_id < 200
+
+
+@query(
+    "s52_knn_label_accuracy",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt({fold_dot_sql("embedding", "embedding")}) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT p.vec_id AS p_id, p.label AS p_label,
+             c.vec_id AS n_id, c.label AS n_label,
+             {fold_dot_sql("p.embedding", "c.embedding")} / (p.nrm * c.nrm)
+               AS cosine
+      FROM n p JOIN n c ON p.vec_id <> c.vec_id
+      WHERE p.vec_id < {_N_PROBES}),
+    nn AS (
+      SELECT p_id, p_label, n_label,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY cosine DESC, n_id) AS rnk
+      FROM scored)
+    SELECT p_label AS label,
+           COUNT(*) AS n_probes,
+           CAST(SUM(CASE WHEN n_label = p_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(SUM(CASE WHEN n_label = p_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS acc
+    FROM nn WHERE rnk = 1
+    GROUP BY p_label
+    """,
+)
+def s52_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement per class — the standard
+    embedding-quality eval (does nearest-neighbor structure respect
+    labels?) run before trusting a vector store or a dedup threshold.
+
+    Shape is s48's: the PROBE set is broadcast (eval sets are small by
+    design — hundreds to thousands of held-out points even at 100 TB
+    corpus scale), the corpus side never shuffles, and the per-probe
+    argmin is a rank-1 window that Spark group-limits map-side. The
+    bit-exact sequential-fold cosine keeps the argmin (and its
+    deterministic n_id tie-break) identical to the oracle. Corpus-wide
+    all-pairs eval is exactly what this shape avoids: cost is
+    #probes × corpus, linear in the corpus like any scoring scan."""
+    from pyspark.sql import Window as W
+
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(fold_dot("embedding", "embedding")).alias("nrm"),
+    )
+    p = n.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("p_label"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    cos = fold_dot(F.col("p_emb"), F.col("embedding")) / (
+        F.col("p_nrm") * F.col("nrm")
+    )
+    scored = n.join(F.broadcast(p), F.col("p_id") != F.col("vec_id")).select(
+        "p_id",
+        "p_label",
+        F.col("label").alias("n_label"),
+        F.col("vec_id").alias("n_id"),
+        cos.alias("cosine"),
+    )
+    w = W.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    nn = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    match = F.sum((F.col("n_label") == F.col("p_label")).cast("int"))
+    return nn.groupBy(F.col("p_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        match.cast("long").alias("n_match"),
+        (match.cast("double") / F.count(F.lit(1))).alias("acc"),
+    )

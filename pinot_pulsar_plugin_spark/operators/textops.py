@@ -514,12 +514,9 @@ def t59_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(t(spark, sf_dir, "documents"))
 
 
-def winnow_fingerprints(d: DataFrame) -> DataFrame:
-    """Winnowing selection over any (doc_id, text) frame — factored out
-    of t59 so the property suite can drive it on adversarial token
-    streams against a brute-force min-of-window reference
-    (tests/test_textops_semantics.py)."""
-    tk = F.split(F.lower("text"), " ")
+def winnow_selection(tk):
+    """The winnowed min-hash array (with repeats) for a token-array
+    column — the shared core of t59's digest and d54's pair join."""
     h = _rolling_hashes(tk)
     min2 = F.zip_with(
         h,
@@ -538,6 +535,15 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
             ),
         )
     )
+    return h, m
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Winnowing selection over any (doc_id, text) frame — factored out
+    of t59 so the property suite can drive it on adversarial token
+    streams against a brute-force min-of-window reference
+    (tests/test_textops_semantics.py)."""
+    h, m = winnow_selection(F.split(F.lower("text"), " "))
     fps = F.array_sort(F.array_distinct(m))
     return d.select(
         "doc_id",

@@ -381,3 +381,141 @@ def q83_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(cond, z), 6).alias("z"),
         (cond & (z > 2)).cast("int").alias("is_anomaly"),
     )
+
+
+_GAPFILL_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q92_gapfill_interpolate",
+    f"""
+    WITH obs AS (
+      SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+               AS bucket_us,
+             COUNT(*) AS n_obs,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS v_avg
+      FROM events WHERE value > 90.0
+      GROUP BY 1, 2),
+    mm AS (
+      SELECT MIN(epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))) AS lo,
+             MAX(epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.event_type, g.bucket_us
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, {_GAPFILL_HOUR_US}))
+                    AS bucket_us FROM mm) g),
+    joined AS (
+      SELECT s.event_type, s.bucket_us, o.n_obs, o.v_avg,
+             last_value(o.v_avg IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN o.v_avg IS NOT NULL THEN s.bucket_us END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+             first_value(o.v_avg IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN o.v_avg IS NOT NULL THEN s.bucket_us END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nu
+      FROM spine s LEFT JOIN obs o
+        ON o.event_type = s.event_type AND o.bucket_us = s.bucket_us)
+    SELECT event_type, bucket_us,
+           COALESCE(n_obs, 0) AS n_obs,
+           (v_avg IS NULL) AS is_gap,
+           ROUND(CASE
+             WHEN v_avg IS NOT NULL THEN v_avg
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(bucket_us - pu AS DOUBLE)
+                                 / CAST(nu - pu AS DOUBLE))
+             ELSE COALESCE(pv, nv) END, 6) AS v_filled
+    FROM joined
+    """,
+)
+def q92_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation (TimescaleDB ``interpolate``
+    to q77's ``locf``): a sparse hourly series of per-bucket averages
+    is joined onto a GENERATED hour spine (sequence between the corpus
+    min/max bucket — truly missing hours appear, unlike a
+    distinct-observed spine) and each gap takes the straight line
+    between its surrounding observations; leading/trailing gaps take
+    the nearest observation.
+
+    Exactness across engines: the bucket average is a fixed-point
+    integer sum over 2-decimal values, and the interpolation is the
+    identical IEEE expression (pv + (nv-pv)·frac with a bigint-derived
+    frac) on both sides, rounded once at the end. Scale shape: the
+    observation aggregate combines map-side; the spine is
+    #types × #hours (tiny, broadcast-joined); the four fill windows
+    share one (event_type, bucket) sort — at 100 TB cost is the
+    observation scan plus a spine-sized window."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    hour = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    obs = (
+        e.filter(F.col("value") > 90.0)
+        .groupBy("event_type", hour.alias("bucket_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("v_avg"),
+        )
+    )
+    mm = e.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    hours = mm.select(
+        F.explode(F.expr(f"sequence(lo, hi, {_GAPFILL_HOUR_US})")).alias("bucket_us")
+    )
+    spine = e.select("event_type").distinct().crossJoin(hours)
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v_avg").isNotNull(), F.col("bucket_us"))
+    j = (
+        spine.join(obs, ["event_type", "bucket_us"], "left")
+        .select(
+            "event_type",
+            "bucket_us",
+            "n_obs",
+            "v_avg",
+            F.last("v_avg", ignorenulls=True).over(back).alias("pv"),
+            F.last(obs_bucket, ignorenulls=True).over(back).alias("pu"),
+            F.first("v_avg", ignorenulls=True).over(fwd).alias("nv"),
+            F.first(obs_bucket, ignorenulls=True).over(fwd).alias("nu"),
+        )
+    )
+    frac = (F.col("bucket_us") - F.col("pu")).cast("double") / (
+        F.col("nu") - F.col("pu")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v_avg").isNotNull(), F.col("v_avg"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return j.select(
+        "event_type",
+        "bucket_us",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("v_avg").isNull().alias("is_gap"),
+        F.round(filled, 6).alias("v_filled"),
+    )

@@ -67,13 +67,17 @@ _MODULES = [
 # engagement) lead too; m56 and m55 (both multiply driver-green) slide
 # out at 51-52 — multimodal stays covered in-window by m57/m58, and
 # every rotated-out entry remains in the local parity suite.
-# r5 continuation: five more new entries lead (d53 span dedup, q89
-# Markov transitions, q90 SCD2 intervals, q91 trimmed mean, st61
-# interval join); st59/t50/t51/t60/t61/m55/m56 slide past slot 50
+# r5 continuation: seven more new entries lead (s52 1-NN label
+# accuracy, q92 interpolating gapfill, d53 span dedup, q89 Markov
+# transitions, q90 SCD2 intervals, q91 trimmed mean, st61 interval
+# join); st57/st58/st59/t50/t51/t60/t61/m55/m56 slide past slot 50
 # (all multiply driver-green; streaming stays covered in-window by
-# st57/st58/st60/st61, text by t55-t59/t62, multimodal by m57/m58).
+# st60/st61, text by t55-t59/t62, multimodal by m57/m58).
 _PRIORITY = [
     # never driver-scored — verify these first
+    "d54_winnow_neardup_pairs",
+    "s52_knn_label_accuracy",
+    "q92_gapfill_interpolate",
     "d53_dup_span_fraction",
     "q89_markov_transitions",
     "q90_scd2_intervals",

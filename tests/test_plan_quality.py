@@ -567,3 +567,55 @@ def test_st61_interval_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_s52_probe_side_broadcast_rank1_grouplimited(spark):
+    """s52's scale contract: the eval probe set is the broadcast side
+    (the corpus never shuffles for the scoring join — cost is
+    #probes × corpus, linear in the corpus), and the per-probe argmin
+    is a rank-1 window with a map-side WindowGroupLimit, so each task
+    forwards ONE row per probe to the exchange."""
+    from pinot_pulsar_plugin_spark.operators import similarity
+
+    df = similarity.s52_knn_label_accuracy(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q92_gapfill_single_window_sort(spark):
+    """q92's scale contract: all four fill windows (prev/next value and
+    bucket) collapse into ONE Window operator over one
+    (event_type, bucket) sort; the spine is built from broadcast
+    one-row min/max × distinct types (tiny cross, never data × data)
+    and joins the observations by broadcast hash."""
+    from pinot_pulsar_plugin_spark.operators import timeseries
+
+    import re
+
+    df = timeseries.q92_gapfill_interpolate(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d54_winnow_pairs_equi_join_narrow_keys(spark):
+    """d54's scale contract: winnowing samples in-row BEFORE any
+    shuffle (no explode until the fingerprint table), candidates come
+    from a fingerprint equi-join (never cartesian/BNLJ), and every
+    exchange key is one of the documented narrow keys (f, doc_id,
+    doc_a) — the d44 shape over a ~2-4× smaller join input."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    df = dedup.d54_winnow_neardup_pairs(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys <= {"f", "doc_id", "doc_a"}, keys
