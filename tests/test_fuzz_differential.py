@@ -559,3 +559,48 @@ def test_fuzz_range_frame_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"rgfuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_fill_query(rng: random.Random) -> tuple[str, str]:
+    """IGNORE NULLS window-fill family (guards the q77/q92 fill
+    semantics): a predicate sparsifies a measure into NULLs, then
+    first/last/nth_value with IGNORE NULLS reads through the gaps over
+    a deterministic frame (unique order key). Spark and DuckDB place
+    the IGNORE NULLS clause differently (after the call vs inside the
+    argument list), so the template renders one text per engine — the
+    results, not the SQL string, are what must agree."""
+    part = rng.choice(_STR_COLS)
+    measure = f"CASE WHEN {_gen_predicate(rng)} THEN o_custkey END"
+    direction = rng.choice(["ASC", "DESC"])
+    frame = rng.choice(
+        [
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            f"ROWS BETWEEN {rng.randrange(1, 20)} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {rng.randrange(1, 10)} PRECEDING AND {rng.randrange(1, 10)} FOLLOWING",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        ]
+    )
+    fn = rng.choice(["first_value", "last_value", "nth"])
+    over = f"OVER (PARTITION BY {part} ORDER BY o_orderkey {direction} {frame})"
+    if fn == "nth":
+        k = rng.randrange(1, 4)
+        spark_expr = f"nth_value({measure}, {k}) IGNORE NULLS {over}"
+        duck_expr = f"nth_value({measure}, {k} IGNORE NULLS) {over}"
+    else:
+        spark_expr = f"{fn}({measure}) IGNORE NULLS {over}"
+        duck_expr = f"{fn}({measure} IGNORE NULLS) {over}"
+    base = "SELECT o_orderkey, CAST({} AS BIGINT) AS w FROM orders"
+    return base.format(spark_expr), base.format(duck_expr)
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_ignore_nulls_fill_differential(seed, spark, fuzz_env):
+    """Random IGNORE NULLS window fills — LOCF, next-observation, and
+    nth-observation reads over NULL-sparsified measures; both engines
+    must agree row-for-row despite their different clause placement."""
+    rng = random.Random(31000 + seed)
+    spark_sql, duck_sql = _gen_fill_query(rng)
+    expected = fuzz_env.sql(duck_sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"fillfuzz{seed}", spark.sql(spark_sql), expected)
+    assert not problems, f"{spark_sql}\n{duck_sql}\n" + "\n".join(problems)
