@@ -786,9 +786,16 @@ def d54_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard filter. Fingerprint document frequency is winnow-
     bounded (max df 6 on this corpus); a boilerplate-heavy corpus
     would add d44's stop-list broadcast anti-join unchanged."""
+    return winnow_pairs(t(spark, sf_dir, "documents"), _WINNOW_JACCARD_MIN)
+
+
+def winnow_pairs(d: DataFrame, jaccard_min: float) -> DataFrame:
+    """d54's fingerprint pair join over any (doc_id, text) frame —
+    factored out so the property suite can drive it on planted
+    edit-mutated near-duplicates (the winnowing guarantee: one token
+    edit destroys only the fingerprints whose window covers it)."""
     from pinot_pulsar_plugin_spark.operators.textops import winnow_selection
 
-    d = t(spark, sf_dir, "documents")
     _, m = winnow_selection(F.split(F.lower("text"), " "))
     fp = d.select("doc_id", F.explode(F.array_distinct(m)).alias("f")).persist()
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -808,5 +815,5 @@ def d54_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _WINNOW_JACCARD_MIN)
+        .filter(F.col("jaccard") >= jaccard_min)
     )

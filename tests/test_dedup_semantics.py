@@ -240,3 +240,38 @@ def test_d46_simhash_recall_on_near_identical_docs(spark, tmp_path):
     assert (0, 1) in pairs, "near-identical pair missed by SimHash banding"
     assert pairs[(0, 1)].hamming <= 10, pairs[(0, 1)]
     assert not any(2 in (a, b) for a, b in pairs), pairs
+
+
+def test_d54_winnow_pairs_edit_robust_recall_and_precision(spark):
+    """Winnowed pair detection must survive local edits (the MOSS
+    guarantee d54 is built on): a document and its 2-token-edited copy
+    share every fingerprint whose k+w-1 window avoids the edit sites,
+    so the pair clears the Jaccard cut easily — while independent
+    random documents over a large vocabulary share (almost) nothing.
+    Both directions asserted: every planted pair found, zero spurious
+    pairs between unrelated docs."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.dedup import winnow_pairs
+
+    rng = _random.Random(54)
+    vocab = [f"w{c}{i}" for c in "abcdefgh" for i in range(200)]
+    rows = []
+    planted = set()
+    for d in range(30):
+        toks = [rng.choice(vocab) for _ in range(60)]
+        rows.append((d * 2, " ".join(toks)))
+        edited = list(toks)
+        for _ in range(2):  # two scattered single-token edits
+            edited[rng.randrange(len(edited))] = rng.choice(vocab)
+        rows.append((d * 2 + 1, " ".join(edited)))
+        planted.add((d * 2, d * 2 + 1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_pairs(docs, 0.25).collect()
+    }
+    assert planted <= got, f"missed planted pairs: {sorted(planted - got)[:5]}"
+    assert got <= planted, f"spurious pairs: {sorted(got - planted)[:5]}"

@@ -255,3 +255,63 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(expected) >= 5
+
+
+def test_interval_join_drops_late_purchase_after_watermark(spark, tmp_path):
+    """State-expiry semantics of the stream-stream interval join: once
+    both sides' watermarks pass view_ts + max_delay, the buffered view
+    state is evicted and a too-late matching purchase produces NO pair
+    — the bound that keeps join state O(in-flight window) at
+    100 TB/day. First batch: an in-window match emits; watermark
+    pushers then advance both sides far past the join window; second
+    batch: a purchase 60 min after the old view (in-window by time
+    arithmetic, but far behind the watermark) must be dropped."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+    from pinot_pulsar_plugin_spark.streaming.windows import interval_join
+
+    root = str(tmp_path / "broker")
+    w = TopicWriter(root, "ev", partitions=1)
+    first = [
+        _event(0, 0, etype="view", user=1),
+        _event(1, 30, etype="purchase", user=1),  # in-window match
+        _event(2, 9000, etype="view", user=9),  # watermark pushers
+        _event(3, 9000, etype="purchase", user=9),
+    ]
+    for r in first:
+        w.append(0, _json.dumps(r))
+    decoded_v = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    decoded_p = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    joined = interval_join(
+        decoded_v.where(F.col("event_type") == "view"),
+        decoded_p.where(F.col("event_type") == "purchase"),
+        max_delay="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ivj_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {
+        (r.user_id, r.view_event_id, r.purchase_event_id)
+        for r in spark.sql("SELECT * FROM t_ivj_late").collect()
+    }
+    assert got1 == {(1, 0, 1)}
+
+    # a purchase 60 min after the user-1 view: inside the 2 h window by
+    # arithmetic, but hours behind the watermark — state is gone, row
+    # is late; nothing may emit
+    w.append(0, _json.dumps(_event(4, 60, etype="purchase", user=1)))
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        (r.user_id, r.view_event_id, r.purchase_event_id)
+        for r in spark.sql("SELECT * FROM t_ivj_late").collect()
+    }
+    assert got2 == got1, f"late purchase leaked into output: {got2 - got1}"
