@@ -315,3 +315,52 @@ def test_interval_join_drops_late_purchase_after_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_ivj_late").collect()
     }
     assert got2 == got1, f"late purchase leaked into output: {got2 - got1}"
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """The buffered view state of the stream-stream interval join must
+    live in the checkpointed state store, not in memory: a view
+    ingested before a stop must still match a purchase ingested after
+    the restart, and the pair must emit exactly once."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+    from pinot_pulsar_plugin_spark.streaming.windows import interval_join
+
+    root = str(tmp_path / "broker")
+    w = TopicWriter(root, "ev", partitions=1)
+    w.append(0, _json.dumps(_event(0, 0, etype="view", user=1)))
+
+    def build():
+        dv = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+        dp = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+        return interval_join(
+            dv.where(F.col("event_type") == "view"),
+            dp.where(F.col("event_type") == "purchase"),
+            max_delay="2 hours",
+        )
+
+    ck = str(tmp_path / "ck_restart")
+    out = str(tmp_path / "out_restart")
+
+    def run_once():
+        q = (
+            build().writeStream.format("parquet")
+            .outputMode("append").option("path", out)
+            .option("checkpointLocation", ck).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 0  # no purchase yet
+
+    w.append(0, _json.dumps(_event(1, 30, etype="purchase", user=1)))
+    run_once()
+    rows = [
+        (r.user_id, r.view_event_id, r.purchase_event_id, r.delay_us)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert rows == [(1, 0, 1, 1800_000_000)], rows
