@@ -276,3 +276,68 @@ def q91_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("trimmed_mean"),
     )
+
+
+_MAD_K = 4.4478  # 3 × 1.4826 (normal-consistency constant)
+
+
+@query(
+    "q93_mad_outliers",
+    f"""
+    WITH med AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS d
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+      SELECT event_type,
+             ROUND(quantile_cont(d, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           MAX(d.med) AS med,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.d > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q93_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counting via Median Absolute Deviation — the
+    data-quality screen that survives the heavy-tailed garbage a plain
+    mean/stddev z-score is poisoned by (q81's moments are the fragile
+    counterpart; q83's running z-score is the streaming one). A value
+    is an outlier when |x − median| > 3·1.4826·MAD (the
+    normal-consistent 3σ rule).
+
+    Two exact interpolated medians (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the q43-proven pairing, each rounded once at
+    6 dp) with the tiny per-group medians broadcast back onto the
+    events — the event table is scanned twice and shuffled never; all
+    three aggregates key on event_type and combine map-side. At 100 TB
+    the percentile buffers bound by #distinct values per group (2-dp
+    values here); for truly unbounded-cardinality measures the sketch
+    path is q57's approx_quantiles."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(d, 0.5)"), 6).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum((F.col("d") > _MAD_K * F.col("mad")).cast("int")).cast("long").alias(
+            "n_outliers"
+        ),
+    )

@@ -704,3 +704,94 @@ def t62_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= F.lit(_T62_MAX_TOP3_FRAC)).alias("keep_top_ngram"),
         )
     )
+
+
+@query(
+    "t63_bigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    tok AS (SELECT unnest(tk) AS w FROM toks),
+    uni AS (SELECT w, COUNT(*) AS c_a FROM tok GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS vs FROM tok),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])
+             ELSE [] END) AS b
+      FROM toks),
+    cb AS (SELECT b, COUNT(*) AS c_ab FROM bg GROUP BY b)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(
+               ln((CAST(u.c_a AS DOUBLE) + CAST(v.vs AS DOUBLE))
+                  / (CAST(cb.c_ab AS DOUBLE) + 1.0)) * 1000000) AS BIGINT))
+             // COUNT(*) AS DOUBLE) / 1000000.0 AS mean_surprisal
+    FROM bg g
+    JOIN cb ON cb.b = g.b
+    JOIN uni u ON u.w = split_part(g.b, ' ', 1)
+    CROSS JOIN v
+    GROUP BY g.doc_id
+    """,
+)
+def t63_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own
+    add-one-smoothed bigram LM: -ln P(w_i | w_{i-1}) with
+    P(b|a) = (c(ab)+1)/(c(a)+V), averaged over the document. The
+    step beyond t61's unigram idf: a document of common words in
+    UNCOMMON order (shuffled/templated/spun text) now scores high —
+    the cheap fluency proxy a quality pipeline runs where a neural LM
+    is too expensive. Per-term values are fixed-pointed BEFORE the
+    per-doc sum (order-independent integer aggregation, the t61/
+    functions/exact.py pattern).
+
+    Scale shape: bigrams form in-row (transform over the token array,
+    no explode until the count tables), both count tables are map-side-
+    combinable aggregates, the rejoin keys are the bigram/token strings
+    (the same keyed-equi-join shape as t61), and V broadcasts as one
+    row. Nothing quadratic, no Python."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    tok = toks.select(F.explode("tk").alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
+    v = tok.agg(F.countDistinct("w").alias("vs"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c_ab"))
+    term_fp = F.round(
+        F.log(
+            (F.col("c_a").cast("double") + F.col("vs").cast("double"))
+            / (F.col("c_ab").cast("double") + 1.0)
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        bg.join(cb, "b")
+        .join(uni, F.col("w") == F.substring_index("b", " ", 1))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term_fp).alias("_s_fp"),
+        )
+        # integer micro-units division — no ROUND boundary for the
+        # engines to disagree on (S/n landed exactly on a 1e-6
+        # half-boundary at sf0.1; round() semantics differ there)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.expr("CAST(_s_fp div n_bigrams AS DOUBLE)") / 1000000.0).alias(
+                "mean_surprisal"
+            ),
+        )
+    )

@@ -619,3 +619,20 @@ def test_d54_winnow_pairs_equi_join_narrow_keys(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
     assert keys <= {"f", "doc_id", "doc_a"}, keys
+
+
+def test_q93_mad_broadcast_medians_no_event_shuffle(spark):
+    """q93's scale contract: the per-group medians come back to the
+    event rows by BROADCAST join (the events table itself never
+    shuffles for a join); every exchange keys on event_type and every
+    aggregate combines map-side."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import aggregates2
+
+    df = aggregates2.q93_mad_outliers(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys <= {"event_type"}, keys
