@@ -54,6 +54,7 @@ HEADLINE = [
     "st57_tumbling_window",
     "t50_text_stats",
     "t62_top_ngram_coverage",
+    "t63_bigram_surprisal",
     "m56_decode_pipeline",
     "q84_bloom_semi_prune",
     "q87_bloom_subquery_prune",

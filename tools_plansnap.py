@@ -166,6 +166,34 @@ COMMENTARY = {
         "exactness inherently requires. The mean is a fixed-point integer "
         "sum — partial_sum combines map-side."
     ),
+    "d54_winnow_neardup_pairs": (
+        "Winnowing selects ~1/(w/2) of the rolling hashes IN-ROW (no "
+        "explode before the fingerprint table), then d44's pair shape "
+        "runs over the smaller input: per-doc counts, fingerprint "
+        "equi-join, Jaccard filter. Narrow keys only (f, doc_id, doc_a)."
+    ),
+    "s52_knn_label_accuracy": (
+        "The probe set broadcasts (eval sets stay small by design); the "
+        "corpus never shuffles for the scoring join. Rank-1 argmin is a "
+        "WindowGroupLimit: each task forwards one row per probe before "
+        "the exchange. Cost is #probes x corpus - a linear scoring scan."
+    ),
+    "q92_gapfill_interpolate": (
+        "Observation aggregate combines map-side; the hour spine is "
+        "broadcast one-row min/max x distinct types (tiny cross); all "
+        "four fill windows (prev/next value and bucket) collapse into "
+        "ONE Window operator over one (event_type, bucket) sort."
+    ),
+    "q93_mad_outliers": (
+        "Two exact interpolated medians, each broadcast back onto the "
+        "event scan - the events table shuffles never; every exchange "
+        "keys on event_type and combines map-side."
+    ),
+    "st61_interval_join": (
+        "Equi-join on user_id with the 2-hour bound as a join "
+        "post-filter - never a nested loop over the range predicate. "
+        "In streaming the same bound expires the join state."
+    ),
 }
 
 
