@@ -679,15 +679,21 @@ def d53_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the doc spine for zero-span docs. Every shuffled row is ≤16
     bytes. The string-exact oracle doubles as the hash-collision check
     (same argument as d44)."""
-    d = t(spark, sf_dir, "documents")
+    return span_dup_fractions(t(spark, sf_dir, "documents"), _SPAN_K)
+
+
+def span_dup_fractions(d: DataFrame, k: int) -> DataFrame:
+    """d53's span-frequency scoring over any (doc_id, text) frame —
+    factored out so the property suite can drive it on adversarial
+    boilerplate corpora against a brute-force reference."""
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
     spans = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size(tk) >= {_SPAN_K} THEN "
-                f"transform(sequence(1, size(tk) - {_SPAN_K - 1}), "
-                f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_SPAN_K})))) "
+                f"CASE WHEN size(tk) >= {k} THEN "
+                f"transform(sequence(1, size(tk) - {k - 1}), "
+                f"i -> xxhash64(concat_ws(' ', slice(tk, i, {k})))) "
                 f"ELSE array() END"
             )
         ).alias("h"),
@@ -700,7 +706,7 @@ def d53_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = toks.select(
         "doc_id",
-        F.greatest(F.expr(f"size(tk) - {_SPAN_K - 1}"), F.lit(0)).cast("long").alias("n_spans"),
+        F.greatest(F.expr(f"size(tk) - {k - 1}"), F.lit(0)).cast("long").alias("n_spans"),
     )
     return base.join(dup, "doc_id", "left").select(
         "doc_id",

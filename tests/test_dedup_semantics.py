@@ -275,3 +275,55 @@ def test_d54_winnow_pairs_edit_robust_recall_and_precision(spark):
     }
     assert planted <= got, f"missed planted pairs: {sorted(planted - got)[:5]}"
     assert got <= planted, f"spurious pairs: {sorted(got - planted)[:5]}"
+
+
+def test_d53_span_counts_match_brute_force_with_boilerplate(spark):
+    """d53 against a brute-force reference on an adversarial corpus:
+    every doc shares one hot boilerplate span (the skew case), some
+    docs repeat a span internally (within-doc duplication must count),
+    and some docs are unique filler. Exact per-doc n_spans/n_dup
+    equality with the Python reference."""
+    import random as _random
+    from collections import Counter
+
+    from pinot_pulsar_plugin_spark.operators.dedup import span_dup_fractions
+
+    k = 4
+    rng = _random.Random(53)
+    vocab = [f"v{i}" for i in range(500)]
+    boiler = ["subscribe", "to", "our", "newsletter", "today", "please"]
+    rows = []
+    for d in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(8, 30))]
+        if d % 2 == 0:
+            pos = rng.randrange(len(toks) + 1)
+            toks = toks[:pos] + boiler + toks[pos:]  # hot span in half the docs
+        if d % 7 == 0:
+            seg = toks[:k]
+            toks = toks + seg  # within-doc repeat
+        rows.append((d, " ".join(toks)))
+
+    # brute force
+    corpus = Counter()
+    doc_spans = {}
+    for doc_id, text in rows:
+        tk = text.lower().split(" ")
+        spans = [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        doc_spans[doc_id] = spans
+        corpus.update(spans)
+    expected = {
+        doc_id: (
+            len(spans),
+            sum(1 for s in spans if corpus[s] >= 2),
+        )
+        for doc_id, spans in doc_spans.items()
+    }
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in span_dup_fractions(docs, k).collect()
+    }
+    assert got == expected
+    # the boilerplate span really is hot: every even doc has dups
+    assert all(expected[d][1] > 0 for d in range(0, 40, 2))

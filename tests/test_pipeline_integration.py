@@ -202,3 +202,28 @@ def test_t60_redaction_removes_all_injected_pii(spark):
         assert r.redacted.count("<EMAIL>") == r.n_emails
         assert r.redacted.count("<PHONE>") == r.n_phones
         assert r.redacted.count("<IP>") == r.n_ips
+
+
+def test_q89_transition_probabilities_normalize(spark):
+    """Markov invariants: per prev_type the probabilities sum to 1
+    (within one ulp-scale tolerance of the exact bigint ratio) and the
+    transition counts sum to exactly #events − #users-with-events
+    (every event except each user's first contributes one bigram)."""
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q89_markov_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q89_markov_transitions(spark, sf).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, grp in by_prev.items():
+        assert abs(sum(r.p for r in grp) - 1.0) < 1e-9, prev
+    from pinot_pulsar_plugin_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
