@@ -346,6 +346,12 @@ _TIME_EXPRS = [
     "CAST(o_orderdate AS DATE)",
     "o_orderdate + INTERVAL {k} DAY",
     "CAST(extract(doy FROM o_orderdate) AS BIGINT)",
+    # week-grain parity: ISO week number and Monday-start week trunc
+    # agree between engines (probed 1996 dates incl. year boundary)
+    "CAST(extract(week FROM o_orderdate) AS BIGINT)",
+    "CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)",
+    "CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)",
+    "CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)",
     "last_day(CAST(o_orderdate AS DATE))",
     "greatest(o_orderdate, TIMESTAMP '1996-01-01 00:00:00')",
 ]
@@ -604,3 +610,41 @@ def test_fuzz_ignore_nulls_fill_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(duck_sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"fillfuzz{seed}", spark.sql(spark_sql), expected)
     assert not problems, f"{spark_sql}\n{duck_sql}\n" + "\n".join(problems)
+
+
+def test_day_of_week_conventions_pinned(spark, fuzz_env):
+    """Day-of-week is a REAL cross-engine trap: Spark extract(dow) is
+    Sunday=1..Saturday=7 while DuckDB dow is Sunday=0..Saturday=6, so
+    the same SQL text silently returns different numbers. This test
+    pins (a) the divergence itself (so an engine upgrade that changes
+    either convention fails loudly) and (b) the portable translation —
+    Spark dow_iso ≡ DuckDB isodow (Monday=1..Sunday=7) — over every
+    order date."""
+    spark_plain = spark.sql(
+        "SELECT o_orderkey, CAST(extract(dow FROM o_orderdate) AS BIGINT) AS d "
+        "FROM orders"
+    ).toPandas().set_index("o_orderkey")["d"]
+    duck_plain = (
+        fuzz_env.sql(
+            "SELECT o_orderkey, CAST(extract(dow FROM o_orderdate) AS BIGINT) AS d "
+            "FROM orders"
+        )
+        .arrow().to_pandas().set_index("o_orderkey")["d"]
+    )
+    assert (spark_plain - duck_plain.reindex(spark_plain.index) == 1).all(), (
+        "Spark dow should be DuckDB dow + 1 (Sunday=1 vs Sunday=0)"
+    )
+
+    expected = fuzz_env.sql(
+        "SELECT o_orderkey, CAST(extract(isodow FROM o_orderdate) AS BIGINT) AS iso "
+        "FROM orders"
+    ).arrow().to_pandas(date_as_object=True)
+    problems = compare(
+        "dow_iso",
+        spark.sql(
+            "SELECT o_orderkey, CAST(extract(dow_iso FROM o_orderdate) AS BIGINT) "
+            "AS iso FROM orders"
+        ),
+        expected,
+    )
+    assert not problems, problems
