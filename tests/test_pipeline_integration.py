@@ -162,12 +162,21 @@ def test_llm_corpus_pipeline(spark, tmp_path):
     deduped.write.mode("overwrite").parquet(f"{landed_dir}/documents.parquet")
 
     def frames(sf_dir):
+        from pinot_pulsar_plugin_spark.operators.dedup import (
+            d53_dup_span_fraction,
+            d54_winnow_neardup_pairs,
+        )
+        from pinot_pulsar_plugin_spark.operators.textops import t63_bigram_surprisal
+
         return [
             t56_quality_filter(spark, sf_dir).toPandas(),
             t60_pii_redaction(spark, sf_dir).toPandas(),
             q74_train_split(spark, sf_dir).toPandas(),
             q75_sequence_packing(spark, sf_dir).toPandas(),
             d51_cluster_keeper_quality(spark, sf_dir).toPandas(),
+            d53_dup_span_fraction(spark, sf_dir).toPandas(),
+            d54_winnow_neardup_pairs(spark, sf_dir).toPandas(),
+            t63_bigram_surprisal(spark, sf_dir).toPandas(),
         ]
 
     for got, want in zip(frames(landed_dir), frames(SF)):
