@@ -186,3 +186,54 @@ def st61_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_event_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
     )
+
+
+@query(
+    "st62_interval_join_outer",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+             - epoch_us(CAST(v.ts AS TIMESTAMP)) AS delay_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL '2 hours'
+    """,
+)
+def st62_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join:
+    st61's attribution pairs PLUS every unconverted view as a NULL
+    row — the form that measures conversion RATE, not just conversions.
+    In streaming the NULL rows are watermark-delayed by construction
+    (Spark may only emit "no purchase came" once the watermark proves
+    the window closed); the streaming twin is verified differentially
+    in tests/test_streaming_ops.py with that trailing edge excluded.
+
+    Batch shape: same single user_id equi-exchange per side as st61;
+    LEFT OUTER preserves the view side, so row count = #views +
+    #extra matches — no new scale risk."""
+    e = t(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+    )

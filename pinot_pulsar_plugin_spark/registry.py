@@ -75,6 +75,7 @@ _MODULES = [
 # st60/st61, text by t55-t59/t62, multimodal by m57/m58).
 _PRIORITY = [
     # never driver-scored — verify these first
+    "st62_interval_join_outer",
     "t63_bigram_surprisal",
     "q93_mad_outliers",
     "d54_winnow_neardup_pairs",

@@ -107,6 +107,7 @@ def interval_join(
     ts_col: str = "ts",
     max_delay: str = "2 hours",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every purchase within ``max_delay``
     after a view by the same user (st61's streaming form — the
@@ -116,9 +117,11 @@ def interval_join(
     once the purchase-side watermark passes view_ts + max_delay, so
     state is O(in-flight window), not O(stream history).
 
-    Inner join → results emit as soon as both sides match; no
-    watermark-delayed output (that cost only applies to outer interval
-    joins)."""
+    Inner join → results emit as soon as both sides match.
+    ``how="leftOuter"`` (st62) adds unmatched views with NULL purchase
+    columns — those rows can only emit once the watermark proves no
+    purchase can still arrive, so outer results trail the watermark by
+    design (the differential test accounts for that)."""
     v = views.withWatermark(ts_col, watermark).select(
         "user_id",
         F.col("event_id").alias("view_event_id"),
@@ -136,6 +139,7 @@ def interval_join(
                 f"user_id = p_user AND p_ts > v_ts "
                 f"AND p_ts <= v_ts + INTERVAL {max_delay}"
             ),
+            how,
         )
         .select(
             "user_id",

@@ -364,3 +364,80 @@ def test_interval_join_state_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     ]
     assert rows == [(1, 0, 1, 1800_000_000)], rows
+
+
+def test_interval_join_outer_stream_matches_batch(spark, tmp_path):
+    """Differential batch↔stream LEFT OUTER interval join (st62):
+    matched pairs emit eagerly; unmatched views emit with NULL
+    purchase columns only after the watermark proves their 2-hour
+    window closed. Watermark pushers close every real view's window,
+    so the streaming output restricted to pre-pusher views must equal
+    the batch LEFT JOIN over the same rows exactly — including which
+    views are NULL rows."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.streaming.windows import interval_join
+
+    rng = _random.Random(62)
+    rows = []
+    i = 0
+    for user in (1, 2, 3, 4, 5):
+        m = rng.randrange(0, 10)
+        for _ in range(rng.randrange(6, 12)):
+            etype = rng.choice(["view", "purchase", "click", "view"])
+            rows.append(_event(i, m, etype=etype, user=user))
+            i += 1
+            m += rng.choice([1, 5, 30, 90, 150])
+    cutoff_minutes = 20000
+    rows.append(_event(i, cutoff_minutes, etype="view", user=99)); i += 1
+    rows.append(_event(i, cutoff_minutes, etype="purchase", user=99)); i += 1
+    root = _topic(tmp_path, rows)
+    decoded_v = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    decoded_p = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    joined = interval_join(
+        decoded_v.where(F.col("event_type") == "view"),
+        decoded_p.where(F.col("event_type") == "purchase"),
+        max_delay="2 hours",
+        how="leftOuter",
+    )
+    out = _run_to_memory(joined, spark, tmp_path, "t_ivjo").collect()
+    pusher_ids = {i - 2, i - 1}
+    got = {
+        (r.user_id, r.view_event_id, r.purchase_event_id, r.delay_us)
+        for r in out
+        if r.view_event_id not in pusher_ids
+    }
+
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"]) for r in rows[:-2]],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", "user_id", "event_type", F.to_timestamp("ts").alias("ts"))
+    v = batch.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("v_ts")
+    )
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    expected = {
+        (r.user_id, r.view_event_id, r.purchase_event_id, r.delay_us)
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "view_event_id",
+            "purchase_event_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert any(pe is None for (_, _, pe, _) in expected)  # NULL rows exercised
