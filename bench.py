@@ -52,6 +52,7 @@ HEADLINE = [
     "s48_cosine_topk",
     "s50_ann_ivf_topk",
     "st57_tumbling_window",
+    "st61_interval_join",
     "t50_text_stats",
     "t62_top_ngram_coverage",
     "t63_bigram_surprisal",
