@@ -236,3 +236,65 @@ def test_q89_transition_probabilities_normalize(spark):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_q90_scd2_matches_brute_force_on_dup_heavy_sequences(spark, tmp_path):
+    """SCD2 compaction against a Python reference on an adversarial
+    stream: long runs of the same state (must collapse to one row),
+    alternating flips (must all survive), and ts ties broken by
+    event_id. Validity intervals must chain exactly — each row's
+    valid_to equals the next change's valid_from, and only the last
+    state per user is current."""
+    import random as _random
+
+    from pinot_pulsar_plugin_spark.catalog import load_table  # noqa: F401
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import q90_scd2_intervals
+
+    rng = _random.Random(90)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000
+    for user in range(1, 9):
+        ts = base
+        state = None
+        for _ in range(rng.randrange(10, 40)):
+            if rng.random() < 0.6 and state is not None:
+                new = state  # long duplicate runs
+            else:
+                new = rng.choice(["a", "b", "c"])
+            state = new
+            rows.append((eid, ts, user, new))
+            eid += 1
+            ts += rng.choice([0, 1, 1000, 60_000_000])  # incl. exact ties
+    # brute force over (ts, event_id) order
+    expected = set()
+    by_user = {}
+    for e, ts, u, st in rows:
+        by_user.setdefault(u, []).append((ts, e, st))
+    for u, seq in by_user.items():
+        seq.sort()
+        changes = []
+        prev = None
+        for ts, e, st in seq:
+            if prev is None or st != prev:
+                changes.append((ts, e, st))
+            prev = st
+        for i, (ts, e, st) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            expected.add((u, st, ts, nxt, nxt is None))
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts_us", "user_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts_us"], unit="us")
+    pdf["value"] = 0.0
+    pdf["props"] = "{}"
+    out_dir = str(tmp_path / "evdir")
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).write.parquet(out_dir + "/events.parquet")
+    got = {
+        (r.user_id, r.event_type, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in q90_scd2_intervals(spark, out_dir).collect()
+    }
+    assert got == expected
