@@ -61,6 +61,9 @@ HEADLINE = [
     "q87_bloom_subquery_prune",
     "q88_decayed_engagement",
     "q91_trimmed_mean",
+    "q94_pareto_frontier",
+    "t64_doc_chunking",
+    "s53_kmeans_step",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -1,0 +1,217 @@
+"""Corpus-curation operators: Pareto-frontier document selection,
+weight-proportional sampling, and rollup-cube serving.
+
+These are the selection/serving steps of a training-data pipeline that
+sit between the dedup family (``dedup.py``) and the mixture/packing
+family (``pipelines.py``): pick the non-dominated documents on
+competing quality axes (q94), draw a reproducible size-weighted sample
+(q95), and answer group-by queries from a pre-aggregated cube instead
+of the fact scan (q96 — the Pinot star-tree serving idea, SURVEY.md §0,
+via :mod:`pinot_pulsar_plugin_spark.functions.rollup`).
+
+All three are pure DataFrame compositions with engine-exact arithmetic
+(integer keys, IEEE-exact divisions, fixed-point sums) so every one is
+oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.functions.exact import exact_sum, exact_sum_sql
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+
+# ---------------------------------------------------------------------------
+# q94: 2-D Pareto frontier (skyline) per language
+# ---------------------------------------------------------------------------
+#
+# Keep the documents not dominated on (length, lexical diversity): doc d
+# is dominated iff another doc in the same language is >= on both axes
+# and strictly > on at least one. The oracle states dominance directly
+# as NOT EXISTS (quadratic — fine at oracle scale); the engine plan is
+# the O(n log n) sweep: sort by length descending and compare each doc's
+# diversity against the running max over strictly-longer docs. Two RANGE
+# frames over ONE sort order resolve both tie cases exactly:
+#
+#   m_strict = max(y) over x' >  x   (frame: unbounded .. -1 on -x asc)
+#   m_incl   = max(y) over x' >= x   (frame: unbounded .. current row)
+#
+#   dominated  <=>  m_strict >= y  OR  m_incl > y
+#
+# (m_incl includes the row itself, so m_incl > y iff some doc with
+# x' >= x has strictly larger y — exactly the second dominance clause.)
+
+_UNIQ_RATIO = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+
+
+@query(
+    "q94_pareto_frontier",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars, {_UNIQ_RATIO} AS uniq_ratio
+      FROM documents)
+    SELECT d.doc_id, d.lang, d.n_chars, d.uniq_ratio
+    FROM m d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE o.lang = d.lang
+        AND ((o.n_chars >  d.n_chars AND o.uniq_ratio >= d.uniq_ratio)
+          OR (o.n_chars >= d.n_chars AND o.uniq_ratio >  d.uniq_ratio))
+    )
+    """,
+)
+def q94_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier on (n_chars, distinct-token ratio):
+    the multi-objective keep set of a curation pass — no document on the
+    frontier can be improved on one axis without losing on the other.
+
+    Scale shape: ONE hash exchange on lang + one sort serves both RANGE
+    frames (Catalyst collapses them into a single Window operator); cost
+    is O(n log n) per language vs the oracle's quadratic NOT EXISTS. The
+    diversity ratio is a small-int division (IEEE-exact, identical
+    across engines)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+    # Ascending sort on -n_chars makes "strictly longer" a clean
+    # integer RANGE bound: nx' <= nx - 1  <=>  x' >= x + 1.
+    nx = (-F.col("n_chars")).alias("nx")
+    base = Window.partitionBy("lang").orderBy("nx")
+    m_strict = F.max("uniq_ratio").over(
+        base.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m_incl = F.max("uniq_ratio").over(
+        base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = F.col("uniq_ratio")
+    dominated = (F.coalesce(m_strict >= y, F.lit(False))) | (m_incl > y)
+    return (
+        m.withColumn("nx", nx)
+        .withColumn("_dom", dominated)
+        .filter(~F.col("_dom"))
+        .select("doc_id", "lang", "n_chars", "uniq_ratio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95: weight-proportional sample (sequential Poisson / Ohlsson) per language
+# ---------------------------------------------------------------------------
+
+_SP_MULT = 2654435761  # Knuth multiplicative hash (same constant as q44)
+_SP_MOD = 1000003  # prime — uniform-ish u in [1, _SP_MOD]
+_SP_KEEP = 40  # docs kept per language
+
+
+@query(
+    "q95_weighted_sample",
+    f"""
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             CAST((doc_id * {_SP_MULT}) % {_SP_MOD} + 1 AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, priority,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY priority, doc_id
+             ) AS INTEGER) AS pick_rank
+      FROM pr)
+    SELECT doc_id, lang, n_chars, priority, pick_rank
+    FROM ranked WHERE pick_rank <= {_SP_KEEP}
+    """,
+)
+def q95_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted sampling without replacement (sequential Poisson
+    sampling, Ohlsson 1998): each doc gets priority u/w with u a
+    deterministic hash-uniform and w = n_chars; the {_SP_KEEP} smallest
+    priorities per language are the sample. Inclusion probability is
+    ~proportional to length — the "sample by token mass, not by row"
+    draw a mixture builder needs — and fully reproducible (no RNG
+    state), unlike TABLESAMPLE.
+
+    Engine-exactness: u and w are small ints, u/w is one IEEE-exact
+    double division — identical bits on both engines, no transcendental
+    math (the classic A-ES key u^(1/w) is order-equivalent but its
+    pow/log would not be cross-engine stable).
+
+    Scale shape: identical to q78 — rank-then-filter lowers to
+    WindowGroupLimit, so each map task forwards at most K rows per
+    language before the single hash exchange on lang."""
+    d = t(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * _SP_MULT, F.lit(_SP_MOD)) + 1
+    priority = (u.cast("double") / F.col("n_chars").cast("double")).alias(
+        "priority"
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", priority)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _SP_KEEP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96: serve a group-by from the materialized rollup cube (star-tree analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_rollup_serving",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           {exact_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q96_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer a group-by from the pre-aggregated CUBE instead of the
+    fact scan — the Spark-native form of Pinot's star-tree serving
+    (functions/rollup.py; the reference feeds realtime segments whose
+    query-side acceleration is exactly this idea). One pass computes
+    every grouping set of (l_returnflag, l_linestatus) with re-aggregable
+    measures; the "query" then selects the grouping set where
+    l_linestatus is aggregated away (grouping_id bit 0 set -> _gid = 1)
+    — a #groups-sized filter, no second fact scan. The oracle is the
+    direct GROUP BY, proving cube-served == scan-served.
+
+    At 100 TB the cube lands as a tiny summary table refreshed with
+    ingestion; every dim-subset group-by thereafter reads the summary,
+    not the fact table. Measures are associative by construction
+    (counts and fixed-point integer sums — exact.py rationale)."""
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        GID,
+        materialize_rollup,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    cube = materialize_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_items": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.round(F.col("l_quantity")).cast("long")),
+            "revenue": exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        },
+    )
+    return cube.filter(F.col(GID) == 1).select(
+        "l_returnflag", "n_items", "sum_qty", "revenue"
+    )

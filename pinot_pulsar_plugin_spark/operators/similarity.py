@@ -397,3 +397,98 @@ def s52_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         match.cast("long").alias("n_match"),
         (match.cast("double") / F.count(F.lit(1))).alias("acc"),
     )
+
+
+_KM_K = 8  # deterministic Lloyd-step init: centroids = vec_id < _KM_K
+
+_L2_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _fold_l2(a, b):
+    """Squared L2 distance as a sequential double fold (same
+    cross-engine bit-exactness argument as :func:`fold_dot`)."""
+    diffs = F.zip_with(
+        F.col(a) if isinstance(a, str) else a,
+        F.col(b) if isinstance(b, str) else b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+@query(
+    "s53_kmeans_step",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {_KM_K}),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             {_L2_SQL.format(a="e.embedding", b="c.c_emb")} AS dist
+      FROM embeddings e CROSS JOIN c),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rnk
+        FROM d) WHERE rnk = 1),
+    ex AS (
+      SELECT a.cid AS cluster,
+             CAST(generate_subscripts(e.embedding, 1) - 1 AS INTEGER) AS pos,
+             CAST(unnest(e.embedding) AS DOUBLE) AS val
+      FROM a JOIN embeddings e USING (vec_id))
+    SELECT cluster, pos, COUNT(*) AS n_members,
+           ROUND(SUM(CAST(ROUND(val * 1000000) AS BIGINT)) / COUNT(*)
+                 / 1000000.0, 6) AS mean_val
+    FROM ex GROUP BY cluster, pos
+    """,
+)
+def s53_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means (k={_KM_K}, deterministic
+    init = the first {_KM_K} vectors): assign every embedding to its
+    nearest centroid by squared L2, then recompute per-cluster means —
+    the building block of distributed corpus clustering (topic
+    bucketing, IVF codebook training). Output is the NEW centroid table
+    as (cluster, dim, mean); iterating is re-running with the previous
+    output broadcast in.
+
+    Scale shape: centroids broadcast (k rows — a bounded product like
+    s50's quantizer, never data x data); distances computed map-side in
+    one codegen pass; argmin lowers to WindowGroupLimit so each map task
+    forwards one candidate row per vector before the vec_id exchange;
+    the recompute is one hash aggregate on (cluster, dim) — shuffle
+    bounded by k x dim. Distance folds are sequential double
+    accumulation (functions/exact.py) and means are fixed-point sums,
+    so assignment AND centroids are bit-identical to the oracle."""
+    from pyspark.sql import Window as W
+
+    em = t(spark, sf_dir, "embeddings")
+    c = em.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    d = em.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cid", _fold_l2("embedding", "c_emb").alias("dist")
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    a = (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    ex = a.join(em, "vec_id").select(
+        "cluster", F.posexplode("embedding").alias("pos", "v")
+    )
+    return ex.groupBy("cluster", "pos").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("v").cast("double") * 1000000).cast("long"))
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("mean_val"),
+    )

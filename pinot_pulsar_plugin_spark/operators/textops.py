@@ -795,3 +795,50 @@ def t63_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CHUNK_LEN = 200  # chars per chunk
+_CHUNK_STRIDE = 150  # start-to-start distance -> 50-char overlap
+
+
+@query(
+    "t64_doc_chunking",
+    f"""
+    SELECT d.doc_id,
+           CAST((s.start - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(s.start AS INTEGER) AS chunk_start,
+           substr(d.text, CAST(s.start AS INTEGER), {_CHUNK_LEN}) AS chunk_text,
+           length(substr(d.text, CAST(s.start AS INTEGER), {_CHUNK_LEN}))
+             AS chunk_len
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(1, CAST(d.n_chars AS INTEGER),
+                                                {_CHUNK_STRIDE})) AS start) s
+    """,
+)
+def t64_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking ({_CHUNK_LEN}-char windows every
+    {_CHUNK_STRIDE} chars): the retrieval/embedding preprocessing step
+    that turns documents into context-window-sized passages with enough
+    overlap that no boundary sentence is lost. Offsets are emitted so
+    chunks remain traceable to their source span (provenance — required
+    for dedup-after-chunking and citation).
+
+    Scale shape: pure narrow map — sequence() + posexplode inside
+    whole-stage codegen, zero shuffles, no UDF; output size is
+    chars/stride per doc, streamed straight to the sink. Both engines
+    use 1-based, end-clipped substr so chunk text is byte-identical."""
+    d = t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.col("n_chars").cast("int"), F.lit(_CHUNK_STRIDE)
+    )
+    ex = d.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "chunk_start")
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_start"), _CHUNK_LEN)
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )

@@ -1,0 +1,220 @@
+"""Semantic/property tests for the curation family (q94-q96, t64, s53)
+beyond DuckDB parity: brute-force ground truth for the Pareto sweep,
+Lloyd-descent monotonicity for the k-means step, reconstruction
+invariants for chunking, and cube-vs-scan equivalence inside Spark
+itself (the oracle proves cross-engine agreement; these prove the
+operator's own math)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.catalog import load_table
+from pinot_pulsar_plugin_spark.operators import curation, similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q94_frontier_matches_brute_force(spark):
+    """The O(n log n) running-max sweep must equal the O(n^2) dominance
+    definition exactly — including ties on either axis."""
+    docs = (
+        load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (
+                F.size(F.array_distinct(F.split("text", " "))).cast("double")
+                / F.size(F.split("text", " "))
+            ).alias("y"),
+        )
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+    expected = set()
+    for rows in by_lang.values():
+        for d in rows:
+            dominated = any(
+                (o.n_chars > d.n_chars and o.y >= d.y)
+                or (o.n_chars >= d.n_chars and o.y > d.y)
+                for o in rows
+            )
+            if not dominated:
+                expected.add(d.doc_id)
+    got = {
+        r.doc_id
+        for r in curation.QUERIES["q94_pareto_frontier"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_q95_sample_is_k_smallest_priorities_and_length_biased(spark):
+    rows = curation.QUERIES["q95_weighted_sample"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    # recompute every doc's priority and check the sample is exactly the
+    # K smallest per language (deterministic tie-break on doc_id)
+    pri = {
+        d.doc_id: (
+            ((d.doc_id * curation._SP_MULT) % curation._SP_MOD + 1) / d.n_chars,
+            d.doc_id,
+        )
+        for d in docs
+    }
+    by_lang: dict[str, list] = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append(d.doc_id)
+    expected = set()
+    for lang, ids in by_lang.items():
+        expected |= set(sorted(ids, key=lambda i: pri[i])[: curation._SP_KEEP])
+    assert {r.doc_id for r in rows} == expected
+    for r in rows:
+        assert r.pick_rank <= curation._SP_KEEP
+    # PPS property: length-weighted draw must skew the sample long —
+    # the sampled mean length exceeds the corpus mean (deterministic
+    # given the fixed hash; a uniform draw would track the corpus mean)
+    corpus_mean = sum(d.n_chars for d in docs) / len(docs)
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_q96_cube_serving_equals_direct_groupby_in_spark(spark):
+    """Cube-served result == direct fact-scan group-by computed by Spark
+    itself (the DuckDB oracle proves the same cross-engine; this pins
+    the grouping_id selection logic independent of the oracle)."""
+    served = {
+        r.l_returnflag: (r.n_items, r.sum_qty, r.revenue)
+        for r in curation.QUERIES["q96_rollup_serving"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    direct = {
+        r.l_returnflag: (r.n_items, r.sum_qty, r.revenue)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert served == direct
+
+
+def test_t64_chunks_reconstruct_documents(spark):
+    """Chunk invariants: stride-prefix concatenation reconstructs the
+    original text, every chunk is non-empty and <= _CHUNK_LEN chars,
+    chunk count = ceil(n_chars / stride), and consecutive chunks overlap
+    by exactly len - stride chars."""
+    stride, clen = textops._CHUNK_STRIDE, textops._CHUNK_LEN
+    chunks = textops.QUERIES["t64_doc_chunking"](spark, SF).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_id)
+        text = docs[doc_id]
+        assert len(cs) == math.ceil(len(text) / stride)
+        rebuilt = "".join(c.chunk_text[:stride] for c in cs)
+        assert rebuilt == text
+        for c in cs:
+            assert 1 <= c.chunk_len <= clen
+            assert c.chunk_text == text[c.chunk_start - 1 : c.chunk_start - 1 + clen]
+        for a, b in zip(cs, cs[1:]):
+            if a.chunk_len == clen:  # interior chunk: full overlap window
+                assert a.chunk_text[stride:] == b.chunk_text[: clen - stride]
+
+
+def _sq_l2(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (float(x) - float(y)) * (float(x) - float(y))
+    return acc
+
+
+def test_s53_lloyd_step_descends_inertia(spark):
+    """One Lloyd iteration can only reduce total within-cluster squared
+    distance: inertia under (new centroids, re-assignment) <= inertia
+    under (init centroids, their assignment). Also: membership counts
+    conserve the corpus and every present cluster emits all 64 dims."""
+    out = similarity.QUERIES["s53_kmeans_step"](spark, SF).collect()
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    dim = len(next(iter(vecs.values())))
+    new_cent: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    for r in out:
+        new_cent.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.mean_val
+        counts[r.cluster] = r.n_members
+    per_cluster_pos = {}
+    for r in out:
+        per_cluster_pos.setdefault(r.cluster, set()).add(r.pos)
+    assert all(len(p) == dim for p in per_cluster_pos.values())
+    assert sum(counts.values()) == len(vecs)
+
+    init = {cid: vecs[cid] for cid in range(similarity._KM_K)}
+
+    def inertia(cents):
+        tot = 0.0
+        for v in vecs.values():
+            tot += min(_sq_l2(v, c) for c in cents.values())
+        return tot
+
+    i0, i1 = inertia(init), inertia(new_cent)
+    assert i1 <= i0 + 1e-9
+    # and the step must do real work on this corpus, not be a no-op
+    assert i1 < i0
+
+
+@pytest.mark.parametrize("n_iters", [3])
+def test_s53_iterated_kmeans_monotone(spark, n_iters):
+    """Driving the step output back in as the next init (the documented
+    iteration recipe) yields a monotone non-increasing inertia
+    sequence. Exercised via NumPy replay of the same arithmetic to keep
+    the test fast; the first step is pinned to the operator above."""
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cents = {cid: vecs[cid] for cid in range(similarity._KM_K)}
+    dim = len(next(iter(vecs.values())))
+    seq = []
+    for _ in range(n_iters):
+        assign: dict[int, list] = {}
+        tot = 0.0
+        for vid, v in vecs.items():
+            best = min(
+                ((_sq_l2(v, c), cid) for cid, c in cents.items()),
+            )
+            tot += best[0]
+            assign.setdefault(best[1], []).append(v)
+        seq.append(tot)
+        cents = {
+            cid: [sum(v[i] for v in vs) / len(vs) for i in range(dim)]
+            for cid, vs in assign.items()
+        }
+    assert all(b <= a + 1e-9 for a, b in zip(seq, seq[1:]))

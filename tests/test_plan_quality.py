@@ -636,3 +636,100 @@ def test_q93_mad_broadcast_medians_no_event_shuffle(spark):
     assert "CartesianProduct" not in plan
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
     assert keys <= {"event_type"}, keys
+
+
+def test_q94_frontier_single_window_single_exchange(spark):
+    """The Pareto sweep's scale contract: BOTH dominance frames
+    (strict and inclusive running max) collapse into ONE Window
+    operator over ONE hash exchange on lang — the second frame must
+    not buy a second sort or shuffle."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import curation
+
+    df = curation.q94_pareto_frontier(spark, SF)
+    plan = formatted_plan(df)
+    node_ids = re.findall(r"\(\d+\) (\w+)", plan)
+    assert node_ids.count("Window") == 1, node_ids
+    assert node_ids.count("Exchange") == 1, node_ids
+    assert node_ids.count("Sort") == 1, node_ids
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys == {"lang"}, keys
+
+
+def test_q95_weighted_sample_window_group_limit(spark):
+    """Sequential-Poisson sampling must lower to WindowGroupLimit so
+    each map task forwards <= K rows per language before the single
+    lang exchange (same contract as q78)."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import curation
+
+    df = curation.q95_weighted_sample(spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    node_ids = re.findall(r"\(\d+\) (\w+)", plan)
+    assert node_ids.count("Exchange") == 1, node_ids
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys == {"lang"}, keys
+
+
+def test_q96_rollup_serving_one_scan_expand(spark):
+    """Cube serving reads the fact table ONCE: a single parquet scan
+    feeding an Expand (the grouping-set multiplier), partial
+    aggregation before the exchange, and no join back to the fact."""
+    from pinot_pulsar_plugin_spark.operators import curation
+
+    df = curation.q96_rollup_serving(spark, SF)
+    plan = formatted_plan(df)
+    import re
+
+    node_ids = re.findall(r"\(\d+\) (\w+)", plan)
+    assert node_ids.count("Scan") == 1, node_ids
+    assert "Expand" in node_ids
+    assert node_ids.count("Exchange") == 1, node_ids
+    assert "partial" in plan.lower()
+
+
+def test_t64_chunking_zero_shuffle_pure_codegen(spark):
+    """Chunking is a pure narrow map: sequence+posexplode+substring with
+    NO exchange, NO Python eval, and column pruning down to the three
+    columns the chunker needs."""
+    from pinot_pulsar_plugin_spark.operators import textops
+
+    df = textops.t64_doc_chunking(spark, SF)
+    assert n_shuffles(df) == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # posexplode
+    import re
+
+    rs = "\n".join(re.findall(r"ReadSchema: .*", plan))
+    for col in ("doc_id", "text", "n_chars"):
+        assert col in rs, rs
+    assert "lang" not in rs and "source" not in rs, rs  # pruned
+
+
+def test_s53_kmeans_step_bounded_product_and_group_limit(spark):
+    """Lloyd-step scale contract: the only nested-loop product is the
+    broadcast of the K-row centroid table (conditionless — bounded
+    fan-out like s50's quantizer); argmin lowers to map-side
+    WindowGroupLimit before the vec_id exchange; the recompute is one
+    hash aggregate keyed (cluster, pos); vectors never shuffle wide —
+    every hashpartitioning keys on ids/cluster only."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import similarity
+
+    df = similarity.s53_kmeans_step(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the conditionless centroid product is the sanctioned shape; a
+    # *predicated* BNLJ (all-pairs distance filter) is not
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        tail = plan[m.end() : m.end() + 120]
+        assert "<" not in tail, tail
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys <= {"vec_id", "cluster", "pos"}, keys

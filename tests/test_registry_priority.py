@@ -29,6 +29,10 @@ _CATEGORY_REPS = {
     "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline", "m57_frame_sample", "m58_resize_pipeline"},
     "event_analytics": {"q59_histogram", "q60_funnel", "q61_retention", "q88_decayed_engagement", "q89_markov_transitions"},
     "timeseries": {"q67_ohlc_bars", "q69_levenshtein_pairs", "q77_forward_fill", "q83_running_zscore", "q90_scd2_intervals", "q92_gapfill_interpolate"},
+    "curation": {"q94_pareto_frontier", "q95_weighted_sample"},
+    "rollup_serving": {"q96_rollup_serving"},
+    "chunking": {"t64_doc_chunking"},
+    "clustering": {"s53_kmeans_step", "s51_label_centroids"},
 }
 
 
