@@ -66,3 +66,69 @@ def q64_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotal rows — required for correct OLAP subtotal rendering."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q64)
+
+
+_Q97 = """
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("q97_blocking_supplier", _Q97)
+def q97_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting) on the
+    available columns: for finalized multi-supplier orders, count per
+    supplier the lineitems where ANOTHER supplier participated (EXISTS)
+    but NOBODY shipped later than this supplier (NOT EXISTS) — i.e.
+    this supplier closed the order. The value of the query is the
+    plan: TWO correlated existential subqueries over the SAME fact
+    table that Catalyst must decorrelate into a left-semi and a
+    left-anti join on l_orderkey — no per-row re-execution at any
+    scale, and all three lineitem reads shuffle on the same key so
+    AQE can reuse the exchange."""
+    for name in ("supplier", "lineitem", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q97)
+
+
+# >15% share of a part's shipped volume (integral-double sums are
+# exact, so the 0.15*total comparison is deterministic cross-engine)
+_Q98 = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type LIKE 'PROMO%'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > (
+         SELECT 0.15 * SUM(l2.l_quantity) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey))
+"""
+
+
+@query("q98_dominant_part_supplier", _Q98)
+def q98_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant (>15%) share of
+    any PROMO part's shipped volume — an IN subquery whose HAVING
+    clause contains a correlated scalar AGGREGATE over the fact table,
+    correlated on the inner GROUP BY key. The decorrelation stress
+    case: Catalyst rewrites the scalar subquery into a per-partkey
+    aggregate joined back on the group key, then the IN into a
+    left-semi join — three hash aggregates and zero nested loops.
+    Quantity sums are integral doubles (exact at any order), so the
+    share threshold compares identically on both engines."""
+    for name in ("supplier", "lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q98)

@@ -78,6 +78,8 @@ _PRIORITY = [
     # never driver-scored — verify these first
     "q94_pareto_frontier",
     "q95_weighted_sample",
+    "q97_blocking_supplier",
+    "q98_dominant_part_supplier",
     "q96_rollup_serving",
     "t64_doc_chunking",
     "s53_kmeans_step",

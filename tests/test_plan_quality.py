@@ -733,3 +733,38 @@ def test_s53_kmeans_step_bounded_product_and_group_limit(spark):
         assert "<" not in tail, tail
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
     assert keys <= {"vec_id", "cluster", "pos"}, keys
+
+
+def test_q97_exists_chain_decorrelates_to_semi_anti(spark):
+    """TPC-H Q21 shape: the EXISTS / NOT EXISTS pair over the same
+    fact table must decorrelate into LeftSemi + LeftAnti hash joins —
+    never a per-row subquery or nested loop — with the final count
+    aggregating on the supplier key only."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import subqueries
+
+    plan = formatted_plan(subqueries.q97_blocking_supplier(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"s_suppkey", "l_orderkey"}, keys
+
+
+def test_q98_correlated_having_agg_decorrelates(spark):
+    """TPC-H Q20 shape: the correlated scalar aggregate inside HAVING
+    becomes a standalone per-partkey aggregate joined back on the
+    group key, and the IN becomes a semi join — three hash aggregates,
+    no nested loops, shuffles only on join/group keys."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import subqueries
+
+    plan = formatted_plan(subqueries.q98_dominant_part_supplier(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 3  # partial+final of the two aggs
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"s_suppkey", "l_suppkey", "l_partkey"}, keys
