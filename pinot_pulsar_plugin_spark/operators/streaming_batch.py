@@ -237,3 +237,49 @@ def st62_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_event_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
     )
+
+
+@query(
+    "st63_window_topk",
+    """
+    WITH c AS (
+      SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+               AS window_start_us,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT window_start_us, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start_us
+               ORDER BY n_events DESC, event_type
+             ) AS INTEGER) AS rnk
+      FROM c)
+    SELECT window_start_us, event_type, n_events, rnk
+    FROM r WHERE rnk <= 2
+    """,
+)
+def st63_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k event types (1-hour tumbling buckets, top-2 by
+    count, deterministic type tie-break) — the trending-now query a
+    realtime dashboard serves. Batch twin of the streaming
+    rank-in-foreachBatch pattern (``streaming/sinks.py::
+    topk_per_window_sink``): append-mode windows close exactly once, so
+    per-batch ranking is globally correct; here the same two-stage
+    shape runs bounded. Scale: combinable count keyed (window, type) —
+    vocabulary-sized — then WindowGroupLimit keeps <=k rows per window
+    map-side before the window exchange."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    c = c.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )
+    w = W.partitionBy("window_start_us").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 2)

@@ -80,6 +80,7 @@ _PRIORITY = [
     "q95_weighted_sample",
     "q97_blocking_supplier",
     "q98_dominant_part_supplier",
+    "st63_window_topk",
     "q96_rollup_serving",
     "t64_doc_chunking",
     "s53_kmeans_step",

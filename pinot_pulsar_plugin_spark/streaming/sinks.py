@@ -61,3 +61,40 @@ def keyed_upsert_sink(out_dir: str, key_col: str):
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return write_batch
+
+
+def topk_per_window_sink(out_dir: str, k: int = 2):
+    """Streaming per-window top-k via rank-in-foreachBatch.
+
+    Window-function ranking is not allowed inside a streaming query,
+    but it doesn't need to be: with a WATERMARKED tumbling aggregate
+    upstream in APPEND mode, every (window, key) group is emitted
+    exactly once — in the micro-batch where the watermark passes the
+    window end — and all groups of a window close together. Ranking
+    INSIDE the micro-batch (plain batch window function) is therefore
+    globally correct with no cross-batch merge state. Batches are
+    written to ``batch_id=N`` partitions with overwrite, so foreachBatch
+    replays stay exactly-once like :func:`exactly_once_parquet_sink`.
+
+    Expects the ``tumbling_counts`` schema (window_start, keys...,
+    n_events); ties break on event_type for determinism. The batch twin
+    (same semantics, DuckDB-verified) is
+    ``operators/streaming_batch.py::st63_window_topk``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        (
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    return write_batch

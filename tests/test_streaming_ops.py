@@ -441,3 +441,64 @@ def test_interval_join_outer_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert any(pe is None for (_, _, pe, _) in expected)  # NULL rows exercised
+
+
+def test_windowed_topk_stream_matches_batch(spark, tmp_path):
+    """Differential batch↔stream per-window top-k: tumbling counts with
+    a watermark ranked in foreachBatch (append mode closes each window
+    exactly once, so per-batch ranking is globally correct) must equal
+    the st63 batch-twin algorithm on the same events — for every window
+    the watermark closed."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pinot_pulsar_plugin_spark.streaming.sinks import topk_per_window_sink
+
+    rng = _random.Random(123)
+    rows = []
+    i = 0
+    for hour in range(4):
+        for etype, lo, hi in (("view", 3, 9), ("click", 1, 7), ("purchase", 0, 5)):
+            for _ in range(rng.randrange(lo, hi + 1)):
+                rows.append(_event(i, hour * 60 + rng.randrange(0, 60), etype=etype))
+                i += 1
+    rows.append(_event(i, 50_000))  # watermark pusher closes all 4 hours
+    root = _topic(tmp_path, rows)
+    decoded = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    agg = tumbling_counts(decoded, size="1 hour", watermark="30 minutes")
+    out_dir = str(tmp_path / "topk")
+    q = (
+        agg.writeStream.foreachBatch(topk_per_window_sink(out_dir, k=2))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_topk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.rnk)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch twin on the same rows (exclude the pusher's own open window)
+    batch = spark.createDataFrame(
+        [(r["ts"], r["event_type"]) for r in rows], "ts string, event_type string"
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type")
+    c = batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    wspec = W.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    want = {
+        (r.w.start.replace(tzinfo=None), r.event_type, r.n_events, r.rnk)
+        for r in c.withColumn("rnk", F.row_number().over(wspec))
+        .filter(F.col("rnk") <= 2)
+        .collect()
+    }
+    want_closed = {
+        t for t in want if any(g[0] == t[0] for g in got)
+    }  # pusher window never closes
+    got_norm = {(ws.replace(tzinfo=None), e, n, r) for ws, e, n, r in got}
+    assert got_norm == want_closed
+    assert len({t[0] for t in got_norm}) == 4  # all four hours closed
