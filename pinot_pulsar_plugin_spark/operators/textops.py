@@ -842,3 +842,53 @@ def t64_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+_VOCAB_K = 100  # corpus-wide top-K bigrams kept
+
+
+@query(
+    "t65_top_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS tk FROM documents),
+    bg AS (
+      SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])
+             ELSE [] END) AS bigram
+      FROM toks)
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {_VOCAB_K}
+    """,
+)
+def t65_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{_VOCAB_K} word bigrams — the frequency table a
+    BPE/WordPiece merge step or collocation miner starts from (t58's
+    vocab stats are unigram; this is the n>1 companion). Deterministic
+    lexicographic tie-break so the cut is stable.
+
+    Scale shape: in-row bigram construction (transform over the token
+    array — no shuffle), one map-side-combinable count keyed on the
+    bigram, then global top-K via sort+limit which compiles to
+    TakeOrderedAndProject: each task forwards only its local top-K, the
+    driver merges K-sized heaps — no global sort, no partition-less
+    window, no full result materialization at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda w, i: F.concat_ws(" ", w, F.element_at(tk, i + 2)),
+        ),
+    ).otherwise(F.array())
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(_VOCAB_K)
+    )

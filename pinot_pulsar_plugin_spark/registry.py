@@ -68,21 +68,24 @@ _MODULES = [
 # engagement) lead too; m56 and m55 (both multiply driver-green) slide
 # out at 51-52 — multimodal stays covered in-window by m57/m58, and
 # every rotated-out entry remains in the local parity suite.
-# r5 continuation: seven more new entries lead (s52 1-NN label
-# accuracy, q92 interpolating gapfill, d53 span dedup, q89 Markov
-# transitions, q90 SCD2 intervals, q91 trimmed mean, st61 interval
-# join); st57/st58/st59/t50/t51/t60/t61/m55/m56 slide past slot 50
-# (all multiply driver-green; streaming stays covered in-window by
-# st60/st61, text by t55-t59/t62, multimodal by m57/m58).
+# r5 continuations (final layout): r4 scored its whole 50-slot window
+# green, so the only entries without a driver row are the 24 added
+# during round 5 — they lead; 11 keepers restore sole-rep category
+# coverage; 15 multiply-green anchors fill the window. The r4-green
+# block rotated out (q48/q53/q54/q75-q86/d51/s51/t55-t59/st60/m57/m58)
+# stays covered by the byte-identical local parity suite.
 _PRIORITY = [
-    # never driver-scored — verify these first
+    # --- never driver-scored (every r5 addition; CORRECTNESS_r05 will
+    # be their first driver row — r1-r4 scored everything older, so
+    # only these need window slots to complete the cumulative union)
     "q94_pareto_frontier",
     "q95_weighted_sample",
+    "q96_rollup_serving",
     "q97_blocking_supplier",
     "q98_dominant_part_supplier",
     "st63_window_topk",
-    "q96_rollup_serving",
     "t64_doc_chunking",
+    "t65_top_bigrams",
     "s53_kmeans_step",
     "st62_interval_join_outer",
     "t63_bigram_surprisal",
@@ -99,48 +102,22 @@ _PRIORITY = [
     "q87_bloom_subquery_prune",
     "t62_top_ngram_coverage",
     "q88_decayed_engagement",
-    "q76_heavy_hitters",
-    "q77_forward_fill",
-    "q78_stratified_sample",
-    "q79_mixture_weights",
-    "q80_domain_resample",
-    "q81_stats_moments",
-    "q82_interval_bucket_join",
-    "q83_running_zscore",
-    "q85_referential_audit",
-    "q48_cross_join",
-    "q53_grouped_map_rank",
-    "q54_python_udf_row",
-    "d51_cluster_keeper_quality",
-    "s51_label_centroids",
-    "t55_token_count_bpe",
-    "t56_quality_filter",
-    "t57_repetition_ratio",
-    "t58_vocab_stats",
-    "t59_winnow_fingerprint",
-    "st60_first_event_dedup",
-    "m57_frame_sample",
-    "m58_resize_pipeline",
-    # keepers: one-plus driver-green anchor per §2.B category. Order
-    # matters: the 5 new r5-continuation entries above push the keeper
-    # tail past slot 50, so the sole reps of their categories (q01
-    # scan_agg_sort, q08 broadcast_join, q30 setops, d43 dedup_exact,
-    # q71 scalars) lead; categories whose reps already sit in the
-    # never-scored block (windows→q53, similarity→s51/s52,
-    # streaming→st60-62, event_analytics→q88/q89, subqueries→q85)
-    # follow and may fall outside the window without losing coverage.
-    "q01_pricing_summary",       # scan + agg + sort
-    "q08_join_broadcast_agg",    # broadcast join
-    "q30_union_all",             # set ops
-    "d43_dedup_exact",           # exact dedup (sole category rep)
+    # --- keepers: sole/needed reps so every SURVEY S2.B category keeps
+    # a scored-window entry (test_registry_priority enforces)
+    "q01_pricing_summary",       # scan + agg + sort (sole rep)
+    "q08_join_broadcast_agg",    # broadcast join (sole rep)
+    "q30_union_all",             # set ops (sole rep)
+    "d43_dedup_exact",           # exact dedup (sole rep)
     "q71_string_funcs_2",        # scalar families
-    "q45_shipping_priority",     # sort/top-k
-    "q60_funnel",                # event analytics
-    "q62_correlated_scalar_subquery",  # subqueries
+    "q74_train_split",           # projection/filter
+    "q04_join_inner",            # joins
     "q72_percent_rank_cume",     # window functions
-    "q86_geo_radius_join",       # theta/range join
-    "q74_train_split",
-    "q75_sequence_packing",
+    "q45_shipping_priority",     # sort/top-k
+    "q46_pandas_udf_scalar",     # UDF surface
+    "m56_decode_pipeline",       # multimodal
+    # --- anchors filling the window to 50 (all multiply driver-green)
+    "q60_funnel",
+    "q62_correlated_scalar_subquery",
     "d48_embedding_neardup_lsh",
     "d49_neardup_components",
     "d50_contamination",
@@ -154,7 +131,6 @@ _PRIORITY = [
     "t60_pii_redaction",
     "t61_token_surprisal",
     "m55_multimodal_meta",
-    "m56_decode_pipeline",
 ]
 
 

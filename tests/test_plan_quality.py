@@ -768,3 +768,18 @@ def test_q98_correlated_having_agg_decorrelates(spark):
     assert plan.count("HashAggregate") >= 3  # partial+final of the two aggs
     keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
     assert keys <= {"s_suppkey", "l_suppkey", "l_partkey"}, keys
+
+
+def test_t65_top_bigrams_take_ordered_no_global_sort(spark):
+    """Corpus top-K must compile to TakeOrderedAndProject (per-task
+    heaps merged at the driver), never a global rangepartitioning
+    sort; bigram construction stays in-row (no shuffle before the
+    count's single exchange)."""
+    from pinot_pulsar_plugin_spark.operators import textops
+
+    df = textops.t65_top_bigrams(spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_shuffles(df) == 1
