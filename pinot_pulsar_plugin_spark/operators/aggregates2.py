@@ -341,3 +341,62 @@ def q93_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+@query(
+    "q99_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(ROUND(l_quantity) AS BIGINT) AS wt
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, v, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cumw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS totw
+      FROM w)
+    SELECT l_returnflag,
+           MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS weighted_median,
+           CAST(MIN(totw) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q99_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total — here median
+    price weighted by shipped quantity, the volume-representative
+    price a pricing dashboard wants (an unweighted median over-counts
+    small orders). No engine has a weighted-median builtin; the
+    portable form is cumsum-over-sorted vs doubled total, ALL in
+    integer arithmetic (quantities are integral, cumw*2 >= totw needs
+    no 0.5 multiply), so the pick is exact on both engines; RANGE
+    window semantics give tied values a shared cumw, making the
+    selection well-defined under duplicates.
+
+    Scale shape: one hash exchange on the group key; the cumulative
+    and total windows share the partition (one Window stack over one
+    sort), and the final per-group pick is an aggregate over the same
+    partitioning — no second exchange. The sort-per-group is the
+    inherent cost of an exact quantile; for approximate serving use
+    q57's KLL sketch instead."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.round("l_quantity").cast("long").alias("wt"),
+    )
+    part = W.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(part.orderBy("v")).alias("cumw"),
+        F.sum("wt").over(part).alias("totw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cumw") * 2 >= F.col("totw"), F.col("v"))).alias(
+            "weighted_median"
+        ),
+        F.min("totw").cast("long").alias("total_weight"),
+    )

@@ -823,3 +823,143 @@ def winnow_pairs(d: DataFrame, jaccard_min: float) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_min)
     )
+
+
+_INC_JACCARD_MIN = 0.5  # incremental ingest drops only near-identical docs
+
+
+@query(
+    "d55_incremental_dedup",
+    f"""
+    WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    exacts AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        AS sig FROM corpus),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    sh_idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {_SHINGLE_K - 1})) AS i
+      FROM toks),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+             tk[CAST(i AS INT) + 2] AS s
+      FROM sh_idx),
+    stop AS (
+      SELECT s FROM shingles GROUP BY s
+      HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {_STOP_MAX_DF}),
+    kept AS (SELECT * FROM shingles WHERE s NOT IN (SELECT s FROM stop)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d_id, b.doc_id AS c_id, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.s = b.s
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2),
+    near AS (
+      SELECT DISTINCT i.d_id FROM inter i
+      JOIN counts ca ON ca.doc_id = i.d_id
+      JOIN counts cb ON cb.doc_id = i.c_id
+      WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common)
+            >= {_INC_JACCARD_MIN})
+    SELECT d.doc_id,
+           md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+             IN (SELECT sig FROM exacts) AS exact_dup,
+           d.doc_id IN (SELECT d_id FROM near) AS near_dup,
+           md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+             NOT IN (SELECT sig FROM exacts)
+             AND d.doc_id NOT IN (SELECT d_id FROM near) AS keep
+    FROM delta d
+    """,
+)
+def d55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: screen a DELTA of incoming documents
+    (odd doc_ids stand in for the new batch) against the EXISTING corpus
+    (even doc_ids) — exact content hash first, then word-3-gram Jaccard
+    >= {_INC_JACCARD_MIN} — emitting a per-document verdict
+    (exact_dup / near_dup / keep). This is the op a continuously-fed
+    training pipeline actually runs: at 100 TB you never re-dedup the
+    corpus, you join the (small) delta against it.
+
+    Scale shape, and why it beats rerunning d44: every join is
+    DELTA-driven and asymmetric — the shingle equi-join pairs only
+    delta x corpus (never corpus x corpus, which is the quadratic term
+    a full rerun pays); in production the corpus side (`kept` +
+    per-doc counts) is the precomputed persisted index, so the
+    incremental cost is |delta| shingles joined into it. Stop-shingle
+    df-filtering (d44's skew guard, identical semantics both engines)
+    caps hot-key collisions; all shingle keys are 8-byte xxhash64
+    (d44's shuffle-width argument; the string-exact oracle doubles as
+    the collision check)."""
+    d = t(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 2 == 1
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sig = F.md5(norm)
+
+    corpus_sigs = (
+        d.filter(~is_delta).select(sig.alias("sig")).distinct()
+    )
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(tk) >= {_SHINGLE_K} THEN "
+                    f"array_distinct(transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
+                    f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_SHINGLE_K}))))) "
+                    f"ELSE array() END"
+                )
+            ).alias("h"),
+        )
+        .persist()
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        shingles.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("n_docs") * _STOP_MAX_DF)
+        .select("h")
+    )
+    kept = shingles.join(F.broadcast(stop), "h", "left_anti")
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.filter(F.col("doc_id") % 2 == 1).alias("a")
+    b = kept.filter(F.col("doc_id") % 2 == 0).alias("b")
+    inter = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .groupBy(F.col("a.doc_id").alias("d_id"), F.col("b.doc_id").alias("c_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    )
+    near = (
+        inter.join(ca, F.col("d_id") == F.col("ca.doc_id"))
+        .join(cb, F.col("c_id") == F.col("cb.doc_id"))
+        .filter(jac >= _INC_JACCARD_MIN)
+        .select("d_id")
+        .distinct()
+    )
+    delta = d.filter(is_delta).select("doc_id", sig.alias("d_sig"))
+    flagged = (
+        delta.join(
+            F.broadcast(corpus_sigs.withColumn("_e", F.lit(True))),
+            F.col("d_sig") == F.col("sig"),
+            "left",
+        )
+        .join(
+            near.withColumn("_n", F.lit(True)),
+            F.col("doc_id") == F.col("d_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_e"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("_n"), F.lit(False)).alias("near_dup"),
+            (F.col("_e").isNull() & F.col("_n").isNull()).alias("keep"),
+        )
+    )
+    return flagged

@@ -87,6 +87,8 @@ _PRIORITY = [
     "t64_doc_chunking",
     "t65_top_bigrams",
     "s53_kmeans_step",
+    "d55_incremental_dedup",
+    "q99_weighted_median",
     "st62_interval_join_outer",
     "t63_bigram_surprisal",
     "q93_mad_outliers",
@@ -129,8 +131,6 @@ _PRIORITY = [
     "t50_text_stats",
     "t51_lang_id",
     "t60_pii_redaction",
-    "t61_token_surprisal",
-    "m55_multimodal_meta",
 ]
 
 

@@ -218,3 +218,35 @@ def test_s53_iterated_kmeans_monotone(spark, n_iters):
             for cid, vs in assign.items()
         }
     assert all(b <= a + 1e-9 for a, b in zip(seq, seq[1:]))
+
+
+def test_q99_weighted_median_matches_brute_force(spark):
+    """Brute-force ground truth: sort (value, weight) pairs per group,
+    walk the cumulative weight to half the total, compare the pick."""
+    from pinot_pulsar_plugin_spark.operators import aggregates2
+
+    out = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in aggregates2.QUERIES["q99_weighted_median"](spark, SF).collect()
+    }
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, int(round(r.l_quantity)))
+        )
+    for flag, vw in groups.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        pick = None
+        for v, w in vw:
+            cum += w
+            if cum * 2 >= tot:
+                pick = v
+                break
+        assert out[flag] == (pick, tot), flag

@@ -327,3 +327,41 @@ def test_d53_span_counts_match_brute_force_with_boilerplate(spark):
     assert got == expected
     # the boilerplate span really is hot: every even doc has dups
     assert all(expected[d][1] > 0 for d in range(0, 40, 2))
+
+
+def test_d55_incremental_verdicts_on_planted_delta(spark, tmp_path):
+    """Planted-delta ground truth for incremental dedup: the corpus
+    (even ids) holds three originals; the delta (odd ids) carries an
+    exact copy (whitespace-normalized), a one-word-edited near copy, a
+    novel document, and a short doc below shingle length — verdicts
+    must be exactly (exact_dup), (near_dup), (keep), (keep)."""
+    from pinot_pulsar_plugin_spark.operators.dedup import d55_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about distributed query engines at scale"
+    rows = [
+        (0, base),
+        (2, other),
+        (4, "third corpus document with its own unique and stable wording here"),
+        # delta
+        (1, "  " + base.upper().lower() + " "),  # exact after normalization
+        (3, base.replace("jumps", "leaps")),  # near dup (high jaccard)
+        (5, "entirely novel incoming text that matches nothing in the corpus"),
+        (7, "tiny doc"),  # < k tokens: no shingles, must still be kept
+    ]
+    # pad the corpus so the df stop-filter threshold (df > n_docs*0.1)
+    # sits above the planted trio's shared-shingle df of 3
+    rows += [
+        (100 + 2 * i, f"filler corpus doc number {i} speaks of topic{i} "
+                      f"and concept{i} exclusively without overlap")
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.doc_id: r for r in d55_incremental_dedup(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 3, 5, 7}
+    assert out[1].exact_dup and not out[1].keep
+    assert out[3].near_dup and not out[3].exact_dup and not out[3].keep
+    assert out[5].keep and not out[5].exact_dup and not out[5].near_dup
+    assert out[7].keep

@@ -783,3 +783,40 @@ def test_t65_top_bigrams_take_ordered_no_global_sort(spark):
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert n_shuffles(df) == 1
+
+
+def test_d55_incremental_dedup_asymmetric_equi_joins(spark):
+    """d55's scale contract: the candidate join is the delta-filtered
+    shingle side against the corpus-filtered side — an EQUI-join on the
+    8-byte hash (no cartesian/BNLJ anywhere), the exact-dup screen is a
+    broadcast of the corpus signature set, and every exchange keys on
+    hash/doc ids only (no text-carrying shuffle)."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    df = dedup.d55_incremental_dedup(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert "<" not in plan[m.end() : m.end() + 120]
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys <= {"h", "doc_id", "d_id", "c_id", "sig", "d_sig"}, keys
+
+
+def test_q99_weighted_median_single_exchange(spark):
+    """Both windows (cumulative and total) and the final pick aggregate
+    share ONE hash exchange on the group key — the exact-quantile sort
+    is the only per-group cost."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import aggregates2
+
+    df = aggregates2.q99_weighted_median(spark, SF)
+    plan = formatted_plan(df)
+    node_ids = re.findall(r"\(\d+\) (\w+)", plan)
+    assert node_ids.count("Exchange") == 1, node_ids
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
+    assert keys == {"l_returnflag"}, keys
+    assert "windowspecdefinition" in plan

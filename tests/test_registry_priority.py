@@ -12,7 +12,7 @@ _CATEGORY_REPS = {
     "projection_filter": {"q02_filter_predicates", "q44_deterministic_sample", "q74_train_split", "q78_stratified_sample"},
     "joins": {"q04_join_inner", "q47_join_full_outer", "q52_join_right", "q55_merge_upsert", "q82_interval_bucket_join", "q48_cross_join", "q85_referential_audit"},
     "broadcast_join": {"q08_join_broadcast_agg"},
-    "aggregations": {"q43_percentiles", "q50_filter_clause_agg", "q70_bool_bit_aggs", "q73_multi_distinct", "q76_heavy_hitters", "q81_stats_moments", "q91_trimmed_mean", "q93_mad_outliers"},
+    "aggregations": {"q43_percentiles", "q50_filter_clause_agg", "q70_bool_bit_aggs", "q73_multi_distinct", "q76_heavy_hitters", "q81_stats_moments", "q91_trimmed_mean", "q93_mad_outliers", "q99_weighted_median"},
     "windows": {"q72_percent_rank_cume", "q53_grouped_map_rank"},
     "sort_topk": {"q25_topk_per_group", "q45_shipping_priority", "q63_lateral_topk", "d51_cluster_keeper_quality"},
     "setops": {"q30_union_all"},
@@ -22,7 +22,7 @@ _CATEGORY_REPS = {
     "dedup_span": {"d53_dup_span_fraction"},
     "udf_surface": {"q46_pandas_udf_scalar", "q53_grouped_map_rank", "q54_python_udf_row"},
     "dedup_exact": {"d43_dedup_exact"},
-    "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh", "d52_prefix_filter_jaccard", "d54_winnow_neardup_pairs"},
+    "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh", "d52_prefix_filter_jaccard", "d54_winnow_neardup_pairs", "d55_incremental_dedup"},
     "runtime_filter": {"q84_bloom_semi_prune", "q87_bloom_subquery_prune"},
     "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids", "s52_knn_label_accuracy"},
     "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang", "t55_token_count_bpe", "t56_quality_filter", "t57_repetition_ratio", "t58_vocab_stats", "t59_winnow_fingerprint", "t62_top_ngram_coverage", "t63_bigram_surprisal"},
