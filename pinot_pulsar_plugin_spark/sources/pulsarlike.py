@@ -177,6 +177,37 @@ def bool_option(options: dict, key: str, default: bool = False) -> bool:
     return default
 
 
+def offsets_option(options: dict, key: str) -> dict[str, int] | None:
+    """Kafka-source-style explicit offsets: either a scalar applied to
+    every partition (``"7"``) or a JSON object keyed by partition
+    (``'{"0": 5, "1": 3}'``). Returns None when absent; raises on
+    garbage — unlike the fallback-to-default int_option semantics, a
+    mistyped EXPLICIT offset must fail loudly (silently reading the
+    whole topic instead of a bounded range would duplicate a backfill)."""
+    raw = _lookup(options, key)
+    if raw is None:
+        return None
+    import json as _json
+
+    try:
+        val = _json.loads(raw)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"pulsarlike: bad {key!r} value {raw!r}") from exc
+    if isinstance(val, int):
+        return {"*": val}
+    if isinstance(val, dict) and all(
+        isinstance(v, int) for v in val.values()
+    ):
+        return {str(k): v for k, v in val.items()}
+    raise ValueError(f"pulsarlike: bad {key!r} value {raw!r}")
+
+
+def _offset_for(given: dict[str, int] | None, p: int) -> int | None:
+    if given is None:
+        return None
+    return given.get(str(p), given.get("*"))
+
+
 def _required_path(options: dict) -> str:
     """Broker root; missing ⇒ raise, the reference's required-config
     check for broker.list (PulsarPartitionLevelStreamConfig.java:73-74)."""
@@ -198,6 +229,12 @@ class PulsarLikeStreamReader(DataSourceStreamReader):
         # readCompacted(true) analog at the source level (consumer:68):
         # executors deliver only the latest message per key
         self.compacted = bool_option(options, "compacted", False)
+        # Kafka-style startingOffsets: begin the subscription at an
+        # explicit position instead of earliest — the batch-backfill →
+        # stream handoff point (backfill reads [earliest, E) bounded,
+        # the stream starts at E; no overlap, no gap). Clamped to >=
+        # earliest; the checkpoint still owns the cursor on restart.
+        self.starting = offsets_option(options, "startingoffsets")
         self.broker = FakePulsarBroker(self.root)
         self.n_parts = self.broker.partition_count(self.topic)
         if self.n_parts == 0:
@@ -222,6 +259,9 @@ class PulsarLikeStreamReader(DataSourceStreamReader):
         self._current: dict[str, int] = {}
         for p in range(self.n_parts):
             pos = self.broker.earliest_offset(self.topic, p)
+            given = _offset_for(self.starting, p)
+            if given is not None:
+                pos = max(pos, given)
             acked = self.broker.acked_through(self.topic, p)
             if acked is not None:
                 pos = max(pos, acked + 1)
@@ -230,10 +270,13 @@ class PulsarLikeStreamReader(DataSourceStreamReader):
     # EP2: OffsetCriteria.smallest → earliest (provider:72-74); the
     # subscription itself starts Earliest (consumer:64).
     def initialOffset(self) -> dict:
-        start = {
-            str(p): self.broker.earliest_offset(self.topic, p)
-            for p in range(self.n_parts)
-        }
+        start = {}
+        for p in range(self.n_parts):
+            pos = self.broker.earliest_offset(self.topic, p)
+            given = _offset_for(self.starting, p)
+            if given is not None:
+                pos = max(pos, given)
+            start[str(p)] = pos
         _debug(f"initialOffset -> {start}")
         return start
 
@@ -296,21 +339,39 @@ class PulsarLikeBatchReader(DataSourceReader):
         self.root = _required_path(options)
         self.topic = _lookup(options, "topic") or "topic"
         self.compacted = bool_option(options, "compacted", False)
+        # Kafka-style startingOffsets/endingOffsets (end EXCLUSIVE,
+        # matching the range's half-open [start, end)): a bounded
+        # backfill reads exactly [earliest|given, given_end) so the
+        # streaming half of a backfill+stream handoff can start at
+        # given_end with no overlap. Clamped into [earliest, latest];
+        # an inverted range reads nothing.
+        self.starting = offsets_option(options, "startingoffsets")
+        self.ending = offsets_option(options, "endingoffsets")
         self.broker = FakePulsarBroker(self.root)
 
     def partitions(self) -> Sequence[InputPartition]:
         n = self.broker.partition_count(self.topic)
-        return [
-            _Range(
-                self.root,
-                self.topic,
-                p,
-                self.broker.earliest_offset(self.topic, p),
-                self.broker.latest_offset(self.topic, p),
-                compacted=self.compacted,
+        out = []
+        for p in range(n):
+            start = self.broker.earliest_offset(self.topic, p)
+            end = self.broker.latest_offset(self.topic, p)
+            given_s = _offset_for(self.starting, p)
+            if given_s is not None:
+                start = max(start, given_s)
+            given_e = _offset_for(self.ending, p)
+            if given_e is not None:
+                end = min(end, given_e)
+            out.append(
+                _Range(
+                    self.root,
+                    self.topic,
+                    p,
+                    start,
+                    max(start, end),
+                    compacted=self.compacted,
+                )
             )
-            for p in range(n)
-        ]
+        return out
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         return _read_range(partition)

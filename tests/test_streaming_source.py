@@ -620,3 +620,106 @@ def test_byte_bounding_micro_batches(spark, tmp_path):
     sizes = [p["numInputRows"] for p in progress if p["numInputRows"] > 0]
     assert sizes and max(sizes) <= 4  # 3 full messages (+1 boundary admit)
     assert len(sizes) >= 8  # the cap actually split the backlog
+
+
+def test_batch_read_honors_explicit_offset_bounds(spark, tmp_path):
+    """Kafka-style startingOffsets/endingOffsets on the batch reader:
+    scalar and per-partition JSON forms, end exclusive, clamped into
+    [earliest, latest], inverted range reads nothing."""
+    root = str(tmp_path / "b")
+    _write_events_topic(root, n=40)  # 20 msgs per partition, offsets 0..19
+    full = read_batch(spark, root, "events").collect()
+    assert len(full) == 40
+
+    # scalar start applies to both partitions
+    part_tail = read_batch(spark, root, "events", startingoffsets="15").collect()
+    assert len(part_tail) == 10
+    assert all(r.offset >= 15 for r in part_tail)
+
+    # per-partition JSON start + scalar exclusive end
+    mid = read_batch(
+        spark,
+        root,
+        "events",
+        startingoffsets='{"0": 5, "1": 10}',
+        endingoffsets="15",
+    ).collect()
+    by_p = {p: sorted(r.offset for r in mid if r.partition == p) for p in (0, 1)}
+    assert by_p[0] == list(range(5, 15))
+    assert by_p[1] == list(range(10, 15))
+
+    # end beyond latest clamps; start beyond latest reads nothing
+    assert len(read_batch(spark, root, "events", endingoffsets="999").collect()) == 40
+    assert read_batch(spark, root, "events", startingoffsets="999").collect() == []
+
+    # garbage must raise, never silently read the whole topic
+    with pytest.raises(Exception):
+        read_batch(spark, root, "events", startingoffsets="not-json").collect()
+
+
+def test_backfill_then_stream_handoff_no_overlap_no_gap(spark, tmp_path):
+    """The lambda-handoff pattern the bounded batch + startingOffsets
+    pair exists for: batch-backfill everything up to a captured
+    boundary E, then start the stream AT E — the union must equal the
+    full topic exactly (no duplicate at the seam, no gap), including
+    messages that arrive after the boundary was captured."""
+    from pinot_pulsar_plugin_spark.sources.fakebroker import FakePulsarBroker
+
+    root = str(tmp_path / "b")
+    w = _write_events_topic(root, n=30)  # offsets 0..14 per partition
+
+    broker = FakePulsarBroker(root)
+    boundary = {
+        str(p): broker.latest_offset("events", p) for p in (0, 1)
+    }  # E: next-to-write per partition
+
+    backfill = read_batch(
+        spark, root, "events", endingoffsets=json.dumps(boundary)
+    ).collect()
+    assert len(backfill) == 30
+
+    # late traffic lands after the boundary snapshot
+    for i in range(30, 44):
+        w.append(i % 2, json.dumps({"event_id": i, "user_id": i % 7,
+                                    "event_type": "view", "value": 1.0}))
+
+    live = _drain(
+        read_stream(
+            spark, root, "events", startingoffsets=json.dumps(boundary)
+        ),
+        "t_handoff",
+        spark,
+        str(tmp_path / "ck"),
+    ).collect()
+    assert len(live) == 14
+    seam = {(r.partition, r.offset) for r in backfill} & {
+        (r.partition, r.offset) for r in live
+    }
+    assert seam == set()
+    union = {(r.partition, r.offset) for r in backfill} | {
+        (r.partition, r.offset) for r in live
+    }
+    full = {(r.partition, r.offset) for r in read_batch(spark, root, "events").collect()}
+    assert union == full
+
+
+def test_decode_tolerates_schema_evolution(spark, tmp_path):
+    """Producer-side schema drift must not break the consumer: messages
+    with EXTRA fields decode cleanly (ignored), messages MISSING a
+    projected field yield NULL for it (not a drop — only unparsable
+    JSON drops), matching the reference decoder's field-projection
+    semantics (PulsarJSONMessageDecoder fieldsToRead)."""
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "events", partitions=1)
+    w.append(0, json.dumps({"event_id": 1, "user_id": 2, "event_type": "view",
+                            "value": 1.0}))
+    w.append(0, json.dumps({"event_id": 2, "user_id": 3, "event_type": "click",
+                            "value": 2.0, "brand_new_field": {"nested": True}}))
+    w.append(0, json.dumps({"event_id": 3, "event_type": "view"}))  # missing cols
+    w.append(0, b"{broken")  # still dropped
+
+    out = decode_json(read_batch(spark, root, "events"), EVENT_SCHEMA)
+    rows = {r.event_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].value == 2.0  # extra field ignored, row intact
+    assert rows[3].user_id is None and rows[3].value is None  # missing -> NULL
