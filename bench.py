@@ -64,6 +64,8 @@ HEADLINE = [
     "q94_pareto_frontier",
     "t64_doc_chunking",
     "s53_kmeans_step",
+    "d55_incremental_dedup",
+    "q97_blocking_supplier",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

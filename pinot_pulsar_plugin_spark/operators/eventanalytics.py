@@ -381,3 +381,80 @@ def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q100_value_drift",
+    """
+    WITH mn AS (SELECT MIN(ts) AS t0 FROM events),
+    xy AS (
+      SELECT e.event_type,
+             (epoch_us(e.ts) - epoch_us(mn.t0)) // 3600000000 AS x,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS y
+      FROM events e CROSS JOIN mn),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy GROUP BY event_type)
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / 100.0 AS slope_per_hour,
+           (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_value
+    FROM s
+    """,
+)
+def q100_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type VALUE DRIFT: the least-squares slope of event
+    value over time (units/hour, anchored at the corpus min timestamp)
+    — the data-quality monitor that catches a metric silently trending
+    (sensor drift, logging change, slow leak) before it poisons
+    training labels.
+
+    Exactness (q81's moment-sum discipline): x is integer hours, y is
+    1e-2 fixed-point integer; all five sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) are pure int64 sums — order-independent, no
+    float accumulation — and the closed-form slope
+    (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) is then a fixed sequence of IEEE
+    double ops on identical integers, bit-equal on both engines with
+    NO rounding step (the t63 lesson: never ROUND a result that can
+    land on a half-boundary).
+
+    Scale shape: one map-side-reduced global min broadcast back (q88's
+    one-row crossJoin), then ONE combinable aggregate keyed on
+    event_type carrying five integers — the same exchange budget as a
+    count. Overflow headroom: x ≤ 1e4 hours, y ≤ 1e8 → Σxy terms ≤
+    1e12, int64-safe beyond 1e6-row groups per the q81 analysis; the
+    n·Σxy products are computed in double deliberately."""
+    e = t(spark, sf_dir, "events")
+    mn = e.agg(F.min("ts").alias("t0"))
+    xy = e.crossJoin(F.broadcast(mn)).select(
+        "event_type",
+        F.expr("(unix_micros(ts) - unix_micros(t0)) div 3600000000").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / 100.0
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_hour"),
+        ((F.col("sy").cast("double") / nd) / 100.0).alias("mean_value"),
+    )

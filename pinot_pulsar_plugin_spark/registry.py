@@ -89,6 +89,7 @@ _PRIORITY = [
     "s53_kmeans_step",
     "d55_incremental_dedup",
     "q99_weighted_median",
+    "q100_value_drift",
     "st62_interval_join_outer",
     "t63_bigram_surprisal",
     "q93_mad_outliers",
@@ -130,7 +131,6 @@ _PRIORITY = [
     "st59_stream_enrich_join",
     "t50_text_stats",
     "t51_lang_id",
-    "t60_pii_redaction",
 ]
 
 

@@ -250,3 +250,30 @@ def test_q99_weighted_median_matches_brute_force(spark):
                 pick = v
                 break
         assert out[flag] == (pick, tot), flag
+
+
+def test_q100_slope_matches_numpy_lstsq(spark):
+    """The closed-form moment-sum slope must match NumPy's polyfit on
+    the same (hour, value) points to float tolerance, per group."""
+    import numpy as np
+
+    from pinot_pulsar_plugin_spark.operators import eventanalytics as ev
+
+    out = {
+        r.event_type: r.slope_per_hour
+        for r in ev.QUERIES["q100_value_drift"](spark, SF).collect()
+    }
+    rows = (
+        load_table(spark, SF, "events").select("event_type", "ts", "value").collect()
+    )
+    t0 = min(r.ts for r in rows)
+    groups: dict[str, list] = {}
+    for r in rows:
+        x = int((r.ts - t0).total_seconds() * 1e6) // 3_600_000_000
+        y = round(r.value * 100) / 100.0
+        groups.setdefault(r.event_type, []).append((x, y))
+    for etype, pts in groups.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(out[etype] - slope) < 1e-9 * max(1.0, abs(slope)), etype

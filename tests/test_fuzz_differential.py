@@ -648,3 +648,47 @@ def test_day_of_week_conventions_pinned(spark, fuzz_env):
         expected,
     )
     assert not problems, problems
+
+
+def _gen_limit_offset_query(rng: random.Random) -> str:
+    """Fully-ordered pagination: ORDER BY a random key stack that ends
+    with the unique primary key (so the page cut is deterministic on
+    both engines), then LIMIT/OFFSET — the serving-layer pagination
+    contract. Optionally paginate a grouped aggregate instead of the
+    raw table (ordered by an aggregate with key tie-break)."""
+    if rng.random() < 0.4:
+        inner = (
+            f"SELECT o_custkey, COUNT(*) AS n, MAX(o_orderkey) AS mx "
+            f"FROM orders WHERE {_gen_predicate(rng)} GROUP BY o_custkey"
+        )
+        order = rng.choice(
+            ["n DESC, o_custkey", "n, mx DESC, o_custkey", "mx, o_custkey"]
+        )
+        body = f"SELECT * FROM ({inner}) g ORDER BY {order}"
+    else:
+        keys = rng.sample(
+            ["o_orderstatus", "o_orderpriority", "o_totalprice DESC", "o_custkey"],
+            rng.randrange(1, 3),
+        )
+        body = (
+            f"SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            f"WHERE {_gen_predicate(rng)} "
+            f"ORDER BY {', '.join(keys)}, o_orderkey"
+        )
+    limit = rng.randrange(1, 40)
+    q = f"{body} LIMIT {limit}"
+    if rng.random() < 0.6:
+        q += f" OFFSET {rng.randrange(0, 60)}"
+    return q
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_limit_offset_differential(seed, spark, fuzz_env):
+    """Deterministic pagination pages must match row-for-row: LIMIT,
+    LIMIT+OFFSET, over raw and aggregated inputs, under multi-key
+    ORDER BY ending in a unique key."""
+    rng = random.Random(21000 + seed)
+    sql = _gen_limit_offset_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"lofuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)

@@ -820,3 +820,17 @@ def test_q99_weighted_median_single_exchange(spark):
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan)}
     assert keys == {"l_returnflag"}, keys
     assert "windowspecdefinition" in plan
+
+
+def test_q100_drift_single_keyed_aggregate(spark):
+    """q100's scale contract (q88's shape): one-row global min reduced
+    map-side and broadcast back, then ONE combinable aggregate on
+    event_type carrying five integer sums — two exchanges total, no
+    cartesian with a predicate."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    df = eventanalytics.q100_value_drift(spark, SF)
+    assert n_shuffles(df) <= 2
+    plan = formatted_plan(df)
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
