@@ -194,6 +194,83 @@ COMMENTARY = {
         "post-filter - never a nested loop over the range predicate. "
         "In streaming the same bound expires the join state."
     ),
+    "q94_pareto_frontier": (
+        "Both dominance RANGE frames (strict and inclusive running max) "
+        "collapse into ONE Window over ONE lang exchange and one sort - "
+        "the O(n log n) skyline sweep; the oracle's quadratic NOT EXISTS "
+        "never appears in the engine plan."
+    ),
+    "q95_weighted_sample": (
+        "Sequential-Poisson priorities are a per-row integer-hash map; "
+        "rank-then-filter lowers to WindowGroupLimit so each map task "
+        "forwards at most K rows per language before the single lang "
+        "exchange. At 100 TB the shuffle is K x #strata, not the corpus."
+    ),
+    "q96_rollup_serving": (
+        "ONE fact scan feeds Expand (the grouping-set multiplier) with "
+        "partial aggregation before the single exchange; the serving "
+        "filter (_gid = 1) runs on the #groups-sized cube output - the "
+        "fact table is never rescanned per query. In production the cube "
+        "lands as a summary table refreshed incrementally per micro-batch."
+    ),
+    "q97_blocking_supplier": (
+        "The EXISTS / NOT EXISTS pair decorrelates to LeftSemi + LeftAnti "
+        "hash joins on l_orderkey (broadcast at this scale, shuffled at "
+        "100 TB) - per-row subquery re-execution never happens; the final "
+        "count aggregates on s_suppkey only."
+    ),
+    "q98_dominant_part_supplier": (
+        "The correlated scalar aggregate inside HAVING becomes a "
+        "standalone per-partkey aggregate joined back on the group key; "
+        "the IN becomes a semi join. Three hash aggregates, zero nested "
+        "loops, shuffles only on l_partkey/l_suppkey/s_suppkey."
+    ),
+    "st63_window_topk": (
+        "Combinable count keyed (window, type) - vocabulary-sized - then "
+        "WindowGroupLimit keeps <=k rows per window map-side before the "
+        "window exchange. The streaming form ranks inside foreachBatch: "
+        "append-mode watermarked windows close exactly once, so per-batch "
+        "ranking is globally correct with zero cross-batch merge state."
+    ),
+    "t64_doc_chunking": (
+        "sequence + posexplode + substring inside whole-stage codegen: "
+        "zero exchanges at any corpus size, ReadSchema pruned to "
+        "(doc_id, text, n_chars). Chunk offsets keep provenance for "
+        "downstream dedup/citation."
+    ),
+    "t65_top_bigrams": (
+        "In-row bigram arrays (transform over the token array - no "
+        "shuffle), one map-side-combinable count on the bigram, then "
+        "TakeOrderedAndProject: each task forwards only its local top-K "
+        "and the driver merges K-sized heaps - no global sort ever."
+    ),
+    "s53_kmeans_step": (
+        "Centroids broadcast as a conditionless K-row product (bounded "
+        "fan-out, the s50 quantizer shape); distances computed map-side; "
+        "argmin lowers to WindowGroupLimit before the vec_id exchange; "
+        "the recompute is one hash aggregate keyed (cluster, dim). "
+        "Vector payloads never shuffle - only ids and k x dim sums."
+    ),
+    "d55_incremental_dedup": (
+        "Delta-vs-corpus only: the exact screen broadcasts the corpus "
+        "signature set; the shingle equi-join pairs delta x corpus "
+        "(never corpus x corpus - the quadratic term a full re-dedup "
+        "pays). In production the corpus shingle index is the persisted "
+        "side and incremental cost is |delta|-driven."
+    ),
+    "q99_weighted_median": (
+        "Cumulative and total windows plus the pick aggregate share ONE "
+        "hash exchange on the group key; the selection (cumw*2 >= totw) "
+        "is pure integer arithmetic. The per-group sort is the inherent "
+        "cost of an exact quantile - q57's sketch is the approximate path."
+    ),
+    "q100_value_drift": (
+        "Global min reduced map-side, broadcast back as one row; then a "
+        "single combinable aggregate on event_type carrying five integer "
+        "sufficient statistics. Slope/intercept are driver-free column "
+        "arithmetic on the aggregate output - same exchange budget as a "
+        "count."
+    ),
 }
 
 
