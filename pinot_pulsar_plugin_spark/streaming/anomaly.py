@@ -87,3 +87,78 @@ def running_zscore_stream(decoded: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detector — the streaming twin of q100's batch drift slope
+# ---------------------------------------------------------------------------
+
+_CUSUM_OUTPUT = (
+    "event_type string, event_id bigint, cpos bigint, cneg bigint, alarm int"
+)
+_CUSUM_STATE = "cpos bigint, cneg bigint"
+
+
+def make_cusum_scorer(mu0_fp: int, k_fp: int, h_fp: int):
+    """Two-sided tabular CUSUM around a known baseline: per key, state
+    ``(c+, c-)`` updates as ``c+ = max(0, c+ + (v - mu0 - k))`` and
+    ``c- = max(0, c- + (mu0 - v - k))``; alarm when either exceeds
+    ``h``. All quantities are fixed-point int64 (same 1e-2 domain as
+    the z-score op), so the streaming run is bit-reproducible and a
+    plain-Python replay can verify it exactly.
+
+    The reset recurrence vectorizes without a per-row loop via the
+    cumsum-minus-running-min identity
+    ``x_t = S_t - min(0, min_{j<=t} S_j)`` with ``S_t = x_0 + cumsum(d)``
+    — one numpy pass per Arrow batch. State is two int64s per key;
+    q100 is the batch companion (slope over the whole history), this
+    is the online form that fires mid-stream the moment drift
+    accumulates past ``h``."""
+
+    def _score(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        cpos, cneg = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            v = pdf["v"].to_numpy(dtype="int64")
+
+            def run(x0, d):
+                s = x0 + np.cumsum(d)
+                m = np.minimum(np.minimum.accumulate(s), 0)
+                return s - m
+
+            cp = run(cpos, v - mu0_fp - k_fp)
+            cn = run(cneg, mu0_fp - v - k_fp)
+            out = pd.DataFrame(
+                {
+                    "event_type": np.full(len(v), key[0], dtype=object),
+                    "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+                    "cpos": cp,
+                    "cneg": cn,
+                    "alarm": ((cp > h_fp) | (cn > h_fp)).astype("int32"),
+                }
+            )
+            cpos, cneg = int(cp[-1]), int(cn[-1])
+            state.update((cpos, cneg))
+            yield out
+        elif state.exists:
+            state.update((cpos, cneg))
+
+    return _score
+
+
+def cusum_drift_stream(
+    decoded: DataFrame, *, mu0_fp: int, k_fp: int, h_fp: int
+) -> DataFrame:
+    """Per-event-type CUSUM over a decoded stream
+    ``(event_type, event_id, ts_us, v)`` with fixed-point values."""
+    return decoded.groupBy("event_type").applyInPandasWithState(
+        make_cusum_scorer(mu0_fp, k_fp, h_fp),
+        outputStructType=_CUSUM_OUTPUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -377,3 +377,116 @@ def test_running_zscore_multichunk_out_of_order_batch(spark, tmp_path):
         assert sum(f for _, f in expected.values()) >= 1  # spike flagged
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_cusum_stream_matches_python_replay(spark, tmp_path):
+    """Bit-exact batch/stream consistency for the CUSUM drift detector:
+    the same events through the pulsarlike source in 5-message
+    micro-batches must reproduce a plain-Python replay of the integer
+    reset recurrence exactly (state carries (c+, c-) across batches),
+    and the planted upward drift must raise an alarm while the stable
+    series stays quiet."""
+    from pinot_pulsar_plugin_spark.streaming.anomaly import cusum_drift_stream
+
+    MU0, K, H = 1000, 50, 800  # fixed-point 1e-2: baseline 10.00
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    rows = []
+    for i in range(40):
+        etype = "stable" if i % 2 == 0 else "drifting"
+        if etype == "stable":
+            value_fp = 1000 + (i % 5) * 20 - 40  # oscillates around 10.00
+        else:
+            value_fp = 1000 + i * 8  # creeps upward past the slack
+        rows.append({"event_id": i, "event_type": etype,
+                     "ts_us": 1_000_000 * i, "v": value_fp})
+        w.append(0, json.dumps(rows[-1]))
+
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=5),
+        "event_id bigint, event_type string, ts_us bigint, v bigint",
+    )
+    q = (
+        cusum_drift_stream(decoded, mu0_fp=MU0, k_fp=K, h_fp=H)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_id: (r.cpos, r.cneg, r.alarm)
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+    }
+
+    state = {}
+    expected = {}
+    for r in rows:
+        cp, cn = state.get(r["event_type"], (0, 0))
+        cp = max(0, cp + (r["v"] - MU0 - K))
+        cn = max(0, cn + (MU0 - r["v"] - K))
+        state[r["event_type"]] = (cp, cn)
+        expected[r["event_id"]] = (cp, cn, 1 if (cp > H or cn > H) else 0)
+
+    assert got == expected
+    alarms = {r["event_type"] for r in rows if expected[r["event_id"]][2]}
+    assert alarms == {"drifting"}
+
+
+def test_cusum_state_survives_checkpoint_restart(spark, tmp_path):
+    """The (c+, c-) accumulators must recover from the checkpoint: feed
+    half the drifting series, stop the query, append the rest, restart
+    with the SAME checkpoint — the full output must equal the replay
+    over the whole series (no reset at the seam, alarm still raised)."""
+    from pinot_pulsar_plugin_spark.streaming.anomaly import cusum_drift_stream
+
+    MU0, K, H = 1000, 50, 800
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    mk = lambda i: {"event_id": i, "event_type": "d",
+                    "ts_us": 1_000_000 * i, "v": 1000 + i * 8}
+    rows = [mk(i) for i in range(30)]
+
+    out_dir = str(tmp_path / "out")
+
+    def drain(upto):
+        # memory sinks cannot recover a checkpoint; the exactly-once
+        # parquet sink is the recovery-capable landing this op ships with
+        from pinot_pulsar_plugin_spark.streaming.sinks import (
+            exactly_once_parquet_sink,
+        )
+
+        decoded = decode_json(
+            read_stream(spark, root, "ev", maxmsgs=7),
+            "event_id bigint, event_type string, ts_us bigint, v bigint",
+        )
+        q = (
+            cusum_drift_stream(decoded, mu0_fp=MU0, k_fp=K, h_fp=H)
+            .writeStream.foreachBatch(exactly_once_parquet_sink(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(out_dir).collect()
+
+    for r in rows[:15]:
+        w.append(0, json.dumps(r))
+    first = drain(15)
+    for r in rows[15:]:
+        w.append(0, json.dumps(r))
+    second = drain(30)
+
+    got = {r.event_id: (r.cpos, r.cneg, r.alarm) for r in second}
+    assert {r.event_id for r in first} <= set(got)  # second read sees all batches
+    cp = cn = 0
+    expected = {}
+    for r in rows:
+        cp = max(0, cp + (r["v"] - MU0 - K))
+        cn = max(0, cn + (MU0 - r["v"] - K))
+        expected[r["event_id"]] = (cp, cn, 1 if (cp > H or cn > H) else 0)
+    assert got == expected
+    assert any(v[2] for v in expected.values())
