@@ -492,3 +492,214 @@ def s53_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third canonical ANN pillar next to
+# LSH (s49/d48) and IVF (s50): compress vectors to M subspace codes
+# against a small codebook, then search with asymmetric distance
+# computation (ADC) over the codes, never the raw vectors.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64 dims / 8 per slice)
+_PQ_DSUB = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace: deterministic init = vec_id < _PQ_K
+_PQ_NPROBE = 8  # ADC probe set: vec_id < _PQ_NPROBE
+_PQ_TOPK = 5
+
+_SLICE_L2_SQL = (
+    "list_reduce(list_transform(list_zip("
+    "list_slice({a}, {m} * 8 + 1, {m} * 8 + 8), "
+    "list_slice({b}, {m} * 8 + 1, {m} * 8 + 8)), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+_PQ_CODES_SQL = f"""
+    cb AS (
+      SELECT vec_id AS cid, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {_PQ_K}),
+    ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    pq_d AS (
+      SELECT e.vec_id, ms.m, cb.cid,
+             {_SLICE_L2_SQL.format(a="e.embedding", b="cb.c_emb", m="ms.m")}
+               AS dist
+      FROM embeddings e CROSS JOIN ms CROSS JOIN cb),
+    pq_codes AS (
+      SELECT vec_id, m, cid AS code, dist FROM (
+        SELECT vec_id, m, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cid) AS rnk
+        FROM pq_d) WHERE rnk = 1)
+"""
+
+
+def _slice_l2(emb_a, emb_b, m):
+    """Squared L2 between one _PQ_DSUB-wide slice of two vectors —
+    sequential fold, same bit-exactness contract as fold_dot."""
+    a = F.slice(emb_a, m * _PQ_DSUB + 1, _PQ_DSUB)
+    b = F.slice(emb_b, m * _PQ_DSUB + 1, _PQ_DSUB)
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code, dist): nearest codeword per subspace.
+    Codebook = a broadcast _PQ_K-row product (bounded fan-out, the
+    s50/s53 shape); argmin lowers to a map-side WindowGroupLimit
+    before the (vec_id, m) exchange."""
+    from pyspark.sql import Window as W
+
+    em = t(spark, sf_dir, "embeddings")
+    cb = em.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    d = (
+        em.select("vec_id", "embedding", ms)
+        .join(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            _slice_l2(F.col("embedding"), F.col("c_emb"), F.col("m")).alias(
+                "dist"
+            ),
+        )
+    )
+    w = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"), "dist")
+    )
+
+
+@query(
+    "s54_pq_encode",
+    f"""
+    WITH {_PQ_CODES_SQL}
+    SELECT vec_id, CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
+           dist
+    FROM pq_codes
+    """,
+)
+def s54_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each 64-d vector becomes
+    {_PQ_M} one-byte codes — the nearest of {_PQ_K} codewords per
+    8-dim subspace (deterministic codebook = the first {_PQ_K}
+    vectors' slices; a production codebook comes from s53's Lloyd step
+    run per subspace). Emitted as (vec_id, m, code, dist) rows with
+    the exact per-subspace quantization error.
+
+    Scale shape: codebook broadcast (K rows), slice distances are
+    in-row folds, argmin is a map-side WindowGroupLimit before the
+    skinny (vec_id, m) exchange. The encoded table is M bytes +
+    overhead per vector — the representation ADC search (s55) scans
+    instead of 256-byte float vectors, an 8x read reduction here and
+    ~32x at float32/byte-code production settings."""
+    return _pq_codes_df(spark, sf_dir).select(
+        "vec_id",
+        F.col("m").cast("int").alias("m"),
+        F.col("code").cast("int").alias("code"),
+        "dist",
+    )
+
+
+@query(
+    "s55_pq_adc_topk",
+    f"""
+    WITH {_PQ_CODES_SQL},
+    probes AS (
+      SELECT vec_id AS p_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {_PQ_NPROBE}),
+    lut AS (
+      SELECT p.p_id, ms.m, cb.cid,
+             CAST(ROUND({_SLICE_L2_SQL.format(a="p.q_emb", b="cb.c_emb", m="ms.m")}
+               * 1000000) AS BIGINT) AS d_fp
+      FROM probes p CROSS JOIN ms CROSS JOIN cb),
+    adc AS (
+      SELECT l.p_id, c.vec_id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+      FROM pq_codes c
+      JOIN lut l ON l.m = c.m AND l.cid = c.code
+      WHERE c.vec_id <> l.p_id
+      GROUP BY l.p_id, c.vec_id),
+    ranked AS (
+      SELECT p_id, vec_id, adc_fp,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_id
+                                     ORDER BY adc_fp, vec_id) AS INTEGER)
+               AS rnk
+      FROM adc)
+    SELECT p_id, rnk, vec_id, CAST(adc_fp AS DOUBLE) / 1000000.0 AS adc_dist
+    FROM ranked WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def s55_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-{_PQ_TOPK}: per probe, build
+    the {_PQ_M}x{_PQ_K} lookup table of exact probe-slice-to-codeword
+    distances, then score every encoded vector as the SUM of table
+    entries selected by its codes — the vectors themselves are never
+    touched at query time. Per-entry distances are fixed-pointed
+    BEFORE the sum (order-independent integer aggregation,
+    functions/exact.py) so ADC scores are bit-equal to the oracle.
+
+    Scale shape: the LUT is probes x M x K rows — broadcast; the scan
+    side is the M-bytes-per-vector code table joined on (m, code);
+    the per-(probe, vector) sum is one combinable aggregate and the
+    top-k cut lowers to WindowGroupLimit. At 100 TB this is the
+    classic memory-resident-codes ANN: scan cost tracks the CODE
+    table size, an order of magnitude under the raw vectors."""
+    from pyspark.sql import Window as W
+
+    em = t(spark, sf_dir, "embeddings")
+    codes = _pq_codes_df(spark, sf_dir).select("vec_id", "m", "code")
+    cb = em.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    probes = em.filter(F.col("vec_id") < _PQ_NPROBE).select(
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("q_emb")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    lut = (
+        probes.select("p_id", "q_emb", ms)
+        .join(F.broadcast(cb))
+        .select(
+            "p_id",
+            "m",
+            "cid",
+            F.round(
+                _slice_l2(F.col("q_emb"), F.col("c_emb"), F.col("m")) * 1000000
+            )
+            .cast("long")
+            .alias("d_fp"),
+        )
+    )
+    c = codes.alias("c")
+    l = lut.alias("l")
+    adc = (
+        c.join(
+            F.broadcast(l),
+            (F.col("c.m") == F.col("l.m"))
+            & (F.col("c.code") == F.col("l.cid"))
+            & (F.col("c.vec_id") != F.col("l.p_id")),
+        )
+        .groupBy(F.col("l.p_id").alias("p_id"), F.col("c.vec_id").alias("vec_id"))
+        .agg(F.sum("d_fp").alias("adc_fp"))
+    )
+    w = W.partitionBy("p_id").orderBy("adc_fp", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "p_id",
+            "rnk",
+            "vec_id",
+            (F.col("adc_fp").cast("double") / 1000000.0).alias("adc_dist"),
+        )
+    )

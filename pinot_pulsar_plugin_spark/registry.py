@@ -90,6 +90,8 @@ _PRIORITY = [
     "d55_incremental_dedup",
     "q99_weighted_median",
     "q100_value_drift",
+    "s54_pq_encode",
+    "s55_pq_adc_topk",
     "st62_interval_join_outer",
     "t63_bigram_surprisal",
     "q93_mad_outliers",
@@ -129,8 +131,6 @@ _PRIORITY = [
     "st57_tumbling_window",
     "st58_sliding_window",
     "st59_stream_enrich_join",
-    "t50_text_stats",
-    "t51_lang_id",
 ]
 
 

@@ -834,3 +834,23 @@ def test_q100_drift_single_keyed_aggregate(spark):
     plan = formatted_plan(df)
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_s54_s55_pq_bounded_products_and_group_limits(spark):
+    """PQ scale contract: the only products are broadcasts of the
+    K-row codebook / the probes-x-M-x-K LUT (conditionless, bounded);
+    both argmin and top-k lower to WindowGroupLimit; shuffles key on
+    ids only (vector payloads never shuffle)."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import similarity
+
+    for fn in (similarity.s54_pq_encode, similarity.s55_pq_adc_topk):
+        df = fn(spark, SF)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+            assert "<" not in plan[m.end() : m.end() + 120]
+        assert "WindowGroupLimit" in plan
+        keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+        assert keys <= {"vec_id", "m", "p_id"}, keys
