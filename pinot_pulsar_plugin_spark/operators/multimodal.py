@@ -275,3 +275,60 @@ def m58_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_resize_batches(),
         schema="doc_id bigint, width int, height int, out_w int, out_h int, scale double",
     )
+
+
+_MEDIA_CHUNK = 4096  # bytes per upload/processing chunk
+
+
+@query(
+    "m59_payload_chunk_manifest",
+    f"""
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(s.i AS INTEGER) AS chunk_idx,
+           CAST(s.i * {_MEDIA_CHUNK} AS BIGINT) AS byte_start,
+           CAST(LEAST({_MEDIA_CHUNK},
+                      octet_length(encode(d.text)) - s.i * {_MEDIA_CHUNK})
+             AS BIGINT) AS byte_len
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(0,
+             CAST((octet_length(encode(d.text)) - 1) / {_MEDIA_CHUNK} AS INTEGER)))
+             AS i) s
+    """,
+)
+def m59_payload_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunk manifest for large media payloads: the planning
+    step of chunked upload / range-request processing — each payload
+    becomes (chunk_idx, byte_start, byte_len) rows of {_MEDIA_CHUNK}
+    bytes, the last chunk truncated. Only LENGTH arithmetic touches the
+    plan; payload bytes are never deserialized (the m55 principle:
+    metadata flows, media stays opaque), so this runs at scan speed and
+    the actual byte slicing happens in whatever worker later consumes
+    a (start, len) pair.
+
+    Scale shape: pure narrow map (sequence + posexplode over an integer
+    computed from octet_length), zero shuffles, no Python; output size
+    is bytes/chunk_size rows per payload."""
+    d = t(spark, sf_dir, "documents")
+    payload_len = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    # floor division on BOTH engines: DuckDB's int/int returns a double
+    # that CAST would ROUND (not truncate), so a 2049..4096-byte payload
+    # would grow a phantom chunk — // and div are the portable floors
+    n_chunks_minus1 = F.expr(f"CAST((n_bytes - 1) div {_MEDIA_CHUNK} AS INT)")
+    ex = d.select("doc_id", payload_len.alias("n_bytes")).select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode(
+            F.sequence(F.lit(0), n_chunks_minus1)
+        ).alias("chunk_idx", "_i"),
+    )
+    return ex.select(
+        "doc_id",
+        "n_bytes",
+        "chunk_idx",
+        (F.col("chunk_idx").cast("long") * _MEDIA_CHUNK).alias("byte_start"),
+        F.least(
+            F.lit(_MEDIA_CHUNK).cast("long"),
+            F.col("n_bytes") - F.col("chunk_idx").cast("long") * _MEDIA_CHUNK,
+        ).alias("byte_len"),
+    )

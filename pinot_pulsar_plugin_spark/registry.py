@@ -69,11 +69,11 @@ _MODULES = [
 # out at 51-52 — multimodal stays covered in-window by m57/m58, and
 # every rotated-out entry remains in the local parity suite.
 # r5 continuations (final layout): r4 scored its whole 50-slot window
-# green, so the only entries without a driver row are the 24 added
+# green, so the only entries without a driver row are the 30 added
 # during round 5 — they lead; 11 keepers restore sole-rep category
-# coverage; 15 multiply-green anchors fill the window. The r4-green
-# block rotated out (q48/q53/q54/q75-q86/d51/s51/t55-t59/st60/m57/m58)
-# stays covered by the byte-identical local parity suite.
+# coverage; 9 multiply-green anchors fill the window. The r4-green
+# block rotated out (q48/q53/q54/q75-q86/d51/s51/t50-t61/st59/st60/
+# m55/m57/m58) stays covered by the byte-identical local parity suite.
 _PRIORITY = [
     # --- never driver-scored (every r5 addition; CORRECTNESS_r05 will
     # be their first driver row — r1-r4 scored everything older, so
@@ -92,6 +92,7 @@ _PRIORITY = [
     "q100_value_drift",
     "s54_pq_encode",
     "s55_pq_adc_topk",
+    "m59_payload_chunk_manifest",
     "st62_interval_join_outer",
     "t63_bigram_surprisal",
     "q93_mad_outliers",
@@ -130,7 +131,6 @@ _PRIORITY = [
     "s50_ann_ivf_topk",
     "st57_tumbling_window",
     "st58_sliding_window",
-    "st59_stream_enrich_join",
 ]
 
 

@@ -51,3 +51,32 @@ def test_resize_codec_semantics():
         list(make_resize_batches(codec="real")(_batch()))
     with pytest.raises(ValueError):
         make_resize_batches(codec="pil")
+
+
+def test_m59_manifest_boundary_payload_sizes(spark, tmp_path):
+    """Chunk-count boundaries where a round-instead-of-floor division
+    would mint a phantom chunk: payloads of exactly 1, CHUNK-1, CHUNK,
+    CHUNK+1, 2*CHUNK and the 2049-byte rounding trap must produce
+    ceil(n/CHUNK) chunks whose lengths tile the payload exactly."""
+    from pinot_pulsar_plugin_spark.operators.multimodal import (
+        _MEDIA_CHUNK,
+        m59_payload_chunk_manifest,
+    )
+
+    sizes = [1, _MEDIA_CHUNK - 1, _MEDIA_CHUNK, _MEDIA_CHUNK + 1,
+             2 * _MEDIA_CHUNK, _MEDIA_CHUNK // 2 + 1]
+    rows = [(i, "x" * n) for i, n in enumerate(sizes)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = m59_payload_chunk_manifest(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(sizes):
+        cs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(cs) == -(-n // _MEDIA_CHUNK), (i, n)
+        assert sum(c.byte_len for c in cs) == n
+        assert cs[-1].byte_start + cs[-1].byte_len == n
+        for a, b in zip(cs, cs[1:]):
+            assert b.byte_start == a.byte_start + a.byte_len
