@@ -66,6 +66,7 @@ HEADLINE = [
     "s53_kmeans_step",
     "d55_incremental_dedup",
     "q97_blocking_supplier",
+    "s55_pq_adc_topk",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

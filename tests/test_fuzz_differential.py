@@ -692,3 +692,50 @@ def test_fuzz_limit_offset_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"lofuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_exists_chain_query(rng: random.Random) -> str:
+    """Correlated existential chains over orders/customer — the q97
+    decorrelation family generalized: EXISTS / NOT EXISTS (optionally
+    both) with correlated equality plus an extra inner predicate, under
+    a grouped or plain projection."""
+    inner_pred = _gen_predicate(rng).replace("o_orderkey", "o2.o_orderkey").replace(
+        "o_custkey", "o2.o_custkey"
+    ).replace("o_orderstatus", "o2.o_orderstatus").replace(
+        "o_orderpriority", "o2.o_orderpriority"
+    )
+    ex1 = rng.choice(["EXISTS", "NOT EXISTS"])
+    clause1 = (
+        f"{ex1} (SELECT 1 FROM orders o2 WHERE o2.o_custkey = o.o_custkey "
+        f"AND o2.o_orderkey <> o.o_orderkey AND ({inner_pred}))"
+    )
+    clauses = [clause1]
+    if rng.random() < 0.5:
+        cmp_op = rng.choice(["<", ">", "<="])
+        ex2 = rng.choice(["EXISTS", "NOT EXISTS"])
+        clauses.append(
+            f"{ex2} (SELECT 1 FROM orders o3 WHERE o3.o_custkey = o.o_custkey "
+            f"AND o3.o_totalprice {cmp_op} o.o_totalprice "
+            f"AND o3.o_orderkey <> o.o_orderkey)"
+        )
+    where = " AND ".join(clauses)
+    if rng.random() < 0.5:
+        return (
+            f"SELECT o.o_orderstatus, COUNT(*) AS n, MIN(o.o_orderkey) AS mn "
+            f"FROM orders o WHERE {where} GROUP BY o.o_orderstatus"
+        )
+    return (
+        f"SELECT o.o_orderkey, o.o_custkey FROM orders o WHERE {where}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_exists_chain_differential(seed, spark, fuzz_env):
+    """Random correlated EXISTS / NOT EXISTS chains (incl. theta-
+    correlated inner predicates on o_totalprice) must decorrelate to
+    the same answers DuckDB computes."""
+    rng = random.Random(23000 + seed)
+    sql = _gen_exists_chain_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"exfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
