@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan audit → PLAN_AUDIT.json.
+
+Compiles every registry query (no execution) and records the
+scale-relevant plan facts the gates assert piecemeal — shuffle count,
+shuffle keys, broadcast/cartesian/nested-loop joins, Python eval nodes,
+WindowGroupLimit, pushed filters — as one machine-readable artifact.
+Run after operator changes: ``python tools_planaudit.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pinot_pulsar_plugin_spark.plans.explain import formatted_plan
+from pinot_pulsar_plugin_spark.registry import all_oracle_sql, all_queries
+from pinot_pulsar_plugin_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def audit_plan(plan: str) -> dict:
+    node_ids = re.findall(r"\(\d+\) (\w+)", plan)
+    return {
+        "exchanges": node_ids.count("Exchange"),
+        "shuffle_keys": sorted(
+            {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+        ),
+        "range_partitioning": "rangepartitioning" in plan,
+        "broadcast_hash_joins": node_ids.count("BroadcastHashJoin"),
+        "sort_merge_joins": node_ids.count("SortMergeJoin"),
+        "bnlj": node_ids.count("BroadcastNestedLoopJoin"),
+        "cartesian": node_ids.count("CartesianProduct"),
+        "window_group_limit": "WindowGroupLimit" in plan,
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "python_eval": bool(
+            re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
+        "expand": "Expand" in node_ids,
+        "generate": "Generate" in node_ids,
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]\[]", plan)),
+        "scans": node_ids.count("Scan"),
+    }
+
+
+def main() -> None:
+    spark = get_spark("planaudit")
+    queries = all_queries()
+    oracles = all_oracle_sql()
+    out = {}
+    failed = []
+    for name, fn in queries.items():
+        try:
+            plan = formatted_plan(fn(spark, SF))
+        except Exception as exc:  # iterative ops that materialize internally
+            failed.append((name, str(exc)[:100]))
+            continue
+        row = audit_plan(plan)
+        row["oracle"] = name in oracles
+        out[name] = row
+    summary = {
+        "n_queries": len(queries),
+        "n_planned": len(out),
+        "n_oracle_backed": sum(1 for r in out.values() if r["oracle"]),
+        "with_cartesian": sorted(n for n, r in out.items() if r["cartesian"]),
+        "with_python_eval": sorted(n for n, r in out.items() if r["python_eval"]),
+        "max_exchanges": max((r["exchanges"], n) for n, r in out.items()),
+        "plan_failures": failed,
+    }
+    artifact = {"summary": summary, "queries": out}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLAN_AUDIT.json")
+    with open(path, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+    print("PLAN_AUDIT.json:", summary)
+
+
+if __name__ == "__main__":
+    main()
