@@ -533,3 +533,74 @@ def q80_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_tokens")
     )
+
+
+@query(
+    "q101_split_balance_audit",
+    f"""
+    WITH assigned AS (
+      SELECT vec_id, label,
+             CASE WHEN (vec_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 800
+                    THEN 'train'
+                  WHEN (vec_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 900
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM embeddings),
+    cell AS (
+      SELECT split, label, COUNT(*) AS n FROM assigned GROUP BY split, label),
+    per_split AS (
+      SELECT split, CAST(SUM(n) AS BIGINT) AS split_n FROM cell GROUP BY split),
+    per_label AS (
+      SELECT label, CAST(SUM(n) AS BIGINT) AS label_n FROM cell GROUP BY label),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM assigned)
+    SELECT c.split, c.label, c.n,
+           CAST(c.n AS DOUBLE) / s.split_n AS share_in_split,
+           CAST(l.label_n AS DOUBLE) / t.total AS global_share,
+           (CAST(c.n AS DOUBLE) / s.split_n)
+             / (CAST(l.label_n AS DOUBLE) / t.total) AS balance_ratio
+    FROM cell c
+    JOIN per_split s ON s.split = c.split
+    JOIN per_label l ON l.label = c.label
+    CROSS JOIN tot t
+    """,
+)
+def q101_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit: after the q74 deterministic hash split is
+    applied to the labeled embeddings, compare each label's share
+    WITHIN each split to its global share (balance_ratio ~= 1 means
+    the split didn't skew the class mix — the leakage/imbalance check
+    every train/val/test cut should pass before training). Ratios are
+    divisions of exact integer counts: bit-identical cross-engine.
+
+    Scale shape: one combinable (split, label) count over the
+    assignment map (split itself is a pure per-row hash — q74), then
+    broadcast joins of the three tiny marginals back onto the
+    #splits x #labels cell table. The corpus is touched once."""
+    em = t(spark, sf_dir, "embeddings")
+    h = F.pmod(F.pmod(F.col("vec_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD)), 1000)
+    assigned = em.select(
+        "vec_id",
+        "label",
+        F.when(h < 800, "train").when(h < 900, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    cell = assigned.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+    per_split = cell.groupBy("split").agg(F.sum("n").cast("long").alias("split_n"))
+    per_label = cell.groupBy("label").agg(F.sum("n").cast("long").alias("label_n"))
+    tot = assigned.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    share = F.col("n").cast("double") / F.col("split_n")
+    gshare = F.col("label_n").cast("double") / F.col("total")
+    return (
+        cell.join(F.broadcast(per_split), "split")
+        .join(F.broadcast(per_label), "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "label",
+            "n",
+            share.alias("share_in_split"),
+            gshare.alias("global_share"),
+            (share / gshare).alias("balance_ratio"),
+        )
+    )

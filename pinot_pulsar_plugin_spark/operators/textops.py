@@ -892,3 +892,64 @@ def t65_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(_VOCAB_K)
     )
+
+
+_FH_BUCKETS = 512  # hashed feature space (Weinberger et al. hashing trick)
+
+
+@query(
+    "t66_feature_hashing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                  % {_FH_BUCKETS} AS INTEGER) AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(w), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok)
+    SELECT doc_id, bucket,
+           CAST(SUM(sgn) AS BIGINT) AS signed_count,
+           COUNT(*) AS n_tokens
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def t66_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): project each
+    document's token counts into a fixed {_FH_BUCKETS}-bucket feature
+    space with a sign hash, so collisions cancel in expectation — the
+    vocabulary-free featurization a linear classifier or quality model
+    trains on without a vocab-build pass (no global state, new tokens
+    never resize anything).
+
+    Cross-engine hash portability: Spark xxhash64 has no DuckDB
+    counterpart, so the bucket/sign derive from md5 hex prefixes parsed
+    as integers — identical on both engines (conv(,16,10) ≡ '0x' cast),
+    proven by the exact oracle.
+
+    Scale shape: per-row hashing (no vocabulary broadcast, no
+    dictionary shuffle), one map-side-combinable aggregate keyed
+    (doc_id, bucket) — output is bounded by docs x buckets and the
+    sparse form ships straight to training."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    bucket = F.expr(
+        f"CAST(CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_FH_BUCKETS} AS INT)"
+    )
+    sgn = F.expr(
+        "CASE WHEN CAST(conv(substr(md5(w), 9, 1), 16, 10) AS BIGINT) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("signed_count"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -93,6 +93,8 @@ _PRIORITY = [
     "s54_pq_encode",
     "s55_pq_adc_topk",
     "m59_payload_chunk_manifest",
+    "t66_feature_hashing",
+    "q101_split_balance_audit",
     "st62_interval_join_outer",
     "t63_bigram_surprisal",
     "q93_mad_outliers",
@@ -129,8 +131,6 @@ _PRIORITY = [
     "d50_contamination",
     "s48_cosine_topk",
     "s50_ann_ivf_topk",
-    "st57_tumbling_window",
-    "st58_sliding_window",
 ]
 
 
