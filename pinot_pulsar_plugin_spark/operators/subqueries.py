@@ -132,3 +132,59 @@ def q98_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("supplier", "lineitem", "part"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q98)
+
+
+_Q102 = """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / 7.0 AS avg_weekly_revenue,
+           COUNT(*) AS n_small_lots
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("q102_small_lot_revenue", _Q102)
+def q102_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar AVG against the same fact table gates the outer rows —
+    Catalyst decorrelates it into a per-partkey average joined back on
+    the key, so the fact table is read twice and joined once, never
+    probed per row. Quantities are integral doubles (exact AVG at any
+    sum order) and revenue is a fixed-point sum, so the single output
+    row is bit-equal cross-engine."""
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q102)
+
+
+_Q103 = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l2.l_orderkey FROM lineitem l2
+      GROUP BY l2.l_orderkey
+      HAVING SUM(l2.l_quantity) > 180)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@query("q103_large_volume_customers", _Q103)
+def q103_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): an IN subquery whose
+    HAVING aggregates the fact table — rewritten to an aggregate +
+    semi join on l_orderkey, then the customer/order enrichment joins.
+    The qty-sum threshold compares exact integral sums, so membership
+    is deterministic cross-engine (timestamps normalize identically
+    in the driver compare)."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q103)

@@ -95,6 +95,8 @@ _PRIORITY = [
     "m59_payload_chunk_manifest",
     "t66_feature_hashing",
     "q101_split_balance_audit",
+    "q102_small_lot_revenue",
+    "q103_large_volume_customers",
     "st62_interval_join_outer",
     "t63_bigram_surprisal",
     "q93_mad_outliers",
@@ -129,8 +131,6 @@ _PRIORITY = [
     "d48_embedding_neardup_lsh",
     "d49_neardup_components",
     "d50_contamination",
-    "s48_cosine_topk",
-    "s50_ann_ivf_topk",
 ]
 
 

@@ -17,7 +17,7 @@ _CATEGORY_REPS = {
     "sort_topk": {"q25_topk_per_group", "q45_shipping_priority", "q63_lateral_topk", "d51_cluster_keeper_quality"},
     "setops": {"q30_union_all"},
     "scalars": {"q71_string_funcs_2", "q56_date_spine"},
-    "subqueries": {"q49_quantified_subquery", "q62_correlated_scalar_subquery", "q85_referential_audit", "q97_blocking_supplier", "q98_dominant_part_supplier"},
+    "subqueries": {"q49_quantified_subquery", "q62_correlated_scalar_subquery", "q85_referential_audit", "q97_blocking_supplier", "q98_dominant_part_supplier", "q102_small_lot_revenue", "q103_large_volume_customers"},
     "streaming": {"st57_tumbling_window", "st58_sliding_window", "st59_stream_enrich_join", "st60_first_event_dedup", "st61_interval_join", "st62_interval_join_outer", "st63_window_topk", "q29_sessionize"},
     "dedup_span": {"d53_dup_span_fraction"},
     "udf_surface": {"q46_pandas_udf_scalar", "q53_grouped_map_rank", "q54_python_udf_row"},

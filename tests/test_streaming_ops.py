@@ -502,3 +502,67 @@ def test_windowed_topk_stream_matches_batch(spark, tmp_path):
     got_norm = {(ws.replace(tzinfo=None), e, n, r) for ws, e, n, r in got}
     assert got_norm == want_closed
     assert len({t[0] for t in got_norm}) == 4  # all four hours closed
+
+
+def test_windowed_topk_sink_exactly_once_across_restart(spark, tmp_path):
+    """topk_per_window_sink's exactly-once contract under a
+    stop/restart: batches land as batch_id=N overwrites, so restarting
+    the query against the same checkpoint (with more data arrived)
+    must never duplicate a (window, rank) cell and the final table
+    must equal the batch twin over all closed windows."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.streaming.sinks import topk_per_window_sink
+
+    rng = _random.Random(7)
+    root = str(tmp_path / "broker2")
+    w = TopicWriter(root, "ev", partitions=1)
+    i = 0
+
+    def emit(hours):
+        nonlocal i
+        for hour in hours:
+            for etype in ("view", "click", "purchase"):
+                for _ in range(rng.randrange(1, 6)):
+                    w.append(0, json.dumps(_event(i, hour * 60 + rng.randrange(60),
+                                                  etype=etype)))
+                    i += 1
+
+    out_dir = str(tmp_path / "topk2")
+
+    def run():
+        decoded = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+        agg = tumbling_counts(decoded, size="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.foreachBatch(topk_per_window_sink(out_dir, k=2))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    emit([0, 1])
+    w.append(0, json.dumps(_event(i, 10_000)))  # closes hours 0-1
+    i += 1
+    run()
+    emit([200])  # a new hour beyond the pusher
+    w.append(0, json.dumps(_event(i, 50_000)))  # closes hour 200
+    i += 1
+    run()
+
+    rows = spark.read.parquet(out_dir).collect()
+    cells = [(r.window_start, r.rnk) for r in rows]
+    assert len(cells) == len(set(cells))  # no duplicate (window, rank)
+    # hours 0, 1, 200 all closed (the first pusher's own window also
+    # closes once run 2's data advances the watermark past it)
+    closed = {r.window_start.replace(tzinfo=None) for r in rows}
+    import datetime as dt
+
+    t0 = dt.datetime.fromtimestamp(BASE_US / 1e6, dt.timezone.utc).replace(tzinfo=None)
+    for hour in (0, 1, 200):
+        assert t0 + dt.timedelta(hours=hour) in closed, (hour, closed)
+    for r in rows:
+        assert 1 <= r.rnk <= 2
