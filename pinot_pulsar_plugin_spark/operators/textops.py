@@ -566,8 +566,8 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND((CAST(SUM(CAST(ROUND(ln(n.n_docs / v.df) * 1000000) AS BIGINT))
-                       AS DOUBLE) / 1000000.0) / COUNT(*), 6) AS mean_surprisal
+           CAST(SUM(CAST(ROUND(ln(n.n_docs / v.df) * 1000000) AS BIGINT))
+                // COUNT(*) AS DOUBLE) / 1000000.0 AS mean_surprisal
     FROM tok t JOIN v USING (token) CROSS JOIN n
     GROUP BY t.doc_id
     """,
@@ -578,7 +578,10 @@ def t61_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     high (gibberish/noise candidates), boilerplate scores low. The
     per-token idf is rounded to fixed-point BEFORE the per-doc sum so
     the aggregation is an order-independent integer sum (double sums
-    reassociate differently per engine — functions/exact.py pattern).
+    reassociate differently per engine — functions/exact.py pattern),
+    and the mean is an integer micro-unit division (never ROUND on a
+    quotient — the t63 half-boundary rule; the sf0.1 sweep caught the
+    ROUND form diverging on 3 of 5000 docs).
 
     Scale shape: one explode, a map-side-combinable df aggregate keyed
     on token, an equi-join back on token, and the per-doc aggregate —
@@ -594,9 +597,17 @@ def t61_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                (F.sum(idf_fp).cast("double") / 1000000.0) / F.count(F.lit(1)), 6
-            ).alias("mean_surprisal"),
+            F.sum(idf_fp).alias("_s_fp"),
+        )
+        # integer micro-unit division (the t63 rule): ROUND(x, 6) on a
+        # quotient that can land exactly on a 5e-7 boundary rounds
+        # differently per engine — sf0.1 sweep caught 3 such docs
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.expr("CAST(_s_fp div n_tokens AS DOUBLE)") / 1000000.0).alias(
+                "mean_surprisal"
+            ),
         )
     )
 
