@@ -107,8 +107,10 @@ def test_llm_corpus_pipeline(spark, tmp_path):
     """Training-corpus capstone: documents stream in through the
     pulsarlike source (with injected duplicates and malformed payloads),
     land exactly-once as a parquet table, and the LLM-pipeline registry
-    ops (t56 quality filter, t60 PII redaction, q74 split, q75 packing,
-    d51 near-dup keeper selection) run over the LANDED table — their outputs must equal the same ops over the pristine
+    ops (quality filter, PII redaction, split, packing, near-dup
+    keeper, span dedup, winnowed pairs, surprisal, Pareto frontier,
+    weighted sample, incremental dedup, chunking, feature hashing) run
+    over the LANDED table — their outputs must equal the same ops over the pristine
     batch table after exact dedup removes the replayed copies."""
     from pinot_pulsar_plugin_spark.operators.pipelines import (
         d51_cluster_keeper_quality,
@@ -166,7 +168,18 @@ def test_llm_corpus_pipeline(spark, tmp_path):
             d53_dup_span_fraction,
             d54_winnow_neardup_pairs,
         )
-        from pinot_pulsar_plugin_spark.operators.textops import t63_bigram_surprisal
+        from pinot_pulsar_plugin_spark.operators.curation import (
+            q94_pareto_frontier,
+            q95_weighted_sample,
+        )
+        from pinot_pulsar_plugin_spark.operators.dedup import (
+            d55_incremental_dedup,
+        )
+        from pinot_pulsar_plugin_spark.operators.textops import (
+            t63_bigram_surprisal,
+            t64_doc_chunking,
+            t66_feature_hashing,
+        )
 
         return [
             t56_quality_filter(spark, sf_dir).toPandas(),
@@ -177,6 +190,12 @@ def test_llm_corpus_pipeline(spark, tmp_path):
             d53_dup_span_fraction(spark, sf_dir).toPandas(),
             d54_winnow_neardup_pairs(spark, sf_dir).toPandas(),
             t63_bigram_surprisal(spark, sf_dir).toPandas(),
+            # continuation-2 curation stages over the landed corpus
+            q94_pareto_frontier(spark, sf_dir).toPandas(),
+            q95_weighted_sample(spark, sf_dir).toPandas(),
+            d55_incremental_dedup(spark, sf_dir).toPandas(),
+            t64_doc_chunking(spark, sf_dir).toPandas(),
+            t66_feature_hashing(spark, sf_dir).toPandas(),
         ]
 
     for got, want in zip(frames(landed_dir), frames(SF)):
