@@ -67,6 +67,7 @@ HEADLINE = [
     "d55_incremental_dedup",
     "q97_blocking_supplier",
     "s55_pq_adc_topk",
+    "q103_large_volume_customers",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for
