@@ -58,3 +58,52 @@ def test_scored_window_is_fully_oracle_checked():
     oracle = all_oracle_sql()
     rows_only = [n for n in names if n not in oracle]
     assert rows_only == [], rows_only
+
+
+def test_round_of_quotient_is_ratcheted():
+    """The t61/t63 lesson as a ratchet: ROUND over an expression
+    containing a division can land on a 1e-6 half-boundary that Spark
+    (exact BigDecimal) and DuckDB (double multiply) round opposite
+    ways — t61 diverged on 3 of 5000 docs at sf0.1 before the fix.
+    Every oracle whose ROUND wraps a '/' must be consciously audited
+    here: 'presum' = the SAFE pattern (fixed-pointing a per-row term
+    BEFORE an integer sum; a term-level half-boundary shifts both
+    engines identically pre-aggregation), 'quotient' = a final-result
+    rounding that is data-hazardous and relies on the
+    tools_paritysweep monitor. A NEW name failing this test means:
+    prefer the integer micro-unit division form (t63), or audit and
+    add it with a justification."""
+    import re
+
+    from pinot_pulsar_plugin_spark.registry import all_oracle_sql
+
+    audited = {
+        "q79_mixture_weights": "quotient",   # sweep-monitored (sf0.1 green)
+        "q81_stats_moments": "quotient",     # sweep-monitored
+        "q83_running_zscore": "quotient",    # sweep-monitored
+        "q88_decayed_engagement": "presum",  # ROUND(pow*1e6) per event
+        "q92_gapfill_interpolate": "quotient",  # sweep-monitored
+        "s51_label_centroids": "quotient",   # sweep-monitored
+        "s53_kmeans_step": "quotient",       # sweep-monitored
+        "t57_repetition_ratio": "quotient",  # sweep-monitored
+        "t58_vocab_stats": "quotient",       # sweep-monitored
+        "t61_token_surprisal": "presum",     # fixed: ROUND(ln*1e6) per token
+        "t63_bigram_surprisal": "presum",    # ROUND(ln*1e6) per bigram
+    }
+    flagged = set()
+    for name, sql in all_oracle_sql().items():
+        for m in re.finditer(r"ROUND\s*\(", sql, re.I):
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            if "/" in sql[m.end() : i - 1]:
+                flagged.add(name)
+                break
+    assert flagged == set(audited), (
+        f"unaudited ROUND-of-quotient oracles: {sorted(flagged - set(audited))}; "
+        f"stale audit entries: {sorted(set(audited) - flagged)}"
+    )
