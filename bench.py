@@ -68,6 +68,9 @@ HEADLINE = [
     "q97_blocking_supplier",
     "s55_pq_adc_topk",
     "q103_large_volume_customers",
+    "d56_chunk_rewrite_dedup",
+    "q105_pagerank_transactions",
+    "s56_silhouette_by_label",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -963,3 +963,122 @@ def d55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flagged
+
+
+# ---------------------------------------------------------------------------
+# d56: chunk-level exact dedup with document REWRITE
+# ---------------------------------------------------------------------------
+#
+# d53 measures how much of a document is duplicated; this operator
+# actually removes it — the "exact substring deduplication" rewrite of
+# Lee et al. at fixed-chunk granularity (the form ExactSubstr dedup
+# takes when the corpus is chunked instead of suffix-array indexed):
+# split every document into consecutive W-token chunks, keep only the
+# corpus-wide FIRST occurrence of each distinct chunk (first = smallest
+# (doc_id, chunk_pos)), and re-emit each document as the concatenation
+# of its surviving chunks in original order.
+
+_CHUNK_W = 20  # tokens per rewrite chunk
+
+
+@query(
+    "d56_chunk_rewrite_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(
+               list_slice(tk, CAST(i AS INTEGER) * {_CHUNK_W} + 1,
+                              CAST(i AS INTEGER) * {_CHUNK_W} + {_CHUNK_W}),
+               ' ') AS chunk
+      FROM toks,
+           unnest(generate_series(
+             0, CAST(CEIL(len(tk) / {_CHUNK_W}.0) AS BIGINT) - 1)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks),
+    kept AS (SELECT doc_id, pos, chunk FROM ranked WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id),
+    spine AS (
+      SELECT doc_id,
+             CAST(CEIL(len(tk) / {_CHUNK_W}.0) AS BIGINT) AS n_chunks
+      FROM toks)
+    SELECT s.doc_id, s.n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM spine s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def d56_chunk_rewrite_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup that REWRITES documents: every W-token
+    chunk that already occurred earlier in the corpus (smaller doc_id,
+    or same doc at an earlier position) is deleted, and the document is
+    re-emitted as its surviving chunks joined in order — the operator a
+    training pipeline runs to strip repeated boilerplate while keeping
+    the novel remainder of each page, where d43 (whole-doc) would drop
+    or keep documents wholesale.
+
+    Shape, designed so chunk TEXT crosses the wire the minimum number of
+    times: winner election runs on narrow (xxhash64(chunk), doc_id, pos)
+    triples — ≤24-byte rows through the hash exchange, min(struct) is a
+    map-side-combinable aggregate (NOT a row_number window, which would
+    shuffle whole chunk rows); the winner set joins back to the chunk
+    rows on (doc_id, pos); the rebuild groups on doc_id with an in-row
+    sorted array_join. Chunk text is shuffled exactly twice (join +
+    rebuild) — at 100 TB those are the unavoidable data-motion steps of
+    any rewriting dedup; everything else is metadata. A hot boilerplate
+    chunk costs one counter in the combinable min, never a pair
+    explosion. The string-exact oracle doubles as the hash-collision
+    check (same argument as d44/d53)."""
+    return chunk_rewrite(t(spark, sf_dir, "documents"), _CHUNK_W)
+
+
+def chunk_rewrite(d: DataFrame, w: int) -> DataFrame:
+    """d56's rewrite over any (doc_id, text) frame — factored out so
+    the property suite can drive it on adversarial boilerplate corpora
+    against a brute-force reference."""
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    n_chunks = F.ceil(F.size("tk") / float(w)).cast("long")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), i * w + 1, w), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    narrow = chunks.select(
+        F.xxhash64("chunk").alias("h"), F.struct("doc_id", "pos").alias("occ")
+    )
+    winners = (
+        narrow.groupBy("h")
+        .agg(F.min("occ").alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"))
+    )
+    kept = chunks.join(winners, ["doc_id", "pos"])
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    spine = toks.select("doc_id", n_chunks.alias("n_chunks"))
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

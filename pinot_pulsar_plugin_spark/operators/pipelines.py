@@ -604,3 +604,109 @@ def q101_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share / gshare).alias("balance_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q105: PageRank (fixed iterations) over the customer-supplier graph
+# ---------------------------------------------------------------------------
+#
+# The graph centrality a crawl-curation pipeline runs to weight domains
+# before sampling (the original use of PageRank in corpus construction:
+# quality-weight pages by link structure). No link table exists in the
+# testdata, so the graph is the transaction bipartite graph — customer
+# c and supplier s are adjacent iff some order of c contains a lineitem
+# of s — made symmetric, which is exactly the undirected-PageRank
+# formulation.
+#
+# All rank arithmetic is integer micro-units end to end: r0 = 1e6;
+# each contribution is r // deg (integral division, positive operands,
+# so DuckDB's floor `//` == Spark's truncating `div`); the damping
+# step is 150000 + (85 * sum) div 100. Integer sums are
+# order-independent, so two engines (and any shuffle schedule) produce
+# bit-identical ranks — the property float PageRank never has.
+
+_PR_ITERS = 2
+_PR_R0 = 1_000_000  # rank unit: 1.0 in micro-units
+
+_Q105 = f"""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT 'c:' || c AS src, 's:' || s AS dst FROM e0
+      UNION ALL
+      SELECT 's:' || s AS src, 'c:' || c AS dst FROM e0),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({_PR_R0} AS BIGINT) AS r FROM deg),
+    c1 AS (
+      SELECT e.dst AS node, SUM(r0.r // deg.d) AS s
+      FROM edges e
+      JOIN deg ON deg.src = e.src
+      JOIN r0 ON r0.node = e.src
+      GROUP BY e.dst),
+    r1 AS (SELECT node, 150000 + (85 * s) // 100 AS r FROM c1),
+    c2 AS (
+      SELECT e.dst AS node, SUM(r1.r // deg.d) AS s
+      FROM edges e
+      JOIN deg ON deg.src = e.src
+      JOIN r1 ON r1.node = e.src
+      GROUP BY e.dst),
+    r2 AS (SELECT node, 150000 + (85 * s) // 100 AS r FROM c2)
+    SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
+"""
+
+
+@query("q105_pagerank_transactions", _Q105)
+def q105_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped PageRank iterations (d=0.85, _PR_ITERS) over the
+    customer↔supplier co-transaction graph, ranks in exact integer
+    micro-units (see module comment — bit-identical across engines and
+    shuffle schedules, unlike float PageRank).
+
+    Scale shape: the edge list is built once with one distinct on the
+    (custkey, suppkey) projection of the order⋈lineitem join, then
+    PERSISTED — every iteration reuses it. Each iteration is one hash
+    join of the rank table onto edges.src followed by one combinable
+    SUM keyed on edges.dst; both sides hash-partition on the node key,
+    so AQE reuses the edge exchange across iterations instead of
+    re-shuffling the graph. Degree is folded into the edge table up
+    front (deg rides next to src) so the per-iteration join touches ONE
+    narrow (src, dst, d) relation — the standard Pregel-on-SQL layout.
+    Rank-table size = #nodes, edges = #relationships; nothing quadratic
+    anywhere, and a hub node is an AQE skew-split case, not a plan
+    change. Fixed iteration count keeps the whole computation one
+    declarative plan (iterate-to-convergence is the same loop with a
+    driver-side delta check between materialized iterations)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    c_side = e0.select(
+        F.concat(F.lit("c:"), F.col("c")).alias("src"),
+        F.concat(F.lit("s:"), F.col("s")).alias("dst"),
+    )
+    s_side = e0.select(
+        F.concat(F.lit("s:"), F.col("s")).alias("src"),
+        F.concat(F.lit("c:"), F.col("c")).alias("dst"),
+    )
+    edges = c_side.unionAll(s_side)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    adj = edges.join(deg, "src").persist()  # (src, dst, d) — reused per iter
+    rank = deg.select("src", F.lit(_PR_R0).cast("long").alias("r")).withColumnRenamed(
+        "src", "node"
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            adj.join(rank, adj["src"] == rank["node"])
+            .select("dst", F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        rank = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(150000) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
+        )
+    return rank.select("node", F.col("r").alias("rank_micro"))

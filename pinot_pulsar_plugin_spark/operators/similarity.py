@@ -703,3 +703,127 @@ def s55_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adc_fp").cast("double") / 1000000.0).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s56: simplified silhouette — clustering-quality eval per label
+# ---------------------------------------------------------------------------
+#
+# The standard "are these clusters real?" diagnostic run after any
+# embedding clustering (s51/s53) and before trusting cluster-based
+# curation decisions: for each point, a = distance to its OWN cluster
+# centroid, b = distance to the nearest OTHER centroid, silhouette
+# s = (b - a) / max(a, b) in [-1, 1] (the medoid-free simplified form —
+# the full pairwise silhouette is quadratic and adds nothing at corpus
+# scale). Reported per label as the mean silhouette.
+#
+# Exactness: centroids are fixed-point means (s51 arithmetic); both
+# engines then run the identical IEEE double pipeline (sequential L2
+# fold -> subtract -> divide) on identical inputs, and the result is
+# floored to integer micro-units — floor (NOT round: no half-boundary
+# hazard, and floor/`//` agree on negatives where truncating div does
+# not) before the order-independent integer mean.
+
+_SIL_SCALE = 1_000_000
+
+_Q_S56 = f"""
+    WITH ex AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    cs AS (
+      SELECT label AS cid, pos,
+             SUM(CAST(ROUND(val * {_SIL_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM ex GROUP BY label, pos),
+    cent AS (
+      SELECT cid,
+             list(CAST(s AS DOUBLE) / n / {_SIL_SCALE}.0 ORDER BY pos) AS c_emb
+      FROM cs GROUP BY cid),
+    d AS (
+      SELECT e.vec_id, e.label, c.cid,
+             {_L2_SQL.format(a="e.embedding", b="c.c_emb")} AS dist
+      FROM embeddings e CROSS JOIN cent c),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN cid = label THEN dist END) AS a,
+             MIN(CASE WHEN cid <> label THEN dist END) AS b
+      FROM d GROUP BY vec_id, label),
+    sil AS (
+      SELECT label,
+             CASE WHEN GREATEST(a, b) > 0
+                  THEN CAST(FLOOR({_SIL_SCALE} * (b - a) / GREATEST(a, b))
+                            AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS sil_micro
+      FROM ab)
+    SELECT label, COUNT(*) AS n_points,
+           CAST(SUM(sil_micro) AS BIGINT) AS sum_sil_micro,
+           CAST(FLOOR(CAST(SUM(sil_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mean_sil_micro
+    FROM sil GROUP BY label
+"""
+
+
+@query("s56_silhouette_by_label", _Q_S56)
+def s56_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score per label (see block comment): the
+    clustering-quality eval, bit-exact cross-engine via fixed-point
+    centroids + floored micro-unit scores.
+
+    Scale shape: the centroid table is k rows built by one (label, pos)
+    hash aggregate (shuffle bounded by k x dim) and BROADCAST back —
+    the bounded product s50/s53 sanction, never data x data. The
+    per-point a/b min is a conditional aggregate over the k co-located
+    candidate rows, so partial aggregation collapses each point to one
+    row BEFORE the vec_id exchange; the final per-label mean is one
+    combinable integer aggregate. Total shuffled volume: one narrow row
+    per point plus k x dim — linear scan cost at any corpus size."""
+    em = t(spark, sf_dir, "embeddings")
+    ex = em.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label", "pos", F.col("v").cast("double").alias("val")
+    )
+    cs = ex.groupBy(F.col("label").alias("cid"), F.col("pos")).agg(
+        F.sum(F.round(F.col("val") * _SIL_SCALE).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        cs.select(
+            "cid",
+            "pos",
+            (F.col("s").cast("double") / F.col("n") / float(_SIL_SCALE)).alias("m"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("c_emb")
+        )
+    )
+    d = em.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "cid", _fold_l2("embedding", "c_emb").alias("dist")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("cid") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("cid") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    g = F.greatest("a", "b")
+    sil = ab.select(
+        "label",
+        F.when(
+            g > 0,
+            F.floor(F.lit(float(_SIL_SCALE)) * (F.col("b") - F.col("a")) / g).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("sil_micro"),
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("sil_micro").alias("sum_sil_micro"),
+        F.floor(F.sum("sil_micro").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_sil_micro"),
+    )

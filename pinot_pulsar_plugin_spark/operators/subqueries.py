@@ -161,6 +161,76 @@ def q102_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q102)
 
 
+# TPC-H Q22 shape on the available columns: nation keys play the
+# phone-prefix country filter. The threshold average is fixed-pointed
+# BEFORE comparison — balances become exact cents (ROUND of a
+# near-integer double is stable cross-engine) and the predicate
+# `bal_cents * n > sum_cents` is pure integer arithmetic, so the
+# boundary customers cannot flip on a last-ulp AVG difference between
+# engines (the hazard the audit in test_registry_priority exists for).
+_Q104_NATIONS = "(1, 3, 5, 7, 9, 11, 13)"
+
+_Q104 = f"""
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_nationkey IN {_Q104_NATIONS}),
+    thr AS (
+      SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS n_pos
+      FROM eligible WHERE bal_cents > 0)
+    SELECT e.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(e.bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+    FROM eligible e CROSS JOIN thr
+    WHERE e.bal_cents * thr.n_pos > thr.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey)
+    GROUP BY e.c_nationkey
+"""
+
+
+@query("q104_inactive_high_balance", _Q104)
+def q104_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers from a
+    nation set whose balance beats the positive-balance average but who
+    have never ordered — an UNcorrelated scalar-aggregate threshold plus
+    a NOT EXISTS anti join, grouped per nation.
+
+    Scale shape: the threshold is a one-row aggregate broadcast into the
+    filter (a bounded product, never data x data); the anti join is the
+    only customer-cardinality shuffle and orders is projected to its
+    join key before exchanging; the final per-nation aggregate is
+    map-side combinable. Reference parity: the filter -> aggregate ->
+    anti-join composition the reference's Pinot layer answers with a
+    star-tree + inverted index is expressed declaratively and lowered by
+    Catalyst to broadcast + shuffled-hash joins."""
+    from pyspark.sql import functions as F
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    eligible = cust.filter(F.col("c_nationkey").isin(nations)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    thr = eligible.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    rich = eligible.crossJoin(F.broadcast(thr)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents")
+    )
+    inactive = rich.join(
+        orders.select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum("bal_cents").cast("double") / 100.0).alias("totacctbal"),
+    )
+
+
 _Q103 = """
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,

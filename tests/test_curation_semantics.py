@@ -277,3 +277,90 @@ def test_q100_slope_matches_numpy_lstsq(spark):
         ys = np.array([p[1] for p in pts], dtype=float)
         slope = np.polyfit(xs, ys, 1)[0]
         assert abs(out[etype] - slope) < 1e-9 * max(1.0, abs(slope)), etype
+
+
+def test_s56_silhouette_matches_sequential_reference(spark):
+    """s56 vs an independent Python reference with the identical
+    fixed-point centroid + sequential-fold L2 + floored micro-unit
+    arithmetic, on the real sf0.001 embeddings — every per-label sum
+    and mean must match exactly."""
+    import math
+
+    import duckdb
+
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        s56_silhouette_by_label,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+
+    # fixed-point centroids
+    by_label: dict[int, list[list[float]]] = {}
+    for _, label, emb in rows:
+        by_label.setdefault(label, []).append(emb)
+    cent = {}
+    for label, vecs in by_label.items():
+        dim = len(vecs[0])
+        cent[label] = [
+            sum(round(float(v[p]) * 1_000_000) for v in vecs)
+            / len(vecs)
+            / 1_000_000
+            for p in range(dim)
+        ]
+
+    def l2(a, b):  # sequential left fold, matching _fold_l2
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    sums: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for _, label, emb in rows:
+        a = l2(emb, cent[label])
+        b = min(l2(emb, cent[c]) for c in cent if c != label)
+        g = max(a, b)
+        sil = math.floor(1_000_000 * (b - a) / g) if g > 0 else 0
+        sums[label] = sums.get(label, 0) + sil
+        counts[label] = counts.get(label, 0) + 1
+
+    got = {r.label: r for r in s56_silhouette_by_label(spark, sf).collect()}
+    assert set(got) == set(sums)
+    for label in sums:
+        r = got[label]
+        assert r.n_points == counts[label]
+        assert r.sum_sil_micro == sums[label], (label, r, sums[label])
+        assert r.mean_sil_micro == math.floor(sums[label] / counts[label])
+
+
+def test_s56_separated_clusters_score_near_one(spark, tmp_path):
+    """Geometry sanity: two tight, well-separated clusters score mean
+    silhouette near +1; the same data under one shared label scores
+    lower for the points far from the merged centroid."""
+    import random
+
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        s56_silhouette_by_label,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append(
+            (
+                i,
+                [base + rng.uniform(-0.05, 0.05) for _ in range(8)],
+                i % 2,
+            )
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.label: r for r in s56_silhouette_by_label(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.mean_sil_micro > 900_000, r  # tight clusters ≈ +1

@@ -365,3 +365,53 @@ def test_d55_incremental_verdicts_on_planted_delta(spark, tmp_path):
     assert out[3].near_dup and not out[3].exact_dup and not out[3].keep
     assert out[5].keep and not out[5].exact_dup and not out[5].near_dup
     assert out[7].keep
+
+
+def test_d56_chunk_rewrite_matches_brute_force(spark):
+    """chunk_rewrite vs a brute-force Python reference on an
+    adversarial corpus: cross-doc boilerplate chunks, intra-doc
+    repeats, exact whole-doc duplicates, and sub-chunk-width docs.
+    First occurrence = smallest (doc_id, pos) corpus-wide."""
+    from pinot_pulsar_plugin_spark.operators.dedup import chunk_rewrite
+
+    W = 4
+    boiler = "b1 b2 b3 b4"  # one exact chunk of boilerplate
+    docs = [
+        (0, f"{boiler} u0 u1 u2 u3"),            # owns the boilerplate chunk
+        (1, f"{boiler} v0 v1 v2 v3"),            # boilerplate removed
+        (2, f"{boiler} {boiler}"),               # cross-doc AND intra-doc dup
+        (3, "w0 w1 w2 w3 w0 w1 w2 w3"),          # intra-doc repeat only
+        (4, "u0 u1 u2 u3"),                      # dup of doc 0's 2nd chunk
+        (5, "x0 x1"),                            # shorter than one chunk
+        (6, "x0 x1"),                            # exact dup of doc 5
+        (7, f"y0 y1 y2 y3 y4 y5 {boiler[:5]}"),  # ragged tail "b1 b2" unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # brute force
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, text in docs:
+        tk = text.split(" ")
+        chunks = [" ".join(tk[i : i + W]) for i in range(0, len(tk), W)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        expect[doc_id] = (len(chunks), len(kept), " ".join(kept))
+
+    rows = {r.doc_id: r for r in chunk_rewrite(df, W).collect()}
+    assert set(rows) == set(expect)
+    for doc_id, (n_chunks, n_kept, clean) in expect.items():
+        r = rows[doc_id]
+        assert (r.n_chunks, r.n_kept, r.clean_text) == (n_chunks, n_kept, clean), (
+            doc_id,
+            r,
+        )
+    # spot-check the semantics the corpus was built to pin
+    assert rows[1].clean_text == "v0 v1 v2 v3"
+    assert rows[2].clean_text == "" and rows[2].n_kept == 0
+    assert rows[3].clean_text == "w0 w1 w2 w3"
+    assert rows[4].clean_text == "" and rows[4].n_chunks == 1
+    assert rows[6].clean_text == "" and rows[5].clean_text == "x0 x1"

@@ -317,3 +317,43 @@ def test_q90_scd2_matches_brute_force_on_dup_heavy_sequences(spark, tmp_path):
         for r in q90_scd2_intervals(spark, out_dir).collect()
     }
     assert got == expected
+
+
+def test_q105_pagerank_matches_integer_reference(spark):
+    """q105 vs an independent pure-Python PageRank with the identical
+    integer micro-unit arithmetic — verifies the distributed join/agg
+    loop (and its shuffle schedule) computes exactly the sequential
+    recurrence, node for node."""
+    import duckdb
+
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        _PR_ITERS,
+        _PR_R0,
+        q105_pagerank_transactions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    e0 = con.execute(
+        f"""
+        SELECT DISTINCT o.o_custkey, l.l_suppkey
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    adj: dict[str, list[str]] = {}
+    for c, s in e0:
+        adj.setdefault(f"c:{c}", []).append(f"s:{s}")
+        adj.setdefault(f"s:{s}", []).append(f"c:{c}")
+    rank = {n: _PR_R0 for n in adj}
+    for _ in range(_PR_ITERS):
+        contrib: dict[str, int] = {}
+        for src, dsts in adj.items():
+            c = rank[src] // len(dsts)
+            for d in dsts:
+                contrib[d] = contrib.get(d, 0) + c
+        rank = {n: 150000 + (85 * s) // 100 for n, s in contrib.items()}
+
+    got = {r.node: r.rank_micro for r in q105_pagerank_transactions(spark, sf).collect()}
+    assert got == rank

@@ -854,3 +854,87 @@ def test_s54_s55_pq_bounded_products_and_group_limits(spark):
         assert "WindowGroupLimit" in plan
         keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
         assert keys <= {"vec_id", "m", "p_id"}, keys
+
+
+def test_q104_threshold_broadcast_anti_pruned(spark):
+    """q104's scale contract (TPC-H Q22 shape): the balance threshold
+    is a one-row aggregate broadcast into the filter (bounded product,
+    never data x data); the only customer-cardinality operation is the
+    NOT EXISTS anti join, with orders pruned to its join key at the
+    scan; the per-nation rollup is the lone aggregate exchange."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import subqueries
+
+    df = subqueries.q104_inactive_high_balance(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert n_shuffles(df) <= 3
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert "struct<o_custkey:bigint>" in schemas, schemas
+
+
+def test_d56_narrow_winner_election_no_text_in_hash_shuffle(spark):
+    """d56's scale contract: winner election is a map-side-combinable
+    min over narrow (h, doc_id, pos) triples — chunk TEXT never rides
+    the h exchange; the rebuild keys on doc_id. Three shuffles total,
+    no cartesian, no Python eval."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    df = dedup.d56_chunk_rewrite_dedup(spark, SF)
+    assert n_shuffles(df) <= 4
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()  # combinable min before the h exchange
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"h", "doc_id", "pos"}, keys
+    # the h exchange carries hash + (doc_id, pos) struct only — assert no
+    # partitioning expression ever hashes the chunk string itself
+    assert not re.search(r"hashpartitioning\(chunk#", plan)
+
+
+def test_q105_pagerank_iterations_keyed_on_graph_ids(spark):
+    """q105's scale contract: every exchange keys on a node id or a
+    graph key (the Pregel-on-SQL layout) — no cartesian, no
+    nested-loop join, partial aggregation before every contribution
+    sum, and the adjacency relation is persisted for reuse across
+    iterations."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import pipelines
+
+    df = pipelines.q105_pagerank_transactions(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower()
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"src", "dst", "node", "c", "s", "o_orderkey", "l_orderkey",
+                    "o_custkey", "l_suppkey"}, keys
+    assert "InMemoryTableScan" in plan  # adjacency reused, not rebuilt
+
+
+def test_s56_silhouette_bounded_product_partial_agg(spark):
+    """s56's scale contract: the k-row centroid table broadcasts back
+    (the only products are conditionless bounded broadcasts); the
+    per-point a/b min partially aggregates over the k co-located rows
+    BEFORE the vec_id exchange; every shuffle keys on (label, pos),
+    cid, or vec_id — vectors never shuffle."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import similarity
+
+    df = similarity.s56_silhouette_by_label(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert "<" not in plan[m.end() : m.end() + 120]
+    assert "partial" in plan.lower()
+    assert n_shuffles(df) <= 4
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"label", "cid", "vec_id", "pos"}, keys
