@@ -964,3 +964,85 @@ def t66_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t67: in-row token entropy — information-density quality signal
+# ---------------------------------------------------------------------------
+#
+# Shannon entropy of the document's own token distribution,
+# H = ln(n) - (1/n) * sum_i c_i * ln(c_i) — the information-theoretic
+# complement to t52's diversity ratio and t57's repetition fractions:
+# near 0 for looped boilerplate (one dominant token), near ln(n) for
+# fully diverse text; the standard gibberish/template screen.
+#
+# Everything happens INSIDE the row (whole-stage codegen, zero
+# shuffle): per-token counts come from filtering the token array
+# against its own sorted distinct list, each term is fixed-pointed as
+# c * ROUND(ln(c) * 1e6) (the t61 presum pattern — integer sums are
+# order-independent), and the final value is an integer micro-unit
+# subtraction/division (the t63 rule — never ROUND on a quotient).
+# Per-row cost is O(distinct x tokens) string compares, bounded by the
+# document length — compute-local, scale-free.
+
+
+@query(
+    "t67_token_entropy",
+    """
+    WITH per AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk
+      FROM documents),
+    c AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             list_transform(
+               list_sort(list_distinct(tk)),
+               t -> CAST(len(list_filter(tk, x -> x = t)) AS BIGINT)) AS cnts
+      FROM per)
+    SELECT doc_id, n_tokens,
+           CAST(len(cnts) AS BIGINT) AS n_distinct,
+           CAST(ROUND(ln(n_tokens) * 1000000) AS BIGINT)
+             - (list_reduce(
+                  list_transform(
+                    cnts,
+                    c -> c * CAST(ROUND(ln(c) * 1000000) AS BIGINT)),
+                  (a, b) -> a + b) // n_tokens) AS entropy_micro
+    FROM c
+    """,
+)
+def t67_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy in integer micro-nats
+    (see block comment). Zero-shuffle pure-codegen scan; fixed-point
+    term sums keep it bit-equal to the oracle."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", tk.alias("tk"))
+    cnts = F.transform(
+        F.array_sort(F.array_distinct("tk")),
+        lambda tkn: F.size(F.filter(F.col("tk"), lambda x: x == tkn)).cast("long"),
+    )
+    c = base.select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens"), cnts.alias("cnts")
+    )
+    sum_micro = F.aggregate(
+        F.transform(
+            "cnts",
+            lambda cc: cc * F.round(F.log(cc.cast("double")) * 1000000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sums = c.select(
+        "doc_id",
+        "n_tokens",
+        F.size("cnts").cast("long").alias("n_distinct"),
+        sum_micro.alias("_s"),
+    )
+    return sums.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.round(F.log(F.col("n_tokens").cast("double")) * 1000000).cast("long")
+            - F.expr("_s div n_tokens")
+        ).alias("entropy_micro"),
+    )

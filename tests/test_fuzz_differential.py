@@ -739,3 +739,85 @@ def test_fuzz_exists_chain_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"exfuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_lateral_query(rng: random.Random) -> str:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (the q63
+    shape, fuzzed): random correlation predicate, sort direction, k,
+    and optionally an aggregate instead of a top-k. Tiebreak on the
+    unique o_orderkey keeps every variant deterministic."""
+    k = rng.choice([1, 2, 3])
+    direction = rng.choice(["ASC", "DESC"])
+    pred = rng.choice(
+        [
+            "o.o_custkey = c.c_custkey",
+            "o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'",
+            f"o.o_custkey = c.c_custkey AND o.o_orderkey % {rng.randint(2, 5)} = 0",
+            "o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal",
+        ]
+    )
+    seg = rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE"])
+    if rng.random() < 0.4:
+        inner = (
+            f"SELECT COUNT(*) AS n, MIN(o.o_orderkey) AS mn "
+            f"FROM orders o WHERE {pred}"
+        )
+        cols = "lat.n, lat.mn"
+    else:
+        inner = (
+            f"SELECT o.o_orderkey, o.o_orderstatus FROM orders o "
+            f"WHERE {pred} "
+            f"ORDER BY o.o_orderkey {direction} LIMIT {k}"
+        )
+        cols = "lat.o_orderkey, lat.o_orderstatus"
+    join = rng.choice(["JOIN", "LEFT JOIN"])
+    return (
+        f"SELECT c.c_custkey, {cols} "
+        f"FROM customer c {join} LATERAL ({inner}) AS lat ON true "
+        f"WHERE c.c_mktsegment = '{seg}'"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_lateral_differential(seed, spark, fuzz_env):
+    """Random correlated LATERAL top-k / aggregate subqueries — the
+    decorrelation path (LATERAL → window/aggregate join) must agree
+    with DuckDB, including LEFT LATERAL's NULL-extension rows."""
+    rng = random.Random(31000 + seed)
+    sql = _gen_lateral_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"latfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_distinct_filter_agg_query(rng: random.Random) -> str:
+    """Aggregates mixing DISTINCT and FILTER (WHERE ...) clauses —
+    the partial-aggregation rewrite (expand + two-phase) both engines
+    implement differently but must answer identically."""
+    pred1 = _gen_predicate(rng)
+    pred2 = _gen_predicate(rng)
+    aggs = rng.sample(
+        [
+            f"COUNT(DISTINCT o_custkey) FILTER (WHERE {pred1}) AS a1",
+            f"COUNT(DISTINCT o_orderpriority) AS a2",
+            f"CAST(SUM(o_orderkey) FILTER (WHERE {pred2}) AS BIGINT) AS a3",
+            f"COUNT(*) FILTER (WHERE {pred1}) AS a4",
+            f"MIN(o_orderkey) FILTER (WHERE {pred2}) AS a5",
+            f"CAST(SUM(DISTINCT o_orderkey % 1000) AS BIGINT) AS a6",
+        ],
+        k=rng.randint(2, 4),
+    )
+    group = rng.choice(["o_orderstatus", "o_orderpriority"])
+    return f"SELECT {group}, {', '.join(aggs)} FROM orders GROUP BY {group}"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_distinct_filter_agg_differential(seed, spark, fuzz_env):
+    """Random DISTINCT + FILTER aggregate mixes (multi-distinct expand
+    plans) — empty filter groups must yield NULL sums / zero counts
+    identically on both engines."""
+    rng = random.Random(33000 + seed)
+    sql = _gen_distinct_filter_agg_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"dffuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)

@@ -109,7 +109,8 @@ def test_llm_corpus_pipeline(spark, tmp_path):
     land exactly-once as a parquet table, and the LLM-pipeline registry
     ops (quality filter, PII redaction, split, packing, near-dup
     keeper, span dedup, winnowed pairs, surprisal, Pareto frontier,
-    weighted sample, incremental dedup, chunking, feature hashing) run
+    weighted sample, incremental dedup, chunking, feature hashing,
+    chunk-rewrite dedup, token entropy) run
     over the LANDED table — their outputs must equal the same ops over the pristine
     batch table after exact dedup removes the replayed copies."""
     from pinot_pulsar_plugin_spark.operators.pipelines import (
@@ -175,10 +176,14 @@ def test_llm_corpus_pipeline(spark, tmp_path):
         from pinot_pulsar_plugin_spark.operators.dedup import (
             d55_incremental_dedup,
         )
+        from pinot_pulsar_plugin_spark.operators.dedup import (
+            d56_chunk_rewrite_dedup,
+        )
         from pinot_pulsar_plugin_spark.operators.textops import (
             t63_bigram_surprisal,
             t64_doc_chunking,
             t66_feature_hashing,
+            t67_token_entropy,
         )
 
         return [
@@ -196,6 +201,9 @@ def test_llm_corpus_pipeline(spark, tmp_path):
             d55_incremental_dedup(spark, sf_dir).toPandas(),
             t64_doc_chunking(spark, sf_dir).toPandas(),
             t66_feature_hashing(spark, sf_dir).toPandas(),
+            # continuation-3 stages: rewrite dedup + entropy screen
+            d56_chunk_rewrite_dedup(spark, sf_dir).toPandas(),
+            t67_token_entropy(spark, sf_dir).toPandas(),
         ]
 
     for got, want in zip(frames(landed_dir), frames(SF)):

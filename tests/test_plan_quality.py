@@ -938,3 +938,19 @@ def test_s56_silhouette_bounded_product_partial_agg(spark):
     assert n_shuffles(df) <= 4
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
     assert keys <= {"label", "cid", "vec_id", "pos"}, keys
+
+
+def test_t67_entropy_zero_shuffle_pure_codegen(spark):
+    """t67's scale contract: the whole entropy computation is an
+    in-row expression over the scan — zero exchanges, no Python eval,
+    column-pruned read."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import textops
+
+    df = textops.t67_token_entropy(spark, SF)
+    assert n_shuffles(df) == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas == ["struct<doc_id:bigint,text:string>"], schemas

@@ -155,3 +155,39 @@ def test_t62_top_ngram_coverage_semantics(spark):
     assert out[2].top_gram is None and out[2].top_char_frac == 0.0
     assert out[2].keep_top_ngram
     assert out[3].top_char_frac > 0.5 and not out[3].keep_top_ngram
+
+
+def test_t67_entropy_reference_and_boundaries(spark, tmp_path):
+    """t67 vs a sequential Python reference with identical fixed-point
+    arithmetic, plus the closed-form boundaries: a one-token loop
+    scores exactly 0, fully-distinct text scores exactly
+    round(ln(n)*1e6)."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.textops import t67_token_entropy
+
+    docs = [
+        (0, "a a a a a a a a"),                      # all same -> 0
+        (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),        # all distinct -> ln(10)
+        (2, "x x x y y z"),                          # mixed
+        (3, "w"),                                    # single token -> 0
+        (4, "b a b a c c a"),                        # order-insensitive
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def ref(text: str) -> tuple[int, int, int]:
+        tk = text.lower().split(" ")
+        n = len(tk)
+        cnts = [tk.count(t) for t in sorted(set(tk))]
+        s = sum(c * round(math.log(c) * 1_000_000) for c in cnts)
+        return n, len(cnts), round(math.log(n) * 1_000_000) - s // n
+
+    rows = {r.doc_id: r for r in t67_token_entropy(spark, str(tmp_path)).collect()}
+    for doc_id, text in docs:
+        n, nd, h = ref(text)
+        r = rows[doc_id]
+        assert (r.n_tokens, r.n_distinct, r.entropy_micro) == (n, nd, h), (doc_id, r)
+    assert rows[0].entropy_micro == 0 and rows[3].entropy_micro == 0
+    assert rows[1].entropy_micro == round(math.log(10) * 1_000_000)
