@@ -458,3 +458,168 @@ def q100_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_hour"),
         ((F.col("sy").cast("double") / nd) / 100.0).alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q106: per-segment equi-depth (equal-frequency) binning
+# ---------------------------------------------------------------------------
+
+_EQD_BINS = 8
+
+
+@query(
+    "q106_equidepth_bins",
+    f"""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    b AS (
+      SELECT event_type, value,
+             CAST(((rk - 1) * {_EQD_BINS}) // n AS INTEGER) AS bin
+      FROM r)
+    SELECT event_type, bin, COUNT(*) AS n_rows,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY event_type, bin
+    """,
+)
+def q106_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (equi-depth) bin boundaries per event type —
+    the feature-discretization step (quantile binning) of an ML
+    preprocessing pipeline, and the complement of q59's fixed-width
+    histogram: bins adapt to the value distribution so each holds
+    ~n/8 rows regardless of skew. Assignment is exact integer rank
+    arithmetic, bin = ((rank-1)*B) div n with a unique event_id
+    tiebreak, so bin membership (and hence lo/hi boundaries) is
+    bit-deterministic on both engines — no float quantile estimates
+    anywhere.
+
+    Scale shape: ONE hash exchange on event_type; the row_number and
+    the partition count share one Window stack over one sort, and the
+    final per-(type, bin) aggregate combines map-side under the same
+    partitioning. The per-group sort is the inherent cost of exact
+    quantiles (q99's argument); the sketch path for unbounded
+    cardinality is q57's approx_quantiles."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    part = W.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(part.orderBy("value", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    b = r.select(
+        "event_type",
+        "value",
+        F.expr(f"CAST(((rk - 1) * {_EQD_BINS}) div n AS INT)").alias("bin"),
+    )
+    return b.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107: last-touch purchase attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3 * 86_400 * 1_000_000  # 3-day attribution window
+
+_Q107 = f"""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS t_id,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS t_type
+      FROM events),
+    p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_ts_us,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(touch_ts AS TIMESTAMP)) AS lat_us,
+             t_id, t_type
+      FROM w WHERE event_type = 'purchase')
+    SELECT purchase_id, user_id, purchase_ts_us,
+           CASE WHEN lat_us <= {_ATTR_WINDOW_US} THEN t_id END
+             AS touch_event_id,
+           CASE WHEN lat_us <= {_ATTR_WINDOW_US} THEN t_type END
+             AS touch_type,
+           CASE WHEN lat_us <= {_ATTR_WINDOW_US} THEN lat_us END
+             AS latency_us
+    FROM p
+"""
+
+
+@query("q107_purchase_attribution", _Q107)
+def q107_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent preceding click/view within a 3-day window —
+    the marketing-analytics join q60 (funnel) and q89 (transitions)
+    don't answer: WHICH event gets the credit. NULL touch columns mean
+    an unattributed (organic) purchase.
+
+    The carry-forward is last_value(...) IGNORE NULLS over a
+    strictly-preceding ROWS frame — one Window stack over ONE
+    user-keyed exchange (all three carries share the frame), with the
+    purchase filter applied after; timestamps are globally unique in
+    this dataset so the ordering (and hence the credited touch) is
+    deterministic. Latency compares exact integer microseconds.
+    Scale: event-volume shuffle on user_id once, nothing else."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    w = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(frame)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(frame)
+        .alias("t_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(frame)
+        .alias("t_type"),
+    )
+    p = w.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("lat_us"),
+        "t_id",
+        "t_type",
+    )
+    ok = F.col("lat_us") <= _ATTR_WINDOW_US
+    return p.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts_us",
+        F.when(ok, F.col("t_id")).alias("touch_event_id"),
+        F.when(ok, F.col("t_type")).alias("touch_type"),
+        F.when(ok, F.col("lat_us")).alias("latency_us"),
+    )

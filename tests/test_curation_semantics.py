@@ -364,3 +364,69 @@ def test_s56_separated_clusters_score_near_one(spark, tmp_path):
     assert set(out) == {0, 1}
     for r in out.values():
         assert r.mean_sil_micro > 900_000, r  # tight clusters ≈ +1
+
+
+def test_q106_bins_balanced_and_contiguous(spark):
+    """Equi-depth invariants on real data: per type, exactly B bins,
+    bin sizes differ by at most 1, and value ranges are contiguous
+    (lo of bin k is >= hi of bin k-1)."""
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        _EQD_BINS,
+        q106_equidepth_bins,
+    )
+
+    rows = q106_equidepth_bins(spark, "/root/testdata/sf0.001").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, bins in by_type.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [b.bin for b in bins] == list(range(_EQD_BINS)), et
+        sizes = [b.n_rows for b in bins]
+        assert max(sizes) - min(sizes) <= 1, (et, sizes)
+        for prev, cur in zip(bins, bins[1:]):
+            assert cur.lo >= prev.hi, (et, prev, cur)
+
+
+def test_q107_attribution_matches_brute_force(spark):
+    """q107 vs a per-user sequential scan: every purchase credits the
+    latest strictly-earlier click/view within 3 days, else NULL."""
+    import duckdb
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        _ATTR_WINDOW_US,
+        q107_purchase_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    evs = duckdb.connect().execute(
+        f"""SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM read_parquet('{sf}/events.parquet') ORDER BY user_id, ts_us"""
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for e in evs:
+        by_user.setdefault(e[1], []).append(e)
+    expect = {}
+    for user, seq in by_user.items():
+        for i, (eid, _, etype, ts_us) in enumerate(seq):
+            if etype != "purchase":
+                continue
+            touch = None
+            for j in range(i - 1, -1, -1):
+                if seq[j][2] in ("click", "view"):
+                    touch = seq[j]
+                    break
+            if touch is not None and ts_us - touch[3] <= _ATTR_WINDOW_US:
+                expect[eid] = (touch[0], touch[2], ts_us - touch[3])
+            else:
+                expect[eid] = (None, None, None)
+
+    rows = {r.purchase_id: r for r in q107_purchase_attribution(spark, sf).collect()}
+    assert set(rows) == set(expect)
+    for pid, (tid, ttype, lat) in expect.items():
+        r = rows[pid]
+        assert (r.touch_event_id, r.touch_type, r.latency_us) == (tid, ttype, lat), (
+            pid,
+            r,
+        )

@@ -954,3 +954,36 @@ def test_t67_entropy_zero_shuffle_pure_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     schemas = re.findall(r"ReadSchema: (\S+)", plan)
     assert schemas == ["struct<doc_id:bigint,text:string>"], schemas
+
+
+def test_q106_equidepth_single_exchange_one_window_stack(spark):
+    """q106's scale contract: one hash exchange on event_type; rank
+    and partition-count share a single Window stack over one sort; the
+    final (type, bin) aggregate combines map-side under the same
+    partitioning."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    df = eventanalytics.q106_equidepth_bins(spark, SF)
+    assert n_shuffles(df) <= 2
+    plan = formatted_plan(df)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    assert "partial" in plan.lower()
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"event_type"}, keys
+
+
+def test_q107_attribution_single_user_exchange(spark):
+    """q107's scale contract: all three IGNORE-NULLS carries share one
+    user-keyed Window over one sort — the event volume shuffles once,
+    on user_id, and never again."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    df = eventanalytics.q107_purchase_attribution(spark, SF)
+    assert n_shuffles(df) == 1
+    plan = formatted_plan(df)
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys == {"user_id"}, keys

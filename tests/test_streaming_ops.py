@@ -566,3 +566,63 @@ def test_windowed_topk_sink_exactly_once_across_restart(spark, tmp_path):
         assert t0 + dt.timedelta(hours=hour) in closed, (hour, closed)
     for r in rows:
         assert 1 <= r.rnk <= 2
+
+
+def test_streaming_ingest_dedup_vs_corpus_matches_batch(spark, tmp_path):
+    """d55's streaming form: incoming documents stream through the
+    pulsarlike source and are screened in-flight — a stream-static
+    LEFT ANTI join drops docs whose normalized content hash already
+    exists in the landed corpus, and dropDuplicatesWithinWatermark on
+    the same hash removes replays WITHIN the stream. The landed result
+    must equal the batch computation of the same keep-set (corpus
+    anti-join + first-per-hash) over the identical arrival order."""
+    import pyspark.sql.functions as F
+
+    corpus_rows = [
+        (100, "alpha beta gamma"),
+        (101, "delta epsilon zeta"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    corpus_hashes = corpus.select(fp.alias("fp")).distinct()
+
+    # the incoming delta: one corpus dup (exact text of 100), one
+    # in-stream replay (7 twice), whitespace-variant dup of 101, and
+    # two genuinely new docs
+    delta = [
+        {"doc_id": 7, "ts": _ts(0), "text": "new document one"},
+        {"doc_id": 8, "ts": _ts(1), "text": "alpha beta gamma"},     # corpus dup
+        {"doc_id": 7, "ts": _ts(2), "text": "new document one"},     # replay
+        {"doc_id": 9, "ts": _ts(3), "text": "  Delta   epsilon ZETA "},  # corpus dup (normalized)
+        {"doc_id": 10, "ts": _ts(4), "text": "new document two"},
+    ]
+    root = str(tmp_path / "broker")
+    w = TopicWriter(root, "docs", partitions=1)
+    for r in delta:
+        w.append(0, json.dumps(r))
+
+    schema = "doc_id bigint, ts timestamp, text string"
+    decoded = decode_json(read_stream(spark, root, "docs"), schema)
+    screened = (
+        decoded.withColumn("fp", fp)
+        .join(corpus_hashes, "fp", "left_anti")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    got = sorted(
+        r.doc_id
+        for r in _run_to_memory(screened, spark, tmp_path, "t_ingest_dedup").collect()
+    )
+
+    # batch twin over the same arrival sequence
+    batch = spark.createDataFrame(
+        [(r["doc_id"], i, r["text"]) for i, r in enumerate(delta)],
+        "doc_id long, arrival long, text string",
+    ).withColumn("fp", fp)
+    kept = (
+        batch.join(corpus_hashes, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min_by("doc_id", "arrival").alias("doc_id"))
+    )
+    want = sorted(r.doc_id for r in kept.collect())
+    assert got == want == [7, 10]
