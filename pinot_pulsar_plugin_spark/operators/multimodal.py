@@ -332,3 +332,170 @@ def m59_payload_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bytes") - F.col("chunk_idx").cast("long") * _MEDIA_CHUNK,
         ).alias("byte_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m60: perceptual-hash (aHash) near-duplicate image candidates
+# ---------------------------------------------------------------------------
+#
+# The image-dedup step of a multimodal curation pipeline: decode each
+# payload to a tiny grayscale block, hash it perceptually, and pair up
+# payloads whose hashes are within a small Hamming distance — robust to
+# re-encodes and small edits where d43's byte digest is not. The decode
+# is the container's deterministic fake (64 pixels sampled at even
+# strides from the payload bytes); the hash is average-hash (aHash):
+# bit k = pixel_k > integer mean. Real-codec swap-in happens at the
+# same seam as m56 (make_decode_batches) without touching the
+# candidate-join shape.
+#
+# Candidate generation is the d46 banding idea applied to media: the
+# 64-bit hash splits into 4 x 16-bit bands and pairs meet via an
+# equi-join on (band_idx, band_value) — never a cross join. Pigeonhole
+# gives FULL recall for Hamming <= 3 (4 diffs are needed to touch all
+# 4 bands); above that the band join is the standard LSH-style
+# heuristic (found iff the diffs cluster in <= 3 bands), and the
+# oracle replays the identical banding so parity covers the heuristic
+# too. The rerank is exact xor + bit_count on the two hashes.
+
+_AHASH_SAMPLES = 64
+_AHASH_BANDS = 4
+_AHASH_MAX_HAMMING = 10
+
+_M60_HASH_SQL = f"""
+    px AS (
+      SELECT doc_id,
+             list_transform(range({_AHASH_SAMPLES}),
+               k -> CAST(ord(substr(text,
+                      CAST(1 + (k * octet_length(encode(text)))
+                           // {_AHASH_SAMPLES} AS INTEGER), 1)) AS BIGINT))
+               AS px
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(range({_AHASH_SAMPLES}), k ->
+                 CASE WHEN px[CAST(k + 1 AS INTEGER)] * {_AHASH_SAMPLES}
+                           > list_reduce(px, (a, b) -> a + b)
+                      -- bit 63 = signed-64 MIN (1<<63 overflows); the
+                      -- k % 63 keeps the other branch shift-safe even
+                      -- under eager vectorized branch evaluation
+                      THEN CASE WHEN k = 63
+                                THEN CAST('-9223372036854775808' AS BIGINT)
+                                ELSE CAST(1 AS BIGINT)
+                                     << CAST(k % 63 AS INTEGER) END
+                      ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a + b) AS ahash
+      FROM px)
+"""
+
+@query(
+    "m60_phash_neardup_candidates",
+    f"""
+    WITH {_M60_HASH_SQL},
+    bands AS (
+      SELECT doc_id, ahash, b.i AS band_idx,
+             (ahash >> (b.i * 16)) & 65535 AS band_val
+      FROM h, LATERAL (SELECT unnest(generate_series(0, {_AHASH_BANDS - 1}))
+                       AS i) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAX_HAMMING}
+    """,
+)
+def m60_phash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over media payloads (see block
+    comment): aHash in pure integer arithmetic (sampled byte > scaled
+    integer mean — the *64 trick avoids any division ambiguity), 16-bit
+    band buckets for full-recall candidate generation at Hamming <=
+    {_AHASH_MAX_HAMMING}, exact xor/bit_count rerank.
+
+    Scale shape: the hash is an in-row expression at scan speed
+    (payload bytes never shuffle); the only event-volume exchange keys
+    on (band_idx, band_val) carrying (doc_id, ahash) — 16-byte rows;
+    a hot band bucket (e.g. black frames) is an AQE skew-split case.
+    The oracle replays the identical arithmetic, so parity proves the
+    whole pipeline including band recall."""
+    d = t(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    # pixel k = byte at index 1 + floor(k * n_bytes / 64), 1-based
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(_AHASH_SAMPLES - 1)),
+        lambda k: F.ascii(
+            F.substring(
+                F.col("text"),
+                (F.lit(1) + (k * F.col("nb")) / _AHASH_SAMPLES).cast("int"),
+                1,
+            )
+        ).cast("long"),
+    )
+    base = d.select("doc_id", n_bytes.alias("nb"), F.col("text"))
+    withpix = base.select("doc_id", pix.alias("px"))
+    tot = F.aggregate("px", F.lit(0).cast("long"), lambda a, v: a + v)
+    # bit-value constants (shift amounts must be Python ints for the
+    # DSL): bit 63 is the signed-64 MIN, matching the oracle's literal
+    bitvals = F.array(
+        *[F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")
+          for k in range(_AHASH_SAMPLES)]
+    )
+    ahash = F.aggregate(
+        F.zip_with(
+            "px",
+            bitvals,
+            lambda p, bit: F.when(
+                p * _AHASH_SAMPLES > F.col("tot"), bit
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    # persist the hash table: without a materialization barrier the
+    # projection collapses and the interpreted higher-order ahash
+    # expression is RE-EVALUATED inside the join condition for every
+    # candidate pair (measured 80s vs 4s at sf0.1) — the d44 persist
+    # rationale applied to expression cost instead of scan cost
+    h = (
+        withpix.withColumn("tot", tot)
+        .select("doc_id", ahash.alias("ahash"))
+        .persist()
+    )
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("ahash"), i * 16).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    for i in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= _AHASH_MAX_HAMMING
+    )

@@ -1046,3 +1046,81 @@ def t67_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("_s div n_tokens")
         ).alias("entropy_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t68: top-k TF-IDF keywords per document
+# ---------------------------------------------------------------------------
+#
+# Keyword extraction — the labeling/routing step (RAG metadata, topic
+# tags, index keys) downstream of t58's corpus vocabulary: score every
+# (doc, term) by tf x idf and keep each document's top 3. Scores are
+# integer micro-units, tf * ROUND(ln(n_docs/df) * 1e6) — the t61
+# presum pattern, so ranking compares exact integers and the (score
+# DESC, token ASC) tiebreak is deterministic cross-engine.
+
+_TFIDF_TOP_K = 3
+
+
+@query(
+    "t68_top_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token),
+    v AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * CAST(ROUND(ln(n.n_docs / v.df) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM tf JOIN v USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, token) AS rank
+      FROM scored)
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, score_micro
+    FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+    """,
+)
+def t68_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOP_K} TF-IDF keywords per document (see block
+    comment).
+
+    Scale shape: one (doc_id, token) combinable aggregate, one
+    token-keyed df aggregate + equi-join back (both map-side
+    combinable; the token join key is the only vocabulary-sized
+    exchange), and the per-doc top-k lowers to WindowGroupLimit so
+    each map task forwards at most k candidate rows per document
+    before the doc_id exchange. The corpus doc count is a broadcast
+    one-row relation — a bounded product, never data x data."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("df")) * 1000000).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", "score_micro")
+    )

@@ -80,3 +80,45 @@ def test_m59_manifest_boundary_payload_sizes(spark, tmp_path):
         assert cs[-1].byte_start + cs[-1].byte_len == n
         for a, b in zip(cs, cs[1:]):
             assert b.byte_start == a.byte_start + a.byte_len
+
+
+def test_m60_planted_edit_found_and_hash_reference(spark, tmp_path):
+    """A single-character edit off the sampled positions perturbs the
+    aHash by at most a few bits, so the planted near-copy pairs with
+    its original; unrelated docs don't. The Spark hash also matches a
+    sequential Python replica bit for bit (via the pair the replica
+    predicts)."""
+    from pinot_pulsar_plugin_spark.operators.multimodal import (
+        _AHASH_MAX_HAMMING,
+        _AHASH_SAMPLES,
+        m60_phash_neardup_candidates,
+    )
+
+    base = " ".join(f"w{i:03d}" for i in range(60))  # 419 bytes
+    edited = base[:-1] + "X"  # same length, one trailing char changed
+    other = " ".join(f"z{i:03d}" for i in range(45))
+    docs = [(0, base), (1, edited), (2, other)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def ahash(text: str) -> int:
+        nb = len(text.encode())
+        px = [ord(text[(k * nb) // _AHASH_SAMPLES]) for k in range(_AHASH_SAMPLES)]
+        tot = sum(px)
+        h = 0
+        for k, p in enumerate(px):
+            if p * _AHASH_SAMPLES > tot:
+                h += (1 << k) if k < 63 else -(1 << 63)
+        return h
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expect_pair = hamming(ahash(base), ahash(edited)) <= _AHASH_MAX_HAMMING
+    rows = m60_phash_neardup_candidates(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert expect_pair, "test corpus must plant a findable near-dup"
+    assert (0, 1) in pairs, pairs
+    assert pairs[(0, 1)] == hamming(ahash(base), ahash(edited))
+    assert not any(2 in p for p in pairs), pairs

@@ -987,3 +987,40 @@ def test_q107_attribution_single_user_exchange(spark):
     plan = formatted_plan(df)
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
     assert keys == {"user_id"}, keys
+
+
+def test_m60_ahash_in_row_band_join_narrow(spark):
+    """m60's scale contract: the perceptual hash is an in-row
+    expression (no Python eval anywhere); candidates come from an
+    equi-join keyed on the band columns carrying (doc_id, ahash) only —
+    payload text never shuffles; no cartesian/nested-loop join."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import multimodal
+
+    df = multimodal.m60_phash_neardup_candidates(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not re.search(r"hashpartitioning\(text#", plan)
+
+
+def test_t68_keywords_group_limited_bounded_exchanges(spark):
+    """t68's scale contract: tf and df aggregates combine map-side;
+    the per-doc top-k lowers to WindowGroupLimit; exchanges key on
+    doc_id/token only and the corpus count is a broadcast one-row
+    product."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import textops
+
+    df = textops.t68_top_keywords(spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert "<" not in plan[m.end() : m.end() + 120]
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"doc_id", "token"}, keys

@@ -191,3 +191,32 @@ def test_t67_entropy_reference_and_boundaries(spark, tmp_path):
         assert (r.n_tokens, r.n_distinct, r.entropy_micro) == (n, nd, h), (doc_id, r)
     assert rows[0].entropy_micro == 0 and rows[3].entropy_micro == 0
     assert rows[1].entropy_micro == round(math.log(10) * 1_000_000)
+
+
+def test_t68_keywords_prefer_rare_terms(spark, tmp_path):
+    """TF-IDF semantics on a crafted corpus: a corpus-wide term (df =
+    n_docs, idf = 0) never outranks a document-unique term, ties break
+    on token order, and tf multiplies the score."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.textops import t68_top_keywords
+
+    docs = [
+        (0, "common rare0 common common"),     # rare0 unique, common everywhere
+        (1, "common rare1 rare1 zz1"),          # rare1 tf=2 beats zz1 tf=1
+        (2, "common alpha beta"),               # alpha/beta tie -> token order
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = [r for r in t68_top_keywords(spark, str(tmp_path)).collect()]
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.rank)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    idf3 = round(math.log(3) * 1_000_000)
+    assert by_doc[0][0].token == "rare0" and by_doc[0][0].score_micro == idf3
+    # 'common' has df=3=n_docs -> idf 0 -> score 0, ranked below any rare term
+    assert by_doc[0][1].token == "common" and by_doc[0][1].score_micro == 0
+    assert by_doc[1][0].token == "rare1" and by_doc[1][0].score_micro == 2 * idf3
+    assert by_doc[1][1].token == "zz1"
+    assert [r.token for r in by_doc[2][:2]] == ["alpha", "beta"]
