@@ -623,3 +623,53 @@ def q107_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("t_type")).alias("touch_type"),
         F.when(ok, F.col("lat_us")).alias("latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q108: recursive user-journey path enumeration (WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+_JOURNEY_MAX_DEPTH = 4
+
+_Q108 = f"""
+    WITH RECURSIVE edges AS (
+      SELECT prev, curr, COUNT(*) AS n FROM (
+        SELECT user_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+               event_type AS curr
+        FROM events) x
+      WHERE prev IS NOT NULL GROUP BY prev, curr),
+    paths AS (
+      SELECT CONCAT('signup > ', curr) AS path, curr AS last, 2 AS depth,
+             n AS score
+      FROM edges WHERE prev = 'signup'
+      UNION ALL
+      SELECT CONCAT(p.path, ' > ', e.curr), e.curr, p.depth + 1,
+             p.score + e.n
+      FROM paths p JOIN edges e ON e.prev = p.last
+      WHERE p.depth < {_JOURNEY_MAX_DEPTH})
+    SELECT path, CAST(depth AS INTEGER) AS depth, CAST(score AS BIGINT) AS score
+    FROM paths
+"""
+
+
+@query("q108_journey_paths", _Q108)
+def q108_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path enumeration with a RECURSIVE CTE (Spark 4's
+    WITH RECURSIVE — the same SQL text runs verbatim on both engines):
+    starting from 'signup', walk the event-transition graph (q89's
+    aggregated Markov edges) up to depth {_JOURNEY_MAX_DEPTH},
+    emitting every path with an exact integer popularity score (sum of
+    traversed edge counts) — the "top user journeys" product-analytics
+    query that needs path ENUMERATION, which q89's single-step
+    transition matrix cannot express.
+
+    Scale shape: the event table pays exactly ONE user-keyed exchange
+    to build the lag edges (the per-key sequence budget); the
+    recursion then iterates over the #event_types² aggregated edge
+    table — a tiny relation joined to the growing-but-bounded path
+    frontier (≤ |types|^depth rows), never back to the events. Cycles
+    terminate via the depth bound; integer scores keep every row
+    bit-deterministic."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_Q108)
