@@ -129,12 +129,13 @@ _PRIORITY = [
     "q45_shipping_priority",     # sort/top-k
     "q46_pandas_udf_scalar",     # UDF surface
     "m56_decode_pipeline",       # multimodal
-    # --- anchors filling the window to 50 (multiply driver-green).
-    # q60/q62/d49/d50 rotated out for the late-r5 additions above:
-    # event_analytics stays covered in-window by q88/q89/q100 and
-    # subqueries by q97/q98/q102/q103; d49/d50 were driver-green in
-    # r1/r4 and stay in the local parity suite.
-    "d48_embedding_neardup_lsh",
+    # --- final slot: q108 (recursive-CTE surface, never scored)
+    # displaced the last multiply-green anchor d48 — dedup_near stays
+    # covered in-window by d52/d54/d55. Rotated out this round:
+    # q60/q62/d49/d50/d48, all multiply driver-green and still in the
+    # local parity suite (event_analytics covered by q88/q89/q100,
+    # subqueries by q97/q98/q102/q103).
+    "q108_journey_paths",
 ]
 
 

@@ -18,8 +18,25 @@ micro-batch, applied below) provides it.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Stateful group functions ship to executor Python workers by pickle;
+# registering this module by value with PYSPARK'S VENDORED cloudpickle
+# (the one its serializers actually call — the standalone cloudpickle
+# package has separate registry state) means drivers running from ANY
+# cwd produce self-contained payloads — the same constraint the
+# pulsarlike source handles in register(). Found by the non-repo-cwd
+# verify drive: a module-level function pickled by REFERENCE raises
+# ModuleNotFoundError on the worker.
+try:
+    from pyspark import cloudpickle as _pyspark_cloudpickle
+
+    _pyspark_cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except (ImportError, AttributeError):  # old pyspark: repo-on-path only
+    pass
 
 _WARMUP = 5
 _THRESHOLD = 2.0

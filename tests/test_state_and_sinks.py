@@ -490,3 +490,139 @@ def test_cusum_state_survives_checkpoint_restart(spark, tmp_path):
         expected[r["event_id"]] = (cp, cn, 1 if (cp > H or cn > H) else 0)
     assert got == expected
     assert any(v[2] for v in expected.values())
+
+
+def test_attribution_stream_matches_batch_q107(spark, tmp_path):
+    """Batch/streaming consistency for last-touch attribution: the
+    stateful streaming operator, fed the same events through the
+    pulsarlike source in 5-message micro-batches (state carries the
+    last touch across batch boundaries), must reproduce the batch q107
+    window computation row for row — including expired-window organic
+    purchases and purchases that arrive before any touch."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q107_purchase_attribution,
+    )
+    from pinot_pulsar_plugin_spark.streaming.attribution import (
+        ATTR_WINDOW_US,
+        attribution_stream,
+    )
+
+    base_us = 1_700_000_000_000_000
+    seq = [
+        # user 1: click -> purchase (credited), view -> late purchase
+        (0, 1, "click", 0),
+        (1, 1, "purchase", 60),
+        (2, 1, "view", 120),
+        (3, 1, "purchase", 120 + 4 * 86_400),  # outside 3-day window
+        # user 2: purchase before ANY touch (organic), then view->purchase
+        (4, 2, "purchase", 30),
+        (5, 2, "view", 90),
+        (6, 2, "purchase", 150),
+        # user 3: touches only, no purchase
+        (7, 3, "click", 10),
+        (8, 3, "view", 20),
+        # user 1 again, far later: the click at t=0 is stale; the view
+        # from the PREVIOUS micro-batch must carry via state
+        (9, 1, "purchase", 120 + 4 * 86_400 + 60),
+        # interleaved error events are ignored by attribution
+        (10, 2, "error", 200),
+        (11, 2, "purchase", 260),
+    ]
+    rows = []
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    for eid, user, etype, sec in seq:
+        ts_us = base_us + sec * 1_000_000
+        rows.append((eid, user, etype, ts_us))
+        w.append(0, json.dumps(
+            {"event_id": eid, "user_id": user, "event_type": etype,
+             "ts_us": ts_us}))
+
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=5),
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint",
+    )
+    q = (
+        attribution_stream(decoded)
+        .writeStream.format("memory")
+        .queryName("t_attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.purchase_id: (r.touch_event_id, r.touch_type, r.latency_us)
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+
+    # batch twin over the identical rows via the events-table schema
+    ev = spark.createDataFrame(
+        [
+            (eid, dt.datetime.utcfromtimestamp(ts / 1e6), user, etype, 0.0, "{}")
+            for eid, user, etype, ts in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    want = {
+        r.purchase_id: (r.touch_event_id, r.touch_type, r.latency_us)
+        for r in q107_purchase_attribution(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want) == {1, 3, 4, 6, 9, 11}
+    assert got == want, (got, want)
+    # spot-pin the interesting semantics
+    assert got[1] == (0, "click", 60_000_000)
+    assert got[3] == (None, None, None)      # stale touch -> organic
+    assert got[4] == (None, None, None)      # purchase before any touch
+    assert got[9] == (None, None, None)      # state-carried but stale
+    assert got[11][0] == 5                    # error event didn't steal credit
+
+
+def test_attribution_state_survives_checkpoint_restart(spark, tmp_path):
+    """The last-touch state must recover from the checkpoint: land a
+    touch, stop the query, append a purchase, restart with the SAME
+    checkpoint — the purchase must credit the pre-restart touch, and
+    exactly once."""
+    from pinot_pulsar_plugin_spark.streaming.attribution import attribution_stream
+    from pinot_pulsar_plugin_spark.streaming.sinks import exactly_once_parquet_sink
+
+    base_us = 1_700_000_000_000_000
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        decoded = decode_json(
+            read_stream(spark, root, "ev", maxmsgs=3),
+            "event_id bigint, user_id bigint, event_type string, ts_us bigint",
+        )
+        q = (
+            attribution_stream(decoded)
+            .writeStream.foreachBatch(exactly_once_parquet_sink(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    w.append(0, json.dumps({"event_id": 0, "user_id": 1, "event_type": "click",
+                            "ts_us": base_us}))
+    w.append(0, json.dumps({"event_id": 1, "user_id": 1, "event_type": "error",
+                            "ts_us": base_us + 1_000_000}))
+    drain()
+    w.append(0, json.dumps({"event_id": 2, "user_id": 1, "event_type": "purchase",
+                            "ts_us": base_us + 2_000_000}))
+    drain()
+
+    rows = spark.read.parquet(out_dir).filter("purchase_id IS NOT NULL").collect()
+    assert len(rows) == 1, rows  # exactly once
+    r = rows[0]
+    assert (r.purchase_id, r.touch_event_id, r.touch_type, r.latency_us) == (
+        2, 0, "click", 2_000_000,
+    )
