@@ -71,6 +71,12 @@ HEADLINE = [
     "d56_chunk_rewrite_dedup",
     "q105_pagerank_transactions",
     "s56_silhouette_by_label",
+    "q104_inactive_high_balance",
+    "q106_equidepth_bins",
+    "q107_purchase_attribution",
+    "q108_journey_paths",
+    "t67_token_entropy",
+    "t68_top_keywords",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -110,7 +110,7 @@ def test_llm_corpus_pipeline(spark, tmp_path):
     ops (quality filter, PII redaction, split, packing, near-dup
     keeper, span dedup, winnowed pairs, surprisal, Pareto frontier,
     weighted sample, incremental dedup, chunking, feature hashing,
-    chunk-rewrite dedup, token entropy) run
+    chunk-rewrite dedup, token entropy, keyword tagging) run
     over the LANDED table — their outputs must equal the same ops over the pristine
     batch table after exact dedup removes the replayed copies."""
     from pinot_pulsar_plugin_spark.operators.pipelines import (
@@ -184,6 +184,7 @@ def test_llm_corpus_pipeline(spark, tmp_path):
             t64_doc_chunking,
             t66_feature_hashing,
             t67_token_entropy,
+            t68_top_keywords,
         )
 
         return [
@@ -201,9 +202,11 @@ def test_llm_corpus_pipeline(spark, tmp_path):
             d55_incremental_dedup(spark, sf_dir).toPandas(),
             t64_doc_chunking(spark, sf_dir).toPandas(),
             t66_feature_hashing(spark, sf_dir).toPandas(),
-            # continuation-3 stages: rewrite dedup + entropy screen
+            # continuation-3 stages: rewrite dedup + entropy screen +
+            # keyword tagging
             d56_chunk_rewrite_dedup(spark, sf_dir).toPandas(),
             t67_token_entropy(spark, sf_dir).toPandas(),
+            t68_top_keywords(spark, sf_dir).toPandas(),
         ]
 
     for got, want in zip(frames(landed_dir), frames(SF)):

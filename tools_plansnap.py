@@ -271,6 +271,86 @@ COMMENTARY = {
         "arithmetic on the aggregate output - same exchange budget as a "
         "count."
     ),
+    "q104_inactive_high_balance": (
+        "TPC-H Q22 shape: the positive-balance average is a one-row "
+        "aggregate broadcast into the filter (bounded product); the NOT "
+        "EXISTS is a LeftAnti hash join with orders pruned to o_custkey "
+        "at the scan; the per-nation rollup combines map-side. The "
+        "threshold compares exact integer cents (bal·n > sum), so no "
+        "boundary customer can flip on a last-ulp AVG difference."
+    ),
+    "d56_chunk_rewrite_dedup": (
+        "Rewriting dedup with the text kept off the wide exchanges: "
+        "winner election is a map-side-combinable min over (xxhash64, "
+        "doc_id, pos) triples — ≤24-byte rows through the h exchange — "
+        "then the winner set joins back on (doc_id, pos) and the rebuild "
+        "groups on doc_id with an in-row sorted array_join. Chunk text "
+        "crosses the wire exactly twice, the unavoidable data motion of "
+        "any rewrite."
+    ),
+    "q105_pagerank_transactions": (
+        "Pregel-on-SQL: the (src, dst, deg) adjacency is built once and "
+        "persisted; each iteration is one hash join of the #nodes-sized "
+        "rank table onto it plus one combinable dst-keyed sum. Integer "
+        "micro-unit ranks (r div deg, damping in integer arithmetic) "
+        "make the output independent of shuffle schedule — the "
+        "determinism float PageRank lacks. Hubs are AQE skew-split "
+        "cases, not plan changes."
+    ),
+    "s56_silhouette_by_label": (
+        "The k-row fixed-point centroid table broadcasts back onto the "
+        "scan; each point's a/b distances are a conditional min over its "
+        "k co-located candidate rows, so partial aggregation collapses "
+        "every point to ONE narrow row before the vec_id exchange; the "
+        "per-label mean is a floored integer micro-unit division — no "
+        "ROUND-on-quotient hazard."
+    ),
+    "t67_token_entropy": (
+        "Entire entropy computation is an in-row expression over a "
+        "column-pruned scan: counts from filtering the token array "
+        "against its own sorted distinct list, per-term fixed-pointing "
+        "(presum), integer division at the end. Zero exchanges at any "
+        "corpus size."
+    ),
+    "q106_equidepth_bins": (
+        "One event_type exchange; row_number and the partition count "
+        "share a single Window stack over one sort; bin assignment is "
+        "exact integer rank arithmetic (((rk-1)·B) div n) with a unique "
+        "tiebreak, so boundaries are bit-deterministic. The per-group "
+        "sort is the inherent cost of exact quantiles; q57's sketch is "
+        "the unbounded-cardinality path."
+    ),
+    "q107_purchase_attribution": (
+        "All three IGNORE NULLS carries (ts, id, type) share one "
+        "strictly-preceding ROWS frame over ONE user-keyed Window — the "
+        "event volume shuffles once, on user_id, and never again; the "
+        "purchase filter and the 3-day integer-microsecond credit window "
+        "are post-projections."
+    ),
+    "t68_top_keywords": (
+        "tf and df are map-side-combinable aggregates; the token-keyed "
+        "df join is the only vocabulary-sized exchange; the per-doc "
+        "top-3 lowers to WindowGroupLimit so each map task forwards ≤3 "
+        "rows per document; the corpus count is a broadcast one-row "
+        "product. Scores are integer micro-units (presum), so ranking "
+        "ties break identically cross-engine."
+    ),
+    "m60_phash_neardup_candidates": (
+        "The 64-bit aHash is an in-row integer expression; the persisted "
+        "hash table (materialization barrier — without it the "
+        "interpreted higher-order expression re-evaluates inside the "
+        "join condition per candidate pair, measured 80s→9s) feeds a "
+        "16-bit band equi-join carrying (doc_id, ahash) only; exact "
+        "xor/bit_count rerank. Payload text never shuffles."
+    ),
+    "q108_journey_paths": (
+        "WITH RECURSIVE over the aggregated transition graph: events pay "
+        "one user-keyed exchange for the lag edges, then the recursion "
+        "iterates joins against the #event_types²-row edge relation — "
+        "the frontier grows with path count, never with event volume; "
+        "depth bound terminates cycles; integer path scores are "
+        "schedule-independent."
+    ),
 }
 
 
