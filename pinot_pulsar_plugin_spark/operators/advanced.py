@@ -373,3 +373,163 @@ def q85_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionAll(b)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q109: market-basket brand co-occurrence (association mining)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_BOTH = 5  # support floor: pairs seen in >= 5 orders
+
+
+@query(
+    "q109_basket_cooccurrence",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM basket),
+    item AS (SELECT brand, COUNT(*) AS n_item FROM basket GROUP BY brand),
+    pair AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_both
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+      HAVING COUNT(*) >= {_BASKET_MIN_BOTH})
+    SELECT p.brand_a, p.brand_b, p.n_both, ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(p.n_both * 1000000 // n.n_orders AS BIGINT) AS support_micro,
+           CAST(p.n_both * 1000000 // ia.n_item AS BIGINT) AS conf_a_to_b_micro,
+           CAST(p.n_both * 1000000 // ib.n_item AS BIGINT) AS conf_b_to_a_micro
+    FROM pair p
+    JOIN item ia ON ia.brand = p.brand_a
+    JOIN item ib ON ib.brand = p.brand_b
+    CROSS JOIN n
+    """,
+)
+def q109_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at brand granularity: for every
+    brand pair, how many orders contain BOTH (support) and the
+    conditional attach rates (confidence both directions) — the
+    classic recommender/assortment signal. All rates are exact integer
+    micro-units (count·1e6 div denominator), so output is
+    bit-deterministic.
+
+    Scale shape: the basket table is one distinct on (order, brand);
+    candidate pairs come from the self equi-join ON THE ORDER KEY —
+    fanout is bounded by (brands per order)² (≤13² here, single
+    digits in any real basket), never #orders² — then one combinable
+    pair count. Marginals are a #brands-sized aggregate broadcast
+    back. This is d44's collision-join shape applied to transactions:
+    cost tracks co-occurrence, not the catalog square."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n = basket.agg(F.countDistinct("okey").alias("n_orders"))
+    item = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MIN_BOTH)
+    )
+    ia = item.select(F.col("brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("CAST(n_both * 1000000 div n_orders AS BIGINT)").alias(
+                "support_micro"
+            ),
+            F.expr("CAST(n_both * 1000000 div n_a AS BIGINT)").alias(
+                "conf_a_to_b_micro"
+            ),
+            F.expr("CAST(n_both * 1000000 div n_b AS BIGINT)").alias(
+                "conf_b_to_a_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110: pointwise mutual information between two categorical columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_pmi_association",
+    """
+    WITH cell AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat, COUNT(*) AS n_xy
+      FROM customer GROUP BY 1, 2),
+    mx AS (SELECT seg, SUM(n_xy) AS n_x FROM cell GROUP BY seg),
+    my AS (SELECT nat, SUM(n_xy) AS n_y FROM cell GROUP BY nat),
+    tot AS (SELECT SUM(n_xy) AS n FROM cell)
+    SELECT c.seg, c.nat, CAST(c.n_xy AS BIGINT) AS n_xy,
+           CAST(mx.n_x AS BIGINT) AS n_x, CAST(my.n_y AS BIGINT) AS n_y,
+           CAST(ROUND(ln(CAST(tot.n AS DOUBLE) * c.n_xy / (mx.n_x * my.n_y))
+                      * 1000000) AS BIGINT) AS pmi_micro
+    FROM cell c
+    JOIN mx ON mx.seg = c.seg
+    JOIN my ON my.nat = c.nat
+    CROSS JOIN tot
+    """,
+)
+def q110_pmi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between market segment and nation —
+    the categorical-association signal feature selection and
+    drift-vs-independence audits run (PMI > 0: the pair co-occurs more
+    than independence predicts). Per-cell PMI is fixed-pointed with the
+    t61 presum pattern; the ln argument is the identical double
+    expression on both engines (N·n_xy / (n_x·n_y), integers into IEEE
+    ops in one order), so every cell is bit-deterministic.
+
+    Scale shape: one combinable (x, y) cell count — the only
+    data-volume exchange — then the marginals are sums OVER THE CELL
+    TABLE (never a second scan), broadcast back onto it along with the
+    one-row total. Cost: one scan + one #cells-sized shuffle,
+    regardless of row count."""
+    cust = t(spark, sf_dir, "customer")
+    cell = (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .persist()
+    )
+    mx = cell.groupBy("seg").agg(F.sum("n_xy").alias("n_x"))
+    my = cell.groupBy("nat").agg(F.sum("n_xy").alias("n_y"))
+    tot = cell.agg(F.sum("n_xy").alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("n_xy")
+            / (F.col("n_x") * F.col("n_y"))
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        cell.join(F.broadcast(mx), "seg")
+        .join(F.broadcast(my), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "nat",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            pmi.alias("pmi_micro"),
+        )
+    )

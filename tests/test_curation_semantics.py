@@ -430,3 +430,92 @@ def test_q107_attribution_matches_brute_force(spark):
             pid,
             r,
         )
+
+
+def test_q109_basket_counts_match_brute_force(spark, tmp_path):
+    """Basket semantics on crafted orders: known co-occurrence counts,
+    exact integer support/confidence, the support floor, and
+    dedup-within-order (two lineitems of the same brand count once)."""
+    from pinot_pulsar_plugin_spark.operators.advanced import (
+        q109_basket_cooccurrence,
+    )
+
+    # parts: 1..3 -> brands A, B, C
+    parts = [(1, "A"), (2, "B"), (3, "C")]
+    # 6 orders with A+B, 5 with A+C (one of them has C twice), 1 with B
+    li = []
+    oid = 0
+    for _ in range(6):
+        oid += 1
+        li += [(oid, 1), (oid, 2)]
+    for i in range(5):
+        oid += 1
+        li += [(oid, 1), (oid, 3)]
+        if i == 0:
+            li.append((oid, 3))  # duplicate brand within the order
+    oid += 1
+    li.append((oid, 2))
+    spark.createDataFrame(parts, "p_partkey long, p_brand string").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = {(r.brand_a, r.brand_b): r
+            for r in q109_basket_cooccurrence(spark, str(tmp_path)).collect()}
+    # A+C has 5 orders (>= floor), A+B has 6; B+C never co-occur
+    assert set(rows) == {("A", "B"), ("A", "C")}
+    r = rows[("A", "B")]
+    assert (r.n_both, r.n_a, r.n_b) == (6, 11, 7)
+    assert r.support_micro == 6 * 1_000_000 // 12
+    assert r.conf_a_to_b_micro == 6 * 1_000_000 // 11
+    assert r.conf_b_to_a_micro == 6 * 1_000_000 // 7
+    r = rows[("A", "C")]
+    assert (r.n_both, r.n_a, r.n_b) == (5, 11, 5)
+    assert r.conf_b_to_a_micro == 1_000_000  # C always implies A
+
+
+def test_q110_pmi_zero_under_independence(spark, tmp_path):
+    """PMI semantics: a perfectly independent cross product scores
+    exactly 0 micro-units in every cell; a planted association scores
+    positive and its complement negative."""
+    from pinot_pulsar_plugin_spark.operators.advanced import q110_pmi_association
+
+    rows = []
+    cid = 0
+    # independent block: every (seg, nat) combo appears 4 times
+    for seg in ("S0", "S1"):
+        for nat in (0, 1):
+            for _ in range(4):
+                cid += 1
+                rows.append((cid, f"c{cid}", nat, 0.0, seg))
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    out = q110_pmi_association(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r.pmi_micro == 0 for r in out), out
+
+    # planted association: S0 only with nat 0, S1 only with nat 1
+    rows2 = []
+    cid = 0
+    for seg, nat in (("S0", 0), ("S1", 1)):
+        for _ in range(6):
+            cid += 1
+            rows2.append((cid, f"c{cid}", nat, 0.0, seg))
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        rows2,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    out2 = {(r.seg, r.nat): r.pmi_micro
+            for r in q110_pmi_association(spark, str(tmp_path)).collect()}
+    import math
+
+    assert out2[("S0", 0)] == round(math.log(2) * 1_000_000)
+    assert out2[("S1", 1)] == round(math.log(2) * 1_000_000)

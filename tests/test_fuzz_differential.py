@@ -821,3 +821,50 @@ def test_fuzz_distinct_filter_agg_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"dffuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def _gen_recursive_query(rng: random.Random) -> str:
+    """Random WITH RECURSIVE walks over the event-transition graph —
+    varied start node, depth bound, edge filter, and accumulator.
+    Shared-syntax recursion is new surface in Spark 4; this family
+    pins anchor/step semantics, cycle-bounded termination, and
+    accumulator arithmetic against DuckDB."""
+    start = rng.choice(["signup", "click", "view", "purchase"])
+    depth = rng.randint(2, 4)
+    minn = rng.choice([0, 1, 5])
+    acc = rng.choice(
+        ["p.score + e.n", "p.score + 1", "CASE WHEN e.n > p.score THEN e.n ELSE p.score END"]
+    )
+    return f"""
+        WITH RECURSIVE edges AS (
+          SELECT prev, curr, COUNT(*) AS n FROM (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS prev,
+                   event_type AS curr
+            FROM events) x
+          WHERE prev IS NOT NULL GROUP BY prev, curr HAVING COUNT(*) > {minn}),
+        walk AS (
+          SELECT CONCAT('{start}', ' > ', curr) AS path, curr AS last,
+                 2 AS depth, n AS score
+          FROM edges WHERE prev = '{start}'
+          UNION ALL
+          SELECT CONCAT(p.path, ' > ', e.curr), e.curr, p.depth + 1, {acc}
+          FROM walk p JOIN edges e ON e.prev = p.last
+          WHERE p.depth < {depth})
+        SELECT path, CAST(depth AS INTEGER) AS depth, CAST(score AS BIGINT)
+                 AS score
+        FROM walk
+    """
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_recursive_differential(seed, spark, fuzz_env):
+    rng = random.Random(37000 + seed)
+    sql = _gen_recursive_query(rng)
+    spark  # events view registered by fuzz_env fixture's load_table
+    from pinot_pulsar_plugin_spark.catalog import load_table
+
+    load_table(spark, SF, "events").createOrReplaceTempView("events")
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"recfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)

@@ -1024,3 +1024,45 @@ def test_t68_keywords_group_limited_bounded_exchanges(spark):
         assert "<" not in plan[m.end() : m.end() + 120]
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
     assert keys <= {"doc_id", "token"}, keys
+
+
+def test_q109_basket_pairs_keyed_on_order(spark):
+    """q109's scale contract: candidate pairs come from the self
+    equi-join on the ORDER key (fanout bounded by basket size, never
+    catalog²); marginals and the total are broadcast; pair counting
+    combines map-side."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import advanced
+
+    spark.catalog.clearCache()
+    df = advanced.q109_basket_cooccurrence(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert "<" not in plan[m.end() : m.end() + 120]
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"okey", "brand", "brand_a", "brand_b", "l_orderkey",
+                    "l_partkey", "p_partkey"}, keys
+
+
+def test_q110_pmi_single_cell_exchange(spark):
+    """q110's scale contract: ONE data-volume exchange (the (seg, nat)
+    cell count); marginals aggregate the cell table, never rescan the
+    source; everything joins back by broadcast."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import advanced
+
+    spark.catalog.clearCache()
+    df = advanced.q110_pmi_association(spark, SF)
+    # materialize the persisted cell table first: the unexecuted plan
+    # still shows the cells' full lineage per consumer; after
+    # materialization every marginal reads the InMemoryTableScan
+    df.count()
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # marginals reuse the cells
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"seg", "nat", "c_mktsegment", "c_nationkey"}, keys

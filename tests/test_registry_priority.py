@@ -90,6 +90,7 @@ def test_round_of_quotient_is_ratcheted():
         "t61_token_surprisal": "presum",     # fixed: ROUND(ln*1e6) per token
         "t63_bigram_surprisal": "presum",    # ROUND(ln*1e6) per bigram
         "t68_top_keywords": "presum",        # ROUND(ln*1e6) per (doc, term)
+        "q110_pmi_association": "presum",    # ROUND(ln*1e6) per (x, y) cell
     }
     flagged = set()
     for name, sql in all_oracle_sql().items():
