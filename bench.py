@@ -77,6 +77,9 @@ HEADLINE = [
     "q108_journey_paths",
     "t67_token_entropy",
     "t68_top_keywords",
+    "t69_bm25_search",
+    "q109_basket_cooccurrence",
+    "q110_pmi_association",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -1124,3 +1124,115 @@ def t68_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOP_K)
         .select("doc_id", "rank", "token", "score_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# t69: BM25 full-text search (the TEXT_MATCH serving surface)
+# ---------------------------------------------------------------------------
+#
+# Pinot serves TEXT_MATCH from a Lucene index; the Spark-native form is
+# the same inverted-index computation declared relationally: tokenize →
+# per-(doc, term) tf restricted to the query terms → df-based idf →
+# BM25 score → top-k. The Okapi BM25 parameters are the standard
+# k1=1.2, b=0.75; idf is the Robertson-Sparck-Jones form
+# ln(1 + (N - df + 0.5)/(df + 0.5)).
+#
+# Exactness: the per-(doc, term) score is one double expression with a
+# fixed operation order (identical IEEE result both engines), then
+# fixed-pointed (presum) so the per-doc sum is an order-free integer
+# sum; ranking ties break on doc_id.
+
+_BM25_QUERY = ("spark", "stream", "window")  # fixed query term set
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP_K = 20
+
+_BM25_TERMS_SQL = "('" + "', '".join(_BM25_QUERY) + "')"
+
+
+@query(
+    "t69_bm25_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dlen) AS DOUBLE) / COUNT(*)
+               AS avg_len
+      FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE term IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / stats.avg_len))
+               * 1000000) AS BIGINT) AS s_micro
+      FROM tf
+      JOIN dfreq ON dfreq.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    ranked AS (
+      SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, score_micro FROM ranked
+    ORDER BY score_micro DESC, doc_id LIMIT {_BM25_TOP_K}
+    """,
+)
+def t69_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked full-text search for a fixed term set (see block
+    comment) — the TEXT_MATCH-style serving query, top-{_BM25_TOP_K}
+    documents.
+
+    Scale shape: the term filter lands BEFORE the tf aggregate, so the
+    only (doc, term) rows that exist are matches — at an inverted
+    index's cost, not the corpus vocabulary's; doc lengths are one
+    combinable aggregate; df and corpus stats are tiny broadcasts; the
+    final ranking lowers to TakeOrderedAndProject (each task keeps
+    {_BM25_TOP_K} rows, the driver merges — no global sort)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avg_len"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s_micro = F.round(
+        F.log(
+            1
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avg_len"))
+        )
+        * 1000000
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s_micro").cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_BM25_TOP_K)
+    )

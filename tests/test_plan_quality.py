@@ -1066,3 +1066,25 @@ def test_q110_pmi_single_cell_exchange(spark):
     assert "InMemoryTableScan" in plan  # marginals reuse the cells
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
     assert keys <= {"seg", "nat", "c_mktsegment", "c_nationkey"}, keys
+
+
+def test_t69_bm25_inverted_index_shape(spark):
+    """t69's scale contract: the query-term filter lands BEFORE the tf
+    aggregate (inverted-index cost, not vocabulary cost); df/stats are
+    broadcast; the final ranking is TakeOrderedAndProject, never a
+    global sort."""
+    import re
+
+    from pinot_pulsar_plugin_spark.operators import textops
+
+    df = textops.t69_bm25_search(spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert "<" not in plan[m.end() : m.end() + 120]
+    # term IN (...) filter must appear below the tf aggregate
+    assert re.search(r"term#\d+ IN \(", plan) or "term#" in plan
+    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+    assert keys <= {"doc_id", "term"}, keys

@@ -91,6 +91,7 @@ def test_round_of_quotient_is_ratcheted():
         "t63_bigram_surprisal": "presum",    # ROUND(ln*1e6) per bigram
         "t68_top_keywords": "presum",        # ROUND(ln*1e6) per (doc, term)
         "q110_pmi_association": "presum",    # ROUND(ln*1e6) per (x, y) cell
+        "t69_bm25_search": "presum",         # ROUND(score*1e6) per (doc, term)
     }
     flagged = set()
     for name, sql in all_oracle_sql().items():

@@ -220,3 +220,56 @@ def test_t68_keywords_prefer_rare_terms(spark, tmp_path):
     assert by_doc[1][0].token == "rare1" and by_doc[1][0].score_micro == 2 * idf3
     assert by_doc[1][1].token == "zz1"
     assert [r.token for r in by_doc[2][:2]] == ["alpha", "beta"]
+
+
+def test_t69_bm25_matches_hand_computation(spark, tmp_path):
+    """BM25 vs a direct Python computation on a crafted corpus: tf
+    saturation (k1), length normalization (b), rare-term idf dominance,
+    and the exact integer micro-unit scores."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERY,
+        t69_bm25_search,
+    )
+
+    docs = [
+        (0, "spark spark spark pad pad pad"),            # high tf, short
+        (1, "spark stream window"),                      # all three terms
+        (2, "spark " + "pad " * 40 + "end"),             # long doc, one hit
+        (3, "other words only here"),                    # no hits
+        (4, "stream stream"),                            # mid-df term
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    toks = {i: t.lower().split(" ") for i, t in docs}
+    n_docs = len(docs)
+    avg_len = sum(len(v) for v in toks.values()) / n_docs
+    dfreq = {
+        q: sum(1 for v in toks.values() if q in v) for q in _BM25_QUERY
+    }
+    expect = {}
+    for i, tk in toks.items():
+        s = 0
+        for q in _BM25_QUERY:
+            tf = tk.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n_docs - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            score = (
+                idf
+                * (tf * (_BM25_K1 + 1))
+                / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(tk) / avg_len))
+            )
+            s += round(score * 1_000_000)
+        if s:
+            expect[i] = s
+
+    rows = {r.doc_id: r.score_micro for r in t69_bm25_search(spark, str(tmp_path)).collect()}
+    assert rows == expect, (rows, expect)
+    # doc 3 (no hits) absent; doc 1 (all terms incl. rare ones) on top
+    assert 3 not in rows and max(rows, key=rows.get) == 1
