@@ -363,11 +363,18 @@ _AHASH_MAX_HAMMING = 10
 
 _M60_HASH_SQL = f"""
     px AS (
+      -- the index derives from BYTE length but substr counts CHARS on
+      -- both engines: clamp to char length so multibyte text cannot
+      -- index past the end (where DuckDB ord('') = -1 but Spark
+      -- ascii('') = 0 — a silent parity divergence); empty text pins
+      -- every pixel to 0 for the same reason
       SELECT doc_id,
              list_transform(range({_AHASH_SAMPLES}),
-               k -> CAST(ord(substr(text,
-                      CAST(1 + (k * octet_length(encode(text)))
-                           // {_AHASH_SAMPLES} AS INTEGER), 1)) AS BIGINT))
+               k -> CASE WHEN len(text) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ord(substr(text,
+                      CAST(LEAST(1 + (k * octet_length(encode(text)))
+                                 // {_AHASH_SAMPLES}, len(text))
+                           AS INTEGER), 1)) AS BIGINT) END)
                AS px
       FROM documents),
     h AS (
@@ -424,18 +431,28 @@ def m60_phash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline including band recall."""
     d = t(spark, sf_dir, "documents")
     n_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
-    # pixel k = byte at index 1 + floor(k * n_bytes / 64), 1-based
+    # pixel k samples the char at 1 + floor(k * n_bytes / 64), clamped
+    # to the CHAR length (substr counts chars; the index derives from
+    # bytes — see the oracle comment for the multibyte hazard) and
+    # pinned to 0 on empty text (Spark ascii('')=0, DuckDB ord('')=-1)
     pix = F.transform(
         F.sequence(F.lit(0), F.lit(_AHASH_SAMPLES - 1)),
-        lambda k: F.ascii(
-            F.substring(
-                F.col("text"),
-                (F.lit(1) + (k * F.col("nb")) / _AHASH_SAMPLES).cast("int"),
-                1,
-            )
-        ).cast("long"),
+        lambda k: F.when(F.col("cl") == 0, F.lit(0).cast("long")).otherwise(
+            F.ascii(
+                F.substring(
+                    F.col("text"),
+                    F.least(
+                        (F.lit(1) + (k * F.col("nb")) / _AHASH_SAMPLES).cast("int"),
+                        F.col("cl"),
+                    ),
+                    1,
+                )
+            ).cast("long")
+        ),
     )
-    base = d.select("doc_id", n_bytes.alias("nb"), F.col("text"))
+    base = d.select(
+        "doc_id", n_bytes.alias("nb"), F.length("text").alias("cl"), F.col("text")
+    )
     withpix = base.select("doc_id", pix.alias("px"))
     tot = F.aggregate("px", F.lit(0).cast("long"), lambda a, v: a + v)
     # bit-value constants (shift amounts must be Python ints for the

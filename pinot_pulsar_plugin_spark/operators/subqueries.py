@@ -168,7 +168,8 @@ def q102_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `bal_cents * n > sum_cents` is pure integer arithmetic, so the
 # boundary customers cannot flip on a last-ulp AVG difference between
 # engines (the hazard the audit in test_registry_priority exists for).
-_Q104_NATIONS = "(1, 3, 5, 7, 9, 11, 13)"
+_Q104_NATION_KEYS = (1, 3, 5, 7, 9, 11, 13)
+_Q104_NATIONS = "(" + ", ".join(str(k) for k in _Q104_NATION_KEYS) + ")"
 
 _Q104 = f"""
     WITH eligible AS (
@@ -208,8 +209,9 @@ def q104_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
-    nations = [1, 3, 5, 7, 9, 11, 13]
-    eligible = cust.filter(F.col("c_nationkey").isin(nations)).select(
+    eligible = cust.filter(
+        F.col("c_nationkey").isin(list(_Q104_NATION_KEYS))
+    ).select(
         "c_custkey",
         "c_nationkey",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),

@@ -1169,12 +1169,18 @@ _BM25_TERMS_SQL = "('" + "', '".join(_BM25_QUERY) + "')"
     dfreq AS (
       SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
+      -- every fractional literal is e-notation (0.5e0, 1.2e0, 0.75e0):
+      -- DuckDB types bare 0.5/1.2 as DECIMAL and evaluates the inner
+      -- arithmetic exactly, converting to double LATER than Spark's
+      -- all-double pipeline — confirmed 1-ulp divergence (tf*2.2:
+      -- 6.6000000000000005 vs 6.5999999999999996), the t61
+      -- half-boundary hazard class
       SELECT tf.doc_id,
              CAST(ROUND(
-               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * (tf.tf * ({_BM25_K1} + 1))
-               / (tf.tf + {_BM25_K1}
-                  * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / stats.avg_len))
+               ln(1 + (stats.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+               * (tf.tf * ({_BM25_K1}e0 + 1))
+               / (tf.tf + {_BM25_K1}e0
+                  * (1 - {_BM25_B}e0 + {_BM25_B}e0 * dl.dlen / stats.avg_len))
                * 1000000) AS BIGINT) AS s_micro
       FROM tf
       JOIN dfreq ON dfreq.term = tf.term

@@ -36,7 +36,9 @@ try:
 except (ImportError, AttributeError):  # old pyspark: repo-on-path only
     pass
 
-ATTR_WINDOW_US = 3 * 86_400 * 1_000_000  # keep in lockstep with q107
+from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+    _ATTR_WINDOW_US as ATTR_WINDOW_US,  # single definition, shared with q107
+)
 
 _OUTPUT_SCHEMA = (
     "user_id bigint, purchase_id bigint, purchase_ts_us bigint, "

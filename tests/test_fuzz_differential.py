@@ -861,7 +861,7 @@ def _gen_recursive_query(rng: random.Random) -> str:
 def test_fuzz_recursive_differential(seed, spark, fuzz_env):
     rng = random.Random(37000 + seed)
     sql = _gen_recursive_query(rng)
-    spark  # events view registered by fuzz_env fixture's load_table
+    # fuzz_env registers the DuckDB views; the Spark temp view is ours
     from pinot_pulsar_plugin_spark.catalog import load_table
 
     load_table(spark, SF, "events").createOrReplaceTempView("events")

@@ -122,3 +122,43 @@ def test_m60_planted_edit_found_and_hash_reference(spark, tmp_path):
     assert (0, 1) in pairs, pairs
     assert pairs[(0, 1)] == hamming(ahash(base), ahash(edited))
     assert not any(2 in p for p in pairs), pairs
+
+
+def test_m60_multibyte_text_parity(spark, tmp_path):
+    """Non-ASCII payloads: the byte-derived pixel index can exceed the
+    CHAR length (substr counts chars on both engines), where DuckDB
+    ord('') = -1 but Spark ascii('') = 0 — the clamp must keep both
+    engines on identical pixels. Also pins the empty-text pixel = 0
+    rule. Review finding: fixtures are ASCII-only, so only this test
+    exercises the divergence."""
+    import duckdb
+
+    from pinot_pulsar_plugin_spark.operators.multimodal import (
+        m60_phash_neardup_candidates,
+    )
+    from pinot_pulsar_plugin_spark.registry import all_oracle_sql
+    from tests.oracle_harness import compare
+
+    docs = [
+        (0, "héllo wörld " * 10 + "ünïcode tail"),   # 2-byte chars inflate bytes
+        (1, "héllo wörld " * 10 + "ünïcode tail"),   # exact dup -> must pair
+        (2, "日本語のテキスト " * 8),                  # 3-byte chars, much longer in bytes
+        (3, ""),                                      # empty text
+        (4, "plain ascii filler text " * 6),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    sdf = m60_phash_neardup_candidates(spark, str(tmp_path))
+    duck = con.execute(
+        all_oracle_sql()["m60_phash_neardup_candidates"]
+    ).arrow().to_pandas(date_as_object=True)
+    problems = compare("m60_multibyte", sdf, duck)
+    assert not problems, problems
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in sdf.collect()}
+    assert pairs.get((0, 1)) == 0  # exact dup found with identical hash
