@@ -626,3 +626,130 @@ def test_attribution_state_survives_checkpoint_restart(spark, tmp_path):
     assert (r.purchase_id, r.touch_event_id, r.touch_type, r.latency_us) == (
         2, 0, "click", 2_000_000,
     )
+
+
+def test_session_finalizer_matches_batch_q29(spark, tmp_path):
+    """EventTimeTimeout sessionization vs batch q29: sessions closed by
+    a newer event emit inline; sessions closed by SILENCE emit when the
+    watermark passes their deadline (driven by a far-future sentinel
+    user); every closed session matches the batch lag-gap composition
+    row for row."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.windows import q29_sessionize
+    from pinot_pulsar_plugin_spark.streaming.sessions import (
+        session_finalizer_stream,
+    )
+
+    base_us = 1_700_000_000_000_000
+    MIN = 60 * 1_000_000
+    real = [
+        # user 1: two sessions (40-min gap), second has 2 events
+        (0, 1, 0), (1, 1, 5 * 60), (2, 1, 45 * 60), (3, 1, 50 * 60),
+        # user 2: one session spanning micro-batches
+        (4, 2, 0), (5, 2, 10 * 60), (6, 2, 20 * 60),
+        # user 3: single event session
+        (7, 3, 7 * 60),
+    ]
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    # deliver in GLOBAL event-time order: the operator assumes the
+    # per-partition offset order tracks event time (stated in the
+    # module docstring) — interleaving users out of time order makes
+    # earlier-timestamped events LATE past the watermark, and stateful
+    # ops drop late input (correct streaming semantics, but then the
+    # batch twin comparison is meaningless)
+    for eid, user, sec in sorted(real, key=lambda r: (r[2], r[0])):
+        ts_us = base_us + sec * 1_000_000
+        w.append(0, json.dumps({"event_id": eid, "user_id": user,
+                                "ts": ts_us // 1_000_000, "ts_us": ts_us}))
+    # sentinel: a far-future event advances the global watermark past
+    # every real session's deadline, firing their timeouts
+    far = base_us + 6 * 3600 * 1_000_000
+    w.append(0, json.dumps({"event_id": 99, "user_id": 999,
+                            "ts": far // 1_000_000, "ts_us": far}))
+
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=3),
+        "event_id bigint, user_id bigint, ts timestamp, ts_us bigint",
+    )
+    q = (
+        session_finalizer_stream(decoded)
+        .writeStream.format("memory")
+        .queryName("t_sess_fin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.duration_us)
+        for r in spark.sql("SELECT * FROM t_sess_fin WHERE user_id != 999").collect()
+    }
+
+    # batch twin over the identical real events
+    ev = spark.createDataFrame(
+        [
+            (eid, dt.datetime.utcfromtimestamp((base_us + sec * 1_000_000) / 1e6),
+             user, "view", 0.0, "{}")
+            for eid, user, sec in real
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    want = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.duration_us)
+        for r in q29_sessionize(spark, str(tmp_path)).collect()
+    }
+    assert got == want, (got, want)
+    assert len(got) == 4  # 2 sessions for user 1, 1 each for users 2, 3
+
+
+def test_session_finalizer_timeout_fires_after_restart(spark, tmp_path):
+    """An open session's event-time timeout must survive a checkpoint
+    restart: land the session's events, stop, append only a far-future
+    watermark-driver event, restart — the session emits exactly once,
+    from recovered state, via the timeout path."""
+    from pinot_pulsar_plugin_spark.streaming.sessions import (
+        session_finalizer_stream,
+    )
+    from pinot_pulsar_plugin_spark.streaming.sinks import exactly_once_parquet_sink
+
+    base_us = 1_700_000_000_000_000
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        decoded = decode_json(
+            read_stream(spark, root, "ev", maxmsgs=2),
+            "event_id bigint, user_id bigint, ts timestamp, ts_us bigint",
+        )
+        q = (
+            session_finalizer_stream(decoded)
+            .writeStream.foreachBatch(exactly_once_parquet_sink(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    for eid, sec in ((0, 0), (1, 300)):
+        ts_us = base_us + sec * 1_000_000
+        w.append(0, json.dumps({"event_id": eid, "user_id": 1,
+                                "ts": ts_us // 1_000_000, "ts_us": ts_us}))
+    drain()
+    far = base_us + 7200 * 1_000_000
+    w.append(0, json.dumps({"event_id": 9, "user_id": 999,
+                            "ts": far // 1_000_000, "ts_us": far}))
+    drain()
+
+    rows = spark.read.parquet(out_dir).filter("user_id = 1").collect()
+    assert len(rows) == 1, rows  # exactly once, via recovered state
+    r = rows[0]
+    assert (r.session_start_us, r.session_end_us, r.n_events) == (
+        base_us, base_us + 300_000_000, 2,
+    )
