@@ -45,40 +45,49 @@ _OUTPUT_SCHEMA = "user_id bigint, event_id bigint, z double, is_anomaly int"
 _STATE_SCHEMA = "n bigint, s1 bigint, s2 bigint"
 
 
-def _score_group(key, pdfs, state: GroupState):
+def _moments_pass(key, chunks, n, s1, s2):
+    """The shared vectorized moments/z-score pass: concatenate the
+    group's Arrow chunks BEFORE the event-time sort (a per-chunk sort
+    orders within chunks only — a micro-batch spanning interleaved
+    chunks would update moments out of order), run one numpy cumsum
+    pass, and return (scored frame or None, new state). Shared by the
+    applyInPandasWithState operator below and the
+    transformWithStateInPandas twin (streaming/twstate.py) so the two
+    state APIs can never drift semantically."""
     import numpy as np
     import pandas as pd
 
+    if not chunks:
+        return None, (n, s1, s2)
+    pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+    v = pdf["v"].to_numpy(dtype="int64")
+    cn = n + np.arange(1, len(v) + 1, dtype="int64")
+    c1 = s1 + np.cumsum(v)
+    c2 = s2 + np.cumsum(v * v)
+    var_pop = (c2 - (c1 * c1) / cn) / cn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (v - c1 / cn) / np.sqrt(var_pop)
+    valid = (cn >= _WARMUP) & (var_pop > 0)
+    frame = pd.DataFrame(
+        {
+            "user_id": np.full(len(v), key[0], dtype="int64"),
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "z": np.where(valid, np.round(z, 6), np.nan),
+            "is_anomaly": (valid & (z > _THRESHOLD)).astype("int32"),
+        }
+    )
+    return frame, (int(cn[-1]), int(c1[-1]), int(c2[-1]))
+
+
+def _score_group(key, pdfs, state: GroupState):
+    import pandas as pd
+
     n, s1, s2 = state.get if state.exists else (0, 0, 0)
-    # Concatenate the group's Arrow chunks BEFORE the event-time sort:
-    # a per-chunk sort orders within chunks only, and when a group's
-    # micro-batch spans chunks whose arrival interleaves in time the
-    # moments would update out of order (different z for the same
-    # input). One concat + one sort bounds memory at exactly the rows
-    # Spark already shuffled to this group for this batch.
     chunks = [pdf for pdf in pdfs if len(pdf)]
     frames = []
-    if chunks:
-        pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
-        v = pdf["v"].to_numpy(dtype="int64")
-        cn = n + np.arange(1, len(v) + 1, dtype="int64")
-        c1 = s1 + np.cumsum(v)
-        c2 = s2 + np.cumsum(v * v)
-        var_pop = (c2 - (c1 * c1) / cn) / cn
-        with np.errstate(divide="ignore", invalid="ignore"):
-            z = (v - c1 / cn) / np.sqrt(var_pop)
-        valid = (cn >= _WARMUP) & (var_pop > 0)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "user_id": np.full(len(v), key[0], dtype="int64"),
-                    "event_id": pdf["event_id"].to_numpy(dtype="int64"),
-                    "z": np.where(valid, np.round(z, 6), np.nan),
-                    "is_anomaly": (valid & (z > _THRESHOLD)).astype("int32"),
-                }
-            )
-        )
-        n, s1, s2 = int(cn[-1]), int(c1[-1]), int(c2[-1])
+    frame, (n, s1, s2) = _moments_pass(key, chunks, n, s1, s2)
+    if frame is not None:
+        frames.append(frame)
     # only touch state when there is something to record: updating on a
     # dataless invocation would materialize (0,0,0) state for a key
     # that produced no rows — benign under NoTimeout, but it would

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -753,3 +755,126 @@ def test_session_finalizer_timeout_fires_after_restart(spark, tmp_path):
     assert (r.session_start_us, r.session_end_us, r.n_events) == (
         base_us, base_us + 300_000_000, 2,
     )
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas runtime needs google.protobuf "
+    "(TWS state-server protocol) — not shipped in this container",
+)
+def test_transform_with_state_matches_legacy_api(spark, tmp_path):
+    """API equivalence: the transformWithStateInPandas z-score twin
+    (typed ValueState handle, Spark 4's successor API) must produce
+    BIT-IDENTICAL output to the applyInPandasWithState operator over
+    the same broker ledgers and micro-batch boundaries — both share
+    _moments_pass, so a divergence means the state plumbing itself
+    differs. Env-gated: the TWS driver worker imports google.protobuf
+    at startup and crashes without it (verified in this container)."""
+    from pinot_pulsar_plugin_spark.streaming.anomaly import running_zscore_stream
+    from pinot_pulsar_plugin_spark.streaming.twstate import running_zscore_tws
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    for i in range(30):
+        w.append(0, json.dumps({
+            "event_id": i, "user_id": i % 3, "ts_us": 1_000_000 * i,
+            "v": int(round((10.0 + (i % 7) + (200.0 if i == 17 else 0.0)) * 100)),
+        }))
+
+    def drain(op, name):
+        decoded = decode_json(
+            read_stream(spark, root, "ev", maxmsgs=4),
+            "event_id bigint, user_id bigint, ts_us bigint, v bigint",
+        )
+        q = (
+            op(decoded)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            r.event_id: (r.user_id, r.z, r.is_anomaly)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    legacy = drain(running_zscore_stream, "t_api_legacy")
+    new = drain(running_zscore_tws, "t_api_tws")
+    assert len(legacy) == 30
+    assert legacy == new
+
+
+def test_zscore_processor_logic_with_fake_state():
+    """The TWS processor's logic, unit-tested without the gated
+    runtime: drive ZScoreProcessor.handleInputRows directly with a
+    fake ValueState across three 'micro-batches' and check the scores
+    equal the legacy operator's sequential reference math."""
+    import math
+
+    import pandas as pd
+
+    from pinot_pulsar_plugin_spark.streaming.twstate import ZScoreProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    proc = ZScoreProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    vals = [1000 + (i % 5) * 7 for i in range(12)]
+    out = {}
+    for b in range(3):  # batch boundaries at 4-row granularity
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(b * 4, b * 4 + 4),
+                "ts_us": [i * 1_000_000 for i in range(b * 4, b * 4 + 4)],
+                "v": vals[b * 4 : b * 4 + 4],
+            }
+        )
+        for frame in proc.handleInputRows((7,), iter([pdf]), None):
+            for r in frame.itertuples():
+                out[r.event_id] = (r.z, r.is_anomaly)
+
+    # sequential reference (same math as the batch twin q83)
+    n = s1 = s2 = 0
+    for i, v in enumerate(vals):
+        n, s1, s2 = n + 1, s1 + v, s2 + v * v
+        var_pop = (s2 - (s1 * s1) / n) / n
+        z, anom = out[i]
+        if n >= 5 and var_pop > 0:
+            want = (v - s1 / n) / math.sqrt(var_pop)
+            assert abs(z - round(want, 6)) < 1e-12, (i, z, want)
+            assert anom == (1 if want > 2.0 else 0)
+        else:
+            assert math.isnan(z) and anom == 0
+    assert handle.state.get()[0] == 12  # state carried across batches
