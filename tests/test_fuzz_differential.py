@@ -778,7 +778,7 @@ def _gen_lateral_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", range(25))
 def test_fuzz_lateral_differential(seed, spark, fuzz_env):
     """Random correlated LATERAL top-k / aggregate subqueries — the
     decorrelation path (LATERAL → window/aggregate join) must agree
@@ -811,7 +811,7 @@ def _gen_distinct_filter_agg_query(rng: random.Random) -> str:
     return f"SELECT {group}, {', '.join(aggs)} FROM orders GROUP BY {group}"
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", range(25))
 def test_fuzz_distinct_filter_agg_differential(seed, spark, fuzz_env):
     """Random DISTINCT + FILTER aggregate mixes (multi-distinct expand
     plans) — empty filter groups must yield NULL sums / zero counts
@@ -857,7 +857,7 @@ def _gen_recursive_query(rng: random.Random) -> str:
     """
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzz_recursive_differential(seed, spark, fuzz_env):
     rng = random.Random(37000 + seed)
     sql = _gen_recursive_query(rng)
