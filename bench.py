@@ -80,6 +80,10 @@ HEADLINE = [
     "t69_bm25_search",
     "q109_basket_cooccurrence",
     "q110_pmi_association",
+    "q111_zorder_layout_audit",
+    "q112_salted_supplier_revenue",
+    "q113_disjunctive_revenue",
+    "q114_top_revenue_supplier",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

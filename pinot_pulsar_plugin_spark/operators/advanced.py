@@ -533,3 +533,115 @@ def q110_pmi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             pmi.alias("pmi_micro"),
         )
     )
+
+
+# --- q111: z-order layout audit -------------------------------------
+# The DuckDB oracle replays the Morton spread as 5 nested mask-shift
+# rounds per dimension (pure int64 bitwise SQL; every intermediate
+# stays positive, shifts <= 16 per the <<63 portability rule).
+def _morton_oracle_sql(shift_out: int) -> str:
+    from pinot_pulsar_plugin_spark.functions.zorder import _SPREAD
+
+    sql = (
+        "SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
+        "FROM events"
+    )
+    sql = (
+        "SELECT user_id, cents, (user_id & 2147483647) AS xa, "
+        f"(cents & 2147483647) AS xb FROM ({sql})"
+    )
+    for sh, mask in _SPREAD:
+        sql = (
+            f"SELECT user_id, cents, ((xa | (xa << {sh})) & {mask}) AS xa, "
+            f"((xb | (xb << {sh})) & {mask}) AS xb FROM ({sql})"
+        )
+    sql = f"SELECT user_id, cents, (xa | (xb << 1)) AS z FROM ({sql})"
+    return f"""
+        SELECT (z >> {shift_out}) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+               MIN(cents) AS c_min, MAX(cents) AS c_max
+        FROM ({sql}) GROUP BY 1
+    """
+
+
+_Q111_SHIFT = 24
+
+
+@query("q111_zorder_layout_audit", _morton_oracle_sql(_Q111_SHIFT))
+def q111_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: assign every event to the
+    z-order file bucket a ``OPTIMIZE ZORDER BY (user_id, value)`` write
+    would place it in (``functions/zorder.zorder2`` — the branch-free
+    mask-shift spread, all inside whole-stage codegen) and report each
+    bucket's 2-D bounding box. Tight per-bucket min/max on BOTH
+    dimensions is exactly the property parquet row-group pruning feeds
+    on — ``tests/test_scale_patterns.py`` proves the skip-rate on a real
+    write, this query scores the arithmetic itself against a DuckDB
+    replay of the spread.
+
+    Scale shape: the Morton code is a pure per-row expression (zero
+    exchanges); the only shuffle is the combinable bucket aggregate. At
+    100 TB this is the audit you run AFTER a z-ordered write to verify
+    clustering health before relying on data skipping."""
+    from pinot_pulsar_plugin_spark.functions.zorder import zorder2
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    z = zorder2(F.col("user_id"), F.col("cents"))
+    return (
+        ev.withColumn("bucket", F.shiftright(z, _Q111_SHIFT))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("cents").alias("c_min"),
+            F.max("cents").alias("c_max"),
+        )
+    )
+
+
+_Q112 = f"""
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_name
+"""
+
+
+@query("q112_salted_supplier_revenue", _Q112)
+def q112_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue through ``functions/skew.salted_join``: the big
+    side carries a deterministic 8-way salt, the supplier side is
+    replicated once per salt, and the join runs on ``(suppkey, salt)``
+    so a pathological hot supplier (one key = 30% of 100 TB) spreads
+    across 8 tasks instead of melting one. The oracle is the PLAIN
+    unsalted join — salting must be row-invisible, and the driver's
+    hash compare proves it on real data (the same invariant
+    ``tests/test_scale_patterns.py`` pins on crafted skew).
+
+    The small side takes a SHUFFLE_HASH hint: under the default
+    broadcast both sides would skip the exchange entirely and the salt
+    would be decorative — the hint forces the shuffled shape this
+    operator exists for, which is the honest demo of the
+    beyond-broadcast-size regime. Revenue is the fixed-point presum, so
+    the regrouped sum order cannot shift a bit."""
+    from pinot_pulsar_plugin_spark.functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(F.col("rev"), "revenue"),
+    )

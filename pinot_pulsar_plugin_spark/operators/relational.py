@@ -480,3 +480,55 @@ def q20_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderstatus = 'O'
         """
     )
+
+
+# --- q113: TPC-H Q19 shape (disjunctive pushdown) -------------------
+_Q113_CLAUSES = (
+    ("Brand#1", 1, 10, 1, 15),
+    ("Brand#2", 10, 25, 10, 25),
+    ("Brand#3", 20, 40, 20, 35),
+)
+_Q113_PRED = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1} "
+    f"AND l.l_quantity BETWEEN {q0} AND {q1})"
+    for b, s0, s1, q0, q1 in _Q113_CLAUSES
+)
+_Q113 = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_Q113_PRED}
+"""
+
+
+@query("q113_disjunctive_revenue", _Q113)
+def q113_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR of conjunctive
+    brand/size/quantity clauses) — the classic disjunctive-predicate
+    stress: a naive engine evaluates the whole OR post-join; Catalyst
+    extracts the common-key equi-join, pushes the per-side residues of
+    the disjunction beneath it (``p_brand IN (…)`` + size bounds prune
+    part; the union of quantity ranges prunes lineitem BEFORE the
+    join), and leaves only the cross-clause residual on the join. The
+    part side stays broadcast-sized after pruning; revenue is the
+    fixed-point presum so the single output row is bit-equal
+    cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    clause = None
+    for b, s0, s1, q0, q1 in _Q113_CLAUSES:
+        c = (
+            (p["p_brand"] == b)
+            & p["p_size"].between(s0, s1)
+            & li["l_quantity"].between(q0, q1)
+        )
+        clause = c if clause is None else (clause | c)
+    joined = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"], "inner"
+    ).filter(clause)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )

@@ -260,3 +260,66 @@ def q103_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q103)
+
+
+# --- q114: TPC-H Q15 shape (top supplier with ties) -----------------
+_Q114_LO, _Q114_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+_Q114 = f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS BIGINT) AS rev_fp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q114_LO}'
+        AND l_shipdate <  TIMESTAMP '{_Q114_HI}'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_fp AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev_fp = (SELECT MAX(rev_fp) FROM rev)
+"""
+
+
+@query("q114_top_revenue_supplier", _Q114)
+def q114_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier over a shipping quarter, ties
+    kept): the view-with-scalar-MAX form, not LIMIT 1 — equal-revenue
+    suppliers must all surface, and because per-supplier revenue is an
+    integer fixed-point sum the equality against the max is exact on
+    both engines (a double revenue could tie on one engine and not the
+    other).
+
+    Scale shape: the quarter filter pushes to the scan; the revenue
+    aggregate is map-side combinable on l_suppkey; the MAX is a one-row
+    broadcast back onto the aggregate (never a second fact scan); the
+    supplier join broadcasts the dim. The per-supplier aggregate
+    (#suppliers rows, tiny at any scale) is persisted so the fact table
+    scans ONCE — the DataFrame API builds two consumers of ``rev``
+    (the max and the join) and without materialization each would
+    re-scan the fact (the d44 persist rationale applied to a scan)."""
+    from pyspark.sql import functions as F
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q114_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q114_HI).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("rev_fp")
+    ).persist()
+    best = rev.agg(F.max("rev_fp").alias("max_fp"))
+    top = rev.crossJoin(F.broadcast(best)).filter(
+        F.col("rev_fp") == F.col("max_fp")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    return top.join(
+        F.broadcast(sup), top["l_suppkey"] == sup["s_suppkey"], "inner"
+    ).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("rev_fp").cast("double") / 10000.0).alias("total_revenue"),
+    )

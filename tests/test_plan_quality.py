@@ -4,6 +4,8 @@ plan (lost pushdown, broadcast→SMJ, extra shuffle) fails here."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pinot_pulsar_plugin_spark.operators import relational, scalars, windows
@@ -1088,3 +1090,57 @@ def test_t69_bm25_inverted_index_shape(spark):
     assert re.search(r"term#\d+ IN \(", plan) or "term#" in plan
     keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
     assert keys <= {"doc_id", "term"}, keys
+
+
+def test_q111_zorder_audit_zero_row_shuffles_before_agg(spark):
+    """The Morton code is a pure per-row expression: the only exchange
+    is the combinable bucket aggregate's, and no Python node appears."""
+    from pinot_pulsar_plugin_spark.operators import advanced
+
+    df = advanced.q111_zorder_layout_audit(spark, SF)
+    plan = formatted_plan(df)
+    assert n_shuffles(df) == 1, plan
+    assert "Python" not in plan, plan
+    assert "partial" in plan.lower(), plan  # map-side combine
+
+
+def test_q112_salted_join_shape(spark):
+    """The salt must actually reach the exchange: both sides
+    hash-partition on (l_suppkey, _salt) into a ShuffledHashJoin —
+    a silent fallback to broadcast would make the salt decorative."""
+    from pinot_pulsar_plugin_spark.operators import advanced
+
+    df = advanced.q112_salted_supplier_revenue(spark, SF)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert re.search(r"hashpartitioning\(l_suppkey[^)]*_salt", plan), plan
+
+
+def test_q113_disjunction_residues_push_to_both_scans(spark):
+    """Catalyst must extract per-side residues of the OR-of-ANDs: the
+    lineitem scan sees the union of quantity bounds, the part scan sees
+    the brand/size union — neither side scans unfiltered."""
+    from pinot_pulsar_plugin_spark.operators import relational as rel
+
+    df = rel.q113_disjunctive_revenue(spark, SF)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, pf
+    assert "p_brand" in pf and "p_size" in pf, pf
+    assert has_broadcast_join(df)
+
+
+def test_q114_max_is_broadcast_not_second_scan(spark):
+    """The scalar MAX joins back as a one-row broadcast onto the
+    aggregated (not raw) side; the supplier dim broadcasts too; the
+    fact table never cartesians."""
+    from pinot_pulsar_plugin_spark.operators import subqueries as sq
+
+    df = sq.q114_top_revenue_supplier(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # the persisted aggregate means the fact parquet scans exactly once
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "l_shipdate" in pushed_filters(df), pushed_filters(df)
