@@ -95,3 +95,61 @@ def q54_python_udf_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_hash(F.col("o_orderkey")).alias("key_hash"),
         F.when(F.col("o_totalprice") > 200000, "H").otherwise("L").alias("band"),
     )
+
+
+# --- q115: Python UDTF (Spark 4 table-function surface) -------------
+_Q115_N_PARTS = 4
+_Q115_MIN_PRICE = 400000.0
+
+_Q115 = f"""
+    SELECT o.o_orderkey,
+           CAST(i.i AS INTEGER) AS installment,
+           CAST(
+             (CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // {_Q115_N_PARTS})
+             + CASE WHEN i.i < (CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                                % {_Q115_N_PARTS}) THEN 1 ELSE 0 END
+             AS BIGINT) AS amount_cents
+    FROM orders o, UNNEST(range({_Q115_N_PARTS})) AS i(i)
+    WHERE o.o_totalprice > {_Q115_MIN_PRICE}
+"""
+
+
+@query("q115_udtf_installments", _Q115)
+def q115_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``): one input row → many output
+    rows through a LATERAL table function — the fourth and last Python
+    API surface (row UDF q54, scalar pandas UDF q46, grouped map q53,
+    table function here). Each large order explodes into its
+    installment schedule with exact integer-cents splitting (remainder
+    spread over the first installments), so the DuckDB ``UNNEST(range)``
+    oracle reproduces every row bit-for-bit.
+
+    Scale note: like every Python-row surface this pays per-row
+    serialization — the input is filtered FIRST (pushdown gated in
+    tests) so the UDTF touches only qualifying rows, and the expansion
+    factor is a constant. For pure integer expansion like this the
+    JVM-side spelling is ``explode(sequence(...))`` (t64's shape); the
+    UDTF form exists for expansions whose per-row logic genuinely needs
+    Python."""
+    from pyspark.sql.functions import lit, udtf
+
+    n_parts = _Q115_N_PARTS
+
+    @udtf(returnType="installment: int, amount_cents: bigint")
+    class Installments:  # closure → pickled by value
+        def eval(self, total_cents: int):
+            base, rem = divmod(total_cents, n_parts)
+            for i in range(n_parts):
+                yield i, base + (1 if i < rem else 0)
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _Q115_MIN_PRICE)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return o.lateralJoin(
+        Installments(F.col("cents").outer())
+    ).select("o_orderkey", "installment", "amount_cents")

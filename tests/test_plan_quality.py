@@ -1144,3 +1144,15 @@ def test_q114_max_is_broadcast_not_second_scan(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
     assert "InMemoryTableScan" in plan, plan
     assert "l_shipdate" in pushed_filters(df), pushed_filters(df)
+
+
+def test_q115_udtf_filter_pushed_before_python(spark):
+    """The UDTF is the slow path: the price filter must reach the
+    parquet scan so Python touches only qualifying rows, and the
+    expansion runs in a Python UDTF eval node (the Spark 4 surface)."""
+    from pinot_pulsar_plugin_spark.operators import udfs
+
+    df = udfs.q115_udtf_installments(spark, SF)
+    plan = formatted_plan(df)
+    assert "o_totalprice" in pushed_filters(df), pushed_filters(df)
+    assert "UDTF" in plan, plan

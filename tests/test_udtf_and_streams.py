@@ -190,3 +190,42 @@ def test_stream_stream_full_outer_time_interval_join(spark, tmp_path):
     # watermark pushers join each other (user 9, same instant)
     rows.discard((99, 199))
     assert rows == {(0, 100), (1, None), (None, 102)}
+
+
+def test_q115_installments_reassemble_exactly(spark):
+    """Every order's installments sum back to its exact cents total
+    and differ by at most one cent (remainder spread)."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.udfs import (
+        _Q115_MIN_PRICE,
+        _Q115_N_PARTS,
+        q115_udtf_installments,
+    )
+    from pinot_pulsar_plugin_spark.operators.common import t
+
+    sf = "/root/testdata/sf0.001"
+    out = q115_udtf_installments(spark, sf)
+    agg = out.groupBy("o_orderkey").agg(
+        F.sum("amount_cents").alias("total"),
+        (F.max("amount_cents") - F.min("amount_cents")).alias("spread"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > _Q115_MIN_PRICE)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    bad = (
+        agg.join(orders, "o_orderkey")
+        .filter(
+            (F.col("total") != F.col("cents"))
+            | (F.col("spread") > 1)
+            | (F.col("n") != _Q115_N_PARTS)
+        )
+        .count()
+    )
+    assert bad == 0
