@@ -351,6 +351,45 @@ COMMENTARY = {
         "depth bound terminates cycles; integer path scores are "
         "schedule-independent."
     ),
+    "q111_zorder_layout_audit": (
+        "The Morton code is pure in-row bit arithmetic (5 mask-shift "
+        "rounds per dimension inside codegen); the only exchange is the "
+        "combinable bucket aggregate, so the audit costs one narrow "
+        "shuffle of (bucket, partial-minmax) rows at any corpus size. "
+        "The layout it validates gives 2-D row-group pruning on the "
+        "subsequent reads."
+    ),
+    "q112_salted_supplier_revenue": (
+        "Salted-join demo in the beyond-broadcast regime: the fact side "
+        "carries a deterministic 8-way salt computed in-row, the "
+        "supplier side replicates 8×, and both exchanges hash on "
+        "(l_suppkey, _salt) into a ShuffledHashJoin — a hot supplier "
+        "spreads over 8 tasks. Revenue is the fixed-point presum; the "
+        "plain unsalted join is the oracle, so salting is proven "
+        "row-invisible."
+    ),
+    "q113_disjunctive_revenue": (
+        "OR-of-ANDs predicate split by Catalyst into per-side residues: "
+        "the lineitem scan sees the union of quantity bounds, the part "
+        "scan sees brand/size — both in PushedFilters, so the broadcast "
+        "join probes only candidate rows. The cross-clause residual "
+        "evaluates post-join inside codegen."
+    ),
+    "q114_top_revenue_supplier": (
+        "Quarter filter at the scan; per-supplier revenue is a "
+        "combinable integer aggregate persisted once (#suppliers rows), "
+        "so the fact scans a single time; the scalar MAX joins back as "
+        "a one-row broadcast and the tie-exact equality is integer "
+        "fixed-point; supplier dim broadcasts."
+    ),
+    "q115_udtf_installments": (
+        "Python UDTF (the slow-path escape hatch, demonstrated like "
+        "q54): the price filter reaches the parquet scan so only "
+        "qualifying rows cross into Python, and the expansion factor is "
+        "a constant 4. The same expansion is expressible JVM-side via "
+        "explode(sequence(...)) — the entry exists to score the Spark 4 "
+        "table-function surface end-to-end."
+    ),
 }
 
 
