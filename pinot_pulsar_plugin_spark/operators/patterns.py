@@ -151,3 +151,35 @@ def q57_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("approx_p", 3).alias("p99"),
         "approx_parts",
     )
+
+
+@query("q116_hll_sketch_merge")  # binary-sketch merge → rows-only check
+def q116_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches ``hll_sketch_agg`` →
+    ``hll_union_agg``): per-nation customer sketches built
+    independently, then UNIONED into a global estimate — the
+    Pinot-style segment workflow (each segment keeps a sketch; the
+    broker merges registers, never re-reads rows). q13 scores the
+    one-shot ``approx_count_distinct``; this entry scores the binary
+    sketch column surviving an aggregate → union round-trip, which is
+    what makes pre-aggregated rollups composable at 100 TB: the union
+    cost is #groups × sketch-size, independent of row count.
+
+    No SQL oracle (sketch bytes are engine-specific);
+    ``tests/test_approx_quality.py`` pins the estimate inside HLL error
+    bounds against the exact distinct count."""
+    c = t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey, 12)").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_nation.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_global"),
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    return merged.select(
+        F.round(F.col("est_global")).cast("long").alias("est_distinct"),
+        "total_rows",
+        F.col("n_sketches").cast("long").alias("n_sketches"),
+    )

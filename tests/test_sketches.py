@@ -45,3 +45,18 @@ def test_approx_percentile_within_2pct_of_exact(spark):
     for k, eq in exact.items():
         for a, e in zip(approx[k], eq):
             assert abs(a - e) / e < 0.02, (k, a, e)
+
+
+def test_q116_hll_merge_within_error_bounds(spark):
+    """The merged per-nation sketches estimate the global distinct
+    within HLL lgK=12 bounds (3σ ≈ 2.4%), and the union preserves the
+    sketch count."""
+    from pinot_pulsar_plugin_spark.operators.common import t
+    from pinot_pulsar_plugin_spark.operators.patterns import q116_hll_sketch_merge
+
+    row = q116_hll_sketch_merge(spark, SF).collect()[0]
+    exact = t(spark, SF, "customer").select("c_custkey").distinct().count()
+    assert abs(row.est_distinct - exact) / exact < 0.024, (row.est_distinct, exact)
+    n_nations = t(spark, SF, "customer").select("c_nationkey").distinct().count()
+    assert row.n_sketches == n_nations
+    assert row.total_rows == t(spark, SF, "customer").count()
