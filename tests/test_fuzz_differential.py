@@ -868,3 +868,97 @@ def test_fuzz_recursive_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"recfuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+# --- Unicode / multibyte string family ------------------------------
+# The m60 bug class: fixtures were ASCII-only, so char-vs-byte indexing
+# hazards never fired. This family runs portable string functions over
+# an inline multibyte corpus (accents, combining marks, CJK, emoji
+# surrogate pairs, empty string) shared verbatim by both engines.
+# Curated by probe: upper() (DuckDB ß→ẞ vs Spark ß→SS), reverse()
+# (DuckDB reverses grapheme clusters, Spark codepoints) and
+# levenshtein() (DuckDB measures BYTES) are excluded here and pinned
+# with both engines' actual behaviors in
+# test_unicode_divergences_pinned below.
+_UNI_STRINGS = [
+    "héllo wörld",
+    "naïve café",
+    "日本語のテキスト",
+    "🎉🚀 emoji mix",
+    "é combining",
+    "ASCII only",
+    "",
+    "ß sharp",
+    "Ωmega UPPER",
+    "mixed 中文 and latin",
+]
+_UNI_CTE = "WITH uni(id, s) AS (VALUES {}) ".format(
+    ", ".join(f"({i}, '{s}')" for i, s in enumerate(_UNI_STRINGS))
+)
+_UNI_NEEDLES = ["é", "中", "🎉", "i", "mix", "zz"]
+_UNI_EXPRS = [
+    "CAST(length(s) AS BIGINT)",
+    "lower(s)",
+    "substr(s, {n}, {m})",
+    "left(s, {n})",
+    "right(s, {n})",
+    "CAST(instr(s, '{w}') AS BIGINT)",
+    "lpad(s, {p}, '·')",
+    "rpad(s, {p}, '素')",
+    "repeat(left(s, {n}), {k})",
+    "replace(s, '{w}', '<>')",
+    "translate(s, 'éö中', 'eoZ')",
+    "split_part(s, ' ', {k})",
+    "CAST(ascii(s) AS BIGINT)",
+    "concat(s, '|', left(s, {n}))",
+    "trim(s)",
+    "regexp_extract(s, '([a-z]+)', 1)",
+    "md5(s)",
+]
+
+
+def _gen_unicode_query(rng: random.Random) -> str:
+    exprs = rng.sample(_UNI_EXPRS, rng.randrange(3, 6))
+    cols = ", ".join(
+        e.format(
+            w=rng.choice(_UNI_NEEDLES),
+            n=rng.randrange(1, 8),
+            m=rng.randrange(1, 10),
+            p=rng.randrange(5, 20),
+            k=rng.randrange(1, 5),
+        )
+        + f" AS c{i}"
+        for i, e in enumerate(exprs)
+    )
+    return _UNI_CTE + f"SELECT id, {cols} FROM uni"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_unicode_differential(seed, spark, fuzz_env):
+    rng = random.Random(31000 + seed)
+    sql = _gen_unicode_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"unifuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def test_unicode_divergences_pinned(spark, fuzz_env):
+    """Both engines' DOCUMENTED divergent behaviors, asserted on each
+    side so a change in either engine (or a portability fix) surfaces:
+    upper('ß') is 'SS' (Spark, Java locale-free mapping) vs 'ẞ'
+    (DuckDB, capital sharp s); reverse() reverses codepoints in Spark
+    but grapheme clusters in DuckDB (combining mark stays attached);
+    levenshtein() counts codepoints in Spark but BYTES in DuckDB."""
+    assert spark.sql("SELECT upper('ß') AS c").collect()[0].c == "SS"
+    assert fuzz_env.sql("SELECT upper('ß') AS c").fetchone()[0] == "ẞ"
+
+    s = "éx"  # e + combining acute + x
+    sp = spark.sql(f"SELECT reverse('{s}') AS c").collect()[0].c
+    du = fuzz_env.sql(f"SELECT reverse('{s}') AS c").fetchone()[0]
+    assert sp == "x́e"  # codepoint reversal detaches the mark
+    assert du == "xé"  # grapheme reversal keeps it attached
+
+    assert (
+        spark.sql("SELECT levenshtein('héll', 'abc') AS c").collect()[0].c == 4
+    )
+    assert fuzz_env.sql("SELECT levenshtein('héll', 'abc') AS c").fetchone()[0] == 5
