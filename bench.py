@@ -139,20 +139,23 @@ def _verdicts(
     return out
 
 
-def _data_fingerprint(sf_dir: str) -> dict[str, int]:
-    """Row counts per table (parquet metadata, no scan) — lets a reader
-    of round-over-round tables tell a code regression from a testdata
-    regeneration (r5: documents/embeddings were regenerated denser,
-    shifting d44/d45/d48 at identical code)."""
+def _data_fingerprint(sf_dir: str) -> dict[str, str]:
+    """Per-table ``rows:bytes`` (parquet metadata + file size, no
+    scan) — lets a reader of round-over-round tables tell a code
+    regression from a testdata regeneration (r5: documents/embeddings
+    were regenerated denser, shifting d44/d45/d48 at identical code;
+    the embeddings dim change behind s48's flag was invisible to
+    row counts alone — file bytes catch content-shape changes)."""
     import glob as _glob
 
-    out: dict[str, int] = {}
+    out: dict[str, str] = {}
     try:
         import pyarrow.parquet as pq
 
         for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
             name = os.path.basename(p).removesuffix(".parquet")
-            out[name] = pq.ParquetFile(p).metadata.num_rows
+            n = pq.ParquetFile(p).metadata.num_rows
+            out[name] = f"{n}:{os.path.getsize(p)}"
     except Exception:
         pass
     return out
