@@ -532,3 +532,112 @@ def q113_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+# --- q117: TPC-H Q13 shape (aggregate of an aggregate) --------------
+_Q117 = """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) per_cust
+    GROUP BY n_orders
+"""
+
+
+@query("q117_order_count_distribution", _Q117)
+def q117_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly N qualifying orders — a LEFT join whose filter lives
+    in the JOIN CONDITION (a WHERE would silently drop the zero-order
+    customers Q13 exists to count), then an aggregate OF an aggregate.
+
+    Scale shape: the inner count shuffles once on custkey with
+    COUNT(col) partial-aggregated map-side; the outer histogram groups
+    on the count value itself — #distinct-counts keys, a tiny second
+    exchange. The zero bucket rides the null-extended join rows, not a
+    separate anti-join pass."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# --- q118: TPC-H Q7 shape (nation-pair volume, dim aliased twice) ---
+_Q118 = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {exact_sum_sql("volume", "revenue")}
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      WHERE ((ns.n_name = 'NATION_12' AND nc.n_name = 'NATION_10')
+          OR (ns.n_name = 'NATION_10' AND nc.n_name = 'NATION_12'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q118_nation_pair_volume", _Q118)
+def q118_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations by year):
+    the same dim table participates TWICE under different aliases
+    (supplier's nation and customer's nation) with a symmetric
+    pair predicate. All four dims broadcast, so the only fact
+    exchanges are the orders⋈lineitem join and the final small
+    aggregate; the disjunctive pair filter evaluates after the
+    broadcasts where both nation names are in hand. Year extraction
+    and fixed-point revenue keep the handful of output rows bit-equal
+    cross-engine."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10")
+    ) | (
+        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("ns_key"))
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("nc_key"))
+        .filter(pair)
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(exact_sum(F.col("volume"), "revenue"))
+    )

@@ -1156,3 +1156,30 @@ def test_q115_udtf_filter_pushed_before_python(spark):
     plan = formatted_plan(df)
     assert "o_totalprice" in pushed_filters(df), pushed_filters(df)
     assert "UDTF" in plan, plan
+
+
+def test_q117_two_level_aggregate_shape(spark):
+    """Q13 shape: the join filter lives in the JOIN condition (zero
+    customers survive), the inner count shuffles once on custkey with
+    a map-side partial, and the outer histogram exchange is keyed on
+    the count value — two exchanges total (plus AQE cosmetics)."""
+    from pinot_pulsar_plugin_spark.operators import relational as rel
+
+    df = rel.q117_order_count_distribution(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 levels
+    assert n_shuffles(df) <= 3, plan
+    assert "Python" not in plan, plan
+
+
+def test_q118_all_dims_broadcast_one_fact_shuffle(spark):
+    """Q7 shape: customer/supplier and both nation aliases broadcast —
+    the only data exchanges are orders⋈lineitem and the final tiny
+    aggregate; shipdate bounds reach the scan."""
+    from pinot_pulsar_plugin_spark.operators import relational as rel
+
+    df = rel.q118_nation_pair_volume(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) >= 4, plan
+    assert "l_shipdate" in pushed_filters(df), pushed_filters(df)
+    assert n_shuffles(df) <= 3, plan
