@@ -84,6 +84,8 @@ HEADLINE = [
     "q112_salted_supplier_revenue",
     "q113_disjunctive_revenue",
     "q114_top_revenue_supplier",
+    "q117_order_count_distribution",
+    "q118_nation_pair_volume",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -382,6 +382,19 @@ COMMENTARY = {
         "a one-row broadcast and the tie-exact equality is integer "
         "fixed-point; supplier dim broadcasts."
     ),
+    "q117_order_count_distribution": (
+        "Aggregate of an aggregate: the join-condition filter keeps "
+        "zero-order customers on the null-extended rows; the inner "
+        "count pays one custkey exchange (map-side partial), the outer "
+        "histogram exchange is #distinct-counts-sized — both shrink "
+        "before they shuffle."
+    ),
+    "q118_nation_pair_volume": (
+        "The nation dim joins twice under different aliases; all four "
+        "dims broadcast so the fact pays only the orders join exchange "
+        "plus the tiny final aggregate; shipdate bounds push to the "
+        "scan and the symmetric pair predicate evaluates post-broadcast."
+    ),
     "q115_udtf_installments": (
         "Python UDTF (the slow-path escape hatch, demonstrated like "
         "q54): the price filter reaches the parquet scan so only "
