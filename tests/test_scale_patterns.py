@@ -400,3 +400,35 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_piggyback_on_action(spark):
+    """``df.observe`` (Observation API): pipeline health metrics —
+    row count, null count, fixed-point sum — computed DURING the
+    action, not by a second scan. The audit-while-you-write pattern:
+    at 100 TB a separate validation pass doubles the read; observe()
+    attaches combinable aggregates to the existing plan for free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.common import t
+
+    li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    obs = Observation("ingest_audit")
+    audited = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).alias("null_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+    written = audited.filter(F.col("l_quantity") > 0).count()
+    m = obs.get
+    assert m["n_rows"] == li.count()  # observed BEFORE the filter
+    assert m["null_qty"] == 0
+    exact = li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert m["price_cents"] == exact
+    assert written <= m["n_rows"]
