@@ -215,3 +215,81 @@ def q96_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.filter(F.col(GID) == 1).select(
         "l_returnflag", "n_items", "sum_qty", "revenue"
     )
+
+
+# ---------------------------------------------------------------------------
+# q119: one-scan column profile (data-quality audit)
+# ---------------------------------------------------------------------------
+# (column, null-count aggregate, exact-distinct aggregate, portable
+# string representation for min/max: bigints/strings verbatim, doubles
+# as fixed-point cents so no engine float-formatting is involved)
+_Q119_COLS = [
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}"),
+    ("o_totalprice", "CAST(CAST(ROUND({c} * 100) AS BIGINT) AS VARCHAR)"),
+    ("o_orderpriority", "{c}"),
+]
+
+_Q119 = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN({r.format(c=c)}) AS min_repr,
+           MAX({r.format(c=c)}) AS max_repr
+    FROM orders
+    """
+    for c, r in _Q119_COLS
+)
+
+
+@query("q119_column_profile", _Q119)
+def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profiler (the Deequ-style data-quality audit):
+    per-column row/null/exact-distinct counts and portable min/max
+    representations for the whole table in a SINGLE pass — the oracle
+    spells it as one scan per column (fine for DuckDB duty), the Spark
+    side computes every column's aggregates in one aggregate over one
+    parquet scan (plan-gated), then unpivots the single wide row with
+    an in-row explode. At 100 TB the profile costs one read; the naive
+    per-column loop costs five.
+
+    The exact multi-DISTINCT is planned as one Expand (#profiled
+    columns × rows shuffled once) — the honest price of exactness;
+    swap in approx_count_distinct / HLL sketches (q13, q116) to drop
+    the expand when estimates suffice. Min/max of the double column is
+    fixed-pointed to cents BEFORE the string representation so no
+    engine-specific float formatting can diverge."""
+    o = t(spark, sf_dir, "orders")
+    aggs = []
+    for c, r in _Q119_COLS:
+        if "ROUND" in r:
+            rep = F.round(F.col(c) * 100).cast("long").cast("string")
+        elif "VARCHAR" in r:
+            rep = F.col(c).cast("string")
+        else:
+            rep = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(rep).alias(f"{c}__min"),
+            F.max(rep).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__dist").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_repr"),
+                F.col(f"{c}__max").alias("max_repr"),
+            )
+            for c, _ in _Q119_COLS
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")

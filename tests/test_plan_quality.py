@@ -1183,3 +1183,17 @@ def test_q118_all_dims_broadcast_one_fact_shuffle(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) >= 4, plan
     assert "l_shipdate" in pushed_filters(df), pushed_filters(df)
     assert n_shuffles(df) <= 3, plan
+
+
+def test_q119_profile_single_scan_expand(spark):
+    """The whole-table profile reads the parquet ONCE: every column's
+    aggregates ride one scan, the exact multi-DISTINCT lowers to a
+    single Expand, and the unpivot is an in-row explode of the one-row
+    result — no per-column scans, no Python, no cartesian."""
+    from pinot_pulsar_plugin_spark.operators import curation
+
+    df = curation.q119_column_profile(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Expand" in plan, plan
+    assert "Python" not in plan, plan
