@@ -432,3 +432,52 @@ def test_observation_metrics_piggyback_on_action(spark):
     ).collect()[0][0]
     assert m["price_cents"] == exact
     assert written <= m["n_rows"]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Idempotent backfill: with partitionOverwriteMode=dynamic an
+    INSERT OVERWRITE replaces ONLY the partitions present in the new
+    data — the pattern that makes a re-run of one day's pipeline safe
+    at 100 TB (static mode would wipe the whole table). Re-running the
+    same backfill is a no-op on every other partition."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.common import t
+
+    path = str(tmp_path / "bydate")
+    ev = t(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(path)
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    days = [r.day for r in before.select("day").distinct().collect()]
+    target = sorted(days)[0]
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched = (
+            ev.filter(F.col("day") == F.lit(target))
+            .withColumn("value", F.col("value") * 2)
+        )
+        patched.write.mode("overwrite").partitionBy("day").parquet(path)
+        after = spark.read.parquet(path)
+        # every other partition untouched, row count preserved
+        assert after.count() == n_total
+        untouched = after.filter(F.col("day") != F.lit(target))
+        base_untouched = before.filter(F.col("day") != F.lit(target))
+        assert untouched.exceptAll(base_untouched).count() == 0
+        assert base_untouched.exceptAll(untouched).count() == 0
+        # the target partition carries the patch
+        got = (
+            after.filter(F.col("day") == F.lit(target))
+            .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+            .collect()[0][0]
+        )
+        want = (
+            patched.agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+            .collect()[0][0]
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
