@@ -220,16 +220,27 @@ def q96_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q119: one-scan column profile (data-quality audit)
 # ---------------------------------------------------------------------------
-# (column, null-count aggregate, exact-distinct aggregate, portable
-# string representation for min/max: bigints/strings verbatim, doubles
-# as fixed-point cents so no engine float-formatting is involved)
+# (column, kind). min/max AGGREGATE on the native/numeric value (a
+# string representation would order "100" < "99" lexicographically)
+# and are represented as strings only AFTER aggregation — doubles are
+# fixed-pointed to cents pre-aggregation so neither ordering nor
+# formatting ever touches a float.
 _Q119_COLS = [
-    ("o_orderkey", "CAST({c} AS VARCHAR)"),
-    ("o_custkey", "CAST({c} AS VARCHAR)"),
-    ("o_orderstatus", "{c}"),
-    ("o_totalprice", "CAST(CAST(ROUND({c} * 100) AS BIGINT) AS VARCHAR)"),
-    ("o_orderpriority", "{c}"),
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderpriority", "str"),
 ]
+
+
+def _q119_val_sql(c: str, kind: str) -> str:
+    return f"CAST(ROUND({c} * 100) AS BIGINT)" if kind == "cents" else c
+
+
+def _q119_rep_sql(agg: str, kind: str) -> str:
+    return agg if kind == "str" else f"CAST({agg} AS VARCHAR)"
+
 
 _Q119 = " UNION ALL ".join(
     f"""
@@ -237,11 +248,11 @@ _Q119 = " UNION ALL ".join(
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-           MIN({r.format(c=c)}) AS min_repr,
-           MAX({r.format(c=c)}) AS max_repr
+           {_q119_rep_sql(f"MIN({_q119_val_sql(c, k)})", k)} AS min_repr,
+           {_q119_rep_sql(f"MAX({_q119_val_sql(c, k)})", k)} AS max_repr
     FROM orders
     """
-    for c, r in _Q119_COLS
+    for c, k in _Q119_COLS
 )
 
 
@@ -264,21 +275,23 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific float formatting can diverge."""
     o = t(spark, sf_dir, "orders")
     aggs = []
-    for c, r in _Q119_COLS:
-        if "ROUND" in r:
-            rep = F.round(F.col(c) * 100).cast("long").cast("string")
-        elif "VARCHAR" in r:
-            rep = F.col(c).cast("string")
-        else:
-            rep = F.col(c)
+    for c, kind in _Q119_COLS:
+        val = (
+            F.round(F.col(c) * 100).cast("long") if kind == "cents" else F.col(c)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
             F.countDistinct(c).alias(f"{c}__dist"),
-            F.min(rep).alias(f"{c}__min"),
-            F.max(rep).alias(f"{c}__max"),
+            F.min(val).alias(f"{c}__min"),
+            F.max(val).alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
+
+    def _rep(name: str, kind: str):
+        col = F.col(name)
+        return col if kind == "str" else col.cast("string")
+
     entries = F.array(
         *[
             F.struct(
@@ -286,10 +299,10 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"{c}__rows").alias("n_rows"),
                 F.col(f"{c}__null").alias("n_null"),
                 F.col(f"{c}__dist").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_repr"),
-                F.col(f"{c}__max").alias("max_repr"),
+                _rep(f"{c}__min", kind).alias("min_repr"),
+                _rep(f"{c}__max", kind).alias("max_repr"),
             )
-            for c, _ in _Q119_COLS
+            for c, kind in _Q119_COLS
         ]
     )
     return wide.select(F.explode(entries).alias("p")).select("p.*")

@@ -519,3 +519,28 @@ def test_q110_pmi_zero_under_independence(spark, tmp_path):
 
     assert out2[("S0", 0)] == round(math.log(2) * 1_000_000)
     assert out2[("S1", 1)] == round(math.log(2) * 1_000_000)
+
+
+def test_q119_profile_minmax_is_numeric_not_lexicographic(spark):
+    """min/max of numeric columns must aggregate on the VALUE and only
+    then be represented as a string — a lexicographic string min would
+    rank '100' below '99' (the bug this pins against), and the null
+    and distinct counts must match direct computation."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.common import t
+    from pinot_pulsar_plugin_spark.operators.curation import q119_column_profile
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.col_name: r for r in q119_column_profile(spark, sf).collect()}
+    o = t(spark, sf, "orders")
+    direct = o.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.countDistinct("o_orderstatus"),
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long")),
+    ).collect()[0]
+    assert int(rows["o_orderkey"].min_repr) == direct[0]
+    assert int(rows["o_orderkey"].max_repr) == direct[1]
+    assert rows["o_orderstatus"].n_distinct == direct[2]
+    assert int(rows["o_totalprice"].min_repr) == direct[3]
+    assert all(r.n_null == 0 for r in rows.values())
