@@ -626,3 +626,39 @@ def test_streaming_ingest_dedup_vs_corpus_matches_batch(spark, tmp_path):
     )
     want = sorted(r.doc_id for r in kept.collect())
     assert got == want == [7, 10]
+
+
+def test_streaming_observed_metrics_per_batch(spark, tmp_path):
+    """``observe()`` on a stream: per-micro-batch health metrics (row
+    count, malformed-value count) surface in StreamingQueryProgress
+    without a second pass over the data — the monitoring hook a
+    production ingest pipeline attaches before the sink."""
+    from pyspark.sql import functions as F
+
+    rows = [_event(i, i, value=float(i)) for i in range(6)]
+    rows[3]["value"] = None  # one bad record
+    root = _topic(tmp_path, rows)
+    decoded = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+    audited = decoded.observe(
+        "ingest_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+    )
+    q = (
+        audited.writeStream.format("memory")
+        .queryName("t_observe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_observe"))
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    metrics = [
+        p["observedMetrics"]["ingest_audit"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("ingest_audit")
+    ]
+    assert metrics, progresses
+    assert sum(m["n_rows"] for m in metrics) == 6
+    assert sum(m["n_null_value"] for m in metrics) == 1
