@@ -86,6 +86,7 @@ HEADLINE = [
     "q114_top_revenue_supplier",
     "q117_order_count_distribution",
     "q118_nation_pair_volume",
+    "q119_column_profile",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -395,6 +395,15 @@ COMMENTARY = {
         "plus the tiny final aggregate; shipdate bounds push to the "
         "scan and the symmetric pair predicate evaluates post-broadcast."
     ),
+    "q119_column_profile": (
+        "Whole-table profile from ONE parquet scan: every column's "
+        "null/distinct/min-max aggregates ride the same pass; the "
+        "exact multi-DISTINCT lowers to a single Expand (#profiled "
+        "columns x rows, shuffled once) — swap in HLL sketches (q116) "
+        "to drop the expand when estimates suffice; the unpivot is an "
+        "in-row explode of the one-row result. Numeric min/max "
+        "aggregate on values, never on string representations."
+    ),
     "q115_udtf_installments": (
         "Python UDTF (the slow-path escape hatch, demonstrated like "
         "q54): the price filter reaches the parquet scan so only "
