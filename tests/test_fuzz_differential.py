@@ -962,3 +962,114 @@ def test_unicode_divergences_pinned(spark, fuzz_env):
         spark.sql("SELECT levenshtein('héll', 'abc') AS c").collect()[0].c == 4
     )
     assert fuzz_env.sql("SELECT levenshtein('héll', 'abc') AS c").fetchone()[0] == 5
+
+
+# --- TRY_CAST / safe-arithmetic family ------------------------------
+# Malformed-ingest semantics: TRY_CAST over dirty strings and
+# division against zero denominators. Curated by probe — the portable
+# surface is fuzzed here; the real divergences are pinned with both
+# engines' behaviors in test_trycast_divergences_pinned: DuckDB's
+# string→INT parses float/exponent/hex forms ('3.7'→4, '1e3'→1000,
+# '0x1A'→26) where Spark yields NULL; a bare time string casts to
+# today's TIMESTAMP on Spark but NULL on DuckDB; BOOLEAN accepts
+# ' true '/'yes'/'no' on Spark only; and x/0 ERRORS under Spark ANSI
+# but returns NULL on DuckDB (portable spelling: try_divide ≡ /).
+_DIRTY = [
+    "42", " 42", "-7", "+5", "", "abc", "12abc", "9999999999999999999999",
+    "3.14", "-0.5", "1e308", "1e309", "inf", "-inf", "Infinity",
+    "true", "false", "TRUE", "f",
+    "2024-03-01", "2024-02-30", "2024-13-01", "1970-01-01",
+    "2024-03-01 12:00:00", "2024-03-01T12:00:00", "not a date",
+]
+_INT_SAFE = [
+    "42", " 42", "-7", "+5", "", "abc", "12abc",
+    "9999999999999999999999", "127", "-128", "2147483648", "0",
+]
+# DuckDB parses 'inf'/'Infinity' as the INFINITE date/timestamp
+# (pinned below); exclude them from the temporal corpora
+_DATE_SAFE = [s for s in _DIRTY if s not in ("inf", "-inf", "Infinity")]
+_TS_SAFE = [s for s in _DATE_SAFE if s != "12:00:00"]
+
+
+def _gen_trycast_query(rng: random.Random) -> tuple[str, str]:
+    mode = rng.choice(["double", "date", "timestamp", "boolean", "int", "div"])
+    if mode == "div":
+        # denominators include zero; Spark needs try_divide under ANSI,
+        # DuckDB's plain / already NULLs — per-engine rendering
+        nums = [rng.randrange(-50, 50) for _ in range(8)]
+        dens = [rng.choice([0, 0, rng.randrange(1, 9)]) for _ in range(8)]
+        vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(nums, dens)))
+        cte = f"WITH raw(id, a, b) AS (VALUES {vals}) "
+        spark_e = "try_divide(CAST(a AS DOUBLE), b)"
+        duck_e = "CAST(a AS DOUBLE) / b"
+        base = cte + "SELECT id, {} AS c FROM raw"
+        return base.format(spark_e), base.format(duck_e)
+    corpus, ty = {
+        "double": (_DIRTY, "DOUBLE"),
+        "date": (_DATE_SAFE, "DATE"),
+        "timestamp": (_TS_SAFE, "TIMESTAMP"),
+        "boolean": (["true", "false", "TRUE", "f", "t", "1", "0", "abc", ""], "BOOLEAN"),
+        "int": (_INT_SAFE, rng.choice(["INTEGER", "BIGINT"])),
+    }[mode]
+    pick = rng.sample(corpus, rng.randrange(4, min(9, len(corpus) + 1)))
+    vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(pick))
+    sql = (
+        f"WITH raw(id, s) AS (VALUES {vals}) "
+        f"SELECT id, TRY_CAST(s AS {ty}) AS c FROM raw"
+    )
+    return sql, sql
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_trycast_differential(seed, spark, fuzz_env):
+    rng = random.Random(33000 + seed)
+    spark_sql, duck_sql = _gen_trycast_query(rng)
+    expected = fuzz_env.sql(duck_sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"castfuzz{seed}", spark.sql(spark_sql), expected)
+    assert not problems, f"{spark_sql}\n{duck_sql}\n" + "\n".join(problems)
+
+
+def test_trycast_divergences_pinned(spark, fuzz_env):
+    """Both engines' DOCUMENTED cast/arithmetic divergences asserted on
+    each side (a change in either engine surfaces here)."""
+    # string→INT: DuckDB parses numeric forms and rounds; Spark NULLs
+    for s, duck_val in (("3.7", 4), ("1e3", 1000), ("0x1A", 26)):
+        assert spark.sql(
+            f"SELECT TRY_CAST('{s}' AS INTEGER) AS c"
+        ).collect()[0].c is None
+        assert fuzz_env.sql(
+            f"SELECT TRY_CAST('{s}' AS INTEGER) AS c"
+        ).fetchone()[0] == duck_val
+    # 'Infinity' → DATE: DuckDB yields the infinite date, Spark NULL
+    assert (
+        spark.sql("SELECT TRY_CAST('Infinity' AS DATE) AS c").collect()[0].c
+        is None
+    )
+    assert fuzz_env.sql(
+        "SELECT isinf(TRY_CAST('Infinity' AS DATE))"
+    ).fetchone()[0] is True
+    # bare time → TIMESTAMP: Spark anchors to the current date
+    assert (
+        spark.sql("SELECT TRY_CAST('12:00:00' AS TIMESTAMP) AS c").collect()[0].c
+        is not None
+    )
+    assert (
+        fuzz_env.sql("SELECT TRY_CAST('12:00:00' AS TIMESTAMP)").fetchone()[0]
+        is None
+    )
+    # BOOLEAN: Spark trims and accepts yes/no; DuckDB does neither
+    for s in (" true ", "yes"):
+        assert spark.sql(
+            f"SELECT TRY_CAST('{s}' AS BOOLEAN) AS c"
+        ).collect()[0].c is True
+        assert (
+            fuzz_env.sql(f"SELECT TRY_CAST('{s}' AS BOOLEAN)").fetchone()[0]
+            is None
+        )
+    # division by zero: Spark ANSI raises, DuckDB yields NULL
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT 1/0 AS c").collect()
+    assert fuzz_env.sql("SELECT 1/0 AS c").fetchone()[0] is None
+    assert spark.sql("SELECT try_divide(1, 0) AS c").collect()[0].c is None
