@@ -153,3 +153,49 @@ def q115_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.lateralJoin(
         Installments(F.col("cents").outer())
     ).select("o_orderkey", "installment", "amount_cents")
+
+
+_Q120 = """
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS med_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("q120_pandas_grouped_agg", _Q120)
+def q120_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate ``pandas_udf`` (Series → scalar): the fifth
+    and last Python surface in SURVEY §2.B's UDF row (row UDF q54,
+    scalar pandas q46, grouped map q53, UDTF q115, grouped agg here).
+    The whole group's column arrives as ONE pandas Series per group —
+    unlike q53 it returns a scalar, so Spark can still pipeline it
+    inside a normal aggregate plan.
+
+    Semantics chosen oracle-exact on purpose: quantities are integral
+    doubles, and pandas ``Series.median`` and DuckDB ``MEDIAN`` use the
+    same even-count interpolation, so the comparison is bit-exact.
+    Scale note: a grouped-agg UDF buffers each group's column in one
+    worker — same bounded-group caveat as q53; the JVM spelling
+    (percentile, q43) is the production path when the aggregate is
+    expressible."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's postponed annotations make
+    # type-hint inference see strings it cannot resolve
+    @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
+    def median_qty(s):  # closure → pickled by value
+        return float(s.median())
+
+    # Spark refuses to mix pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too
+    @pandas_udf("long", functionType=PandasUDFType.GROUPED_AGG)
+    def n_rows(s):
+        return len(s)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        median_qty("l_quantity").alias("med_qty"),
+        n_rows("l_quantity").alias("n_items"),
+    )
