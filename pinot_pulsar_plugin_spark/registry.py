@@ -70,9 +70,11 @@ _MODULES = [
 # every rotated-out entry remains in the local parity suite.
 # r5 continuations (final layout): r4 scored its whole 50-slot window
 # green, so the only entries without a driver row are the ones added
-# during round 5 — 46 of the 47 lead (t67_token_entropy, a zero-shuffle
-# pure scan added last, waits for r6: it is the least
-# workload-distinct of the 47 and one entry had to yield); 4
+# during round 5 — 46 of the 47 that existed at rotation time lead
+# (t67_token_entropy, a zero-shuffle pure scan, waits for r6: it is
+# the least workload-distinct and one entry had to yield; the
+# continuation-4 additions q111-q120 and rows-only q116 arrived after
+# this rotation and lead the r6 window with it); 4
 # multiply-green anchors (q01/q30/q71/q53) cover the categories no r5
 # addition can honestly represent (scan_agg_sort, setops, scalars,
 # udf_surface — no r5 entry touches a Python UDF). Everything rotated

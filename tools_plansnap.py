@@ -404,6 +404,13 @@ COMMENTARY = {
         "in-row explode of the one-row result. Numeric min/max "
         "aggregate on values, never on string representations."
     ),
+    "q120_pandas_grouped_agg": (
+        "Grouped-aggregate pandas UDF: each group's column crosses to "
+        "Python ONCE as an Arrow batch and returns a scalar, so the "
+        "plan stays a normal two-phase aggregate around the Python "
+        "eval — the bounded-group caveat of q53 applies, and the JVM "
+        "percentile (q43) is the production spelling when expressible."
+    ),
     "q115_udtf_installments": (
         "Python UDTF (the slow-path escape hatch, demonstrated like "
         "q54): the price filter reaches the parquet scan so only "
