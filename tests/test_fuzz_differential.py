@@ -933,7 +933,7 @@ def _gen_unicode_query(rng: random.Random) -> str:
     return _UNI_CTE + f"SELECT id, {cols} FROM uni"
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(35))
 def test_fuzz_unicode_differential(seed, spark, fuzz_env):
     rng = random.Random(31000 + seed)
     sql = _gen_unicode_query(rng)
@@ -1020,7 +1020,7 @@ def _gen_trycast_query(rng: random.Random) -> tuple[str, str]:
     return sql, sql
 
 
-@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("seed", range(35))
 def test_fuzz_trycast_differential(seed, spark, fuzz_env):
     rng = random.Random(33000 + seed)
     spark_sql, duck_sql = _gen_trycast_query(rng)
