@@ -268,11 +268,16 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column loop costs five.
 
     The exact multi-DISTINCT is planned as one Expand (#profiled
-    columns × rows shuffled once) — the honest price of exactness;
-    swap in approx_count_distinct / HLL sketches (q13, q116) to drop
-    the expand when estimates suffice. Min/max of the double column is
-    fixed-pointed to cents BEFORE the string representation so no
-    engine-specific float formatting can diverge."""
+    columns × rows through the first aggregate phase) — the honest
+    price of exactness. Measured tradeoff at sf0.1: this fused
+    single-read form runs 3.4s; splitting into a distinct-only pass +
+    a plain stats pass halves that (1.7s) but reads the table TWICE —
+    the fused form is kept because at 100 TB the scan, not the
+    aggregate CPU, is the budget, and a second full read loses.
+    When estimates suffice, approx_count_distinct / HLL sketches
+    (q13, q116) drop the expand entirely. Min/max of the double
+    column is fixed-pointed to cents BEFORE the string representation
+    so no engine-specific float formatting can diverge."""
     o = t(spark, sf_dir, "orders")
     aggs = []
     for c, kind in _Q119_COLS:
