@@ -673,3 +673,75 @@ def q108_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic."""
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_Q108)
+
+
+# --- q121: incremental aggregate maintenance ------------------------
+_Q121_CUTOFF = "2024-02-01 00:00:00"
+
+_Q121 = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS avg_cents_floor
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("q121_incremental_rollup_merge", _Q121)
+def q121_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: yesterday's
+    per-event-type rollup MERGES with today's delta rollup instead of
+    re-aggregating history — the algebra that keeps a 100 TB serving
+    aggregate fresh at delta cost. Both sides reduce to combinable
+    partials (count/sum/min/max merge by sum/sum/min/max; avg is
+    DERIVED from merged sums — never merged itself, the classic
+    incremental-view trap), so the union the final aggregate sees is
+    2 × #groups rows, not data.
+
+    The oracle aggregates the full table directly — the driver hash
+    proves merge ≡ recompute. The avg is an integer floor division on
+    positive cents (the t63 portability rule). The cutoff split here
+    stands in for the real boundary (yesterday's materialization vs
+    the streaming delta, the q96 cube's refresh path)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cutoff = F.lit(_Q121_CUTOFF).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    old = rollup(ev.filter(F.col("ts") < cutoff))     # the materialized side
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))  # the fresh side
+    merged = (
+        old.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        # integer division on BOTH engines (t63 rule): a double
+        # quotient's last ulp could flip floor() at an exact boundary
+        F.expr("sum_cents div n_events").cast("long").alias("avg_cents_floor"),
+    )

@@ -1197,3 +1197,18 @@ def test_q119_profile_single_scan_expand(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert "Expand" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_q121_merge_sees_aggregates_not_raw_rows(spark):
+    """Incremental-view algebra: each side partial-aggregates BEFORE
+    the union, so the merge aggregate's input is 2 × #groups rows —
+    the raw event volume never crosses the union; both cutoff filters
+    push to the scans."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics as ea
+
+    df = ea.q121_incremental_rollup_merge(spark, SF)
+    plan = formatted_plan(df)
+    assert "Union" in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan  # partial+final × 3 aggs
+    assert "ts" in pushed_filters(df), pushed_filters(df)
+    assert "Python" not in plan, plan
