@@ -878,3 +878,72 @@ def test_zscore_processor_logic_with_fake_state():
         else:
             assert math.isnan(z) and anom == 0
     assert handle.state.get()[0] == 12  # state carried across batches
+
+
+def test_streaming_rollup_upsert_matches_q121_batch(spark, tmp_path):
+    """q121's streaming twin: the serving rollup maintained by
+    update-mode aggregation + keyed upsert over the real events table
+    (replayed through the broker in two slices) equals the batch
+    incremental-merge query row-for-row — the delta-refresh algebra
+    holds when the delta arrives as a stream."""
+    from pinot_pulsar_plugin_spark.operators.common import t
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q121_incremental_rollup_merge,
+    )
+    from pinot_pulsar_plugin_spark.streaming.sinks import keyed_upsert_sink
+
+    sf = "/root/testdata/sf0.001"
+    events = t(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).collect()
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    served = str(tmp_path / "served")
+    ck = str(tmp_path / "ck")
+
+    def ingest(rows):
+        for r in rows:
+            w.append(
+                0,
+                json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                        "event_type": r.event_type,
+                        "value": r.value,
+                    }
+                ),
+            )
+        decoded = decode_json(
+            read_stream(spark, root, "ev"),
+            "event_id bigint, ts timestamp, event_type string, value double",
+        )
+        cents = F.round(F.col("value") * 100).cast("long")
+        rollup = decoded.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        q = (
+            rollup.writeStream.outputMode("update")
+            .foreachBatch(keyed_upsert_sink(served, "event_type"))
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    half = len(events) // 2
+    ingest(events[:half])   # the "materialized" history
+    ingest(events[half:])   # the streamed delta
+
+    got = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+        for r in spark.read.parquet(served).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+        for r in q121_incremental_rollup_merge(spark, sf).collect()
+    }
+    assert got == want
