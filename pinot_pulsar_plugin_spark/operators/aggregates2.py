@@ -400,3 +400,84 @@ def q99_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("totw").cast("long").alias("total_weight"),
     )
+
+
+# --- q122: exact correlation / regression slope ---------------------
+# Both engines' native corr()/regr_slope() stream co-moments in
+# partition order → last-ulp divergence under different schedules.
+# Instead: the five co-moment sums are EXACT int64 (quantity is an
+# integral double ≤ 50, price becomes cents; per-term products ≤ 5e8,
+# totals ≤ 3e14 — headroom), and the final Pearson/slope formula is
+# ONE deterministic double expression over those identical integers on
+# both engines. n·Sxy would overflow int64, so every factor casts to
+# DOUBLE before multiplication — same IEEE ops, same result, bit-equal
+# with no ROUND anywhere.
+_Q122_NUM = (
+    "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+)
+_Q122_DX = (
+    "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+)
+_Q122_DY = (
+    "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+)
+
+_Q122 = f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sx,
+             CAST(SUM(c) AS BIGINT) AS sy,
+             CAST(SUM(q * q) AS BIGINT) AS sxx,
+             CAST(SUM(c * c) AS BIGINT) AS syy,
+             CAST(SUM(q * c) AS BIGINT) AS sxy
+      FROM (SELECT l_returnflag,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS c
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ({_Q122_NUM}) / SQRT(({_Q122_DX}) * ({_Q122_DY})) AS corr_qty_disc,
+           ({_Q122_NUM}) / ({_Q122_DX}) AS slope_disc_per_qty
+    FROM m
+"""
+
+
+@query("q122_exact_corr_by_flag", _Q122)
+def q122_exact_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation + regression slope per return flag
+    (the Pinot COVARIANCE/CORR aggregate family) WITHOUT the native
+    corr()/regr_slope() — those stream double co-moments in partition
+    order and drift by ulps across schedules and engines. Here the
+    co-moments are order-independent integer sums (map-side
+    combinable, one exchange), and the closed-form Pearson/slope is a
+    single deterministic double expression over identical integers —
+    reproducible across engines, shuffle schedules, AND cluster sizes,
+    which the native aggregate cannot promise."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("c"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum(F.col("c") * F.col("c")).alias("syy"),
+        F.sum(F.col("q") * F.col("c")).alias("sxy"),
+    )
+    n, sx, sy = [F.col(x).cast("double") for x in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(x).cast("double") for x in ("sxx", "syy", "sxy")]
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        (num / F.sqrt(dx * dy)).alias("corr_qty_disc"),
+        (num / dx).alias("slope_disc_per_qty"),
+    )

@@ -1212,3 +1212,17 @@ def test_q121_merge_sees_aggregates_not_raw_rows(spark):
     assert plan.count("HashAggregate") >= 6, plan  # partial+final × 3 aggs
     assert "ts" in pushed_filters(df), pushed_filters(df)
     assert "Python" not in plan, plan
+
+
+def test_q122_comoments_single_combinable_exchange(spark):
+    """The five integer co-moments are one map-side-combinable
+    aggregate — a single flag-keyed exchange, no Expand, no Python;
+    the Pearson/slope math is a projection over the #flags-row result."""
+    from pinot_pulsar_plugin_spark.operators import aggregates2 as ag
+
+    df = ag.q122_exact_corr_by_flag(spark, SF)
+    plan = formatted_plan(df)
+    assert n_shuffles(df) == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "Expand" not in plan, plan
+    assert "Python" not in plan, plan
