@@ -87,6 +87,8 @@ HEADLINE = [
     "q117_order_count_distribution",
     "q118_nation_pair_volume",
     "q119_column_profile",
+    "q121_incremental_rollup_merge",
+    "q122_exact_corr_by_flag",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

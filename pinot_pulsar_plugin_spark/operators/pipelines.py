@@ -710,3 +710,68 @@ def q105_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(150000) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
         )
     return rank.select("node", F.col("r").alias("rank_micro"))
+
+
+# --- q123: triangle counting with degree orientation ----------------
+_Q123 = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pair AS (
+      SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s),
+    thr AS (SELECT MEDIAN(shared) AS med FROM pair),
+    e AS (SELECT u, v FROM pair CROSS JOIN thr WHERE shared > med)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@query("q123_supplier_triangles", _Q123)
+def q123_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-part graph — the graph
+    motif beyond connected components (d49) and PageRank (q105).
+
+    Scale mechanics: (1) candidate pairs come from the part-keyed
+    self-join, so fanout is (suppliers-per-part)², never suppliers²;
+    (2) the edge set is sparsified by a DATA-DRIVEN cutoff (shared
+    count above the corpus median — a fixed constant cannot track
+    scale, and exact interpolated MEDIAN is engine-portable, the q93
+    pattern) broadcast as a one-row threshold; (3) every edge is
+    oriented u < v, so each triangle is counted exactly once and the
+    wedge join e1(a,b)⋈e2(b,c) only extends in one direction —
+    the standard orientation trick that keeps wedge counts near
+    Σ deg²/2 instead of Σ deg². All three joins are equi-joins on
+    supplier keys (plan-gated: no cartesian)."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pair = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    thr = pair.agg(F.expr("percentile(shared, 0.5)").alias("med"))
+    e = (
+        pair.crossJoin(F.broadcast(thr))
+        .filter(F.col("shared") > F.col("med"))
+        .select("u", "v")
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e2.u") == F.col("e1.v")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        "inner",
+    )
+    # both totals are one-row aggregates of the persisted edge set —
+    # no driver-side action anywhere in the plan
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return F.broadcast(n_edges).crossJoin(n_tri)

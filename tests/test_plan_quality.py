@@ -1226,3 +1226,19 @@ def test_q122_comoments_single_combinable_exchange(spark):
     assert "partial" in plan.lower(), plan
     assert "Expand" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_q123_triangle_joins_all_equi_no_driver_action(spark):
+    """Triangle counting: pair generation is the part-keyed equi self
+    join (fanout = suppliers-per-part², never suppliers²), the median
+    threshold is a broadcast one-row product, all three wedge/closure
+    joins are equi-joins on supplier keys, and the only cross joins are
+    one-row broadcasts — no cartesian of data, no Python."""
+    from pinot_pulsar_plugin_spark.operators import pipelines as pl
+
+    df = pl.q123_supplier_triangles(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) <= 2, plan  # one-row threshold + one-row totals merge

@@ -404,6 +404,18 @@ COMMENTARY = {
         "in-row explode of the one-row result. Numeric min/max "
         "aggregate on values, never on string representations."
     ),
+    "q121_incremental_rollup_merge": (
+        "Materialized-view refresh algebra: each side partial-"
+        "aggregates before the union, so the merge aggregate sees "
+        "2 x #groups rows — history re-aggregation never happens; avg "
+        "is derived from merged integer sums, never merged itself."
+    ),
+    "q122_exact_corr_by_flag": (
+        "Five integer co-moments in ONE map-side-combinable exchange; "
+        "Pearson/slope is a projection over the #flags-row result — "
+        "bit-reproducible at any cluster size where native streaming "
+        "corr() drifts by accumulation order."
+    ),
     "q120_pandas_grouped_agg": (
         "Grouped-aggregate pandas UDF: each group's column crosses to "
         "Python ONCE as an Arrow batch and returns a scalar, so the "
