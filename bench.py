@@ -89,6 +89,7 @@ HEADLINE = [
     "q119_column_profile",
     "q121_incremental_rollup_merge",
     "q122_exact_corr_by_flag",
+    "q123_supplier_triangles",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

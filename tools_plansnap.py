@@ -416,6 +416,13 @@ COMMENTARY = {
         "bit-reproducible at any cluster size where native streaming "
         "corr() drifts by accumulation order."
     ),
+    "q123_supplier_triangles": (
+        "Motif counting: pair fanout is bounded by suppliers-per-part "
+        "squared via the part-keyed self equi-join; the median cutoff "
+        "is a one-row broadcast; u<v orientation counts each triangle "
+        "once and keeps wedge extension one-directional; the persisted "
+        "edge set feeds the two closure joins and both totals."
+    ),
     "q120_pandas_grouped_agg": (
         "Grouped-aggregate pandas UDF: each group's column crosses to "
         "Python ONCE as an Arrow batch and returns a scalar, so the "
