@@ -662,3 +662,60 @@ def test_streaming_observed_metrics_per_batch(spark, tmp_path):
     assert metrics, progresses
     assert sum(m["n_rows"] for m in metrics) == 6
     assert sum(m["n_null_value"] for m in metrics) == 1
+
+
+def test_stateful_ops_under_rocksdb_state_store(spark, tmp_path):
+    """The production state backend: at 100 TB the default in-memory
+    HDFS-backed store OOMs on large keyed state — RocksDB spills to
+    local disk with changelog checkpointing. The same windowed
+    aggregation must produce identical results under both providers
+    (provider choice is a deployment knob, never a semantics knob)."""
+    rows = [_event(i, i * 3, user=i % 3, value=float(i)) for i in range(20)]
+
+    def run(provider_suffix, use_rocksdb):
+        root = _topic(tmp_path / provider_suffix, rows)
+        old = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if use_rocksdb:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        try:
+            decoded = decode_json(read_stream(spark, root, "ev"), SCHEMA)
+            agg = (
+                decoded.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "15 minutes"), "user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                        "cents"
+                    ),
+                )
+            )
+            out = _run_to_memory(
+                agg, spark, tmp_path / provider_suffix, f"t_{provider_suffix}",
+                mode="append",
+            ).collect()
+            return sorted(
+                (r.window.start, r.user_id, r.n, r.cents) for r in out
+            )
+        finally:
+            if use_rocksdb:
+                if old is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", old
+                    )
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    default_out = run("hdfs", False)
+    rocks_out = run("rocks", True)
+    assert default_out == rocks_out
+    assert len(rocks_out) > 0
