@@ -229,3 +229,33 @@ def test_q115_installments_reassemble_exactly(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_polymorphic_udtf_analyze(spark):
+    """Spark 4 polymorphic UDTF: the static ``analyze`` hook computes
+    the OUTPUT SCHEMA from the call's literal arguments — one table
+    function serves any column list (the schema-on-call surface a
+    generic unpivot/expander needs)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class RepeatCols:
+        @staticmethod
+        def analyze(n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, n: int):
+            yield tuple(range(n))
+
+    spark.udtf.register("repeat_cols", RepeatCols)
+    assert [r.asDict() for r in spark.sql(
+        "SELECT * FROM repeat_cols(3)"
+    ).collect()] == [{"c0": 0, "c1": 1, "c2": 2}]
+    assert [r.asDict() for r in spark.sql(
+        "SELECT * FROM repeat_cols(1)"
+    ).collect()] == [{"c0": 0}]
