@@ -334,3 +334,78 @@ def q114_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         (F.col("rev_fp").cast("double") / 10000.0).alias("total_revenue"),
     )
+
+
+# --- q124: TPC-H Q2 shape (min-cost supplier) -----------------------
+# lineitem's integer-cents unit price stands in for partsupp
+# supplycost (the testdata has no partsupp table). The unit price is
+# exact-cents FLOOR-DIVIDED by the integral quantity — pure integer
+# arithmetic on both engines (the t63 rule; a ROUND around the
+# quotient would be a cross-engine half-boundary hazard), so the
+# correlated MIN equality cannot flip.
+_Q124 = """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 // CAST(ROUND(l_quantity) AS BIGINT)) AS unit_cents
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, c.unit_cents
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size BETWEEN 40 AND 45 AND p.p_type LIKE 'PROMO%'
+      AND c.unit_cents = (
+        SELECT MIN(c2.unit_cents) FROM cost c2
+        WHERE c2.l_partkey = p.p_partkey)
+"""
+
+
+@query("q124_min_cost_supplier", _Q124)
+def q124_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying
+    part, the supplier(s) achieving the MINIMUM unit price, with the
+    supplier's nation joined on — a correlated scalar MIN over a
+    DERIVED relation (the cost CTE), the decorrelation stress Q17's
+    q102 doesn't cover (there the correlation targets a base table).
+    Catalyst rewrites the subquery into a per-partkey min aggregate of
+    the same CTE joined back on the key; ties (two suppliers at the
+    same minimum) all surface, and integer cents make the equality
+    exact.
+
+    Scale shape: cost is #part×supplier-pairs-sized (bounded by
+    distinct pairs, far under lineitem); part's size/type filters push
+    to its scan; supplier and nation broadcast."""
+    from pyspark.sql import functions as F
+
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " div CAST(ROUND(l_quantity) AS BIGINT)"
+        ).alias("uc"),
+    ).groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(F.min("uc").alias("unit_cents")).persist()
+    best = cost.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cents").alias("best_cents")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(40, 45) & F.col("p_type").like("PROMO%")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    out = (
+        p.join(cost, cost["l_partkey"] == p["p_partkey"])
+        .join(
+            best,
+            (F.col("bp") == F.col("p_partkey"))
+            & (F.col("unit_cents") == F.col("best_cents")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return out.select("p_partkey", "p_brand", "s_name", "n_name", "unit_cents")

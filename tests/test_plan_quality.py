@@ -1242,3 +1242,18 @@ def test_q123_triangle_joins_all_equi_no_driver_action(spark):
     assert "Python" not in plan, plan
     bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
     assert len(bnlj) <= 2, plan  # one-row threshold + one-row totals merge
+
+
+def test_q124_min_cost_shape(spark):
+    """Q2 shape: the correlated MIN over the derived cost relation
+    decorrelates into an aggregate joined back on the key; the cost
+    CTE is persisted so it computes once for both consumers; part's
+    size/type filters push to its scan; supplier and nation broadcast."""
+    from pinot_pulsar_plugin_spark.operators import subqueries as sq
+
+    df = sq.q124_min_cost_supplier(spark, SF)
+    plan = formatted_plan(df)
+    assert "p_size" in pushed_filters(df), pushed_filters(df)
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
