@@ -947,3 +947,64 @@ def test_streaming_rollup_upsert_matches_q121_batch(spark, tmp_path):
         for r in q121_incremental_rollup_merge(spark, sf).collect()
     }
     assert got == want
+
+
+def test_running_zscore_under_rocksdb_provider(spark, tmp_path):
+    """applyInPandasWithState under the RocksDB state store: the
+    custom-state operator (not just built-in windowed agg) must be
+    provider-agnostic — at 100 TB key cardinality RocksDB is the only
+    viable backend, so its GroupState round-trip is load-bearing."""
+    from pinot_pulsar_plugin_spark.streaming.anomaly import running_zscore_stream
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    rows = []
+    for i in range(24):
+        rows.append({"event_id": i, "user_id": i % 3, "ts_us": 1_000_000 * i,
+                     "v": int(round((10.0 + (i % 5)) * 100))})
+        w.append(0, json.dumps(rows[-1]))
+
+    def run(tag, rocksdb):
+        old = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if rocksdb:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        try:
+            decoded = decode_json(
+                read_stream(spark, root, "ev", maxmsgs=5),
+                "event_id bigint, user_id bigint, ts_us bigint, v bigint",
+            )
+            q = (
+                running_zscore_stream(decoded)
+                .writeStream.format("memory")
+                .queryName(f"t_z_{tag}")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return sorted(
+                (r.event_id, r.z, r.is_anomaly)
+                for r in spark.sql(f"SELECT * FROM t_z_{tag}").collect()
+            )
+        finally:
+            if rocksdb:
+                if old is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", old
+                    )
+
+    default_out = run("hdfs", False)
+    rocks_out = run("rocks", True)
+    assert default_out == rocks_out
+    assert len(rocks_out) == 24
