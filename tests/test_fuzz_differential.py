@@ -1073,3 +1073,35 @@ def test_trycast_divergences_pinned(spark, fuzz_env):
         spark.sql("SELECT 1/0 AS c").collect()
     assert fuzz_env.sql("SELECT 1/0 AS c").fetchone()[0] is None
     assert spark.sql("SELECT try_divide(1, 0) AS c").collect()[0].c is None
+
+
+# --- GROUP BY ALL family --------------------------------------------
+def _gen_groupby_all_query(rng: random.Random) -> str:
+    """GROUP BY ALL (both engines infer keys = every non-aggregate
+    select item) over random key subsets and aggregates — the modern
+    SQL shorthand analysts actually write; key inference must agree."""
+    keys = rng.sample(_STR_COLS + ["o_custkey % 5"], rng.randrange(1, 3))
+    aggs = rng.sample(
+        [
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents",
+            "CAST(MIN(o_orderkey) AS BIGINT) AS mn",
+            "CAST(MAX(o_orderkey) AS BIGINT) AS mx",
+            "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd",
+        ],
+        rng.randrange(1, 4),
+    )
+    cols = ", ".join(
+        [f"{k} AS k{i}" for i, k in enumerate(keys)] + aggs
+    )
+    pred = _gen_predicate(rng)
+    return f"SELECT {cols} FROM orders WHERE {pred} GROUP BY ALL"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_groupby_all_differential(seed, spark, fuzz_env):
+    rng = random.Random(35000 + seed)
+    sql = _gen_groupby_all_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"gballfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
