@@ -90,6 +90,7 @@ HEADLINE = [
     "q121_incremental_rollup_merge",
     "q122_exact_corr_by_flag",
     "q123_supplier_triangles",
+    "q124_min_cost_supplier",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

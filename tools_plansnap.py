@@ -423,6 +423,14 @@ COMMENTARY = {
         "once and keeps wedge extension one-directional; the persisted "
         "edge set feeds the two closure joins and both totals."
     ),
+    "q124_min_cost_supplier": (
+        "Q2 decorrelation over a DERIVED relation: the per-pair cost "
+        "table is persisted once for both its consumers (the min "
+        "aggregate and the equality join-back); the part filter "
+        "pushes to its scan before any join; supplier and nation "
+        "broadcast; integer-cents floor division keeps the MIN "
+        "equality exact."
+    ),
     "q120_pandas_grouped_agg": (
         "Grouped-aggregate pandas UDF: each group's column crosses to "
         "Python ONCE as an Arrow batch and returns a scalar, so the "
