@@ -481,3 +481,41 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def test_cbo_table_stats_drive_size_estimates(spark, tmp_path):
+    """Cost-based optimization needs statistics: ANALYZE TABLE COMPUTE
+    STATISTICS records row count and size, and the optimizer's size
+    estimate for the analyzed table reflects them — at 100 TB, stats
+    (not guesses) decide broadcast-vs-shuffle for tables near the
+    broadcast threshold. File-scan relations fall back to file size;
+    this pins the catalog-stats path end-to-end."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.common import t
+
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    t(spark, "/root/testdata/sf0.001", "nation").write.saveAsTable("cbo_nation")
+    try:
+        spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_nation").collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert "25 rows" in stats, desc
+        # rowCount propagates into plan estimates only under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            est = (
+                spark.table("cbo_nation")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert est.rowCount().isDefined()
+            assert est.rowCount().get() == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
