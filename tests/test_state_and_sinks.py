@@ -1008,3 +1008,52 @@ def test_running_zscore_under_rocksdb_provider(spark, tmp_path):
     rocks_out = run("rocks", True)
     assert default_out == rocks_out
     assert len(rocks_out) == 24
+
+
+def test_weighted_reservoir_stream_matches_q95_batch(spark, tmp_path):
+    """q95's streaming twin: because Ohlsson priorities are
+    deterministic, the online reservoir after ingesting the whole
+    corpus (in 32-doc micro-batches, shuffled order) must equal the
+    batch sample EXACTLY — set equality per language, same ranks."""
+    from pinot_pulsar_plugin_spark.operators.common import t
+    from pinot_pulsar_plugin_spark.operators.curation import q95_weighted_sample
+    from pinot_pulsar_plugin_spark.streaming.reservoir import (
+        weighted_reservoir_stream,
+    )
+    from pinot_pulsar_plugin_spark.streaming.sinks import keyed_upsert_sink
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents").select("doc_id", "lang", "n_chars").collect()
+    # arrival order must not matter: feed in a deterministic shuffle
+    docs = sorted(docs, key=lambda r: (r.doc_id * 48271) % 65537)
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "docs", partitions=1)
+    for r in docs:
+        w.append(
+            0,
+            json.dumps(
+                {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
+            ),
+        )
+    decoded = decode_json(
+        read_stream(spark, root, "docs", maxmsgs=32),
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    served = str(tmp_path / "served")
+    q = (
+        weighted_reservoir_stream(decoded)
+        .writeStream.outputMode("update")
+        .foreachBatch(keyed_upsert_sink(served, "lang"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(served)
+    want = q95_weighted_sample(spark, sf)
+    g = {(r.lang, r.pick_rank): (r.doc_id, r.priority) for r in got.collect()}
+    b = {(r.lang, r.pick_rank): (r.doc_id, r.priority) for r in want.collect()}
+    assert g == b
+    assert len(b) > 0
