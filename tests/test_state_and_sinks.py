@@ -1057,3 +1057,58 @@ def test_weighted_reservoir_stream_matches_q95_batch(spark, tmp_path):
     b = {(r.lang, r.pick_rank): (r.doc_id, r.priority) for r in want.collect()}
     assert g == b
     assert len(b) > 0
+
+
+def test_weighted_reservoir_survives_restart(spark, tmp_path):
+    """Reservoir state must recover from the checkpoint: ingest half
+    the corpus, stop, restart against the same checkpoint, ingest the
+    rest — the final sample still equals the batch draw exactly."""
+    from pinot_pulsar_plugin_spark.operators.common import t
+    from pinot_pulsar_plugin_spark.operators.curation import q95_weighted_sample
+    from pinot_pulsar_plugin_spark.streaming.reservoir import (
+        weighted_reservoir_stream,
+    )
+    from pinot_pulsar_plugin_spark.streaming.sinks import keyed_upsert_sink
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents").select("doc_id", "lang", "n_chars").collect()
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "docs", partitions=1)
+    served = str(tmp_path / "served")
+    ck = str(tmp_path / "ck")
+
+    def run_round(rows):
+        for r in rows:
+            w.append(
+                0,
+                json.dumps(
+                    {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
+                ),
+            )
+        decoded = decode_json(
+            read_stream(spark, root, "docs", maxmsgs=64),
+            "doc_id bigint, lang string, n_chars bigint",
+        )
+        q = (
+            weighted_reservoir_stream(decoded)
+            .writeStream.outputMode("update")
+            .foreachBatch(keyed_upsert_sink(served, "lang"))
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    half = len(docs) // 2
+    run_round(docs[:half])
+    run_round(docs[half:])  # fresh query object, same checkpoint
+
+    g = {
+        (r.lang, r.pick_rank): r.doc_id
+        for r in spark.read.parquet(served).collect()
+    }
+    b = {
+        (r.lang, r.pick_rank): r.doc_id
+        for r in q95_weighted_sample(spark, sf).collect()
+    }
+    assert g == b
