@@ -1105,3 +1105,45 @@ def test_fuzz_groupby_all_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"gballfuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+# --- NULL-ordering family -------------------------------------------
+def _gen_null_order_window_query(rng: random.Random) -> str:
+    """Window ranks over a NULL-sparsified order key with EXPLICIT
+    NULLS FIRST/LAST — the engines' DEFAULTS differ (Spark ASC puts
+    NULLS FIRST, DuckDB NULLS LAST; pinned below), so portable SQL
+    must always spell the placement; this family proves the explicit
+    forms agree."""
+    part = rng.choice(_STR_COLS)
+    key = f"CASE WHEN {_gen_predicate(rng)} THEN o_totalprice END"
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    return (
+        f"SELECT o_orderkey, CAST({fn} OVER (PARTITION BY {part} "
+        f"ORDER BY {key} {direction} {nulls}, o_orderkey) AS BIGINT) AS rn "
+        f"FROM orders"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_null_order_window_differential(seed, spark, fuzz_env):
+    rng = random.Random(37000 + seed)
+    sql = _gen_null_order_window_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"nullordfuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+def test_null_order_default_divergence_pinned(spark, fuzz_env):
+    """Default ASC null placement DIFFERS: Spark ranks NULL keys
+    FIRST, DuckDB LAST — both behaviors asserted so a change in either
+    engine (or SQL that forgets explicit placement) surfaces."""
+    sql = (
+        "WITH v(id, k) AS (VALUES (1, 10), (2, NULL), (3, 5)) "
+        "SELECT id, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM v"
+    )
+    sp = sorted((r.id, r.rn) for r in spark.sql(sql).collect())
+    du = sorted(fuzz_env.sql(sql).fetchall())
+    assert sp == [(1, 3), (2, 1), (3, 2)]  # NULL ranks first
+    assert du == [(1, 2), (2, 3), (3, 1)]  # NULL ranks last
