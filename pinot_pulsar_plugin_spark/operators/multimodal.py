@@ -475,7 +475,8 @@ def m60_phash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the hash table: without a materialization barrier the
     # projection collapses and the interpreted higher-order ahash
     # expression is RE-EVALUATED inside the join condition for every
-    # candidate pair (measured 80s vs 4s at sf0.1) — the d44 persist
+    # candidate pair (measured 80s vs 9.3s at sf0.1, ROUND5_NOTES) —
+    # the d44 persist
     # rationale applied to expression cost instead of scan cost
     h = (
         withpix.withColumn("tot", tot)

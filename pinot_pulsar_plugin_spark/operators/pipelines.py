@@ -720,7 +720,7 @@ _Q123 = """
       SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
       GROUP BY a.s, b.s),
-    thr AS (SELECT quantile_cont(shared, 0.9) AS med FROM pair),
+    thr AS (SELECT ROUND(quantile_cont(shared, 0.9), 6) AS med FROM pair),
     e AS (SELECT u, v FROM pair CROSS JOIN thr WHERE shared > med)
     SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
            CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -762,7 +762,13 @@ def q123_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    thr = pair.agg(F.expr("percentile(shared, 0.9)").alias("med"))
+    # Rounded to 6 dp on BOTH engines (the q93 pattern, ADVICE r5):
+    # Spark computes (1-f)*lo + f*hi while DuckDB computes
+    # lo + f*(hi-lo) — a 1-ulp divergence class; unrounded, a med
+    # landing exactly on an integer on one engine but one ulp below
+    # on the other would flip `shared > med` edge membership and
+    # cascade into n_edges/n_triangles.
+    thr = pair.agg(F.round(F.expr("percentile(shared, 0.9)"), 6).alias("med"))
     e = (
         pair.crossJoin(F.broadcast(thr))
         .filter(F.col("shared") > F.col("med"))

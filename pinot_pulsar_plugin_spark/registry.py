@@ -80,68 +80,82 @@ _MODULES = [
 # udf_surface — no r5 entry touches a Python UDF). Everything rotated
 # out stays covered by the byte-identical local parity suite
 # (tests/test_oracle_parity.py over all oracle-backed entries).
+# Round-6 rotation (VERDICT r5 #1): the 14 oracle-backed entries with
+# no driver row (the continuation-4 additions q111-q115, q117-q124
+# minus rows-only-by-design q116, plus t67 which yielded its r5 slot)
+# lead the window — green rows for them complete the cumulative
+# driver-verified union at 173/173 oracle-backed. Keepers follow, one
+# per §2.B/LLM-pipeline category the leaders can't honestly represent
+# (every keeper is multiply driver-green; everything rotated out stays
+# byte-identically covered by tests/test_oracle_parity.py). Remaining
+# slots go to round-6 additions as they land.
 _PRIORITY = [
-    # --- never driver-scored (every r5 addition; CORRECTNESS_r05 will
-    # be their first driver row — r1-r4 scored everything older, so
-    # only these need window slots to complete the cumulative union)
-    "q104_inactive_high_balance",
-    "d56_chunk_rewrite_dedup",
-    "q105_pagerank_transactions",
-    "s56_silhouette_by_label",
-    "q94_pareto_frontier",
-    "q95_weighted_sample",
-    "q96_rollup_serving",
-    "q97_blocking_supplier",
-    "q98_dominant_part_supplier",
-    "st63_window_topk",
-    "t64_doc_chunking",
-    "t65_top_bigrams",
-    "s53_kmeans_step",
-    "d55_incremental_dedup",
-    "q99_weighted_median",
-    "q100_value_drift",
-    "s54_pq_encode",
-    "s55_pq_adc_topk",
-    "m59_payload_chunk_manifest",
-    "t66_feature_hashing",
-    "q101_split_balance_audit",
-    "q102_small_lot_revenue",
-    "q103_large_volume_customers",
-    "st62_interval_join_outer",
-    "t63_bigram_surprisal",
-    "q93_mad_outliers",
-    "d54_winnow_neardup_pairs",
-    "s52_knn_label_accuracy",
-    "q92_gapfill_interpolate",
-    "d53_dup_span_fraction",
-    "q89_markov_transitions",
-    "q90_scd2_intervals",
-    "q91_trimmed_mean",
-    "st61_interval_join",
-    "d52_prefix_filter_jaccard",
-    "q87_bloom_subquery_prune",
-    "t62_top_ngram_coverage",
-    "q88_decayed_engagement",
-    "q108_journey_paths",        # recursive-CTE surface
-    "q106_equidepth_bins",
-    "q107_purchase_attribution",  # also window-function rep (IGNORE NULLS carry)
-    "q109_basket_cooccurrence",   # also joins rep (basket self equi-join)
-    "q110_pmi_association",
-    "m60_phash_neardup_candidates",
-    "t68_top_keywords",
-    "t69_bm25_search",
-    # --- anchors: multiply-green keepers for the categories no r5
-    # addition honestly represents (test_registry_priority enforces
-    # coverage). Other formerly-anchored categories now have r5 reps:
-    # broadcast_join ← s52 (broadcast probe), joins ← q109,
-    # projection_filter ← q95 (sampling, the q44 precedent),
-    # sort_topk ← t65 (TakeOrderedAndProject), dedup_exact ← d55
-    # (exact content-hash anti-join), windows ← q107, multimodal ←
-    # m59/m60.
-    "q01_pricing_summary",       # scan + agg + sort (sole rep)
-    "q30_union_all",             # set ops (sole rep)
-    "q71_string_funcs_2",        # scalar families
-    "q53_grouped_map_rank",      # UDF surface (applyInPandas) + windows
+    # --- never driver-scored (locally parity-green at 3 SFs since r5)
+    "q111_zorder_layout_audit",
+    "q112_salted_supplier_revenue",
+    "q113_disjunctive_revenue",      # TPC-H Q19 — joins rep (OR-of-ANDs pushdown)
+    "q114_top_revenue_supplier",     # TPC-H Q15
+    "q115_udtf_installments",        # UDF surface rep (UDTF)
+    "q117_order_count_distribution",  # TPC-H Q13 — aggregations rep
+    "q118_nation_pair_volume",       # TPC-H Q7 — multiway-join rep
+    "q119_column_profile",
+    "q120_pandas_grouped_agg",       # UDF surface rep (grouped-agg pandas)
+    "q121_incremental_rollup_merge",  # rollup_serving rep
+    "q122_exact_corr_by_flag",
+    "q123_supplier_triangles",
+    "q124_min_cost_supplier",        # TPC-H Q2 — correlated-subquery rep
+    "t67_token_entropy",             # text_analysis rep
+    # --- keepers: one multiply-green rep per category the leaders
+    # don't cover (test_registry_priority enforces).
+    "q01_pricing_summary",           # scan + agg + sort (sole rep)
+    "q95_weighted_sample",           # projection_filter + curation
+    "q08_join_broadcast_agg",        # broadcast_join
+    "q107_purchase_attribution",     # windows (IGNORE NULLS carry)
+    "t68_top_keywords",              # sort_topk (+ text)
+    "q30_union_all",                 # set ops (sole rep)
+    "q71_string_funcs_2",            # scalar families
+    "st63_window_topk",              # streaming batch-twin
+    "d53_dup_span_fraction",         # dedup_span (sole rep)
+    "d55_incremental_dedup",         # dedup_exact + dedup_near
+    "q87_bloom_subquery_prune",      # runtime_filter
+    "s55_pq_adc_topk",               # similarity
+    "m60_phash_neardup_candidates",  # multimodal
+    "q100_value_drift",              # event_analytics
+    "q92_gapfill_interpolate",       # timeseries
+    "t64_doc_chunking",              # chunking (sole rep)
+    "s53_kmeans_step",               # clustering
+    # --- deliberate rows-only exception (VERDICT r5 #3): q57's r2
+    # driver row err'd in the canonicalizer on the old array-typed
+    # output; the scalar reshape landed in r3 but the entry never
+    # re-entered the window, so the err is its only driver evidence.
+    # One slot here buys the non-err rows-only row the judge asked
+    # for; accuracy is pinned locally by test_sketches.py (±2% of
+    # exact percentiles). The slot displaces a padding keeper that is
+    # already multiply driver-green, so no union coverage is lost.
+    "q57_approx_quantiles",
+    # --- round-6 additions (driver-unscored; they REPLACE the padding
+    # keepers below as they land, keeping the window at exactly 50
+    # oracle-backed entries — module-order fill would pull in
+    # rows-only q13, which can never hash-green)
+    # --- padding keepers (multiply-green, module order, oracle-backed)
+    "q02_filter_predicates",
+    "q03_json_project",
+    "q04_join_inner",
+    "q05_join_left_agg",
+    "q06_join_semi",
+    "q07_join_anti",
+    "q09_join_multiway",
+    "q10_join_theta",
+    "q11_agg_global",
+    "q12_agg_distinct_by_group",
+    "q14_agg_rollup",
+    "q15_agg_cube",
+    "q16_grouping_sets",
+    "q17_having",
+    "q18_distinct",
+    "q19_scalar_subquery",
+    "q20_in_subquery",
+    "q21_window_rank",
 ]
 
 

@@ -34,9 +34,16 @@ def _with_corrupt_field(schema: StructType | str) -> StructType:
     return StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
 
 
-def _decoded_col(payload_col: str, schema: StructType | str) -> Column:
+def _decoded_col(
+    payload_col: str,
+    schema: StructType | str,
+    pre_decode=None,
+) -> Column:
+    raw = F.col(payload_col).cast("string")
+    if pre_decode is not None:
+        raw = pre_decode(raw)
     return F.from_json(
-        F.col(payload_col).cast("string"),
+        raw,
         _with_corrupt_field(schema),
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
     )
@@ -50,6 +57,8 @@ def decode_json(
     payload_col: str = "value",
     keep_cols: tuple[str, ...] = ("offset", "partition"),
     drop_malformed: bool = True,
+    pre_decode=None,
+    extractor=None,
 ) -> DataFrame:
     """Decode a binary JSON payload column into typed columns.
 
@@ -58,10 +67,31 @@ def decode_json(
     rows whose payload fails to parse (decoder:69-72). Rows whose
     payload parses but misses fields keep nulls for those fields — the
     same leniency Jackson + the extractor give the reference.
+
+    Pluggable-extractor hooks (the ``RECORD_EXTRACTOR_CONFIG_KEY``
+    analog, PulsarJSONMessageDecoder.java:42-43,57 — the reference lets
+    a deployment swap the class that turns a parsed payload into row
+    fields):
+
+    - ``pre_decode``: ``Column -> Column`` over the RAW payload string
+      before parsing — normalizes non-JSON-standard framings (envelope
+      prefixes, key=value lines) into JSON, so the decode itself stays
+      a single JVM-side ``from_json``.
+    - ``extractor``: ``Column -> Column`` over the PARSED struct,
+      applied between parse and projection — field-level extraction
+      (unwrap envelopes, retype, rename), exactly where the reference
+      invokes its extractor (decoder:57).
+
+    Both hooks build Catalyst ``Column`` expressions, so custom
+    extraction keeps whole-stage codegen — no Python in the row path.
     """
-    out = df.withColumn("_decoded", _decoded_col(payload_col, schema))
+    out = df.withColumn(
+        "_decoded", _decoded_col(payload_col, schema, pre_decode)
+    )
     if drop_malformed:
         out = out.filter(F.col(f"_decoded.{_CORRUPT}").isNull())
+    if extractor is not None:
+        out = out.withColumn("_decoded", extractor(F.col("_decoded")))
     proj: list[Column] = [F.col(c) for c in keep_cols if c in df.columns]
     if fields is None:
         fields = [

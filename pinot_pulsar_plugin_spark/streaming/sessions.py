@@ -94,7 +94,13 @@ def _finalize_group(key, pdfs, state: GroupState):
         if s < seg[-1]:
             frames.append(row(*cur))
     start, last, n = cur
-    deadline_ms = (last + SESSION_GAP_US) // 1000
+    # CEILING division to ms (ADVICE r5): flooring let the session
+    # finalize while the watermark was still up to 999 µs BEFORE the
+    # exact µs deadline — an on-time event with ts in (watermark,
+    # last+GAP] arriving in a later micro-batch would then open a new
+    # session where batch q29 (strict µs gap) extends the old one.
+    # Ceiling guarantees closure never precedes the µs deadline.
+    deadline_ms = (last + SESSION_GAP_US + 999) // 1000
     if deadline_ms <= state.getCurrentWatermarkMs():
         # the watermark already passed this session's deadline (the
         # batch that delivered its events also advanced event time far

@@ -10,27 +10,27 @@ from pinot_pulsar_plugin_spark.registry import _PRIORITY, all_oracle_sql, all_qu
 _CATEGORY_REPS = {
     "scan_agg_sort": {"q01_pricing_summary"},
     "projection_filter": {"q02_filter_predicates", "q44_deterministic_sample", "q74_train_split", "q78_stratified_sample", "q95_weighted_sample"},
-    "joins": {"q04_join_inner", "q47_join_full_outer", "q52_join_right", "q55_merge_upsert", "q82_interval_bucket_join", "q48_cross_join", "q85_referential_audit", "q109_basket_cooccurrence"},
+    "joins": {"q04_join_inner", "q47_join_full_outer", "q52_join_right", "q55_merge_upsert", "q82_interval_bucket_join", "q48_cross_join", "q85_referential_audit", "q109_basket_cooccurrence", "q113_disjunctive_revenue", "q118_nation_pair_volume"},
     "broadcast_join": {"q08_join_broadcast_agg", "s52_knn_label_accuracy"},
-    "aggregations": {"q43_percentiles", "q50_filter_clause_agg", "q70_bool_bit_aggs", "q73_multi_distinct", "q76_heavy_hitters", "q81_stats_moments", "q91_trimmed_mean", "q93_mad_outliers", "q99_weighted_median"},
+    "aggregations": {"q43_percentiles", "q50_filter_clause_agg", "q70_bool_bit_aggs", "q73_multi_distinct", "q76_heavy_hitters", "q81_stats_moments", "q91_trimmed_mean", "q93_mad_outliers", "q99_weighted_median", "q117_order_count_distribution", "q122_exact_corr_by_flag"},
     "windows": {"q72_percent_rank_cume", "q53_grouped_map_rank", "q107_purchase_attribution"},
     "sort_topk": {"q25_topk_per_group", "q45_shipping_priority", "q63_lateral_topk", "d51_cluster_keeper_quality", "t65_top_bigrams", "t68_top_keywords"},
     "setops": {"q30_union_all"},
     "scalars": {"q71_string_funcs_2", "q56_date_spine"},
-    "subqueries": {"q49_quantified_subquery", "q62_correlated_scalar_subquery", "q85_referential_audit", "q97_blocking_supplier", "q98_dominant_part_supplier", "q102_small_lot_revenue", "q103_large_volume_customers"},
+    "subqueries": {"q49_quantified_subquery", "q62_correlated_scalar_subquery", "q85_referential_audit", "q97_blocking_supplier", "q98_dominant_part_supplier", "q102_small_lot_revenue", "q103_large_volume_customers", "q124_min_cost_supplier"},
     "streaming": {"st57_tumbling_window", "st58_sliding_window", "st59_stream_enrich_join", "st60_first_event_dedup", "st61_interval_join", "st62_interval_join_outer", "st63_window_topk", "q29_sessionize"},
     "dedup_span": {"d53_dup_span_fraction"},
-    "udf_surface": {"q46_pandas_udf_scalar", "q53_grouped_map_rank", "q54_python_udf_row"},
+    "udf_surface": {"q46_pandas_udf_scalar", "q53_grouped_map_rank", "q54_python_udf_row", "q115_udtf_installments", "q120_pandas_grouped_agg"},
     "dedup_exact": {"d43_dedup_exact", "d55_incremental_dedup"},
     "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh", "d52_prefix_filter_jaccard", "d54_winnow_neardup_pairs", "d55_incremental_dedup"},
     "runtime_filter": {"q84_bloom_semi_prune", "q87_bloom_subquery_prune"},
     "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids", "s52_knn_label_accuracy", "s54_pq_encode", "s55_pq_adc_topk"},
-    "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang", "t55_token_count_bpe", "t56_quality_filter", "t57_repetition_ratio", "t58_vocab_stats", "t59_winnow_fingerprint", "t62_top_ngram_coverage", "t63_bigram_surprisal", "t66_feature_hashing"},
+    "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang", "t55_token_count_bpe", "t56_quality_filter", "t57_repetition_ratio", "t58_vocab_stats", "t59_winnow_fingerprint", "t62_top_ngram_coverage", "t63_bigram_surprisal", "t66_feature_hashing", "t67_token_entropy"},
     "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline", "m57_frame_sample", "m58_resize_pipeline", "m59_payload_chunk_manifest", "m60_phash_neardup_candidates"},
     "event_analytics": {"q59_histogram", "q60_funnel", "q61_retention", "q88_decayed_engagement", "q89_markov_transitions", "q100_value_drift"},
     "timeseries": {"q67_ohlc_bars", "q69_levenshtein_pairs", "q77_forward_fill", "q83_running_zscore", "q90_scd2_intervals", "q92_gapfill_interpolate"},
     "curation": {"q94_pareto_frontier", "q95_weighted_sample", "q101_split_balance_audit"},
-    "rollup_serving": {"q96_rollup_serving"},
+    "rollup_serving": {"q96_rollup_serving", "q121_incremental_rollup_merge"},
     "chunking": {"t64_doc_chunking"},
     "clustering": {"s53_kmeans_step", "s51_label_centroids"},
 }
@@ -53,11 +53,16 @@ def test_scored_window_is_fully_oracle_checked():
     row can never turn hash-green, so it wastes a scored slot (VERDICT
     r2 — s49 sat in the window as a permanent err). Rows-only ops
     (sketches, seeded-random ANN) live outside the first 50 and are
-    covered by local tolerance / recall-floor tests instead."""
+    covered by local tolerance / recall-floor tests instead.
+
+    Exception (VERDICT r5 #3 directive): q57 holds one deliberate
+    rows-only slot to convert its r2 canonicalizer-err into a clean
+    rows-only driver row now that its output is scalar-shaped; its
+    accuracy gate is test_sketches.py."""
     names = list(all_queries())[:50]
     oracle = all_oracle_sql()
     rows_only = [n for n in names if n not in oracle]
-    assert rows_only == [], rows_only
+    assert rows_only == ["q57_approx_quantiles"], rows_only
 
 
 def test_round_of_quotient_is_ratcheted():

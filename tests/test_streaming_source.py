@@ -96,6 +96,43 @@ def test_decode_and_drop_malformed(spark, tmp_path):
     assert "event_type" not in decoded.columns
 
 
+def test_decode_custom_extractor_hooks(spark, tmp_path):
+    """Pluggable record-extractor parity
+    (``RECORD_EXTRACTOR_CONFIG_KEY``,
+    PulsarJSONMessageDecoder.java:42-43,57): a NON-JSON-standard
+    payload — an ``EVT|<epoch_us>|<json>`` envelope whose JSON wraps
+    the fields under ``data`` with string-typed numerics — decodes via
+    the two Column-level hooks: ``pre_decode`` strips the framing
+    before ``from_json``; ``extractor`` unwraps + retypes between
+    parse and projection. No Python UDF anywhere."""
+    from pyspark.sql import functions as F
+
+    w = TopicWriter(str(tmp_path / "env"), "framed", partitions=1)
+    for i in range(10):
+        payload = json.dumps({"data": {"event_id": str(i), "value": str(i * 2.5)}})
+        w.append(0, f"EVT|{1_000_000 + i}|{payload}")
+    w.append(0, b"EVT|garbage")  # framing ok, body not JSON -> dropped
+    w.append(0, b"no-envelope at all")  # dropped
+
+    raw = read_batch(spark, str(tmp_path / "env"), "framed")
+    decoded = decode_json(
+        raw,
+        "data struct<event_id string, value string>",
+        payload_col="value",
+        pre_decode=lambda c: F.substring_index(c, "|", -1),
+        extractor=lambda s: F.struct(
+            s["data"]["event_id"].cast("bigint").alias("event_id"),
+            s["data"]["value"].cast("double").alias("value"),
+        ),
+    )
+    rows = {r.event_id: r.value for r in decoded.collect()}
+    assert rows == {i: i * 2.5 for i in range(10)}
+    assert decoded.columns == ["offset", "partition", "event_id", "value"]
+    # both hooks are Catalyst expressions: the decode plan stays free
+    # of Python evaluation
+    assert "pythonUDF" not in decoded._jdf.queryExecution().executedPlan().toString()
+
+
 def _drain_to_parquet(stream_df, spark, out_dir: str, checkpoint: str):
     """File sink (fault-tolerant, unlike memory) — required for
     checkpoint-recovery tests."""

@@ -339,7 +339,7 @@ COMMENTARY = {
         "The 64-bit aHash is an in-row integer expression; the persisted "
         "hash table (materialization barrier — without it the "
         "interpreted higher-order expression re-evaluates inside the "
-        "join condition per candidate pair, measured 80s→9s) feeds a "
+        "join condition per candidate pair, measured 80s→9.3s) feeds a "
         "16-bit band equi-join carrying (doc_id, ahash) only; exact "
         "xor/bit_count rerank. Payload text never shuffles."
     ),
