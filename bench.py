@@ -91,6 +91,9 @@ HEADLINE = [
     "q122_exact_corr_by_flag",
     "q123_supplier_triangles",
     "q124_min_cost_supplier",
+    "q126_local_supplier_volume",
+    "q130_returned_item_customers",
+    "q136_sole_late_suppliers",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

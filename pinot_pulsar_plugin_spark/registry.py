@@ -32,6 +32,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.aggregates2",
     "pinot_pulsar_plugin_spark.operators.pipelines",
     "pinot_pulsar_plugin_spark.operators.curation",
+    "pinot_pulsar_plugin_spark.operators.tpch_suite",
 ]
 
 
@@ -137,6 +138,18 @@ _PRIORITY = [
     # keepers below as they land, keeping the window at exactly 50
     # oracle-backed entries — module-order fill would pull in
     # rows-only q13, which can never hash-green)
+    "q125_late_order_priority",      # TPC-H Q4 (EXISTS)
+    "q126_local_supplier_volume",    # TPC-H Q5
+    "q127_forecast_revenue",         # TPC-H Q6 (pure scan)
+    "q128_national_market_share",    # TPC-H Q8
+    "q129_product_type_profit",      # TPC-H Q9
+    "q130_returned_item_customers",  # TPC-H Q10 (top-20)
+    "q131_important_parts",          # TPC-H Q11 (HAVING vs global)
+    "q132_delay_bucket_priority",    # TPC-H Q12
+    "q133_promo_revenue_share",      # TPC-H Q14 (ppm ratio)
+    "q134_part_supplier_variety",    # TPC-H Q16 (NOT IN)
+    "q135_excess_recent_shippers",   # TPC-H Q20 (nested IN-chain)
+    "q136_sole_late_suppliers",      # TPC-H Q21 (EXISTS+NOT EXISTS)
     # --- padding keepers (multiply-green, module order, oracle-backed)
     "q02_filter_predicates",
     "q03_json_project",
@@ -144,18 +157,6 @@ _PRIORITY = [
     "q05_join_left_agg",
     "q06_join_semi",
     "q07_join_anti",
-    "q09_join_multiway",
-    "q10_join_theta",
-    "q11_agg_global",
-    "q12_agg_distinct_by_group",
-    "q14_agg_rollup",
-    "q15_agg_cube",
-    "q16_grouping_sets",
-    "q17_having",
-    "q18_distinct",
-    "q19_scalar_subquery",
-    "q20_in_subquery",
-    "q21_window_rank",
 ]
 
 

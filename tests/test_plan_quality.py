@@ -1257,3 +1257,55 @@ def test_q124_min_cost_shape(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_q127_pure_scan_aggregate(spark):
+    """TPC-H Q6 shape: all three predicates reach the parquet scan and
+    the single-row aggregate costs exactly one exchange — at 100 TB
+    this query must be I/O-bound, so any extra shuffle or lost
+    pushdown is a regression."""
+    from pinot_pulsar_plugin_spark.operators import tpch_suite as ts
+
+    df = ts.q127_forecast_revenue(spark, SF)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} missing from PushedFilters: {pf}"
+    assert n_shuffles(df) <= 1, formatted_plan(df)
+
+
+def test_q126_single_fact_exchange_rest_broadcast(spark):
+    """TPC-H Q5 shape: customer/supplier/nation/region broadcast; the
+    only sort-merge-scale exchanges belong to lineitem⋈orders and the
+    5-row final aggregate."""
+    from pinot_pulsar_plugin_spark.operators import tpch_suite as ts
+
+    df = ts.q126_local_supplier_volume(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)) >= 4, plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_q130_topk_is_take_ordered(spark):
+    """TPC-H Q10 shape: ORDER BY rev_fp DESC LIMIT 20 must plan as
+    TakeOrderedAndProject (per-partition partial top-k + 20-row merge),
+    never a global Sort."""
+    from pinot_pulsar_plugin_spark.operators import tpch_suite as ts
+
+    plan = formatted_plan(ts.q130_returned_item_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q136_narrow_flagged_relation_semi_anti(spark):
+    """TPC-H Q21 shape: the EXISTS and NOT-EXISTS probes execute as
+    left-semi / left-anti EQUI-joins on orderkey over the narrow
+    persisted flagged relation — the full lineitem never shuffles for
+    the correlation probes."""
+    from pinot_pulsar_plugin_spark.operators import tpch_suite as ts
+
+    df = ts.q136_sole_late_suppliers(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
