@@ -94,6 +94,8 @@ HEADLINE = [
     "q126_local_supplier_volume",
     "q130_returned_item_customers",
     "q136_sole_late_suppliers",
+    "q137_compaction_binpack",
+    "s57_tfidf_similar_docs",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -1,0 +1,236 @@
+"""Storage-layout maintenance operators: compaction planning and
+zone-map pruning audit.
+
+The ingestion side of this engine (sources/pulsarlike.py) lands
+micro-batch files the way the reference's Pinot tables land segments;
+keeping a 100 TB table healthy then requires exactly two recurring
+layout jobs, and both are expressible as pure DataFrame plans over
+table metadata-grain relations:
+
+- q137: small-file COMPACTION planning (Pinot's SegmentMergeRollup
+  task / Iceberg rewrite_data_files): assign input files to
+  target-size output segments with a per-partition running-sum
+  bin-pack — the plan is computed distributively, one window per
+  table partition, never a driver loop.
+- q138: ZONE-MAP pruning audit (Pinot segment pruning on time range /
+  parquet row-group min-max): measure how many segments a time
+  predicate can skip under the CURRENT layout vs a DATE-CLUSTERED
+  layout — the quantified justification for sorting segments by event
+  time before flushing them.
+
+Both are exact-integer computations (counts, fixed keys, microsecond
+comparisons), so they carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+
+QUERIES, ORACLE, query = make_registry()
+
+# q137 knobs: ~64 orders per input "file", 32 files per table
+# partition (the compaction group), 2048 rows per target output
+# segment. At real scale these come from the table's file manifest;
+# here the fact stands in for its own metadata.
+_FILE_SPAN = 64
+_FILES_PER_GROUP = 32
+_TARGET_ROWS = 2048
+
+_Q137 = f"""
+    WITH files AS (
+      SELECT l_orderkey // {_FILE_SPAN} AS file_id,
+             (l_orderkey // {_FILE_SPAN}) // {_FILES_PER_GROUP} AS group_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      GROUP BY 1, 2),
+    packed AS (
+      SELECT group_id, file_id, n_rows,
+             CAST((SUM(n_rows) OVER (PARTITION BY group_id ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_rows) // {_TARGET_ROWS} AS BIGINT) AS bin_id
+      FROM files)
+    SELECT group_id, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+           CAST(CAST(SUM(n_rows) AS BIGINT) * 1000000
+                // {_TARGET_ROWS} AS BIGINT) AS fill_ppm
+    FROM packed
+    GROUP BY group_id, bin_id
+"""
+
+
+@query("q137_compaction_binpack", _Q137)
+def q137_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning: pack contiguous small files into
+    target-size output segments via the offset rule bin = (running_sum
+    − n_rows) div target — the deterministic next-fit-by-offset plan
+    every table-maintenance service runs (Iceberg bin-packing, Pinot
+    segment merge).
+
+    Scale shape: the plan works on the FILE-GRAIN relation (one row
+    per file, not per data row), windowed PER COMPACTION GROUP — the
+    partition column every real manifest has — so planning 10M files
+    is a 10M-row windowed aggregate sharded by group, not a global
+    sort and not a driver loop. Contiguity within a group is what
+    keeps compaction rewrite-local (only neighboring files merge)."""
+    li = t(spark, sf_dir, "lineitem")
+    files = (
+        li.select(
+            F.expr(f"l_orderkey div {_FILE_SPAN}").alias("file_id"),
+            F.expr(
+                f"(l_orderkey div {_FILE_SPAN}) div {_FILES_PER_GROUP}"
+            ).alias("group_id"),
+        )
+        .groupBy("file_id", "group_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = (
+        W.partitionBy("group_id")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = files.withColumn("running", F.sum("n_rows").over(w)).select(
+        "group_id",
+        "file_id",
+        "n_rows",
+        F.expr(f"(running - n_rows) div {_TARGET_ROWS}").alias("bin_id"),
+    )
+    return packed.groupBy("group_id", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("bin_rows"),
+        F.expr(f"(sum(n_rows) * 1000000) div {_TARGET_ROWS}").alias("fill_ppm"),
+    )
+
+
+# q138 knobs: 512 orders per segment; the audited predicate is a
+# 3-month window.
+_SEG_ROWS = 512
+_LO = "1997-03-01 00:00:00"
+_HI = "1997-06-01 00:00:00"
+
+_Q138 = f"""
+    WITH nat_seg AS (
+      SELECT o_orderkey // {_SEG_ROWS} AS seg,
+             MIN(o_orderdate) AS zmin, MAX(o_orderdate) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1),
+    clustered AS (
+      SELECT yr, (rn - 1) // {_SEG_ROWS} AS seg,
+             MIN(o_orderdate) AS zmin, MAX(o_orderdate) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM (
+        SELECT o_orderdate,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+                 ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders)
+      GROUP BY 1, 2),
+    audit AS (
+      SELECT 'natural' AS layout,
+             CASE WHEN zmax < TIMESTAMP '{_LO}'
+                    OR zmin >= TIMESTAMP '{_HI}' THEN 'pruned'
+                  WHEN zmin >= TIMESTAMP '{_LO}'
+                   AND zmax < TIMESTAMP '{_HI}' THEN 'full'
+                  ELSE 'partial' END AS verdict,
+             n_rows
+      FROM nat_seg
+      UNION ALL
+      SELECT 'clustered' AS layout,
+             CASE WHEN zmax < TIMESTAMP '{_LO}'
+                    OR zmin >= TIMESTAMP '{_HI}' THEN 'pruned'
+                  WHEN zmin >= TIMESTAMP '{_LO}'
+                   AND zmax < TIMESTAMP '{_HI}' THEN 'full'
+                  ELSE 'partial' END AS verdict,
+             n_rows
+      FROM clustered)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN verdict = 'pruned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN verdict = 'full' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full,
+           CAST(SUM(CASE WHEN verdict = 'partial' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_partial,
+           CAST(SUM(CASE WHEN verdict = 'pruned' THEN 0 ELSE n_rows END)
+                AS BIGINT) AS rows_scanned,
+           CAST(CAST(SUM(CASE WHEN verdict = 'pruned' THEN 0 ELSE n_rows END)
+                     AS BIGINT) * 1000000
+                // CAST(SUM(n_rows) AS BIGINT) AS BIGINT) AS scan_ppm
+    FROM audit
+    GROUP BY layout
+"""
+
+
+@query("q138_zonemap_prune_audit", _Q138)
+def q138_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit: for a 3-month time predicate, how many
+    segments can be SKIPPED from min/max zone maps under (a) the
+    natural ingestion-order layout vs (b) a date-clustered layout
+    (rows re-segmented in orderdate order within each year partition).
+    The output is the business case for sort-before-flush: scan_ppm is
+    the fraction of rows a zone-map-aware scan must still read.
+
+    Scale shape: both layouts reduce to segment-grain aggregates (one
+    shuffle each — the natural one keyed by a key-derived segment id,
+    the clustered one a year-partitioned window then a segment
+    aggregate); the audit itself then runs on thousands of metadata
+    rows. Spark's own parquet row-group pruning does exactly this
+    with the same min/max stats — the operator makes the win
+    measurable before committing a rewrite."""
+    o = t(spark, sf_dir, "orders")
+    lo = F.lit(_LO).cast("timestamp")
+    hi = F.lit(_HI).cast("timestamp")
+
+    natural = (
+        o.select(
+            F.expr(f"o_orderkey div {_SEG_ROWS}").alias("seg"), "o_orderdate"
+        )
+        .groupBy("seg")
+        .agg(
+            F.min("o_orderdate").alias("zmin"),
+            F.max("o_orderdate").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("layout", F.lit("natural"))
+    )
+    yr = F.year("o_orderdate").cast("int")
+    wseq = W.partitionBy("yr").orderBy("o_orderdate", "o_orderkey")
+    clustered = (
+        o.select("o_orderdate", "o_orderkey", yr.alias("yr"))
+        .withColumn("rn", F.row_number().over(wseq))
+        .select("yr", F.expr(f"(rn - 1) div {_SEG_ROWS}").alias("seg"), "o_orderdate")
+        .groupBy("yr", "seg")
+        .agg(
+            F.min("o_orderdate").alias("zmin"),
+            F.max("o_orderdate").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("layout", F.lit("clustered"))
+        .drop("yr")
+    )
+    segs = natural.unionByName(clustered)
+    verdict = (
+        F.when((F.col("zmax") < lo) | (F.col("zmin") >= hi), "pruned")
+        .when((F.col("zmin") >= lo) & (F.col("zmax") < hi), "full")
+        .otherwise("partial")
+    )
+    audited = segs.select("layout", verdict.alias("verdict"), "n_rows")
+    return audited.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("verdict") == "pruned", 1).otherwise(0)).alias("n_pruned"),
+        F.sum(F.when(F.col("verdict") == "full", 1).otherwise(0)).alias("n_full"),
+        F.sum(F.when(F.col("verdict") == "partial", 1).otherwise(0)).alias(
+            "n_partial"
+        ),
+        F.sum(
+            F.when(F.col("verdict") == "pruned", 0).otherwise(F.col("n_rows"))
+        ).alias("rows_scanned"),
+        F.expr(
+            "(sum(CASE WHEN verdict = 'pruned' THEN 0 ELSE n_rows END)"
+            " * 1000000) div sum(n_rows)"
+        ).alias("scan_ppm"),
+    )

@@ -827,3 +827,228 @@ def s56_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_sil_micro"),
     )
+
+
+# --- s57: tf-idf similar-document retrieval (inverted index) --------
+_S57_PROBES = 8
+_S57_TOP_K = 5
+
+_S57 = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    stats AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(ROUND(ln(CAST(n.n_docs AS DOUBLE) / stats.df)
+                                * 1000000) AS BIGINT) AS wt
+      FROM tf JOIN stats ON stats.term = tf.term CROSS JOIN n),
+    norms AS (
+      SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS norm2 FROM w
+      GROUP BY doc_id),
+    dots AS (
+      SELECT q.doc_id AS probe_id, c.doc_id AS cand_id,
+             CAST(SUM(q.wt * c.wt) AS BIGINT) AS dot
+      FROM w q JOIN w c ON c.term = q.term AND c.doc_id <> q.doc_id
+      WHERE q.doc_id < {_S57_PROBES}
+      GROUP BY q.doc_id, c.doc_id),
+    scored AS (
+      SELECT d.probe_id, d.cand_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.norm2 AS DOUBLE))
+                  * sqrt(CAST(nc.norm2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.doc_id = d.probe_id
+      JOIN norms nc ON nc.doc_id = d.cand_id),
+    ranked AS (
+      SELECT probe_id, cand_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT probe_id, cand_id, ROUND(cosine, 6) AS cosine_r, rank
+    FROM ranked WHERE rank <= {_S57_TOP_K}
+"""
+
+
+@query("s57_tfidf_similar_docs", _S57)
+def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document retrieval over SPARSE tf-idf vectors via an
+    inverted-index join: probe docs meet candidates only on SHARED
+    terms (posting-list equi-join), so the corpus never self-pairs —
+    the classic MapReduce similarity-join shape, and the sparse
+    complement to s48's dense-embedding top-k. t69 scores a keyword
+    QUERY against docs; this ranks DOC-to-DOC similarity (the
+    retrieval primitive behind near-dup triage and related-content
+    recommendation).
+
+    Exactness: term weights are integer micro-units (tf ×
+    ROUND(ln(N/df)·1e6) — the t68 presum rule), dot products and
+    norms are exact int64 sums, and the final cosine is a fixed
+    sequence of IEEE double ops (sqrt/×/÷ are correctly rounded) on
+    identical integers — bit-identical cross-engine, so ranking
+    cannot diverge.
+
+    Scale shape: the probe side is a handful of docs, so the posting
+    join fans out as |probe terms ∩ posting lists| — linear in corpus
+    df, never corpus². At 100 TB the same plan serves "find docs like
+    these K seeds"; for all-pairs similarity use d44/d48 (blocked
+    candidates), not this operator. (This synthetic corpus's 31-term
+    vocabulary makes every posting list dense; on Zipfian real text a
+    df stop-filter — the d44 pattern — caps the hot lists.)"""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000
+    ).cast("long")
+    w = (
+        tf.join(F.broadcast(stats), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", (F.col("tf") * idf_micro).alias("wt"))
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("norm2"))
+    probes = (
+        w.filter(F.col("doc_id") < _S57_PROBES)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("term").alias("q_term"),
+            F.col("wt").alias("q_wt"),
+        )
+    )
+    dots = (
+        w.join(
+            F.broadcast(probes),
+            (F.col("term") == F.col("q_term"))
+            & (F.col("doc_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.sum(F.col("q_wt") * F.col("wt")).alias("dot"))
+    )
+    nq = norms.select(
+        F.col("doc_id").alias("nq_id"), F.col("norm2").alias("q_norm2")
+    )
+    nc = norms.select(
+        F.col("doc_id").alias("nc_id"), F.col("norm2").alias("c_norm2")
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("q_norm2").cast("double"))
+        * F.sqrt(F.col("c_norm2").cast("double"))
+    )
+    scored = (
+        dots.join(F.broadcast(nq), F.col("nq_id") == F.col("probe_id"))
+        .join(nc, F.col("nc_id") == F.col("cand_id"))
+        .select("probe_id", "cand_id", cosine.alias("cosine"))
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S57_TOP_K)
+        .select(
+            "probe_id", "cand_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+        )
+    )
+
+
+# --- s58: int8 scalar quantization + integer dot top-k --------------
+_S58_PROBES = 8
+_S58_TOP_K = 5
+
+_S58 = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') AS scale,
+             embedding
+      FROM embeddings),
+    quant AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) / scale * 127)
+                                 AS BIGINT)) END AS qv
+      FROM q),
+    pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             CAST(list_reduce(list_transform(list_zip(p.qv, c.qv),
+                    z -> z[1] * z[2]), (acc, x) -> acc + x) AS BIGINT) AS qdot
+      FROM quant p JOIN quant c ON c.vec_id >= {_S58_PROBES}
+      WHERE p.vec_id < {_S58_PROBES}),
+    ranked AS (
+      SELECT probe_id, cand_id, qdot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY qdot DESC, cand_id) AS INTEGER) AS rank
+      FROM pairs)
+    SELECT probe_id, cand_id, qdot, rank FROM ranked
+    WHERE rank <= {_S58_TOP_K}
+"""
+
+
+@query("s58_int8_quantized_topk", _S58)
+def s58_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (per-vector symmetric max-abs scale,
+    the FAISS SQ8 / common vector-DB compression) + top-k by EXACT
+    INTEGER quantized dot product — the memory-bound retrieval path:
+    4× smaller vectors, integer SIMD dots, float math only at
+    quantization time.
+
+    Exactness: x/scale*127 is the same IEEE double sequence on both
+    engines and its ROUND target is an integer, so the quantized
+    vectors are identical; dots are then pure int64 folds — ranking
+    is exact, no tolerance needed (this is what makes the operator
+    oracle-checkable while s49's random-plane LSH is not).
+
+    Scale shape: the probe side broadcasts (like s48), the corpus
+    side streams — no corpus shuffle; at 100 TB the quantized
+    corpus column is what you'd persist (16 GB/billion vectors at
+    dim=64 instead of 256 GB fp32), with s50's IVF cells on top for
+    sub-linear probing."""
+    em = t(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qv = F.when(
+        F.col("scale") == 0.0,
+        F.transform("embedding", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("scale") * 127).cast("long"),
+        )
+    )
+    quant = em.withColumn("scale", scale).select("vec_id", qv.alias("qv"))
+    probes = quant.filter(F.col("vec_id") < _S58_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("p_qv")
+    )
+    cands = quant.filter(F.col("vec_id") >= _S58_PROBES).select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("p_qv"), F.col("c_qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = cands.join(F.broadcast(probes)).select(
+        "probe_id", "cand_id", qdot.alias("qdot")
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("probe_id").orderBy(F.desc("qdot"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S58_TOP_K)
+        .select("probe_id", "cand_id", "qdot", "rank")
+    )

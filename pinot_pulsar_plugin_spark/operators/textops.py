@@ -1242,3 +1242,76 @@ def t69_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(_BM25_TOP_K)
     )
+
+
+# --- t70: cross-source vocabulary overlap ---------------------------
+_T70 = """
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vocab
+      GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM vocab a JOIN vocab b ON b.term = a.term AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, i.n_shared,
+           na.n AS vocab_a, nb.n AS vocab_b,
+           CAST(i.n_shared * 1000000
+                // (na.n + nb.n - i.n_shared) AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes na ON na.source = i.source_a
+    JOIN sizes nb ON nb.source = i.source_b
+"""
+
+
+@query("t70_source_vocab_overlap", _T70)
+def t70_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus SOURCES — the
+    domain-mixing diagnostic a pre-training pipeline runs before
+    choosing mixture weights (q79): two sources with near-identical
+    vocabularies contribute redundant coverage; an outlier source
+    signals a domain (or a contamination) worth inspecting.
+
+    Scale shape: the corpus collapses to its per-source VOCABULARY
+    first (distinct terms — orders of magnitude smaller than token
+    count), and sources meet through a TERM-keyed equi-join, so cost
+    is Σ_term (#sources containing term)², never docs² or sources²
+    over raw text. Ordering a.source < b.source halves the pairs;
+    zero-overlap pairs drop out of the inner join (at pre-training
+    scale absent pairs ARE the signal worth alerting on, and a
+    full-outer variant is one join-type flip away). Jaccard is exact
+    integer ppm (inter·1e6 // union — positive, so Spark div and
+    DuckDB // agree)."""
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), F.col("term").alias("tb"))
+    inter = (
+        a.join(b, (F.col("tb") == F.col("term")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n").alias("vocab_a"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(na), F.col("sa") == F.col("source_a"))
+        .join(F.broadcast(nb), F.col("sb") == F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            F.expr(
+                "(n_shared * 1000000) div (vocab_a + vocab_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )

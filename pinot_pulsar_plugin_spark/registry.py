@@ -33,6 +33,7 @@ _MODULES = [
     "pinot_pulsar_plugin_spark.operators.pipelines",
     "pinot_pulsar_plugin_spark.operators.curation",
     "pinot_pulsar_plugin_spark.operators.tpch_suite",
+    "pinot_pulsar_plugin_spark.operators.maintenance",
 ]
 
 
@@ -150,13 +151,13 @@ _PRIORITY = [
     "q134_part_supplier_variety",    # TPC-H Q16 (NOT IN)
     "q135_excess_recent_shippers",   # TPC-H Q20 (nested IN-chain)
     "q136_sole_late_suppliers",      # TPC-H Q21 (EXISTS+NOT EXISTS)
-    # --- padding keepers (multiply-green, module order, oracle-backed)
+    "q137_compaction_binpack",       # storage maintenance: bin-pack plan
+    "q138_zonemap_prune_audit",      # storage maintenance: layout audit
+    "t70_source_vocab_overlap",      # corpus mixing diagnostic
+    "s57_tfidf_similar_docs",        # sparse inverted-index retrieval
+    "s58_int8_quantized_topk",       # scalar-quantized retrieval
+    # --- padding keeper (multiply-green; replaced by the next addition)
     "q02_filter_predicates",
-    "q03_json_project",
-    "q04_join_inner",
-    "q05_join_left_agg",
-    "q06_join_semi",
-    "q07_join_anti",
 ]
 
 

@@ -117,3 +117,34 @@ def test_s55_pq_adc_ranking_tracks_exact_l2(spark):
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.15, recalls
     assert mean_recall > 10 * (sim._PQ_TOPK / len(rows))
+
+
+def test_s58_quantized_topk_tracks_exact_cosine(spark):
+    """int8 scalar quantization must preserve neighborhood structure:
+    per probe, the quantized top-5 overlaps the exact full-precision
+    dot-product top-5 well above chance (symmetric max-abs SQ8 keeps
+    ~1e-2 relative error per element, far finer than neighbor gaps)."""
+    import numpy as np
+
+    from pinot_pulsar_plugin_spark.catalog import load_table
+    from pinot_pulsar_plugin_spark.operators import similarity as sim
+
+    SF = "/root/testdata/sf0.001"
+    rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    got = {}
+    for r in sim.QUERIES["s58_int8_quantized_topk"](spark, SF).collect():
+        got.setdefault(r.probe_id, set()).add(r.cand_id)
+
+    cand_mask = ids >= sim._S58_PROBES
+    recalls = []
+    for p in range(sim._S58_PROBES):
+        qi = int(np.where(ids == p)[0][0])
+        dots = X[cand_mask] @ X[qi]
+        true_top = set(
+            ids[cand_mask][np.argsort(-dots)[: sim._S58_TOP_K]].tolist()
+        )
+        recalls.append(len(got[p] & true_top) / sim._S58_TOP_K)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

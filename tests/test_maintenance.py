@@ -1,0 +1,64 @@
+"""Semantic invariants for the storage-maintenance operators
+(operators/maintenance.py): the bin-pack plan must actually be a valid
+compaction plan, and the zone-map audit must reconcile with a direct
+evaluation of the predicate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pinot_pulsar_plugin_spark.catalog import load_table
+from pinot_pulsar_plugin_spark.operators import maintenance as mt
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_q137_binpack_is_a_valid_plan(spark):
+    rows = mt.QUERIES["q137_compaction_binpack"](spark, SF).collect()
+    by_group: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, {})[r.bin_id] = (r.n_files, r.bin_rows)
+    li = load_table(spark, SF, "lineitem")
+    total = li.count()
+    # conservation: every input row lands in exactly one bin
+    assert sum(b[1] for g in by_group.values() for b in g.values()) == total
+    for g, bins in by_group.items():
+        # bins are densely numbered from 0 (next-fit never skips)
+        assert sorted(bins) == list(range(len(bins))), (g, sorted(bins))
+        for bin_id, (n_files, bin_rows) in bins.items():
+            # the offset rule starts a new bin once the running offset
+            # crosses the target, so a bin overshoots by at most one
+            # file; a single file can't be split below target
+            if n_files > 1:
+                assert bin_rows < 2 * mt._TARGET_ROWS, (g, bin_id, bin_rows)
+        # all but the final bin of a group are at/above a half-full
+        # floor only when multiple files exist — weak check: non-final
+        # bins are non-empty and the plan is contiguous by bin id
+        assert all(b[1] > 0 for b in bins.values())
+
+
+def test_q138_audit_reconciles_with_direct_predicate(spark):
+    """rows_scanned must be >= the true matching rows for both layouts
+    (zone maps can only over-approximate), and the date-clustered
+    layout must scan no more than the natural layout (the point of
+    the operator)."""
+    out = {
+        r.layout: r
+        for r in mt.QUERIES["q138_zonemap_prune_audit"](spark, SF).collect()
+    }
+    o = load_table(spark, SF, "orders")
+    true_match = o.filter(
+        (F.col("o_orderdate") >= F.lit(mt._LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(mt._HI).cast("timestamp"))
+    ).count()
+    total = o.count()
+    for layout in ("natural", "clustered"):
+        r = out[layout]
+        assert r.rows_scanned >= true_match, (layout, r.rows_scanned, true_match)
+        assert r.n_pruned + r.n_full + r.n_partial == r.n_segments
+        assert 0 < r.scan_ppm <= 1_000_000
+    assert out["clustered"].rows_scanned <= out["natural"].rows_scanned
+    # the clustered layout should actually prune on this data: the
+    # 3-month predicate covers ~4% of a 6.8-year span, so per-year
+    # date-sorted segments must skip most rows
+    assert out["clustered"].rows_scanned < total

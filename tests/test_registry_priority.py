@@ -24,14 +24,16 @@ _CATEGORY_REPS = {
     "dedup_exact": {"d43_dedup_exact", "d55_incremental_dedup"},
     "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh", "d52_prefix_filter_jaccard", "d54_winnow_neardup_pairs", "d55_incremental_dedup"},
     "runtime_filter": {"q84_bloom_semi_prune", "q87_bloom_subquery_prune"},
-    "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids", "s52_knn_label_accuracy", "s54_pq_encode", "s55_pq_adc_topk"},
-    "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang", "t55_token_count_bpe", "t56_quality_filter", "t57_repetition_ratio", "t58_vocab_stats", "t59_winnow_fingerprint", "t62_top_ngram_coverage", "t63_bigram_surprisal", "t66_feature_hashing", "t67_token_entropy"},
+    "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids", "s52_knn_label_accuracy", "s54_pq_encode", "s55_pq_adc_topk", "s57_tfidf_similar_docs", "s58_int8_quantized_topk"},
+    "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang", "t55_token_count_bpe", "t56_quality_filter", "t57_repetition_ratio", "t58_vocab_stats", "t59_winnow_fingerprint", "t62_top_ngram_coverage", "t63_bigram_surprisal", "t66_feature_hashing", "t67_token_entropy", "t70_source_vocab_overlap"},
     "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline", "m57_frame_sample", "m58_resize_pipeline", "m59_payload_chunk_manifest", "m60_phash_neardup_candidates"},
     "event_analytics": {"q59_histogram", "q60_funnel", "q61_retention", "q88_decayed_engagement", "q89_markov_transitions", "q100_value_drift"},
     "timeseries": {"q67_ohlc_bars", "q69_levenshtein_pairs", "q77_forward_fill", "q83_running_zscore", "q90_scd2_intervals", "q92_gapfill_interpolate"},
     "curation": {"q94_pareto_frontier", "q95_weighted_sample", "q101_split_balance_audit"},
     "rollup_serving": {"q96_rollup_serving", "q121_incremental_rollup_merge"},
     "chunking": {"t64_doc_chunking"},
+    "storage_maintenance": {"q137_compaction_binpack", "q138_zonemap_prune_audit"},
+    "tpch_canon": {"q125_late_order_priority", "q126_local_supplier_volume", "q127_forecast_revenue", "q128_national_market_share", "q129_product_type_profit", "q130_returned_item_customers", "q131_important_parts", "q132_delay_bucket_priority", "q133_promo_revenue_share", "q134_part_supplier_variety", "q135_excess_recent_shippers", "q136_sole_late_suppliers"},
     "clustering": {"s53_kmeans_step", "s51_label_centroids"},
 }
 
@@ -97,6 +99,10 @@ def test_round_of_quotient_is_ratcheted():
         "t68_top_keywords": "presum",        # ROUND(ln*1e6) per (doc, term)
         "q110_pmi_association": "presum",    # ROUND(ln*1e6) per (x, y) cell
         "t69_bm25_search": "presum",         # ROUND(score*1e6) per (doc, term)
+        "s57_tfidf_similar_docs": "presum",  # ROUND(ln(N/df)*1e6) per term,
+        # BEFORE the integer dot/norm sums (t68 idf precedent)
+        "s58_int8_quantized_topk": "presum",  # ROUND(x/scale*127) per element
+        # BEFORE the integer fold; same IEEE double on both engines
     }
     flagged = set()
     for name, sql in all_oracle_sql().items():
