@@ -613,7 +613,10 @@ def q135_excess_recent_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity exceeds half that part's all-time volume (the per-part
     grain of Q20's availqty condition) — the nested IN-chain
     (supplier ← grouped lineitem ← part) with a HAVING over
-    conditional aggregates.
+    conditional aggregates. q98 exercises the same IN-chain with a
+    correlated-scalar HAVING (share of a part's total); this entry is
+    the Q20 variant whose HAVING compares two CONDITIONAL sums of the
+    same group — decorrelation without a second correlated subquery.
 
     Scale shape: the part-pattern IN becomes a broadcast semi-join
     pruning lineitem BEFORE its suppkey aggregate (one exchange);
@@ -673,11 +676,16 @@ _Q136 = """
 
 @query("q136_sole_late_suppliers", _Q136)
 def q136_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (suppliers who kept orders waiting): per
-    supplier, the number of finished multi-supplier orders where THEY
-    were the only late shipper — the EXISTS + NOT-EXISTS double
+    """TPC-H Q21, faithful form (suppliers who kept orders waiting):
+    per supplier, the number of finished multi-supplier orders where
+    THEY were the only LATE shipper — the EXISTS + NOT-EXISTS double
     correlated self-join, the hardest decorrelation pattern in the
-    TPC-H suite.
+    TPC-H suite. q97 covers the same decorrelation plan with a
+    different business rule ("closed the order": nobody shipped
+    later); this entry keeps Q21's actual lateness semantics (a
+    threshold predicate defines `late`, the probes correlate against
+    the LATE subset, not all lines), which changes the plan too: the
+    anti-join probes the small filtered relation, not the full fact.
 
     Scale shape: the flagged relation (orderkey, suppkey, is_late) is
     built once — 16 bytes a row — and persisted; both EXISTS probes

@@ -446,6 +446,63 @@ COMMENTARY = {
         "explode(sequence(...)) — the entry exists to score the Spark 4 "
         "table-function surface end-to-end."
     ),
+    "q126_local_supplier_volume": (
+        "TPC-H Q5: four BroadcastExchanges (customer/supplier/nation/"
+        "region) around ONE fact exchange (lineitem⋈orders SMJ on "
+        "orderkey); the s_nationkey=c_nationkey cross-dimension equality "
+        "evaluates as a post-broadcast residual where both keys are in "
+        "hand. Final aggregate is ≤5 groups. At 100 TB the fact shuffle "
+        "is the whole cost; dims stay MiB-scale."
+    ),
+    "q127_forecast_revenue": (
+        "TPC-H Q6: shipdate/discount/quantity all in PushedFilters, "
+        "4-column ReadSchema, partial aggregate → single 1-row exchange. "
+        "The I/O-bound canary: if pushdown breaks anywhere, this plan "
+        "shows it first (gated)."
+    ),
+    "q130_returned_item_customers": (
+        "TPC-H Q10: returnflag+date filters cut the fact pre-exchange; "
+        "customer/nation broadcast; TakeOrderedAndProject on the exact "
+        "fixed-point revenue = per-partition top-20 then a 20-row merge "
+        "— no global sort at any scale (gated)."
+    ),
+    "q136_sole_late_suppliers": (
+        "TPC-H Q21 faithful form: the (orderkey, suppkey, is_late) "
+        "projection persists once (InMemoryTableScan feeds all probes); "
+        "EXISTS → LeftSemi and NOT-EXISTS → LeftAnti, both EQUI on "
+        "orderkey with the suppkey<> residual post-match; supplier "
+        "broadcasts. The wide fact is scanned once and never rides an "
+        "exchange after the projection (gated)."
+    ),
+    "q137_compaction_binpack": (
+        "File-grain aggregate (one exchange to file_id grain) → window "
+        "partitioned BY COMPACTION GROUP (running sum, no global sort) → "
+        "bin aggregate. Planning cost scales with #files not bytes; each "
+        "group's plan is independent = shardable like a real table "
+        "service."
+    ),
+    "q138_zonemap_prune_audit": (
+        "Two segment-grain branches united: natural = key-derived "
+        "segment aggregate (one exchange); clustered = year-partitioned "
+        "row_number then segment aggregate. The audit output is "
+        "metadata-sized; at 100 TB both branches stay "
+        "one-exchange-per-layout."
+    ),
+    "s57_tfidf_similar_docs": (
+        "Inverted index: tf→df aggregates, integer micro-unit weights "
+        "persisted (computed once for postings AND norms), probe side "
+        "broadcast into a TERM-keyed equi-join — fanout is Σ probe-term "
+        "df, linear in corpus, never docs². Norm join is broadcast "
+        "(probe) + keyed (candidate); final per-probe top-5 is a "
+        "partitioned window."
+    ),
+    "s58_int8_quantized_topk": (
+        "Quantization is a per-row JVM higher-order expression (no "
+        "Python, no shuffle); probes broadcast (BNLJ against ≤8 rows — "
+        "the bounded product class); integer dot folds stay in codegen; "
+        "per-probe top-5 is a partitioned window. Corpus never "
+        "shuffles."
+    ),
 }
 
 
