@@ -75,6 +75,8 @@ def fuzz_env(spark):
     load_table(spark, SF, "orders").createOrReplaceTempView("orders")
     load_table(spark, SF, "customer").createOrReplaceTempView("customer")
     load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+    load_table(spark, SF, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, SF, "part").createOrReplaceTempView("part")
     con = duck_connection(SF)
     yield con
     con.close()
@@ -1147,3 +1149,65 @@ def test_null_order_default_divergence_pinned(spark, fuzz_env):
     du = sorted(fuzz_env.sql(sql).fetchall())
     assert sp == [(1, 3), (2, 1), (3, 2)]  # NULL ranks first
     assert du == [(1, 2), (2, 3), (3, 1)]  # NULL ranks last
+
+
+# --- TPC-H-shape fuzz (round 6): randomized Q19 disjuncts + Q4
+# EXISTS-interval lateness. Guards operators/tpch_suite.py's pattern
+# classes with predicate combinations no fixed query covers; exact
+# fixed-point revenue keeps equality bit-level.
+def _gen_q19_query(rng: random.Random) -> str:
+    clauses = []
+    for _ in range(rng.randrange(1, 4)):
+        b = f"Brand#{rng.randrange(1, 21)}"
+        s0 = rng.randrange(1, 40)
+        s1 = s0 + rng.randrange(1, 20)
+        q0 = rng.randrange(1, 30)
+        q1 = q0 + rng.randrange(1, 25)
+        clauses.append(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+            f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        )
+    pred = " OR ".join(clauses)
+    return (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+        " AS BIGINT)) AS BIGINT) AS rev_fp "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        f"WHERE {pred}"
+    )
+
+
+def _gen_q4_query(rng: random.Random) -> str:
+    days = rng.randrange(10, 90)
+    month = rng.randrange(1, 10)
+    lo = f"1997-{month:02d}-01 00:00:00"
+    hi = f"1997-{month + 3:02d}-01 00:00:00"
+    neg = "NOT " if rng.random() < 0.3 else ""
+    return (
+        "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders o "
+        f"WHERE o.o_orderdate >= TIMESTAMP '{lo}' "
+        f"AND o.o_orderdate < TIMESTAMP '{hi}' "
+        f"AND {neg}EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        f"AND l.l_shipdate > o.o_orderdate + INTERVAL {days} DAY) "
+        "GROUP BY o.o_orderpriority"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_q19_disjunct_differential(seed, spark, fuzz_env):
+    rng = random.Random(26000 + seed)
+    sql = _gen_q19_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"q19fuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_q4_exists_interval_differential(seed, spark, fuzz_env):
+    rng = random.Random(27000 + seed)
+    sql = _gen_q4_query(rng)
+    expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
+    problems = compare(f"q4fuzz{seed}", spark.sql(sql), expected)
+    assert not problems, f"{sql}\n" + "\n".join(problems)
