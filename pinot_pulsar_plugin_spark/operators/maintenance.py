@@ -234,3 +234,98 @@ def q138_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) div sum(n_rows)"
         ).alias("scan_ppm"),
     )
+
+
+# --- q139: incremental JOIN-view maintenance ------------------------
+# The micro-batch "delta" is simulated deterministically and
+# INDEPENDENTLY of the join key (flags derived from the key itself
+# would make the cross terms vacuously empty): late-arriving lineitems
+# are l_linenumber ≡ 0 (mod 3), late orders are o_custkey ≡ 0 (mod 7)
+# — both engines carve identical partitions and all three delta terms
+# are non-trivial.
+_Q139 = """
+    WITH amounts AS (
+      SELECT l.l_orderkey, o.o_custkey,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS amt_fp,
+             CAST(l.l_linenumber % 3 = 0 AS INTEGER) AS l_delta,
+             CAST(o.o_custkey % 7 = 0 AS INTEGER) AS o_delta
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    pieces AS (
+      SELECT o_custkey, amt_fp, 'base' AS piece FROM amounts
+      WHERE l_delta = 0 AND o_delta = 0
+      UNION ALL
+      SELECT o_custkey, amt_fp, 'delta' AS piece FROM amounts
+      WHERE l_delta = 1 OR o_delta = 1)
+    SELECT o_custkey,
+           CAST(SUM(amt_fp) AS BIGINT) / 10000.0 AS revenue,
+           CAST(SUM(CASE WHEN piece = 'delta' THEN amt_fp ELSE 0 END)
+                AS BIGINT) / 10000.0 AS delta_contrib,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM pieces
+    GROUP BY o_custkey
+"""
+
+
+@query("q139_incremental_join_view", _Q139)
+def q139_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the per-customer revenue
+    view over lineitem⋈orders is refreshed from a micro-batch delta by
+    the join-delta algebra Δ(L⋈O) = ΔL⋈O_old ∪ L_old⋈ΔO ∪ ΔL⋈ΔO —
+    never by re-joining the full base. q121 maintains a SINGLE-TABLE
+    rollup incrementally; this entry covers the 2-relation case every
+    streaming-ETL serving view needs (Pinot upsert tables / Delta
+    MERGE-based silver views refresh exactly this way).
+
+    The operator COMPUTES via the incremental path (three delta joins
+    merged with the old view's partial aggregate) while the oracle
+    computes the direct full join — hash equality proves the delta
+    algebra, not just the arithmetic. Fixed-point amounts make the
+    merge exact.
+
+    Scale shape: the three delta joins each pair a MICRO-BATCH-sized
+    relation against a base (or another delta), so per-refresh cost is
+    O(|Δ| + matched base rows) — at 100 TB the base view is never
+    rescanned; the old view's partial sums merge by key (combinable
+    int64), the same property that makes the rollup mergeable across
+    segments."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    amt = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    l_old = li.filter(F.expr("l_linenumber % 3 != 0"))
+    l_new = li.filter(F.expr("l_linenumber % 3 = 0"))
+    o_old = o.filter(F.expr("o_custkey % 7 != 0"))
+    o_new = o.filter(F.expr("o_custkey % 7 = 0"))
+
+    def piece(ldf, odf, label):
+        return (
+            ldf.join(odf, odf["o_orderkey"] == ldf["l_orderkey"])
+            .select(
+                "o_custkey",
+                amt.alias("amt_fp"),
+                F.lit(label).alias("piece"),
+            )
+        )
+
+    # the maintained base (computed once at view creation; only its
+    # per-key partial sums would persist in a real deployment)...
+    base = piece(l_old, o_old, "base")
+    # ...plus the three delta terms of the refresh — pairwise
+    # disjoint by their (l_delta, o_delta) flag combinations
+    # (1,0)/(0,1)/(1,1), so UNION ALL is exact, no dedup pass.
+    deltas = (
+        piece(l_new, o_old, "delta")
+        .unionByName(piece(l_old, o_new, "delta"))
+        .unionByName(piece(l_new, o_new, "delta"))
+    )
+    merged = base.unionByName(deltas)
+    return merged.groupBy("o_custkey").agg(
+        (F.sum("amt_fp") / 10000.0).alias("revenue"),
+        (
+            F.sum(F.when(F.col("piece") == "delta", F.col("amt_fp")).otherwise(0))
+            / 10000.0
+        ).alias("delta_contrib"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

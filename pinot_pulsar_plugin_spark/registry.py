@@ -156,8 +156,7 @@ _PRIORITY = [
     "t70_source_vocab_overlap",      # corpus mixing diagnostic
     "s57_tfidf_similar_docs",        # sparse inverted-index retrieval
     "s58_int8_quantized_topk",       # scalar-quantized retrieval
-    # --- padding keeper (multiply-green; replaced by the next addition)
-    "q02_filter_predicates",
+    "q139_incremental_join_view",    # join-delta view maintenance
 ]
 
 

@@ -62,3 +62,30 @@ def test_q138_audit_reconciles_with_direct_predicate(spark):
     # 3-month predicate covers ~4% of a 6.8-year span, so per-year
     # date-sorted segments must skip most rows
     assert out["clustered"].rows_scanned < total
+
+
+def test_q139_delta_algebra_equals_full_recompute(spark):
+    """The incremental path (base + three delta joins) must equal a
+    direct full-join recompute row-for-row — the in-Spark differential
+    that guards the delta algebra independent of the oracle."""
+    out = mt.QUERIES["q139_incremental_join_view"](spark, SF)
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    amt = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    direct = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", amt.alias("amt_fp"))
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum("amt_fp") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    got = {r.o_custkey: (r.revenue, r.n_lines) for r in out.collect()}
+    want = {r.o_custkey: (r.revenue, r.n_lines) for r in direct.collect()}
+    assert got == want
+    # the simulated micro-batch must actually contribute (non-trivial
+    # delta terms — all three flag combinations occur)
+    assert any(r.delta_contrib > 0 for r in out.collect())

@@ -30,7 +30,7 @@ _CATEGORY_REPS = {
     "event_analytics": {"q59_histogram", "q60_funnel", "q61_retention", "q88_decayed_engagement", "q89_markov_transitions", "q100_value_drift"},
     "timeseries": {"q67_ohlc_bars", "q69_levenshtein_pairs", "q77_forward_fill", "q83_running_zscore", "q90_scd2_intervals", "q92_gapfill_interpolate"},
     "curation": {"q94_pareto_frontier", "q95_weighted_sample", "q101_split_balance_audit"},
-    "rollup_serving": {"q96_rollup_serving", "q121_incremental_rollup_merge"},
+    "rollup_serving": {"q96_rollup_serving", "q121_incremental_rollup_merge", "q139_incremental_join_view"},
     "chunking": {"t64_doc_chunking"},
     "storage_maintenance": {"q137_compaction_binpack", "q138_zonemap_prune_audit"},
     "tpch_canon": {"q125_late_order_priority", "q126_local_supplier_volume", "q127_forecast_revenue", "q128_national_market_share", "q129_product_type_profit", "q130_returned_item_customers", "q131_important_parts", "q132_delay_bucket_priority", "q133_promo_revenue_share", "q134_part_supplier_variety", "q135_excess_recent_shippers", "q136_sole_late_suppliers"},
