@@ -95,3 +95,54 @@ def read_rollup(
     return parts.groupBy(*dims, GID).agg(
         *[_MERGE[how](name).alias(name) for name, how in merges.items()]
     )
+
+
+# --- Incremental JOIN-view maintenance (streaming side of q139) -----
+#
+# The batch operator q139 proves the two-sided join-delta algebra; in
+# a live pipeline the dominant refresh pattern is one-sided — fact
+# deltas stream in, the dim is a slowly-changing table — so each
+# micro-batch contributes ΔL⋈O: join the delta against the (broadcast)
+# dim, partially aggregate, land exactly-once under batch_id=N. The
+# serving read merges partials by key; replays overwrite their own
+# partition. Dim updates are handled by re-reading the dim per batch
+# (the closure takes a PROVIDER, not a frozen DataFrame).
+
+
+def join_view_sink(
+    out_dir: str,
+    dim_provider,
+    on,
+    group_cols: list[str],
+    measures: Mapping[str, Column],
+):
+    """foreachBatch function maintaining a materialized join view.
+
+    ``dim_provider()`` returns the current dim DataFrame (re-evaluated
+    every batch so dim updates flow in); ``on`` is the join condition
+    or column name(s). Each micro-batch writes its per-key partial
+    aggregate of ``delta ⋈ dim`` to ``out_dir/batch_id=N``."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        dim = dim_provider()
+        joined = df.join(F.broadcast(dim), on)
+        partial = joined.groupBy(*group_cols).agg(
+            *[c.alias(n) for n, c in measures.items()]
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_join_view(
+    spark, out_dir: str, group_cols: list[str], merges: Mapping[str, str]
+) -> DataFrame:
+    """Serve the maintained join view: merge all batch partials —
+    identical shape to aggregating the full join directly."""
+    parts = spark.read.parquet(out_dir)
+    return parts.groupBy(*group_cols).agg(
+        *[_MERGE[how](name).alias(name) for name, how in merges.items()]
+    )

@@ -1118,3 +1118,60 @@ def test_weighted_reservoir_survives_restart(spark, tmp_path):
         for r in q95_weighted_sample(spark, sf).collect()
     }
     assert g == b
+
+
+def test_stream_maintained_join_view_matches_batch(spark, tmp_path):
+    """Streaming side of q139: fact deltas stream through the
+    pulsarlike source in several micro-batches, each contributing its
+    ΔL⋈dim partial to the maintained join view; the merged view must
+    EQUAL the direct aggregate of the full join (batch ground truth),
+    and the partials must prove the maintenance was really
+    incremental (>1 batch partition)."""
+    import glob
+
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        join_view_sink,
+        read_join_view,
+    )
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "fact", partitions=2)
+    rows = [
+        {"event_id": i, "cust": i % 5, "v": (i * 7) % 23} for i in range(40)
+    ]
+    for r in rows:
+        w.append(r["event_id"] % 2, json.dumps(r))
+
+    dim_rows = [(c, f"seg{c % 2}") for c in range(5)]
+    dim = spark.createDataFrame(dim_rows, "cust bigint, segment string")
+
+    served, ck = str(tmp_path / "view"), str(tmp_path / "ck")
+    measures = {
+        "n": F.count(F.lit(1)),
+        "sum_v": F.sum(F.col("v").cast("long")),
+    }
+    decoded = decode_json(
+        read_stream(spark, root, "fact", maxmsgs=7),
+        "event_id bigint, cust bigint, v bigint",
+    )
+    q = (
+        decoded.writeStream.foreachBatch(
+            join_view_sink(served, lambda: dim, "cust", ["segment"], measures)
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(glob.glob(served + "/batch_id=*")) > 1  # really incremental
+    merged = read_join_view(spark, served, ["segment"], {"n": "sum", "sum_v": "sum"})
+    full = spark.createDataFrame(
+        [(r["cust"], r["v"]) for r in rows], "cust bigint, v long"
+    ).join(dim, "cust")
+    expect = full.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+    got = {r.segment: (r.n, r.sum_v) for r in merged.collect()}
+    want = {r.segment: (r.n, r.sum_v) for r in expect.collect()}
+    assert got == want
