@@ -1315,3 +1315,69 @@ def t70_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --- t71: boolean text search (Pinot TEXT_MATCH analog) -------------
+_T71_TERMS = ("table", "join", "vector", "slow")
+
+_T71 = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             MAX(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS has_table,
+             MAX(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS has_join,
+             MAX(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS has_vector,
+             MAX(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) AS has_slow
+      FROM tok
+      WHERE term IN ('table', 'join', 'vector', 'slow')
+      GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(has_table = 1 AND has_join = 1 AS INTEGER) AS m_clause_a,
+           CAST(has_vector = 1 AND has_slow = 0 AS INTEGER) AS m_clause_b
+    FROM hits
+    WHERE (has_table = 1 AND has_join = 1)
+       OR (has_vector = 1 AND has_slow = 0)
+"""
+
+
+@query("t71_boolean_text_match", _T71)
+def t71_boolean_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean text search — the Pinot ``TEXT_MATCH`` / Lucene
+    boolean-query analog: documents matching
+    ``("table" AND "join") OR ("vector" AND NOT "slow")``, answered
+    from POSTING LISTS (per-doc distinct terms, filtered to the query
+    vocabulary before any aggregation) rather than per-row
+    ``contains`` scans. t69 RANKS by BM25 score; this is the boolean
+    RETRIEVAL primitive underneath faceted/filtered search.
+
+    Scale shape: the ``term IN (query terms)`` filter cuts the posting
+    relation to the handful of relevant lists BEFORE the per-doc
+    flag aggregate — the cost profile of an inverted index (read only
+    the queried postings), one shuffle on doc_id over rows that
+    survived the term filter. NOT-clauses stay safe because the flag
+    aggregate sees every queried posting of a doc: absence of 'slow'
+    is a 0-flag, not a missed row."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*_T71_TERMS))
+        .distinct()
+    )
+    hits = tok.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == term, 1).otherwise(0)).alias(f"has_{term}")
+            for term in _T71_TERMS
+        ]
+    )
+    clause_a = (F.col("has_table") == 1) & (F.col("has_join") == 1)
+    clause_b = (F.col("has_vector") == 1) & (F.col("has_slow") == 0)
+    return (
+        hits.filter(clause_a | clause_b)
+        .select(
+            "doc_id",
+            clause_a.cast("int").alias("m_clause_a"),
+            clause_b.cast("int").alias("m_clause_b"),
+        )
+    )
