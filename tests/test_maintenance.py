@@ -89,3 +89,47 @@ def test_q139_delta_algebra_equals_full_recompute(spark):
     # the simulated micro-batch must actually contribute (non-trivial
     # delta terms — all three flag combinations occur)
     assert any(r.delta_contrib > 0 for r in out.collect())
+
+
+def test_q137_binpack_rule_matches_sequential_reference(spark):
+    """Property check on random manifests: the distributed window
+    formula bin = (running − n_rows) div target must equal a plain
+    sequential next-fit-by-offset walk, per group, for arbitrary file
+    sizes (including files larger than the target)."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(4200 + seed)
+        files = [
+            (gid, fid, rng.randrange(1, 3000))
+            for gid in range(3)
+            for fid in range(rng.randrange(1, 12))
+        ]
+        target = 2048
+        df = spark.createDataFrame(
+            files, "group_id int, file_id int, n_rows long"
+        )
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("group_id")
+            .orderBy("file_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        got = {
+            (r.group_id, r.file_id): r.bin_id
+            for r in df.withColumn("running", F.sum("n_rows").over(w))
+            .selectExpr(
+                "group_id", "file_id", f"(running - n_rows) div {target} AS bin_id"
+            )
+            .collect()
+        }
+        # sequential reference: walk each group's files in id order,
+        # assigning by cumulative start offset
+        want = {}
+        for gid in range(3):
+            offset = 0
+            for g, fid, n in sorted(f for f in files if f[0] == gid):
+                want[(g, fid)] = offset // target
+                offset += n
+        assert got == want, (seed, got, want)

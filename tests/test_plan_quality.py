@@ -1309,3 +1309,32 @@ def test_q136_narrow_flagged_relation_semi_anti(spark):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q131_persisted_aggregate_reused_not_rescanned(spark):
+    """TPC-H Q11 shape: the global threshold is a re-aggregate of the
+    SAME persisted per-part relation — after materialization both
+    consumers must read InMemoryTableScan, not rebuild from the fact
+    scan (the q97/q124 recompute-avoidance rule)."""
+    from pinot_pulsar_plugin_spark.operators import tpch_suite as ts
+
+    df = ts.q131_important_parts(spark, SF)
+    df.count()  # materialize the persist (unmaterialized cache still
+    # explains as full lineage)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q137_window_is_group_partitioned(spark):
+    """Compaction planning must window PER COMPACTION GROUP — a global
+    running sum would serialize the whole manifest through one
+    partition at 100 TB."""
+    import re as _re
+
+    from pinot_pulsar_plugin_spark.operators import maintenance as mt
+
+    plan = formatted_plan(mt.q137_compaction_binpack(spark, SF))
+    m = _re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert m, plan
+    assert m.group(1).split(",")[0].strip().startswith("group_id"), m.group(1)
