@@ -1052,3 +1052,88 @@ def s58_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _S58_TOP_K)
         .select("probe_id", "cand_id", "qdot", "rank")
     )
+
+
+# --- s59: MIPS via norm augmentation (Bachrach et al. reduction) ----
+_S59_PROBES = 6
+_S59_TOP_K = 5
+
+_S59 = f"""
+    WITH nrm AS (
+      SELECT vec_id, embedding,
+             {fold_dot_sql("embedding", "embedding")} AS norm2
+      FROM embeddings),
+    mx AS (SELECT MAX(norm2) AS max2 FROM nrm WHERE vec_id >= {_S59_PROBES}),
+    pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             {fold_dot_sql("p.embedding", "c.embedding")} AS dot,
+             sqrt(m.max2 - c.norm2) AS aug
+      FROM nrm p
+      JOIN nrm c ON c.vec_id >= {_S59_PROBES}
+      CROSS JOIN mx m
+      WHERE p.vec_id < {_S59_PROBES}),
+    scored AS (
+      SELECT probe_id, cand_id, dot,
+             ROUND(aug, 6) AS aug_dim_r,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY dot DESC, cand_id) AS INTEGER) AS rank
+      FROM pairs)
+    SELECT probe_id, cand_id, ROUND(dot, 6) AS dot_r, aug_dim_r, rank
+    FROM scored WHERE rank <= {_S59_TOP_K}
+"""
+
+
+@query("s59_mips_norm_augmented", _S59)
+def s59_mips_norm_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation
+    reduction (Bachrach et al., RecSys'14): append one dimension
+    sqrt(M² − ‖x‖²) to every candidate (M = max corpus norm) and 0 to
+    every probe — augmented vectors all have norm M, so COSINE ranking
+    against them IS inner-product ranking. This is how recommender
+    embeddings (where magnitude carries popularity and cosine engines
+    can't serve argmax⟨q,x⟩) reuse a cosine ANN stack unchanged —
+    the last classic retrieval reduction in the similarity family
+    (exact s48, LSH s49, IVF s50, PQ s54/s55, sparse s57, SQ8 s58).
+
+    The operator emits the augmentation dimension it would index
+    (aug_dim_r) alongside the exact MIPS top-k; the reduction's
+    correctness — augmented-cosine order ≡ dot order — is asserted in
+    test_ann_quality (cross-engine the ranking rides the deterministic
+    fold dot, so the oracle is exact).
+
+    Scale shape: M is a 1-row broadcast; probes broadcast (the s48
+    pattern); the corpus never shuffles; per-probe top-k is a
+    partitioned window with partial top-k before the exchange."""
+    em = t(spark, sf_dir, "embeddings")
+    nrm = em.select(
+        "vec_id", "embedding", fold_dot("embedding", "embedding").alias("norm2")
+    )
+    cands = nrm.filter(F.col("vec_id") >= _S59_PROBES)
+    mx = cands.agg(F.max("norm2").alias("max2"))
+    probes = nrm.filter(F.col("vec_id") < _S59_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    pairs = (
+        cands.crossJoin(F.broadcast(mx))
+        .join(F.broadcast(probes))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            fold_dot(F.col("p_emb"), F.col("embedding")).alias("dot"),
+            F.sqrt(F.col("max2") - F.col("norm2")).alias("aug"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S59_TOP_K)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("dot", 6).alias("dot_r"),
+            F.round("aug", 6).alias("aug_dim_r"),
+            "rank",
+        )
+    )

@@ -148,3 +148,42 @@ def test_s58_quantized_topk_tracks_exact_cosine(spark):
         )
         recalls.append(len(got[p] & true_top) / sim._S58_TOP_K)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_s59_augmented_cosine_order_equals_mips_order(spark):
+    """The norm-augmentation reduction must actually work: ranking
+    candidates by cosine against their AUGMENTED vectors (extra dim
+    sqrt(M^2 - ||x||^2), probe extra dim 0, all augmented norms = M)
+    must reproduce the exact inner-product ranking per probe."""
+    import numpy as np
+
+    from pinot_pulsar_plugin_spark.catalog import load_table
+    from pinot_pulsar_plugin_spark.operators import similarity as sim
+
+    SF = "/root/testdata/sf0.001"
+    rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cand_mask = ids >= sim._S59_PROBES
+    Xc, idc = X[cand_mask], ids[cand_mask]
+    M2 = (Xc * Xc).sum(axis=1).max()
+    aug = np.sqrt(M2 - (Xc * Xc).sum(axis=1))  # candidate extra dim
+    Xa = np.hstack([Xc, aug[:, None]])  # all rows now have norm M
+
+    got = {}
+    for r in sim.QUERIES["s59_mips_norm_augmented"](spark, SF).collect():
+        got.setdefault(r.probe_id, []).append((r.rank, r.cand_id))
+
+    for p in range(sim._S59_PROBES):
+        qi = int(np.where(ids == p)[0][0])
+        q_aug = np.concatenate([X[qi], [0.0]])
+        cos_a = (Xa @ q_aug) / (np.linalg.norm(q_aug) * np.sqrt(M2))
+        dots = Xc @ X[qi]
+        k = sim._S59_TOP_K
+        # ranking by augmented cosine == ranking by raw dot
+        order_aug = idc[np.lexsort((idc, -cos_a))][:k].tolist()
+        order_dot = idc[np.lexsort((idc, -dots))][:k].tolist()
+        assert order_aug == order_dot, (p, order_aug, order_dot)
+        # and the operator returned exactly that ranking
+        want = [(i + 1, v) for i, v in enumerate(order_dot)]
+        assert sorted(got[p]) == want, (p, sorted(got[p]), want)

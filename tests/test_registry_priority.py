@@ -24,7 +24,7 @@ _CATEGORY_REPS = {
     "dedup_exact": {"d43_dedup_exact", "d55_incremental_dedup"},
     "dedup_near": {"d44_ngram_jaccard_pairs", "d48_embedding_neardup_lsh", "d52_prefix_filter_jaccard", "d54_winnow_neardup_pairs", "d55_incremental_dedup"},
     "runtime_filter": {"q84_bloom_semi_prune", "q87_bloom_subquery_prune"},
-    "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids", "s52_knn_label_accuracy", "s54_pq_encode", "s55_pq_adc_topk", "s57_tfidf_similar_docs", "s58_int8_quantized_topk"},
+    "similarity": {"s48_cosine_topk", "s49_ann_lsh_topk", "s50_ann_ivf_topk", "s51_label_centroids", "s52_knn_label_accuracy", "s54_pq_encode", "s55_pq_adc_topk", "s57_tfidf_similar_docs", "s58_int8_quantized_topk", "s59_mips_norm_augmented"},
     "text_analysis": {"t50_text_stats", "t51_lang_id", "t52_quality_score", "t53_fingerprint", "t54_corpus_stats_by_lang", "t55_token_count_bpe", "t56_quality_filter", "t57_repetition_ratio", "t58_vocab_stats", "t59_winnow_fingerprint", "t62_top_ngram_coverage", "t63_bigram_surprisal", "t66_feature_hashing", "t67_token_entropy", "t70_source_vocab_overlap", "t71_boolean_text_match"},
     "multimodal": {"m55_multimodal_meta", "m56_decode_pipeline", "m57_frame_sample", "m58_resize_pipeline", "m59_payload_chunk_manifest", "m60_phash_neardup_candidates"},
     "event_analytics": {"q59_histogram", "q60_funnel", "q61_retention", "q88_decayed_engagement", "q89_markov_transitions", "q100_value_drift"},
