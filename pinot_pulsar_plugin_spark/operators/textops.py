@@ -1381,3 +1381,142 @@ def t71_boolean_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             clause_b.cast("int").alias("m_clause_b"),
         )
     )
+
+
+# --- t72: per-source unigram KL divergence (corpus drift) -----------
+#
+# t70 compares source VOCABULARIES (set overlap); t72 compares their
+# unigram DISTRIBUTIONS — the weighted divergence that catches two
+# sources sharing a vocabulary but using it at very different rates
+# (boilerplate-heavy vs prose-heavy), and the quantity a mixture
+# designer (q79) actually wants when deciding whether two sources are
+# redundant. D_KL(P_a || P_b) with P_a the unsmoothed ML unigram
+# distribution of source a and P_b add-one smoothed over the GLOBAL
+# vocabulary (so q is never zero on a term a uses).
+#
+# Exactness (the t61 presum discipline): each term contributes
+#   c_a * ROUND(ln( (c_a * (n_b + V)) / (n_a * (c_b + 1)) ) * 1e6 )
+# — both products are exact int64 cast to double (bounded ~1e12 <<
+# 2^53), their quotient is one correctly-rounded IEEE op, ln is libm
+# on identical doubles, and the fixed-pointed term enters an
+# order-independent INTEGER sum. Per-term contributions can be
+# NEGATIVE (p < q), so the final normalization deliberately avoids
+# integer floor division (Spark div truncates, DuckDB // floors for
+# negatives — the memory-rule): kl_nats = CAST(s AS DOUBLE)/n_a/1e6,
+# a pure double chain, bit-equal on both engines.
+
+_T72 = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    c AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, term),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+    vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM c),
+    pairs AS (
+      SELECT a.source AS src_from, a.n AS n_from,
+             b.source AS src_to,   b.n AS n_to
+      FROM tot a CROSS JOIN tot b
+      WHERE a.source <> b.source),
+    contrib AS (
+      SELECT p.src_from, p.src_to, p.n_from,
+             ca.c * CAST(ROUND(ln(
+                 CAST(ca.c * (p.n_to + vocab.v) AS DOUBLE)
+               / CAST(p.n_from * (COALESCE(cb.c, 0) + 1) AS DOUBLE))
+               * 1000000) AS BIGINT) AS w
+      FROM pairs p
+      CROSS JOIN vocab
+      JOIN c ca ON ca.source = p.src_from
+      LEFT JOIN c cb ON cb.source = p.src_to AND cb.term = ca.term)
+    SELECT src_from, src_to,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(w) AS DOUBLE) / CAST(n_from AS DOUBLE) / 1000000.0
+             AS kl_nats
+    FROM contrib
+    GROUP BY src_from, src_to, n_from
+"""
+
+
+@query("t72_source_kl_divergence", _T72)
+def t72_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise unigram KL divergence D_KL(source_a || source_b) with
+    add-one smoothing on the reference side (see block comment) — the
+    distribution-level companion to t70's vocabulary Jaccard.
+
+    Scale shape: the corpus first collapses to per-(source, term)
+    COUNTS (one combinable aggregate over the token stream — the only
+    event-volume exchange), and every downstream relation is
+    vocabulary-sized. Source totals and the global vocab size are
+    tiny broadcasts; pairs meet through a TERM-keyed left join costing
+    |C| x (S-1) rows where S = #sources (small by construction: a
+    pre-training mixture has tens of sources, not thousands). Overflow
+    headroom: |ln ratio| < 40 nats -> |w| <= c_a * 4e7; int64-safe
+    while any single source stays under ~2e11 tokens, documented here
+    rather than guarded (a 100 TB corpus split over >= tens of sources
+    sits well inside)."""
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tot = c.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = c.agg(F.countDistinct("term").alias("v"))
+    pairs = (
+        tot.alias("a")
+        .crossJoin(tot.alias("b"))
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_from"),
+            F.col("a.n").alias("n_from"),
+            F.col("b.source").alias("src_to"),
+            F.col("b.n").alias("n_to"),
+        )
+    )
+    ca = c.select(
+        F.col("source").alias("src_from"),
+        F.col("term").alias("term"),
+        F.col("c").alias("c_from"),
+    )
+    cb = c.select(
+        F.col("source").alias("cb_src"),
+        F.col("term").alias("cb_term"),
+        F.col("c").alias("c_to"),
+    )
+    contrib = (
+        ca.join(F.broadcast(pairs), "src_from")
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            cb,
+            (F.col("cb_src") == F.col("src_to"))
+            & (F.col("cb_term") == F.col("term")),
+            "left",
+        )
+        .select(
+            "src_from",
+            "src_to",
+            "n_from",
+            (
+                F.col("c_from")
+                * F.round(
+                    F.log(
+                        (F.col("c_from") * (F.col("n_to") + F.col("v"))).cast("double")
+                        / (
+                            F.col("n_from")
+                            * (F.coalesce(F.col("c_to"), F.lit(0)) + 1)
+                        ).cast("double")
+                    )
+                    * 1000000
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    return contrib.groupBy("src_from", "src_to", "n_from").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.sum("w").cast("double") / F.col("n_from").cast("double") / F.lit(1000000.0)).alias(
+            "kl_nats"
+        ),
+    ).select("src_from", "src_to", "n_terms", "kl_nats")

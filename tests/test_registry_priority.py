@@ -103,6 +103,8 @@ def test_round_of_quotient_is_ratcheted():
         # BEFORE the integer dot/norm sums (t68 idf precedent)
         "s58_int8_quantized_topk": "presum",  # ROUND(x/scale*127) per element
         # BEFORE the integer fold; same IEEE double on both engines
+        "t72_source_kl_divergence": "presum",  # ROUND(ln(ratio)*1e6) per
+        # (pair, term) BEFORE the integer sum; final /n_a is pure double
     }
     flagged = set()
     for name, sql in all_oracle_sql().items():

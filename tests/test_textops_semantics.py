@@ -273,3 +273,60 @@ def test_t69_bm25_matches_hand_computation(spark, tmp_path):
     assert rows == expect, (rows, expect)
     # doc 3 (no hits) absent; doc 1 (all terms incl. rare ones) on top
     assert 3 not in rows and max(rows, key=rows.get) == 1
+
+
+def test_t72_kl_matches_hand_computation_and_is_nonnegative(spark, tmp_path):
+    """t72 against an exact Python mirror of the presum formula on a
+    tiny 3-source corpus, plus the Gibbs floor: KL(P || Q_smoothed)
+    >= 0 for every ordered pair (Q' is a proper distribution over the
+    global vocabulary, so the inequality holds regardless of
+    smoothing), and asymmetry on a deliberately skewed pair."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t72_source_kl_divergence,
+    )
+
+    docs = [
+        (0, "a a a b", "en", "s1"),
+        (1, "a b b c c c", "en", "s2"),
+        (2, "a a a b", "en", "s3"),  # s3 == s1 distribution
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    counts = {}
+    for _, text, _, src in docs:
+        for tok in text.split(" "):
+            counts.setdefault(src, {}).setdefault(tok, 0)
+            counts[src][tok] += 1
+    totals = {s: sum(c.values()) for s, c in counts.items()}
+    vocab = len({tok for c in counts.values() for tok in c})
+
+    def rnd(x: float) -> int:  # ROUND half away from zero (both engines)
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    expect = {}
+    for a in counts:
+        for b in counts:
+            if a == b:
+                continue
+            s = 0
+            for tok, ca in counts[a].items():
+                cb = counts[b].get(tok, 0)
+                num = ca * (totals[b] + vocab)
+                den = totals[a] * (cb + 1)
+                s += ca * rnd(math.log(num / den) * 1_000_000)
+            expect[(a, b)] = s / totals[a] / 1_000_000.0
+
+    rows = {
+        (r.src_from, r.src_to): r.kl_nats
+        for r in t72_source_kl_divergence(spark, str(tmp_path)).collect()
+    }
+    assert rows == expect, (rows, expect)
+    assert all(v >= 0 for v in rows.values())
+    # identical distributions give the pairwise MINIMUM divergence,
+    # and a genuinely different pair is asymmetric
+    assert rows[("s1", "s3")] == min(rows.values())
+    assert rows[("s1", "s2")] != rows[("s2", "s1")]
