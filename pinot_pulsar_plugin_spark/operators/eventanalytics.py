@@ -745,3 +745,146 @@ def q121_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         # quotient's last ulp could flip floor() at an exact boundary
         F.expr("sum_cents div n_events").cast("long").alias("avg_cents_floor"),
     )
+
+
+# --- q140: two-sample Kolmogorov-Smirnov drift test -----------------
+#
+# q100 catches a MEAN trending (regression slope); q140 catches the
+# DISTRIBUTION changing shape with a stable mean — the classic
+# monitoring gap (a metric whose variance doubles or that turns
+# bimodal alarms no slope detector). Two-sample KS per event_type:
+# early vs late half of the corpus (split at the midpoint timestamp),
+# D = sup_x |F_early(x) - F_late(x)|, with the Massey/Smirnov 95%
+# rejection threshold 1.358 * sqrt((n1+n2)/(n1*n2)).
+#
+# Exactness: the ECDF difference is exact INTEGER rational arithmetic
+# — at each distinct value v, |cum_early(v) * n_late - cum_late(v) *
+# n_early| is an int64 expression and D's numerator is an integer MAX
+# (order-independent); only the final normalized statistic and the
+# sqrt threshold are doubles, and both are fixed chains of
+# correctly-rounded IEEE ops on identical integers — bit-equal on
+# both engines with no rounding step. Values are 1e-2 fixed-point
+# (the q100 convention); NULL values are filtered before the
+# histogram so the window never orders a NULL key (Spark and DuckDB
+# disagree on default NULL placement).
+#
+# Overflow headroom: cum * n products are int64-safe while each
+# (type, period) stays under ~3e9 rows; past that, pre-bucket the
+# fixed-point values coarser or lift the two products to DECIMAL(38)
+# — documented, not guarded, per the q81 precedent.
+
+_Q140 = """
+    WITH b AS (
+      SELECT CAST((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS BIGINT)
+             AS mid
+      FROM events),
+    x AS (
+      SELECT e.event_type,
+             CASE WHEN epoch_us(e.ts) >= b.mid THEN 1 ELSE 0 END AS late,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS y
+      FROM events e CROSS JOIN b
+      WHERE e.value IS NOT NULL),
+    h AS (
+      SELECT event_type, y,
+             CAST(SUM(1 - late) AS BIGINT) AS c_early,
+             CAST(SUM(late) AS BIGINT) AS c_late
+      FROM x GROUP BY event_type, y),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(c_early) AS BIGINT) AS n_early,
+             CAST(SUM(c_late) AS BIGINT) AS n_late
+      FROM h GROUP BY event_type),
+    cum AS (
+      SELECT event_type, y,
+             CAST(SUM(c_early) OVER w AS BIGINT) AS cum_early,
+             CAST(SUM(c_late) OVER w AS BIGINT) AS cum_late
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY y)),
+    d AS (
+      SELECT c.event_type,
+             CAST(MAX(ABS(c.cum_early * t.n_late - c.cum_late * t.n_early))
+                  AS BIGINT) AS d_num
+      FROM cum c JOIN tot t ON c.event_type = t.event_type
+      WHERE t.n_early > 0 AND t.n_late > 0
+      GROUP BY c.event_type)
+    SELECT d.event_type, t.n_early, t.n_late, d.d_num,
+           CAST(d.d_num AS DOUBLE)
+             / (CAST(t.n_early AS DOUBLE) * CAST(t.n_late AS DOUBLE))
+             AS ks_stat,
+           CAST(CAST(d.d_num AS DOUBLE)
+                  / (CAST(t.n_early AS DOUBLE) * CAST(t.n_late AS DOUBLE))
+                > 1.358 * sqrt(CAST(t.n_early + t.n_late AS DOUBLE)
+                  / (CAST(t.n_early AS DOUBLE) * CAST(t.n_late AS DOUBLE)))
+                AS INTEGER) AS reject_05
+    FROM d JOIN tot t ON d.event_type = t.event_type
+"""
+
+
+@query("q140_ks_drift_test", _Q140)
+def q140_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample KS test, early vs late half of the
+    corpus (see block comment): exact integer ECDF numerator, double
+    statistic, Smirnov 95% rejection flag.
+
+    Scale shape: events collapse to the per-(type, value) HISTOGRAM in
+    one combinable aggregate (the only event-volume exchange — value
+    is 1e-2 fixed-point, so per-type cardinality is bounded by the
+    value range, not the row count); the cumulative window then runs
+    over histogram rows only, partitioned by event_type. The midpoint
+    is a map-side-reduced min/max broadcast back (the q88/q100
+    one-row crossJoin). A single type's histogram living on one
+    reducer is by construction fine: it is value-range-sized, not
+    event-count-sized."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid")
+    )
+    x = (
+        e.where(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.when(F.unix_micros("ts") >= F.col("mid"), 1).otherwise(0).alias("late"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+    )
+    h = x.groupBy("event_type", "y").agg(
+        F.sum(1 - F.col("late")).alias("c_early"),
+        F.sum("late").alias("c_late"),
+    ).persist()
+    tot = h.groupBy("event_type").agg(
+        F.sum("c_early").alias("n_early"),
+        F.sum("c_late").alias("n_late"),
+    )
+    w = Window.partitionBy("event_type").orderBy("y")
+    cum = h.select(
+        "event_type",
+        F.sum("c_early").over(w).alias("cum_early"),
+        F.sum("c_late").over(w).alias("cum_late"),
+    )
+    d = (
+        cum.join(F.broadcast(tot), "event_type")
+        .where((F.col("n_early") > 0) & (F.col("n_late") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_early") * F.col("n_late")
+                    - F.col("cum_late") * F.col("n_early")
+                )
+            ).alias("d_num")
+        )
+    )
+    nn = F.col("n_early").cast("double") * F.col("n_late").cast("double")
+    ks = F.col("d_num").cast("double") / nn
+    thresh = F.lit(1.358) * F.sqrt((F.col("n_early") + F.col("n_late")).cast("double") / nn)
+    return d.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n_early",
+        "n_late",
+        "d_num",
+        ks.alias("ks_stat"),
+        (ks > thresh).cast("int").alias("reject_05"),
+    )

@@ -544,3 +544,57 @@ def test_q119_profile_minmax_is_numeric_not_lexicographic(spark):
     assert rows["o_orderstatus"].n_distinct == direct[2]
     assert int(rows["o_totalprice"].min_repr) == direct[3]
     assert all(r.n_null == 0 for r in rows.values())
+
+
+def test_q140_ks_matches_brute_force_and_scipy_shape(spark):
+    """q140's exact-rational KS statistic must equal a brute-force
+    Python ECDF sup-difference on the same fixed-point values, per
+    event_type, and the rejection flag must follow the Smirnov 95%
+    threshold."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators import eventanalytics as ev
+
+    out = {
+        r.event_type: r
+        for r in ev.QUERIES["q140_ks_drift_test"](spark, SF).collect()
+    }
+    rows = (
+        load_table(spark, SF, "events").select("event_type", "ts", "value").collect()
+    )
+    # recompute in exact integer microseconds like the operator does
+    import calendar
+
+    us = [
+        calendar.timegm(r.ts.timetuple()) * 1_000_000 + r.ts.microsecond
+        for r in rows
+    ]
+    mid = (min(us) + max(us)) // 2
+    groups: dict[str, tuple[list, list]] = {}
+    for r, u in zip(rows, us):
+        if r.value is None:
+            continue
+        early, late = groups.setdefault(r.event_type, ([], []))
+        (late if u >= mid else early).append(
+            math.floor(r.value * 100 + 0.5)
+            if r.value >= 0
+            else math.ceil(r.value * 100 - 0.5)
+        )
+    for etype, (early, late) in groups.items():
+        if not early or not late:
+            assert etype not in out
+            continue
+        n1, n2 = len(early), len(late)
+        vals = sorted(set(early) | set(late))
+        d_num = 0
+        c1 = c2 = 0
+        for v in vals:
+            c1 += sum(1 for y in early if y == v)
+            c2 += sum(1 for y in late if y == v)
+            d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+        r = out[etype]
+        assert (r.n_early, r.n_late, r.d_num) == (n1, n2, d_num), etype
+        ks = d_num / (n1 * n2)
+        assert abs(r.ks_stat - ks) < 1e-12
+        expect_reject = int(ks > 1.358 * math.sqrt((n1 + n2) / (n1 * n2)))
+        assert r.reject_05 == expect_reject, etype
