@@ -1,0 +1,142 @@
+"""Streaming SCD2 (type-2 slowly-changing-dimension) maintenance.
+
+The streaming twin of the batch ``q90_scd2_intervals`` operator
+(operators/eventanalytics.py): CDC-style event deltas arrive in
+micro-batches and a foreachBatch sink maintains the per-user
+``(event_type, valid_from_us, valid_to_us, is_current)`` interval
+table incrementally — the dimension-history job every warehouse runs
+continuously, and a serving shape the reference plugin feeds Pinot for
+(its real-time segments are exactly an append-only CDC ingest;
+SRC/PulsarPartitionLevelConsumer.java:88-166 is the delivery loop this
+module's source side mirrors).
+
+Contract (standard CDC ordering): events for a given user arrive in
+(ts, event_id) order ACROSS micro-batches — the guarantee a keyed log
+(Pulsar/Kafka partitioned by user) provides. Within a batch, any
+interleaving is fine: the merge re-sorts by (ts_us, event_id).
+
+Incremental merge per batch (set-based, no driver loops):
+
+1. Affected = users present in the delta; only their hash buckets are
+   rewritten (dynamic partition overwrite, the keyed_upsert_sink
+   mechanism), so batch cost is O(delta + affected-bucket state), not
+   O(table).
+2. Each affected user's OPEN interval replays as a seed pseudo-event
+   ``(user, current_type, valid_from_us, event_id=-1)``; closed
+   history rows are carried through untouched.
+3. Seed ∪ delta re-runs the q90 change-point logic (lag ≠ → change
+   row, lead → valid_to): a delta continuing the current type extends
+   the open interval (the seed keeps its original valid_from because
+   the continuation row is dropped as a non-change); a differing type
+   closes it at the new event's timestamp.
+
+Scale shape: one shuffle of the delta keyed by user, a window over
+(seed + delta) rows only — never over history — and a partition-scoped
+overwrite. Bucket count trades file-count against rewrite volume
+(default 16; a real deployment sizes it to keys/bucket ≈ executor
+memory, or swaps in a table-format MERGE with the same logical plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SCHEMA = (
+    "user_id bigint, event_type string, valid_from_us bigint, "
+    "valid_to_us bigint, is_current boolean, bucket int"
+)
+
+
+def _read_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(_SCHEMA).parquet(out_dir)
+    except Exception:
+        return spark.createDataFrame([], _SCHEMA)
+
+
+def _merge(state: DataFrame, delta: DataFrame, n_buckets: int) -> DataFrame:
+    """Pure batch merge: returns replacement rows for every bucket the
+    delta touches (closed history + recomputed open/new intervals for
+    affected users, untouched users' rows carried through)."""
+    ev = delta.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    touched = ev.select(
+        F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int").alias("bucket")
+    ).distinct()
+    in_buckets = state.join(F.broadcast(touched), "bucket")
+    affected_users = ev.select("user_id").distinct()
+    affected = in_buckets.join(F.broadcast(affected_users), "user_id")
+    bystander = in_buckets.join(
+        F.broadcast(affected_users), "user_id", "left_anti"
+    )
+    seed = affected.where("is_current").select(
+        "user_id",
+        "event_type",
+        F.col("valid_from_us").alias("ts_us"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    closed = affected.where(~F.col("is_current"))
+    merged = seed.unionByName(ev)
+    seq_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ch = merged.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.lag("event_type").over(seq_w).alias("prev_type"),
+    ).where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    iv_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(iv_w)
+    intervals = ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    ).withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        closed.select(*intervals.columns)
+        .unionByName(intervals)
+        .unionByName(bystander.select(*intervals.columns))
+    )
+
+
+def scd2_sink(out_dir: str, n_buckets: int = 16):
+    """foreachBatch function maintaining the SCD2 interval table at
+    ``out_dir`` (parquet, partitioned by user-hash bucket). The delta
+    DataFrame must carry ``user_id, event_type, ts, event_id``."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        delta = df.persist()
+        if delta.limit(1).count() == 0:
+            delta.unpersist()
+            return
+        out = _merge(_read_state(spark, out_dir), delta, n_buckets).persist()
+        out.count()  # materialize BEFORE overwriting what it reads
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            out.unpersist()
+            delta.unpersist()
+
+    return write_batch
+
+
+def read_scd2(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Serve the maintained dimension — same schema as
+    ``q90_scd2_intervals`` (bucket column dropped)."""
+    return _read_state(spark, out_dir).drop("bucket")

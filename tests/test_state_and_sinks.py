@@ -1175,3 +1175,84 @@ def test_stream_maintained_join_view_matches_batch(spark, tmp_path):
     got = {r.segment: (r.n, r.sum_v) for r in merged.collect()}
     want = {r.segment: (r.n, r.sum_v) for r in expect.collect()}
     assert got == want
+
+
+def test_stream_scd2_maintenance_matches_batch_q90(spark, tmp_path):
+    """Streaming SCD2 twin of q90: CDC events stream through the
+    pulsarlike source across two query incarnations (restart on the
+    same checkpoint) in several micro-batches; the maintained interval
+    table must EQUAL q90_scd2_intervals run on the same events as one
+    batch, and the checkpoint must show >1 micro-batch (really
+    incremental)."""
+    import glob
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q90_scd2_intervals,
+    )
+    from pinot_pulsar_plugin_spark.streaming.scd2 import read_scd2, scd2_sink
+
+    types = ["browse", "cart", "buy"]
+    rows = [
+        {
+            "event_id": i,
+            "user_id": i % 5,
+            # per-user runs of equal types (continuations) AND changes
+            "type": types[(i // 7) % 3],
+            "ts_us": 1_700_000_000_000_000 + i * 1_000_000,
+        }
+        for i in range(40)
+    ]
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "cdc", partitions=2)
+    served, ck = str(tmp_path / "dim"), str(tmp_path / "ck")
+
+    def run_round(batch):
+        for r in batch:  # keyed log: per-user order via user-keyed partition
+            w.append(r["user_id"] % 2, json.dumps(r))
+        decoded = decode_json(
+            read_stream(spark, root, "cdc", maxmsgs=7),
+            "event_id bigint, user_id bigint, type string, ts_us bigint",
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("type").alias("event_type"),
+            F.timestamp_micros("ts_us").alias("ts"),
+        )
+        q = (
+            decoded.writeStream.foreachBatch(scd2_sink(served, n_buckets=4))
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_round(rows[:23])
+    run_round(rows[23:])  # fresh query object, same checkpoint
+
+    assert len(glob.glob(ck + "/offsets/*")) > 1  # really incremental
+
+    spark.createDataFrame(
+        [
+            (r["event_id"], r["user_id"], r["type"], r["ts_us"])
+            for r in rows
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.user_id, r.valid_from_us): (r.event_type, r.valid_to_us, r.is_current)
+        for r in read_scd2(spark, served).collect()
+    }
+    want = {
+        (r.user_id, r.valid_from_us): (r.event_type, r.valid_to_us, r.is_current)
+        for r in q90_scd2_intervals(spark, str(tmp_path)).collect()
+    }
+    assert got == want and got
