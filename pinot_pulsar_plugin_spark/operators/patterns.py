@@ -183,3 +183,124 @@ def q116_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rows",
         F.col("n_sketches").cast("long").alias("n_sketches"),
     )
+
+
+# --- q141: KMV theta sketch (oracle-checkable distinct sketch) ------
+#
+# q13 (HLL) and q116 (HLL merge) can only be rows-only checked: their
+# sketch bytes are engine-specific. KMV (k minimum values — the
+# bottom-k theta sketch of Pinot's DistinctCountThetaSketch family) is
+# the sketch whose ENTIRE state is deterministic given the hash
+# function, so with a portable hash both engines compute bit-identical
+# sketches AND estimates — an oracle-backed member of the sketch
+# family. Hash: first 60 bits of md5 (identical hex on both engines;
+# Spark conv(hex,16,10) / DuckDB CAST('0x…'), both landing in int64).
+#
+# Per-group sketch = the k smallest distinct hashes; estimator
+# (Bar-Yossef et al. / Beyer et al.): if the group holds fewer than k
+# distinct values the sketch IS the exact set, else
+# est = (k-1) * 2^60 / h_(k) with h_(k) the k-th smallest hash.
+# Mergeability — the property that makes sketches worth their error at
+# 100 TB — is demonstrated in-query: the '__all__' row re-sketches the
+# UNION of the per-type sketches (distinct hashes, k smallest), never
+# touching base rows again. Estimate math is a fixed chain of IEEE
+# double ops on identical integers: bit-equal, no rounding step.
+
+_KMV_K = 64
+_KMV_DOM = 1 << 60
+
+_Q141 = f"""
+    WITH dv AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM dv),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM h),
+    kept AS (SELECT event_type, h FROM ranked WHERE r <= {_KMV_K}),
+    per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS h_k
+      FROM kept GROUP BY event_type),
+    est_t AS (
+      SELECT event_type, n_kept,
+             CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                  ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DOM}
+                       / CAST(h_k AS DOUBLE) END AS est_distinct
+      FROM per_type),
+    mh AS (SELECT DISTINCT h FROM kept),
+    mkept AS (SELECT h FROM mh ORDER BY h LIMIT {_KMV_K}),
+    est_u AS (
+      SELECT '__all__' AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DOM}
+                       / CAST(MAX(h) AS DOUBLE) END AS est_distinct
+      FROM mkept)
+    SELECT event_type, n_kept, est_distinct FROM est_t
+    UNION ALL
+    SELECT event_type, n_kept, est_distinct FROM est_u
+"""
+
+
+@query("q141_kmv_theta_sketch", _Q141)
+def q141_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k theta sketch of distinct users per event_type plus
+    the MERGED union sketch (see block comment) — the oracle-backed
+    sketch-family entry next to rows-only q13/q116.
+
+    Scale shape: one distinct over (type, user) — combinable, the only
+    event-volume exchange — then the per-type bottom-k runs as a
+    rank-filtered window that Spark's WindowGroupLimit rewrites into
+    map-side partial top-k (each shuffle partition forwards at most k
+    rows per group, so the reducer sees #groups x k rows, independent
+    of group size). The union sketch re-sketches k x #types hashes —
+    broker-merge cost, never a second scan of events. The md5 hash is
+    an in-row expression at scan speed."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    dv = e.select("event_type", "user_id").distinct()
+    h = dv.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        h.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _KMV_K)
+        .drop("r")
+        .persist()
+    )
+    k1 = float(_KMV_K - 1)
+    per_type = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    est_t = per_type.select(
+        "event_type",
+        "n_kept",
+        F.when(F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(k1) * F.lit(float(_KMV_DOM)) / F.col("h_k").cast("double"))
+        .alias("est_distinct"),
+    )
+    # union sketch: k smallest distinct hashes via orderBy+limit —
+    # TakeOrderedAndProject (map-side partial top-k), NOT a global
+    # window (the partition-less-window gate bans those)
+    mkept = kept.select("h").distinct().orderBy("h").limit(_KMV_K)
+    est_u = mkept.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "n_kept",
+        F.when(F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(k1) * F.lit(float(_KMV_DOM)) / F.col("h_k").cast("double"))
+        .alias("est_distinct"),
+    )
+    return est_t.unionByName(est_u)

@@ -60,3 +60,54 @@ def test_q116_hll_merge_within_error_bounds(spark):
     n_nations = t(spark, SF, "customer").select("c_nationkey").distinct().count()
     assert row.n_sketches == n_nations
     assert row.total_rows == t(spark, SF, "customer").count()
+
+
+def test_q141_kmv_estimate_within_error_and_exact_below_k(spark, tmp_path):
+    """KMV accuracy: on the real events table every sketch estimate
+    must land within 4x the theoretical RSE (1/sqrt(k-2), k=64 ->
+    ~12.7%) of the exact distinct count; on a constructed corpus with
+    a small group (< k distinct) the sketch must be EXACT (a KMV
+    sketch below capacity IS the set)."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.patterns import (
+        _KMV_K,
+        q141_kmv_theta_sketch,
+    )
+
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    rse = 1.0 / math.sqrt(_KMV_K - 2)
+    for r in q141_kmv_theta_sketch(spark, SF).collect():
+        want = exact[r.event_type]
+        assert abs(r.est_distinct - want) <= 4 * rse * want, (
+            r.event_type,
+            r.est_distinct,
+            want,
+        )
+
+    rows = [(i, "t_big" if i < 500 else "t_small", i % (400 if i < 500 else 7))
+            for i in range(600)]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(0) + F.col("event_id") * 1000000).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: (r.n_kept, r.est_distinct)
+        for r in q141_kmv_theta_sketch(spark, str(tmp_path)).collect()
+    }
+    assert got["t_small"] == (7, 7.0)  # below capacity -> exact
+    assert got["t_big"][0] == _KMV_K
+    assert abs(got["t_big"][1] - 400) <= 4 * rse * 400
