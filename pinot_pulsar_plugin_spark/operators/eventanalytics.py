@@ -888,3 +888,101 @@ def q140_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks.alias("ks_stat"),
         (ks > thresh).cast("int").alias("reject_05"),
     )
+
+
+# --- q142: negated sequence pattern (CEP / MATCH_RECOGNIZE class) ---
+#
+# q60's funnel counts A-then-B orderings; q142 adds the NEGATED middle
+# clause — "click then purchase within 1 hour with NO error event in
+# between" — the pattern class (A ; !C ; B) that funnel aggregates
+# cannot express and engines ship MATCH_RECOGNIZE / Flink CEP for.
+#
+# The trick that keeps it one linear pass (no per-pair interval
+# probe): in per-user sequence order, at every purchase row the
+# running MAX of click timestamps over PRECEDING rows is the as-of
+# click, and the running MAX of error timestamps tells whether an
+# error falls between them — "no error in (click, purchase)" is
+# exactly "last_error IS NULL OR last_error < last_click". A tie
+# (error at the same microsecond as the click) counts as intervening
+# (>= on both engines).
+
+_Q142_WINDOW_US = 3_600_000_000  # pair window: 1 hour
+
+_Q142 = f"""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER w AS last_click,
+             MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+               OVER w AS last_error
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (
+      SELECT user_id, us, last_click, last_error,
+             CASE WHEN last_click IS NOT NULL
+                       AND us - last_click <= {_Q142_WINDOW_US}
+                  THEN 1 ELSE 0 END AS paired
+      FROM seq WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN paired = 1 AND (last_error IS NULL
+                              OR last_error < last_click)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN paired = 1 AND last_error IS NOT NULL
+                              AND last_error >= last_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+    FROM p GROUP BY user_id
+"""
+
+
+@query("q142_negated_sequence_conversion", _Q142)
+def q142_negated_sequence_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user counts of purchases, clean click→purchase conversions
+    (click within 1 h, no intervening error), and error-blocked pairs
+    (see block comment).
+
+    Scale shape: ONE user-keyed exchange and one ordered window pass —
+    the running-max formulation turns the quadratic 'exists an event
+    in the interval' probe into O(events) state of two timestamps,
+    exactly how a CEP engine compiles the NFA. The final per-user
+    rollup is combinable. Window order key (us, event_id) is total, so
+    tie handling is deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias("last_click"),
+        F.max(F.when(F.col("event_type") == "error", us)).over(w).alias("last_error"),
+    )
+    p = seq.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "last_click",
+        "last_error",
+        (
+            F.col("last_click").isNotNull()
+            & (F.col("us") - F.col("last_click") <= _Q142_WINDOW_US)
+        ).alias("paired"),
+    )
+    clean = F.col("paired") & (
+        F.col("last_error").isNull() | (F.col("last_error") < F.col("last_click"))
+    )
+    blocked = (
+        F.col("paired")
+        & F.col("last_error").isNotNull()
+        & (F.col("last_error") >= F.col("last_click"))
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(clean.cast("int")).cast("long").alias("n_clean"),
+        F.sum(blocked.cast("int")).cast("long").alias("n_blocked"),
+    )

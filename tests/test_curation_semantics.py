@@ -598,3 +598,48 @@ def test_q140_ks_matches_brute_force_and_scipy_shape(spark):
         assert abs(r.ks_stat - ks) < 1e-12
         expect_reject = int(ks > 1.358 * math.sqrt((n1 + n2) / (n1 * n2)))
         assert r.reject_05 == expect_reject, etype
+
+
+def test_q142_negated_sequence_matches_brute_force(spark):
+    """q142's running-max formulation must agree with the literal
+    quadratic definition: for each purchase, the last click before it
+    within 1h, clean iff NO error event in [click, purchase)."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics as ev
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    import calendar
+
+    by_user: dict[int, list] = {}
+    for r in rows:
+        us = calendar.timegm(r.ts.timetuple()) * 1_000_000 + r.ts.microsecond
+        by_user.setdefault(r.user_id, []).append((us, r.event_id, r.event_type))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n_p = n_clean = n_blocked = 0
+        for i, (us, _, typ) in enumerate(evs):
+            if typ != "purchase":
+                continue
+            n_p += 1
+            clicks = [e for e in evs[:i] if e[2] == "click"]
+            if not clicks or us - clicks[-1][0] > 3_600_000_000:
+                continue
+            c_us = clicks[-1][0]
+            blocked = any(
+                e[2] == "error" and c_us <= e[0] for e in evs[:i]
+            )
+            if blocked:
+                n_blocked += 1
+            else:
+                n_clean += 1
+        if n_p:
+            want[u] = (n_p, n_clean, n_blocked)
+    got = {
+        r.user_id: (r.n_purchases, r.n_clean, r.n_blocked)
+        for r in ev.QUERIES["q142_negated_sequence_conversion"](spark, SF).collect()
+    }
+    assert got == want and got
