@@ -304,3 +304,66 @@ def q141_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct"),
     )
     return est_t.unionByName(est_u)
+
+
+# --- q143: upsert view with delete markers (Pinot deleteRecordColumn)
+#
+# q58 is the plain latest-per-key compacted view; Pinot's upsert
+# tables additionally honor a DELETE marker column
+# (upsertConfig.deleteRecordColumn): a record flagged as a delete
+# TOMBSTONES its key — the key disappears from the serving view until
+# a later non-delete record revives it. The keyspace here is
+# (user_id, event_type) and the marker is an op-code carried in the
+# record payload (the deleteRecordColumn convention): props.k ≡ 0
+# (mod 10) means "delete this key" — it fires on ~10% of records, so
+# the tombstone path is genuinely exercised by the scored corpus
+# (events.value is never NULL here, so a null-payload convention
+# would make the delete branch vacuous).
+#
+# Same plan shape as q58 (one keyed exchange, WindowGroupLimit lowers
+# the rank filter to map-side single-row forwarding); the tombstone is
+# a post-filter on the already-elected winner, so deletes cost
+# nothing extra.
+
+_Q143 = """
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           epoch_us(ts) AS ts_us, value
+    FROM (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0
+               AS is_delete
+      FROM events e)
+    WHERE rn = 1 AND NOT is_delete
+"""
+
+
+@query("q143_upsert_with_deletes", _Q143)
+def q143_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key upsert view with tombstone semantics (see block
+    comment): elect the newest record per (user_id, event_type), then
+    suppress keys whose newest record carries the delete op-code.
+    ≡ Pinot upsertConfig.deleteRecordColumn applied to the compacted
+    read the reference consumer serves
+    (SRC/PulsarPartitionLevelConsumer.java:68 readCompacted)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    is_delete = (
+        F.get_json_object("props", "$.k").cast("int") % 10 == 0
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_delete", is_delete)
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )

@@ -643,3 +643,39 @@ def test_q142_negated_sequence_matches_brute_force(spark):
         for r in ev.QUERIES["q142_negated_sequence_conversion"](spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_q143_tombstone_suppresses_and_revives(spark, tmp_path):
+    """Upsert-with-deletes semantics on a constructed CDC log: a key
+    whose newest record is a delete marker (props.k % 10 == 0)
+    disappears; a later non-delete record revives it; keys never
+    deleted serve their latest value."""
+    from pinot_pulsar_plugin_spark.operators.patterns import (
+        q143_upsert_with_deletes,
+    )
+
+    rows = [
+        # (event_id, user, type, k-opcode, value) in time order
+        (0, 1, "a", 3, 10.0),   # live
+        (1, 1, "a", 20, 11.0),  # delete -> key (1,a) gone...
+        (2, 2, "a", 7, 20.0),   # live
+        (3, 2, "a", 30, 21.0),  # delete
+        (4, 2, "a", 9, 22.0),   # ...revived with newest value
+        (5, 3, "b", 40, 30.0),  # delete only -> never served
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, k long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(1_000_000) * (F.col("event_id") + 1)).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.format_string('{"k": %d}', "k").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.user_id, r.event_type): (r.latest_event_id, r.value)
+        for r in q143_upsert_with_deletes(spark, str(tmp_path)).collect()
+    }
+    assert got == {(2, "a"): (4, 22.0)}
