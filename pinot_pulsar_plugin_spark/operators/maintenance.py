@@ -329,3 +329,98 @@ def q139_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delta_contrib"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- q144: cross-table value reconciliation audit -------------------
+#
+# q85 audits REFERENTIAL integrity (orphan keys); q144 audits VALUE
+# integrity: does the order header's o_totalprice agree with the
+# total derivable from its lineitems (Σ extprice·(1−disc)·(1+tax))?
+# On a healthy TPC-H corpus the bands collapse to 'lt_1pct'; on this
+# driver-generated corpus they do not — which is precisely what the
+# audit exists to report. The per-band deviation distribution is the
+# continuous data-quality gate a 100 TB ingest pipeline runs after
+# every load (the "is the CDC feed dropping lines" alarm).
+#
+# Exactness: both sides are fixed-point cents (ROUND per line BEFORE
+# the integer sum — presum), deviation is |header − derived| in int64
+# cents, and band thresholds are integer ppm floor-divisions
+# (positive, so Spark div ≡ DuckDB //). Headroom: cents ≤ 1e9/order,
+# ppm product ≤ 1e15 < int64.
+
+_Q144 = """
+    WITH derived AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS hdr_cents,
+             d.line_cents, d.n_lines
+      FROM orders o LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey),
+    graded AS (
+      SELECT o_orderkey,
+             CASE WHEN line_cents IS NULL THEN 'no_lines'
+                  WHEN ABS(hdr_cents - line_cents) * 1000000
+                         // hdr_cents < 10000  THEN 'lt_1pct'
+                  WHEN ABS(hdr_cents - line_cents) * 1000000
+                         // hdr_cents < 100000 THEN 'lt_10pct'
+                  ELSE 'gt_10pct' END AS band,
+             CASE WHEN line_cents IS NULL THEN hdr_cents
+                  ELSE ABS(hdr_cents - line_cents) END AS abs_dev_cents
+      FROM j)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(abs_dev_cents) AS BIGINT) AS sum_abs_dev_cents
+    FROM graded GROUP BY band
+"""
+
+
+@query("q144_order_reconciliation_audit", _Q144)
+def q144_order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail value reconciliation (see block comment):
+    orders bucketed by the ppm deviation between o_totalprice and the
+    lineitem-derived total; 'no_lines' catches headers with no detail
+    rows at all.
+
+    Scale shape: one combinable per-order aggregate over lineitem
+    (the fact-volume exchange), one equi-join on the order key — both
+    partitioned the same way, so AQE coalesces them — and a final
+    4-row band rollup that is map-side combined. No broadcast needed:
+    both sides are order-grain after the first aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        ).alias("line_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = o.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("hdr_cents")
+    ).join(derived, o.o_orderkey == derived.l_orderkey, "left")
+    dev_ppm = F.expr("abs(hdr_cents - line_cents) * 1000000 div hdr_cents")
+    graded = j.select(
+        F.when(F.col("line_cents").isNull(), "no_lines")
+        .when(dev_ppm < 10000, "lt_1pct")
+        .when(dev_ppm < 100000, "lt_10pct")
+        .otherwise("gt_10pct")
+        .alias("band"),
+        F.when(
+            F.col("line_cents").isNull(), F.col("hdr_cents")
+        ).otherwise(F.abs(F.col("hdr_cents") - F.col("line_cents"))).alias(
+            "abs_dev_cents"
+        ),
+    )
+    return graded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("abs_dev_cents").alias("sum_abs_dev_cents"),
+    )

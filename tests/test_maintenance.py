@@ -133,3 +133,47 @@ def test_q137_binpack_rule_matches_sequential_reference(spark):
                 want[(g, fid)] = offset // target
                 offset += n
         assert got == want, (seed, got, want)
+
+
+def test_q144_bands_on_constructed_ledger(spark, tmp_path):
+    """Reconciliation bands on a hand-built header/detail pair: exact
+    match -> lt_1pct, 5% off -> lt_10pct, 50% off -> gt_10pct, header
+    without details -> no_lines carrying the full header value."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.maintenance import (
+        q144_order_reconciliation_audit,
+    )
+
+    orders = [
+        (1, 100.0),   # exact
+        (2, 100.0),   # details sum to 95 -> 5% dev
+        (3, 100.0),   # details sum to 50 -> 50% dev
+        (4, 80.0),    # no details
+    ]
+    lines = [
+        (1, 100.0, 0.0, 0.0),
+        (2, 95.0, 0.0, 0.0),
+        (3, 25.0, 0.0, 0.0),
+        (3, 25.0, 0.0, 0.0),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    ).select("*", F.lit(1.0).alias("l_quantity")).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+    got = {
+        r.band: (r.n_orders, r.sum_abs_dev_cents)
+        for r in q144_order_reconciliation_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "lt_1pct": (1, 0),
+        "lt_10pct": (1, 500),
+        "gt_10pct": (1, 5000),
+        "no_lines": (1, 8000),
+    }
