@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pinot_pulsar_plugin_spark.functions.exact import (
     fold_dot,
     fold_dot_sql,
+    fold_norm,
     fold_norm_sql,
 )
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
@@ -1136,4 +1137,181 @@ def s59_mips_norm_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("aug", 6).alias("aug_dim_r"),
             "rank",
         )
+    )
+
+
+# --- s60: MMR diversified top-k (cogrouped greedy rerank) -----------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): rerank
+# a relevance shortlist so results are relevant AND mutually diverse —
+# the retrieval op a training-data curator runs to avoid filling a
+# context window (or a labeling batch) with near-duplicates of one
+# hit. Greedy: S_0 = {}; each step picks
+#   argmax_c  λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)
+# (ties → smaller vec_id; empty-S penalty = 0).
+#
+# Architecture (the documented custom-operator ladder): the HEAVY
+# parts — corpus relevance scan, per-query top-m shortlist, pairwise
+# sims among shortlist members — are pure DataFrame plans (fold-exact
+# cosines, WindowGroupLimit top-m, equi-joins). The greedy selection
+# itself is inherently sequential over a ≤m-row shortlist, so it runs
+# as a COGROUPED applyInPandas (FlatMapCoGroupsInPandas — shortlist
+# rows cogrouped with sim rows by q_id): distributed across queries,
+# no driver loop, Arrow-batched, and the m² state never leaves the
+# executor. The DuckDB oracle replays the greedy with a recursive CTE
+# carrying the selected set as a list — parity proves the whole
+# sequential policy, tie-breaks included (Python float and SQL double
+# arithmetic are the same IEEE chains on fold-identical cosines).
+
+_MMR_NQ = 2      # query vectors: vec_id < 2
+_MMR_M = 24      # relevance shortlist size fed to the rerank
+_MMR_K = 8       # diversified results returned
+_MMR_LAMBDA = 0.7
+_MMR_MU = 0.3  # NOT computed as 1-lambda: Python 1-0.7 is 0.30000000000000004,
+# the SQL literal 0.3 is not — pin the same literal on both engines
+
+
+@query(
+    "s60_mmr_diversified_topk",
+    f"""
+    WITH RECURSIVE n AS (
+      SELECT vec_id, embedding, {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    rel AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {fold_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+               AS rel
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_MMR_NQ}),
+    short AS (
+      SELECT q_id, n_id, rel FROM (
+        SELECT q_id, n_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY rel DESC, n_id) AS rk
+        FROM rel) WHERE rk <= {_MMR_M}),
+    sims AS (
+      SELECT a.q_id, a.n_id AS ia, b.n_id AS ib,
+             {fold_dot_sql("ea.embedding", "eb.embedding")}
+               / (ea.nrm * eb.nrm) AS s
+      FROM short a
+      JOIN short b ON a.q_id = b.q_id AND a.n_id < b.n_id
+      JOIN n ea ON ea.vec_id = a.n_id
+      JOIN n eb ON eb.vec_id = b.n_id),
+    mmr AS (
+      (SELECT q_id, 1 AS step, [n_id] AS sel, n_id,
+              {_MMR_LAMBDA} * rel - {_MMR_MU} * 0.0 AS mmr_score
+       FROM (SELECT q_id, n_id, rel,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY rel DESC, n_id) AS rk
+             FROM short) WHERE rk = 1)
+      UNION ALL
+      (SELECT m.q_id, m.step + 1, list_append(m.sel, pick.n_id),
+              pick.n_id, pick.mmr_score
+       FROM mmr m JOIN LATERAL (
+         SELECT c.n_id,
+                {_MMR_LAMBDA} * c.rel - {_MMR_MU} * (
+                  SELECT MAX(s.s) FROM sims s
+                  WHERE s.q_id = m.q_id
+                    AND ((s.ia = c.n_id AND list_contains(m.sel, s.ib))
+                      OR (s.ib = c.n_id AND list_contains(m.sel, s.ia)))
+                ) AS mmr_score
+         FROM short c
+         WHERE c.q_id = m.q_id AND NOT list_contains(m.sel, c.n_id)
+         ORDER BY mmr_score DESC, c.n_id LIMIT 1) pick ON TRUE
+       WHERE m.step < {_MMR_K}))
+    SELECT q_id, CAST(step AS INTEGER) AS step, n_id, mmr_score
+    FROM mmr
+    """,
+)
+def s60_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k per query (see block comment): DataFrame
+    shortlist + sims, cogrouped-pandas greedy rerank.
+
+    Scale shape: the corpus is touched exactly once (the broadcast
+    relevance scan — s48's shape, corpus never shuffles); everything
+    after is shortlist-grain (m rows/query, m² sims). The rerank
+    parallelizes across queries and each group's work is an O(k·m)
+    loop over at most m² floats held in one Arrow batch."""
+    import pandas as pd
+
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select("vec_id", "embedding", fold_norm("embedding").alias("nrm"))
+    q = n.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rel = (
+        n.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (
+                fold_dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("rel"),
+            "embedding",
+            "nrm",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # shortlist rows CARRY their embedding+norm so the sims self-join
+    # below needs no further touch of the corpus (one scan total)
+    w = W.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("n_id"))
+    short_full = (
+        rel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_M)
+        .drop("rk")
+        .persist()
+    )
+    short = short_full.select("q_id", "n_id", "rel")
+    sa, sb = short_full.alias("sa"), short_full.alias("sb")
+    sims = (
+        sa.join(
+            sb,
+            (F.col("sa.q_id") == F.col("sb.q_id"))
+            & (F.col("sa.n_id") < F.col("sb.n_id")),
+        )
+        .select(
+            F.col("sa.q_id").alias("q_id"),
+            F.col("sa.n_id").alias("ia"),
+            F.col("sb.n_id").alias("ib"),
+            (
+                fold_dot(F.col("sa.embedding"), F.col("sb.embedding"))
+                / (F.col("sa.nrm") * F.col("sb.nrm"))
+            ).alias("s"),
+        )
+    )
+
+    lam = _MMR_LAMBDA
+
+    def greedy(key, short_pdf: pd.DataFrame, sims_pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_of = {int(r.n_id): float(r.rel) for r in short_pdf.itertuples()}
+        sim = {}
+        for r in sims_pdf.itertuples():
+            sim[(int(r.ia), int(r.ib))] = float(r.s)
+            sim[(int(r.ib), int(r.ia))] = float(r.s)
+        cands = sorted(rel_of)
+        sel: list[int] = []
+        out = []
+        for step in range(1, _MMR_K + 1):
+            best_id, best_score = None, None
+            for c in cands:
+                if c in sel:
+                    continue
+                pen = max(sim[(c, x)] for x in sel) if sel else 0.0
+                score = lam * rel_of[c] - _MMR_MU * pen
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            if best_id is None:
+                break
+            sel.append(best_id)
+            out.append((int(key[0]), step, best_id, best_score))
+        return pd.DataFrame(out, columns=["q_id", "step", "n_id", "mmr_score"])
+
+    return (
+        short.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(greedy, "q_id long, step int, n_id long, mmr_score double")
     )

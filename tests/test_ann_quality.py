@@ -187,3 +187,60 @@ def test_s59_augmented_cosine_order_equals_mips_order(spark):
         # and the operator returned exactly that ranking
         want = [(i + 1, v) for i, v in enumerate(order_dot)]
         assert sorted(got[p]) == want, (p, sorted(got[p]), want)
+
+
+def test_s60_mmr_first_pick_is_top_relevance_and_diversifies(spark):
+    """MMR structure: per query exactly k steps, no repeats, step 1 ==
+    the plain relevance argmax; and diversity does real work — the MMR
+    set's mean pairwise cosine is strictly below the plain
+    top-k-by-relevance set's (with lambda=0.7 on this corpus the
+    greedy must have swapped in at least one farther-but-diverse
+    member)."""
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_NQ,
+        s60_mmr_diversified_topk,
+    )
+    from pinot_pulsar_plugin_spark.catalog import load_table
+
+    SF = "/root/testdata/sf0.01"
+    rows = s60_mmr_diversified_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(_MMR_NQ))
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    import itertools
+
+    for q_id, picked in by_q.items():
+        picked.sort(key=lambda r: r.step)
+        assert [r.step for r in picked] == list(range(1, _MMR_K + 1))
+        ids = [r.n_id for r in picked]
+        assert len(set(ids)) == _MMR_K and q_id not in ids
+        # step 1 is the pure relevance argmax
+        rels = sorted(
+            ((cos(vecs[q_id], v), -i) for i, v in vecs.items() if i != q_id),
+            reverse=True,
+        )
+        assert ids[0] == -rels[0][1]
+        # diversity: mean pairwise sim of the MMR set < that of the
+        # plain top-k relevance set
+        topk = [-i for _, i in rels[:_MMR_K]]
+
+        def mean_pair(s):
+            ps = [cos(vecs[a], vecs[b]) for a, b in itertools.combinations(s, 2)]
+            return sum(ps) / len(ps)
+
+        if set(ids) != set(topk):
+            assert mean_pair(ids) < mean_pair(topk)
