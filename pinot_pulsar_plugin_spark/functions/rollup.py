@@ -146,3 +146,77 @@ def read_join_view(
     return parts.groupBy(*group_cols).agg(
         *[_MERGE[how](name).alias(name) for name, how in merges.items()]
     )
+
+
+# --- Streaming KMV distinct sketch maintenance (q141's stream twin) -
+#
+# The serving pattern behind Pinot's DistinctCountThetaSketch on a
+# REALTIME table: every micro-batch lands its per-group bottom-k hash
+# sketch (k smallest distinct 60-bit md5 hashes — the q141 encoding)
+# under batch_id=N, and the serving read merges partials by taking the
+# bottom-k of the union. KMV merge is associative/idempotent, so
+# replays (overwrite-by-batch-id) and arbitrary batch boundaries give
+# the SAME sketch the batch operator computes on the full table —
+# tests assert bit-equality of (n_kept, h_k, estimate) against the
+# q141 arithmetic, not an error bound. Merge cost: #batches × #groups
+# × k 8-byte hashes — compact by rewriting the merged sketch when
+# #batches grows large (same note as read_rollup).
+
+
+def kmv_hash(col: Column) -> Column:
+    """The q141 portable 60-bit hash (first 15 md5 hex chars)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def _bottom_k(df: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_sketch_sink(out_dir: str, group_cols: list[str], value_col: str, k: int = 64):
+    """foreachBatch function landing each micro-batch's per-group
+    bottom-k hash sketch under ``out_dir/batch_id=N`` (idempotent
+    overwrite). The delta only contributes its own distinct hashes —
+    per-batch cost is one window over the delta, never state-sized."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        hashes = (
+            df.select(*group_cols, kmv_hash(F.col(value_col)).alias("h"))
+            .distinct()
+        )
+        _bottom_k(hashes, group_cols, k).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_kmv_sketch(
+    spark, out_dir: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Serve the maintained sketch: bottom-k of the union of partials
+    per group, with the q141 estimator —
+    ``(n_kept, est_distinct)`` per group, exact below capacity."""
+    parts = spark.read.parquet(out_dir).select(*group_cols, "h").distinct()
+    merged = _bottom_k(parts, group_cols, k)
+    dom = float(1 << 60)
+    agg = merged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    return agg.select(
+        *group_cols,
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(dom) / F.col("h_k").cast("double"))
+        .alias("est_distinct"),
+    )

@@ -91,6 +91,13 @@ _MODULES = [
 # (every keeper is multiply driver-green; everything rotated out stays
 # byte-identically covered by tests/test_oracle_parity.py). Remaining
 # slots go to round-6 additions as they land.
+# Round-7 rotation TODO (the established pattern): the oracle-backed
+# entries added AFTER this window filled — t71_boolean_text_match,
+# t72_source_kl_divergence, q140_ks_drift_test, q141_kmv_theta_sketch,
+# q142_negated_sequence_conversion, q143_upsert_with_deletes,
+# q144_order_reconciliation_audit, s60_mmr_diversified_topk — have no
+# driver row yet and must LEAD the r7 window; all are parity-green at
+# sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
     # --- never driver-scored (locally parity-green at 3 SFs since r5)
     "q111_zorder_layout_audit",

@@ -1256,3 +1256,68 @@ def test_stream_scd2_maintenance_matches_batch_q90(spark, tmp_path):
         for r in q90_scd2_intervals(spark, str(tmp_path)).collect()
     }
     assert got == want and got
+
+
+def test_stream_kmv_sketch_merge_equals_batch_sketch(spark, tmp_path):
+    """Streaming KMV maintenance (q141's stream twin): events stream
+    through the pulsarlike source in several micro-batches, each
+    landing its per-type bottom-k partial; the merged serving sketch
+    must be BIT-EQUAL (n_kept and estimate) to the sketch the batch
+    arithmetic computes on the full table — KMV merge is exact, not
+    approximate-on-top-of-approximate."""
+    import glob
+
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        kmv_hash,
+        kmv_sketch_sink,
+        read_kmv_sketch,
+    )
+
+    K = 16
+    rows = [
+        {"event_id": i, "user_id": (i * 13) % 97, "type": ["a", "b", "c"][i % 3]}
+        for i in range(300)
+    ]
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=2)
+    for r in rows:
+        w.append(r["event_id"] % 2, json.dumps(r))
+
+    served, ck = str(tmp_path / "sk"), str(tmp_path / "ck")
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=41),
+        "event_id bigint, user_id bigint, type string",
+    )
+    q = (
+        decoded.writeStream.foreachBatch(
+            kmv_sketch_sink(served, ["type"], "user_id", k=K)
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(glob.glob(served + "/batch_id=*")) > 1  # really incremental
+
+    got = {
+        r.type: (r.n_kept, r.est_distinct)
+        for r in read_kmv_sketch(spark, served, ["type"], k=K).collect()
+    }
+
+    full = spark.createDataFrame(
+        [(r["type"], r["user_id"]) for r in rows], "type string, user_id long"
+    )
+    from pyspark.sql.window import Window
+
+    hashes = full.select("type", kmv_hash(F.col("user_id")).alias("h")).distinct()
+    wk = Window.partitionBy("type").orderBy("h")
+    kept = hashes.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") <= K)
+    want = {}
+    for r in kept.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
+    ).collect():
+        est = float(r.n) if r.n < K else (K - 1) * float(1 << 60) / float(r.hk)
+        want[r.type] = (r.n, est)
+    assert got == want and set(got) == {"a", "b", "c"}
+    # 97 distinct users per type >> K=16: every sketch is at capacity
+    assert all(n == K for n, _ in got.values())
