@@ -96,6 +96,11 @@ HEADLINE = [
     "q136_sole_late_suppliers",
     "q137_compaction_binpack",
     "s57_tfidf_similar_docs",
+    "t72_source_kl_divergence",
+    "q140_ks_drift_test",
+    "q141_kmv_theta_sketch",
+    "q142_negated_sequence_conversion",
+    "s60_mmr_diversified_topk",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -786,3 +786,130 @@ def q123_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return F.broadcast(n_edges).crossJoin(n_tri)
+
+
+# --- q145: label-propagation communities (LPA, unrolled rounds) -----
+#
+# The third member of the graph family (q105 centrality, q123
+# triangles, d49 connected components): COMMUNITY detection by
+# synchronous label propagation over the same customer↔supplier
+# transaction graph — the curation use is grouping customers/suppliers
+# into transaction cliques for stratified sampling or leakage-safe
+# train/eval splits (CC merges anything touching; LPA finds denser
+# sub-groups inside a component).
+#
+# Raghavan et al.'s LPA is notoriously nondeterministic; this variant
+# pins every choice so two engines agree bit-for-bit: synchronous
+# updates, init label = node id, new label = the most frequent label
+# among neighbors PLUS THE NODE'S OWN current label (self-
+# contribution — without it, synchronous LPA on a bipartite graph
+# provably oscillates side labels every round and never converges;
+# the self-loop damps the flip, the standard fix), ties broken by
+# LEXICOGRAPHICALLY SMALLEST label, fixed 2 unrolled rounds (the q105
+# fixed-iteration discipline — convergence looping is the same plan
+# with a driver delta check).
+
+_LPA_ROUNDS = 2
+
+_Q145 = """
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT 'c:' || c AS src, 's:' || s AS dst FROM e0
+      UNION ALL
+      SELECT 's:' || s AS src, 'c:' || c AS dst FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+    aug AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT node, node FROM l0),
+    c1 AS (
+      SELECT e.dst AS node, l.lab, COUNT(*) AS cnt
+      FROM aug e JOIN l0 l ON l.node = e.src
+      GROUP BY e.dst, l.lab),
+    l1 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY cnt DESC, lab) AS rk
+        FROM c1) WHERE rk = 1),
+    c2 AS (
+      SELECT e.dst AS node, l.lab, COUNT(*) AS cnt
+      FROM aug e JOIN l1 l ON l.node = e.src
+      GROUP BY e.dst, l.lab),
+    l2 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY cnt DESC, lab) AS rk
+        FROM c2) WHERE rk = 1)
+    SELECT l2.node, l2.lab AS community,
+           CAST(COUNT(*) OVER (PARTITION BY l2.lab) AS BIGINT)
+             AS community_size
+    FROM l2
+"""
+
+
+@query("q145_label_propagation", _Q145)
+def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous LPA communities after 2 rounds over
+    the transaction graph (see block comment), with each node's final
+    community size attached.
+
+    Scale shape: the persisted (src, dst) edge relation is reused by
+    both rounds (q105's layout); each round is one node-keyed join,
+    one combinable (node, label) count, and an argmax that Spark
+    lowers to WindowGroupLimit (map-side partial top-1 per node — the
+    reducer sees #nodes rows, not #(node,label) pairs). Label payloads
+    are node-id strings (bounded width); a celebrity hub is an AQE
+    skew-split case, not a plan change."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        e0.select(
+            F.concat(F.lit("c:"), F.col("c")).alias("src"),
+            F.concat(F.lit("s:"), F.col("s")).alias("dst"),
+        )
+        .unionAll(
+            e0.select(
+                F.concat(F.lit("s:"), F.col("s")).alias("src"),
+                F.concat(F.lit("c:"), F.col("c")).alias("dst"),
+            )
+        )
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    # self-contribution: augment the edge relation with self-loops so
+    # each node's own label enters its neighbor multiset (see block
+    # comment — the bipartite-oscillation fix)
+    aug = edges.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).persist()
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            aug.join(labels, aug["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "lab")
+        )
+    size_w = Window.partitionBy("lab")
+    return labels.select(
+        "node",
+        F.col("lab").alias("community"),
+        F.count(F.lit(1)).over(size_w).alias("community_size"),
+    )

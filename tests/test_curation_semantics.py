@@ -679,3 +679,43 @@ def test_q143_tombstone_suppresses_and_revives(spark, tmp_path):
         for r in q143_upsert_with_deletes(spark, str(tmp_path)).collect()
     }
     assert got == {(2, "a"): (4, 22.0)}
+
+
+def test_q145_lpa_separates_two_cliques(spark, tmp_path):
+    """On a constructed transaction graph with two dense bipartite
+    blocks joined by one bridge edge, 2-round deterministic LPA must
+    give each block a single community distinct from the other's, and
+    every label must be a real node id."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        q145_label_propagation,
+    )
+
+    # block A: customers 0-2 x suppliers 100-102 (complete bipartite)
+    # block B: customers 10-12 x suppliers 200-202; bridge: (2, 200)
+    pairs = [(c, s) for c in (0, 1, 2) for s in (100, 101, 102)]
+    pairs += [(c, s) for c in (10, 11, 12) for s in (200, 201, 202)]
+    pairs += [(2, 200)]
+    orders = [(i, c) for i, (c, _) in enumerate(pairs)]
+    lines = [(i, s) for i, (_, s) in enumerate(pairs)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).select("*", F.lit(0.0).alias("o_totalprice")).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(lines, "l_orderkey long, l_suppkey long").select(
+        "*", F.lit(0.0).alias("l_extendedprice")
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = q145_label_propagation(spark, str(tmp_path)).collect()
+    nodes = {r.node for r in rows}
+    assert all(r.community in nodes for r in rows)
+    comm = {r.node: r.community for r in rows}
+    block_a = {f"c:{c}" for c in (0, 1, 2)} | {f"s:{s}" for s in (100, 101, 102)}
+    block_b = {f"c:{c}" for c in (10, 11, 12)} | {f"s:{s}" for s in (200, 201, 202)}
+    labs_a = {comm[n] for n in block_a}
+    labs_b = {comm[n] for n in block_b}
+    # dense blocks converge to one label each, and the two differ
+    assert len(labs_a) == 1 and len(labs_b) == 1 and labs_a != labs_b
+    for r in rows:
+        expect = len(block_a) if r.community in labs_a else len(block_b)
+        assert r.community_size == expect
