@@ -39,7 +39,7 @@ def audit_plan(plan: str) -> dict:
         "window_group_limit": "WindowGroupLimit" in plan,
         "take_ordered": "TakeOrderedAndProject" in plan,
         "python_eval": bool(
-            re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|ArrowAggregatePython|ArrowWindowPython|MapInArrow|PythonUDTF", plan)
+            re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|ArrowAggregatePython|ArrowWindowPython|MapInArrow|PythonUDTF", plan)
         ),
         "expand": "Expand" in node_ids,
         "generate": "Generate" in node_ids,
