@@ -503,6 +503,60 @@ COMMENTARY = {
         "per-probe top-5 is a partitioned window. Corpus never "
         "shuffles."
     ),
+    "t72_source_kl_divergence": (
+        "The token stream collapses to per-(source, term) counts in one "
+        "combinable aggregate — the only event-volume exchange; source "
+        "totals, vocab size, and the pair table are tiny broadcasts; "
+        "the term-keyed left join costs |counts|·(S−1) with S = "
+        "#sources. Per-term fixed-point ln contributions enter an "
+        "order-independent integer sum; the /n_a normalization is a "
+        "pure double chain (never integer floor div — terms can be "
+        "negative)."
+    ),
+    "q140_ks_drift_test": (
+        "Events collapse to the per-(type, value) HISTOGRAM first (one "
+        "combinable aggregate; value is 1e-2 fixed-point so histogram "
+        "cardinality is value-range-bounded, not row-bounded); the "
+        "cumulative window runs over histogram rows partitioned by "
+        "type; min/max midpoint is a one-row broadcast. D's numerator "
+        "is exact int64 rational arithmetic; only the final statistic "
+        "and threshold are (bit-equal) doubles."
+    ),
+    "q141_kmv_theta_sketch": (
+        "One distinct over (type, user) then per-type bottom-k as a "
+        "rank-filtered window — WindowGroupLimit forwards at most k "
+        "rows per group per map task, so the reducer sees #groups·k "
+        "rows regardless of group size. The union sketch re-sketches "
+        "k·#types hashes via TakeOrderedAndProject (broker-merge cost, "
+        "no second scan). The md5 hash is an in-row expression at scan "
+        "speed."
+    ),
+    "q142_negated_sequence_conversion": (
+        "ONE user-keyed exchange and one ordered window pass: the "
+        "running MAX over preceding rows of click/error timestamps is "
+        "the entire CEP state (two longs), turning the per-pair "
+        "'exists an event in the interval' probe into O(events) work — "
+        "how a CEP engine compiles the NFA. Final per-user rollup is "
+        "combinable."
+    ),
+    "q145_label_propagation": (
+        "The persisted (src, dst) edge relation (with self-loops — the "
+        "bipartite-oscillation damper) is reused by both LPA rounds; "
+        "each round is one node-keyed join, one combinable (node, "
+        "label) count, and a WindowGroupLimit argmax (map-side top-1 "
+        "per node). Label payloads are node-id strings of bounded "
+        "width; hub nodes are an AQE skew-split case, not a plan "
+        "change."
+    ),
+    "s60_mmr_diversified_topk": (
+        "The corpus is touched exactly once: the broadcast relevance "
+        "scan (s48's shape — corpus never shuffles). The top-m "
+        "shortlist carries its embeddings so the m² sims self-join "
+        "never re-reads the corpus. The inherently-sequential greedy "
+        "runs as FlatMapCoGroupsInPandas over (shortlist, sims) "
+        "cogrouped by query — parallel across queries, zero driver "
+        "loops, one Arrow batch per query."
+    ),
 }
 
 
