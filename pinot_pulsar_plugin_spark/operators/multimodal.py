@@ -517,3 +517,115 @@ def m60_phash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).filter(
         F.col("hamming") <= _AHASH_MAX_HAMMING
     )
+
+
+# ---------------------------------------------------------------------------
+# m61: training-batch tensor collation (the loader-facing batch shape)
+# ---------------------------------------------------------------------------
+#
+# The last hop of a multimodal curation pipeline: collate decoded
+# media into FIXED-SHAPE training batches — the (N, features) float32
+# tensors a data loader hands the trainer. Batch membership is
+# deterministic (batch_id = doc_id div 16 — at scale the id comes from
+# the shard manifest m59 plans, so collation needs no global sort or
+# window). The decode is the container's deterministic fake (the m60
+# byte-sampling arithmetic, 64 "pixels"/payload); a real codec swaps
+# in at the same seam.
+#
+# The tensor assembly runs as a grouped-map applyInPandas: each group
+# IS one training batch, stacked into a float32 (n, 64) ndarray inside
+# the UDF (shape/dtype asserted — the plumbing the loader contract
+# cares about), while the emitted audit columns are computed on an
+# int64 view so parity with the SQL oracle is exact integer
+# arithmetic, proving the tensor CONTENT and not just its shape.
+
+_BATCH_DOCS = 16
+
+
+@query(
+    "m61_training_batches",
+    f"""
+    WITH px AS (
+      -- the m60 sampling arithmetic (see that oracle's multibyte and
+      -- empty-text notes)
+      SELECT doc_id,
+             list_transform(range({_AHASH_SAMPLES}),
+               k -> CASE WHEN len(text) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ord(substr(text,
+                      CAST(LEAST(1 + (k * octet_length(encode(text)))
+                                 // {_AHASH_SAMPLES}, len(text))
+                           AS INTEGER), 1)) AS BIGINT) END)
+               AS px
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id,
+             list_reduce(px, (a, b) -> a + b) AS s,
+             list_min(px) AS mn,
+             list_max(px) AS mx
+      FROM px)
+    SELECT doc_id // {_BATCH_DOCS} AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(s) AS BIGINT) AS px_sum,
+           CAST(MIN(mn) AS BIGINT) AS px_min,
+           CAST(MAX(mx) AS BIGINT) AS px_max
+    FROM per_doc GROUP BY doc_id // {_BATCH_DOCS}
+    """,
+)
+def m61_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collate payloads into fixed-shape training batches (see block
+    comment): deterministic membership, float32 tensor assembly in a
+    grouped-map UDF, integer audit columns oracle-proving content.
+
+    Scale shape: the pixel array is an in-row JVM expression at scan
+    speed; the only exchange keys on batch_id carrying (doc_id,
+    px[64]) ≈ 0.5 KB rows; each Arrow group is one bounded training
+    batch (≤ {_BATCH_DOCS} rows), so UDF memory is batch-sized
+    regardless of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(_AHASH_SAMPLES - 1)),
+        lambda k: F.when(F.col("cl") == 0, F.lit(0).cast("long")).otherwise(
+            F.ascii(
+                F.substring(
+                    F.col("text"),
+                    F.least(
+                        (F.lit(1) + (k * F.col("nb")) / _AHASH_SAMPLES).cast("int"),
+                        F.col("cl"),
+                    ),
+                    1,
+                )
+            ).cast("long")
+        ),
+    )
+    rows = (
+        d.select("doc_id", n_bytes.alias("nb"), F.length("text").alias("cl"), "text")
+        .select(
+            "doc_id",
+            F.expr(f"doc_id div {_BATCH_DOCS}").alias("batch_id"),
+            pix.alias("px"),
+        )
+    )
+
+    def collate(pdf: pd.DataFrame) -> pd.DataFrame:
+        ints = np.stack([np.asarray(p, dtype=np.int64) for p in pdf["px"]])
+        tensor = ints.astype(np.float32)  # the loader-facing batch
+        assert tensor.shape == (len(pdf), _AHASH_SAMPLES)
+        assert tensor.dtype == np.float32
+        return pd.DataFrame(
+            {
+                "batch_id": [int(pdf["batch_id"].iloc[0])],
+                "n_members": [len(pdf)],
+                "px_sum": [int(ints.sum())],
+                "px_min": [int(ints.min())],
+                "px_max": [int(ints.max())],
+            }
+        )
+
+    return rows.groupBy("batch_id").applyInPandas(
+        collate,
+        "batch_id long, n_members long, px_sum long, px_min long, px_max long",
+    )

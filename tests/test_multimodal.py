@@ -162,3 +162,25 @@ def test_m60_multibyte_text_parity(spark, tmp_path):
     assert not problems, problems
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in sdf.collect()}
     assert pairs.get((0, 1)) == 0  # exact dup found with identical hash
+
+
+def test_m61_batches_partition_the_corpus(spark):
+    """Collation totality: batches partition the corpus exactly (sum
+    of n_members == #docs, every batch ≤ the configured size, ids are
+    the expected div-range), and the audit stats are consistent
+    (min ≤ max, sum within [n·64·min, n·64·max])."""
+    from pinot_pulsar_plugin_spark.operators.multimodal import (
+        _BATCH_DOCS,
+        m61_training_batches,
+    )
+    from pinot_pulsar_plugin_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = m61_training_batches(spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r.n_members for r in rows) == n_docs
+    assert all(1 <= r.n_members <= _BATCH_DOCS for r in rows)
+    assert {r.batch_id for r in rows} == set(range((n_docs + _BATCH_DOCS - 1) // _BATCH_DOCS))
+    for r in rows:
+        assert r.px_min <= r.px_max
+        assert r.n_members * 64 * r.px_min <= r.px_sum <= r.n_members * 64 * r.px_max
