@@ -481,3 +481,86 @@ def q122_exact_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / F.sqrt(dx * dy)).alias("corr_qty_disc"),
         (num / dx).alias("slope_disc_per_qty"),
     )
+
+
+# --- q146: bitmap-exact distinct (Pinot DISTINCTCOUNTBITMAP analog) -
+#
+# Pinot's DISTINCTCOUNTBITMAP serves EXACT distinct counts from
+# roaring bitmaps that segments build independently and the broker
+# ORs together. The relational analog over a bounded integer key
+# space: shard each user_id into a 64-bit word (word = id div 64, bit
+# = id mod 64), BIT_OR the words per (group, word) — associative,
+# combinable, replay-safe, exactly a roaring container — then sum
+# bit_count over words. Unlike q13/q116 (HLL ≈) and q141 (KMV ≈),
+# this sketch is EXACT, and unlike COUNT(DISTINCT) it pre-aggregates:
+# the shuffle carries #groups × #words 8-byte words, never the id
+# stream, and partial bitmaps merge map-side.
+#
+# Bit 63 note: 1<<63 overflows signed ranges differently per engine —
+# the shift stays ≤ 62 by construction? No: id mod 64 CAN be 63, so
+# the bit value is spelled via the m60 rule (the literal MIN for bit
+# 63, plain shifts ≤ 62 otherwise) on BOTH engines.
+
+_Q146 = """
+    WITH b AS (
+      SELECT event_type,
+             user_id // 64 AS word,
+             -- bit 63 is the signed-64 MIN literal; the else-branch
+             -- shift is CLAMPED to 0 in that case so an eagerly
+             -- vectorized 1<<63 can never evaluate (the m60 rule)
+             CAST(BIT_OR(CASE WHEN user_id % 64 = 63
+                              THEN CAST('-9223372036854775808' AS BIGINT)
+                              ELSE CAST(1 AS BIGINT)
+                                   << CAST(CASE WHEN user_id % 64 = 63
+                                           THEN 0 ELSE user_id % 64 END
+                                           AS INTEGER) END)
+                  AS BIGINT) AS bits
+      FROM events
+      GROUP BY event_type, user_id // 64)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS distinct_users
+    FROM b GROUP BY event_type
+"""
+
+
+@query("q146_bitmap_distinct", _Q146)
+def q146_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via word-sharded bitmap
+    aggregation (see block comment) — the mergeable EXACT member of
+    the distinct-count family (q13 HLL ≈, q141 KMV ≈, q12 the
+    re-scanning COUNT(DISTINCT)).
+
+    Scale shape: one combinable BIT_OR aggregate keyed on (group,
+    word) — partial bitmaps merge inside the map side, the exchange
+    carries #groups × ceil(|id-space|/64) longs — then a #groups-sized
+    bit_count rollup. Serving-time merge of independently-built
+    segment bitmaps is the same BIT_OR (Pinot's broker merge). Bounded
+    id spaces only (a 64-bit word table over sparse ids wants the
+    roaring run/array containers this models)."""
+    e = t(spark, sf_dir, "events")
+    # shiftleft via F.expr: the Python DSL wrapper only accepts int
+    # shift amounts (memory rule); the SQL form takes a column. The
+    # else-branch shift is clamped to 0 when bit 63 is selected so the
+    # unreached branch never shifts by 63.
+    bit = F.when(
+        F.col("user_id") % 64 == 63, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(
+        F.expr(
+            "shiftleft(cast(1 as bigint), "
+            "cast(if(user_id % 64 = 63, 0, user_id % 64) as int))"
+        )
+    )
+    b = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 64").alias("word"),
+            bit.alias("bitval"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bitval)").alias("bits"))
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("bits")).alias("distinct_users"),
+    )

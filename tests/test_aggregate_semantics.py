@@ -31,3 +31,46 @@ def test_q122_exact_corr_agrees_with_native_within_ulps(spark):
     for flag, (c, _s) in mine.items():
         assert abs(c - native[flag]) < 1e-12, (flag, c, native[flag])
         assert -1.0 <= c <= 1.0
+
+
+def test_q146_bitmap_distinct_is_exact_incl_bit63(spark, tmp_path):
+    """The bitmap aggregate must equal COUNT(DISTINCT) exactly — on
+    the real corpus AND on a constructed id set that exercises bit 63
+    (ids 63, 127: the signed-MIN word bit) and multi-word sharding."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q146_bitmap_distinct,
+    )
+    from pinot_pulsar_plugin_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.event_type: r.distinct_users
+        for r in q146_bitmap_distinct(spark, sf).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    ids = [0, 1, 63, 63, 64, 127, 128, 200, 200, 201]
+    spark.createDataFrame(
+        [(i, uid, "t") for i, uid in enumerate(ids)],
+        "event_id long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(1) + F.col("event_id")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    rows = q146_bitmap_distinct(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].distinct_users == len(set(ids)) == 8
+    assert rows[0].n_words == 4  # words 0, 1, 2, 3
