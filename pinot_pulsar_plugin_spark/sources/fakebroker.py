@@ -155,6 +155,53 @@ class FakePulsarBroker:
                 keys[encode_offset(ledger, entry)] = json.loads(raw)
         return keys
 
+    def _pts_index(self, topic: str, partition: int) -> dict[int, int | None]:
+        """offset → publish timestamp in µs (None when the writer did
+        not stamp / no sidecar). Lives in ``ledger-<L>.pts`` sidecars,
+        one JSON int (or null) per line, aligned with the ledger's
+        entries — the same alignment-or-ignore rule as ``_keys_index``
+        (a truncated sidecar must not silently shift timestamps onto
+        the wrong messages)."""
+        pts: dict[int, int | None] = {}
+        entry_counts: dict[str, int] = {}
+        for _, path, _ in self._offsets_index(topic, partition):
+            entry_counts[path] = entry_counts.get(path, 0) + 1
+        for ledger in self._ledgers(topic, partition):
+            pdir = self._partition_dir(topic, partition)
+            tpath = os.path.join(pdir, f"ledger-{ledger:08d}.pts")
+            try:
+                with open(tpath, "rb") as fh:
+                    lines = fh.read().split(b"\n")
+                    if lines and lines[-1] == b"":
+                        lines.pop()
+            except OSError:
+                continue
+            lpath = os.path.join(pdir, f"ledger-{ledger:08d}.jsonl")
+            if len(lines) != entry_counts.get(lpath, 0):
+                continue
+            for entry, raw in enumerate(lines):
+                pts[encode_offset(ledger, entry)] = json.loads(raw)
+        return pts
+
+    def first_offset_at_or_after(self, topic: str, partition: int, ts_us: int) -> int:
+        """Publish-time seek: the offset of the first message with
+        publish_ts >= ``ts_us`` — ``Consumer.seek(long timestamp)`` /
+        Kafka ``startingTimestamp`` semantics. Unstamped messages
+        (null / missing sidecar) are treated as published at -inf:
+        they predate every seek target, so a timestamp seek starts
+        after them. If nothing at/after the target exists, returns
+        ``latest_offset`` (the position the next published message
+        would take — seek-to-future lands at the live edge). Publish
+        times are monotonic per partition (the Pulsar broker stamps
+        them in append order), so the first qualifying offset in index
+        order is THE boundary."""
+        pts = self._pts_index(topic, partition)
+        for off, _, _ in self._offsets_index(topic, partition):
+            t = pts.get(off)
+            if t is not None and t >= ts_us:
+                return off
+        return self.latest_offset(topic, partition)
+
     def _superseded(self, topic: str, partition: int) -> set[int]:
         """Offsets hidden by compaction: keyed messages with a later
         message (higher offset) carrying the same key. Unkeyed messages
@@ -280,10 +327,19 @@ class TopicWriter:
         """Force a rollover to a specific ledger id (creates a gap)."""
         self._state[partition] = (ledger, 0)
 
-    def append(self, partition: int, payload: bytes | str, key: str | None = None) -> int:
+    def append(
+        self,
+        partition: int,
+        payload: bytes | str,
+        key: str | None = None,
+        publish_ts: int | None = None,
+    ) -> int:
         """Write one message; returns its encoded offset. ``key`` is the
         Pulsar message key (drives compaction); a ``.keys`` sidecar line
-        is written per entry so the broker can serve compacted reads."""
+        is written per entry so the broker can serve compacted reads.
+        ``publish_ts`` (µs) is the broker publish time backing
+        timestamp seeks (``.pts`` sidecar); None = unstamped (treated
+        as predating every seek target)."""
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
         # \n is the ledger delimiter; the other bytes are rejected too so
@@ -302,5 +358,7 @@ class TopicWriter:
             fh.write(payload + b"\n")
         with open(path[: -len(".jsonl")] + ".keys", "ab") as fh:
             fh.write(json.dumps(key).encode("utf-8") + b"\n")
+        with open(path[: -len(".jsonl")] + ".pts", "ab") as fh:
+            fh.write(json.dumps(publish_ts).encode("utf-8") + b"\n")
         self._state[partition] = (ledger, entry + 1)
         return encode_offset(ledger, entry)

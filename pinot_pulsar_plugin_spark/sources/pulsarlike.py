@@ -138,6 +138,8 @@ _OPTION_ALIASES: dict[str, tuple[str, ...]] = {
     "maxbytes": ("maxbytes", "consumer.maxbytes", "stream.pulsar.consumer.maxbytes"),
     "timeout": ("timeout", "consumer.timeout", "stream.pulsar.consumer.timeout"),
     "compacted": ("compacted", "readcompacted", "stream.pulsar.readcompacted"),
+    "startingtimestamp": ("startingtimestamp", "stream.pulsar.startingtimestamp"),
+    "endingtimestamp": ("endingtimestamp", "stream.pulsar.endingtimestamp"),
 }
 
 
@@ -208,6 +210,31 @@ def _offset_for(given: dict[str, int] | None, p: int) -> int | None:
     return given.get(str(p), given.get("*"))
 
 
+def ts_option(options: dict, key: str) -> int | None:
+    """Publish-timestamp option (µs): Pulsar ``Consumer.seek(long)`` /
+    Kafka ``startingTimestamp`` parity. Like offsets_option, garbage
+    raises — a mistyped EXPLICIT seek target silently reading the whole
+    topic would duplicate a backfill."""
+    raw = _lookup(options, key)
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"pulsarlike: bad {key!r} value {raw!r}") from exc
+
+
+def _resolve_ts_offsets(
+    broker: FakePulsarBroker, topic: str, n_parts: int, ts_us: int
+) -> dict[str, int]:
+    """Per-partition offsets of the first message published at/after
+    ``ts_us`` (the broker's publish-time seek)."""
+    return {
+        str(p): broker.first_offset_at_or_after(topic, p, ts_us)
+        for p in range(n_parts)
+    }
+
+
 def _required_path(options: dict) -> str:
     """Broker root; missing ⇒ raise, the reference's required-config
     check for broker.list (PulsarPartitionLevelStreamConfig.java:73-74)."""
@@ -239,6 +266,17 @@ class PulsarLikeStreamReader(DataSourceStreamReader):
         self.n_parts = self.broker.partition_count(self.topic)
         if self.n_parts == 0:
             raise ValueError(f"topic {self.topic!r} has no partitions under {self.root}")
+        # Publish-time seek (Consumer.seek(long ts) / Kafka
+        # startingTimestamp): resolved ONCE at subscription time into
+        # per-partition offsets and then handled by the exact same
+        # startingoffsets machinery (cursor init, initialOffset,
+        # restart clamping). Explicit startingoffsets wins if both are
+        # given — an offset is a more specific seek than a timestamp.
+        start_ts = ts_option(options, "startingtimestamp")
+        if self.starting is None and start_ts is not None:
+            self.starting = _resolve_ts_offsets(
+                self.broker, self.topic, self.n_parts, start_ts
+            )
         # Cursor for admission planning. Spark calls latestOffset()
         # before initialOffset() on a fresh query, so it must be valid
         # from construction. Recovery order:
@@ -348,6 +386,22 @@ class PulsarLikeBatchReader(DataSourceReader):
         self.starting = offsets_option(options, "startingoffsets")
         self.ending = offsets_option(options, "endingoffsets")
         self.broker = FakePulsarBroker(self.root)
+        # Publish-time bounds (see the stream reader note): resolved to
+        # offsets once at plan time; the end bound stays EXCLUSIVE —
+        # [first >= start_ts, first >= end_ts) reads exactly the
+        # messages published in [start_ts, end_ts). Explicit offsets
+        # win over timestamps on the same side.
+        n_for_ts = self.broker.partition_count(self.topic)
+        start_ts = ts_option(options, "startingtimestamp")
+        if self.starting is None and start_ts is not None:
+            self.starting = _resolve_ts_offsets(
+                self.broker, self.topic, n_for_ts, start_ts
+            )
+        end_ts = ts_option(options, "endingtimestamp")
+        if self.ending is None and end_ts is not None:
+            self.ending = _resolve_ts_offsets(
+                self.broker, self.topic, n_for_ts, end_ts
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         n = self.broker.partition_count(self.topic)

@@ -760,3 +760,88 @@ def test_decode_tolerates_schema_evolution(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert rows[2].value == 2.0  # extra field ignored, row intact
     assert rows[3].user_id is None and rows[3].value is None  # missing -> NULL
+
+
+def test_timestamp_seek_batch_bounds(spark, tmp_path):
+    """startingtimestamp/endingtimestamp resolve to per-partition
+    offsets via the broker's publish-time index: the batch read
+    returns exactly the messages published in [start_ts, end_ts),
+    unstamped messages predate every target, and explicit offsets win
+    over a timestamp on the same side."""
+    import json
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import read_batch
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "t", partitions=2)
+    T0 = 1_700_000_000_000_000
+    for i in range(20):
+        w.append(i % 2, json.dumps({"i": i}), publish_ts=T0 + i * 1_000_000)
+    # two unstamped stragglers (pre-timestamp era)
+    w.append(0, json.dumps({"i": 100}))
+    w.append(1, json.dumps({"i": 101}))
+
+    def vals(df):
+        return sorted(
+            json.loads(bytes(r.value))["i"] for r in df.collect()
+        )
+
+    # [T0+5s, T0+12s) -> i in 5..11 (unstamped 100/101 predate: absent)
+    got = vals(
+        read_batch(
+            spark,
+            root,
+            "t",
+            startingtimestamp=str(T0 + 5_000_000),
+            endingtimestamp=str(T0 + 12_000_000),
+        )
+    )
+    assert got == list(range(5, 12))
+    # seek past the end reads nothing
+    assert vals(read_batch(spark, root, "t", startingtimestamp=str(T0 + 10**9))) == []
+    # explicit startingoffsets beats startingtimestamp
+    got = vals(
+        read_batch(
+            spark,
+            root,
+            "t",
+            startingoffsets="0",
+            startingtimestamp=str(T0 + 15_000_000),
+        )
+    )
+    assert 0 in got and 100 in got and 101 in got
+
+
+def test_timestamp_seek_stream_starts_mid_topic(spark, tmp_path):
+    """A stream with startingtimestamp begins at the first message
+    published at/after the target — the backfill→stream handoff
+    keyed by TIME instead of offsets."""
+    import json
+
+    from pinot_pulsar_plugin_spark.sources.decode import decode_json
+    from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import read_stream
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "t", partitions=2)
+    T0 = 1_700_000_000_000_000
+    for i in range(16):
+        w.append(i % 2, json.dumps({"i": i}), publish_ts=T0 + i * 1_000_000)
+
+    decoded = decode_json(
+        read_stream(
+            spark, root, "t", startingtimestamp=str(T0 + 8_000_000), maxmsgs=5
+        ),
+        "i bigint",
+    )
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("ts_seek_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.i for r in spark.sql("select i from ts_seek_sink").collect())
+    assert got == list(range(8, 16))
