@@ -142,6 +142,27 @@ class RealPulsarBroker:
             r.close()
         return out
 
+    def first_offset_at_or_after(self, topic: str, partition: int, ts_us: int) -> int:
+        """Publish-time seek parity with the fake broker: position a
+        reader with ``seek(publish_ts_millis)`` (the Pulsar client API
+        — MILLISECOND granularity, so the µs target floors to its ms:
+        the seek may land up to 999 µs EARLY, never late. Overlap
+        duplicates into an at-least-once handoff; skipping a
+        sub-millisecond qualifying message would lose data, which is
+        strictly worse) and return the first available message's
+        offset; an exhausted reader (seek past the live edge) resolves
+        to ``latest_offset``."""
+        r = self._reader(topic, partition, pulsar.MessageId.earliest)
+        try:
+            r.seek(ts_us // 1000)
+            if not r.has_message_available():
+                return self.latest_offset(topic, partition)
+            msg = r.read_next(timeout_millis=5000)
+            mid = msg.message_id()
+            return encode_offset(mid.ledger_id(), mid.entry_id())
+        finally:
+            r.close()
+
     def acknowledge_cumulative(self, topic: str, partition: int, offset: int) -> bool:
         # readers are non-durable; progress lives in the Spark
         # checkpoint — matching the reference's advisory-ack design

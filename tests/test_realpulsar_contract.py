@@ -69,9 +69,9 @@ def _build_fake_pulsar(store: dict[str, list[tuple[int, int, str | None, bytes]]
             return self._payload
 
     class _Reader:
-        def __init__(self, msgs: list[tuple[int, int, bytes]], start):
-            self._msgs = sorted(msgs)
-            ids = [(l, e) for l, e, _ in self._msgs]
+        def __init__(self, msgs: list[tuple[int, int, bytes, int | None]], start):
+            self._msgs = sorted(msgs, key=lambda m: (m[0], m[1]))
+            ids = [(l, e) for l, e, _, _ in self._msgs]
             if start is MessageId.earliest:
                 self._pos = 0
             elif start is MessageId.latest:
@@ -88,9 +88,18 @@ def _build_fake_pulsar(store: dict[str, list[tuple[int, int, str | None, bytes]]
         def read_next(self, timeout_millis: int = 0) -> _Msg:
             if self._pos >= len(self._msgs):
                 raise TimeoutError("no message available")
-            l, e, payload = self._msgs[self._pos]
+            l, e, payload, _ = self._msgs[self._pos]
             self._pos += 1
             return _Msg(l, e, payload)
+
+        def seek(self, ts_millis: int) -> None:
+            # broker publish-time seek: first message with
+            # publish_time (ms) >= target; unstamped messages predate
+            for i, (_, _, _, pts) in enumerate(self._msgs):
+                if pts is not None and pts // 1000 >= ts_millis:
+                    self._pos = i
+                    return
+            self._pos = len(self._msgs)
 
         def close(self) -> None:
             self.closed = True
@@ -112,15 +121,15 @@ def _build_fake_pulsar(store: dict[str, list[tuple[int, int, str | None, bytes]]
             if is_read_compacted:
                 # compaction: latest message per key; unkeyed kept
                 latest: dict[str, tuple[int, int]] = {}
-                for l, e, key, _ in rows:
+                for l, e, key, _, _ in rows:
                     if key is not None and (l, e) > latest.get(key, (-1, -1)):
                         latest[key] = (l, e)
                 rows = [
-                    (l, e, key, p)
-                    for l, e, key, p in rows
+                    (l, e, key, p, pts)
+                    for l, e, key, p, pts in rows
                     if key is None or latest[key] == (l, e)
                 ]
-            r = _Reader([(l, e, p) for l, e, _, p in rows], start)
+            r = _Reader([(l, e, p, pts) for l, e, _, p, pts in rows], start)
             self.readers.append(r)
             return r
 
@@ -134,13 +143,15 @@ def _build_fake_pulsar(store: dict[str, list[tuple[int, int, str | None, bytes]]
 
 # ---- shared message set ----------------------------------------------------
 
-_MSGS = []  # (partition, ledger, entry, key, payload)
+_PTS0 = 1_700_000_000_000_000  # publish times: ms-aligned, 1 ms apart
+
+_MSGS = []  # (partition, ledger, entry, key, payload, publish_ts_us)
 for i in range(9):  # partition 0, ledger 0: entries 0-8
-    _MSGS.append((0, 0, i, f"k{i % 3}", json.dumps({"i": i}).encode()))
+    _MSGS.append((0, 0, i, f"k{i % 3}", json.dumps({"i": i}).encode(), _PTS0 + i * 1000))
 for i in range(9, 14):  # ledger rollover gap: ledger 3
-    _MSGS.append((0, 3, i - 9, f"k{i % 3}", json.dumps({"i": i}).encode()))
+    _MSGS.append((0, 3, i - 9, f"k{i % 3}", json.dumps({"i": i}).encode(), _PTS0 + i * 1000))
 for i in range(4):  # partition 1
-    _MSGS.append((1, 0, i, None, json.dumps({"i": 100 + i}).encode()))
+    _MSGS.append((1, 0, i, None, json.dumps({"i": 100 + i}).encode(), _PTS0 + i * 1000))
 
 
 @pytest.fixture
@@ -150,18 +161,18 @@ def brokers(tmp_path, monkeypatch):
     # directory side
     w = TopicWriter(str(tmp_path), "t", partitions=2, rollover_every=9)
     cur_ledger = {0: 0, 1: 0}
-    for part, ledger, entry, key, payload in _MSGS:
+    for part, ledger, entry, key, payload, pts in _MSGS:
         if ledger != cur_ledger[part]:
             w.set_ledger(part, ledger)
             cur_ledger[part] = ledger
-        off = w.append(part, payload, key=key)
+        off = w.append(part, payload, key=key, publish_ts=pts)
         assert off == encode_offset(ledger, entry)
     fake_dir = FakePulsarBroker(str(tmp_path))
 
     # scripted-client side
     store: dict[str, list] = {}
-    for part, ledger, entry, key, payload in _MSGS:
-        store.setdefault(f"t-partition-{part}", []).append((ledger, entry, key, payload))
+    for part, ledger, entry, key, payload, pts in _MSGS:
+        store.setdefault(f"t-partition-{part}", []).append((ledger, entry, key, payload, pts))
     monkeypatch.setitem(sys.modules, "pulsar", _build_fake_pulsar(store))
     import pinot_pulsar_plugin_spark.sources.realpulsar as rp
 
@@ -299,3 +310,26 @@ def test_live_broker_smoke():
         assert b.acknowledge_cumulative(base, 0, msgs[-1].offset) is True
     finally:
         b.close()
+
+
+def test_timestamp_seek_parity(brokers):
+    """first_offset_at_or_after parity on ms-aligned targets: before
+    all messages → earliest, mid-stream boundaries (incl. across the
+    ledger-rollover gap) → the same offset on both brokers, past the
+    live edge → latest_offset. (Non-ms-aligned targets are documented
+    to land ≤999 µs early on the real client — Pulsar's seek is
+    millisecond-grain — so parity is asserted on aligned targets.)"""
+    real, fake = brokers
+    for part in (0, 1):
+        targets = [
+            _PTS0 - 1_000_000,          # before everything
+            _PTS0,                      # exactly the first message
+            _PTS0 + 5 * 1000,           # mid ledger
+            _PTS0 + 10 * 1000,          # after the rollover gap (part 0)
+            _PTS0 + 10**9,              # far future
+        ]
+        for ts in targets:
+            a = real.first_offset_at_or_after("t", part, ts)
+            b = fake.first_offset_at_or_after("t", part, ts)
+            assert a == b, (part, ts, a, b)
+    assert real.first_offset_at_or_after("t", 0, _PTS0 + 10**9) == real.latest_offset("t", 0)
