@@ -95,9 +95,10 @@ _MODULES = [
 # entries added AFTER this window filled — t71_boolean_text_match,
 # t72_source_kl_divergence, q140_ks_drift_test, q141_kmv_theta_sketch,
 # q142_negated_sequence_conversion, q143_upsert_with_deletes,
-# q144_order_reconciliation_audit, s60_mmr_diversified_topk — have no
-# driver row yet and must LEAD the r7 window; all are parity-green at
-# sf0.001/0.01/0.1 in the local suite.
+# q144_order_reconciliation_audit, q145_label_propagation,
+# q146_bitmap_distinct, s60_mmr_diversified_topk,
+# m61_training_batches — have no driver row yet and must LEAD the r7
+# window; all are parity-green at sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
     # --- never driver-scored (locally parity-green at 3 SFs since r5)
     "q111_zorder_layout_audit",
