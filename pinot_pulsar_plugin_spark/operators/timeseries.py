@@ -519,3 +519,82 @@ def q92_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_avg").isNull().alias("is_gap"),
         F.round(filled, 6).alias("v_filled"),
     )
+
+
+# --- q147: time-weighted average (TWAP) per type ---------------------
+#
+# q67 gives OHLC bars (event-weighted extremes); q147 gives the
+# TIME-weighted mean — the metric that is correct when observations
+# are irregularly spaced (a sensor reading held for 50 minutes must
+# weigh 50× one held for a minute; the plain AVG q67 reports is
+# sampling-rate-biased). Each observation's weight is its HOLDING
+# interval: the µs gap to the same type's next event (the final
+# observation of a type has no successor and is excluded — its
+# holding interval is open-ended; excluding it is the standard
+# right-open TWAP convention).
+#
+# Exactness: weights are exact integer µs (lead-difference), values
+# are 1e-2 fixed-point (the q100 convention), the weighted sum is an
+# int64 Σ(cents·dt_us) — order-independent — and the final TWAP is a
+# pure double chain (no rounding step). Headroom: cents ≤ 1e7,
+# dt ≤ 3e9 µs ⇒ terms ≤ 3e16 — int64-safe to ~300 events/type at the
+# extreme spacing, and real spacing (~seconds) leaves 1e6× margin;
+# lift to DECIMAL(38) past that (the q81 note).
+
+_Q147 = """
+    WITH seq AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt_us
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(cents * dt_us) AS BIGINT) AS wsum,
+             CAST(SUM(dt_us) AS BIGINT) AS span_us
+      FROM seq WHERE dt_us IS NOT NULL
+      GROUP BY event_type)
+    SELECT event_type, n_obs, span_us,
+           CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS twap
+    FROM agg
+"""
+
+
+@query("q147_twap", _Q147)
+def q147_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-weighted average value (see block comment):
+    holding-interval weights via LEAD, exact integer weighted sums,
+    double-chain final division.
+
+    Scale shape: one type-keyed exchange for the LEAD window (ordered
+    by the total (ts, event_id) key), then a combinable 4-integer
+    aggregate — the q100 cost profile. The window state is one row
+    (LEAD 1); nothing grows with history."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("event_type").orderBy(us, "event_id")
+    seq = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    )
+    agg = (
+        seq.where(F.col("dt_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("cents") * F.col("dt_us")).alias("wsum"),
+            F.sum("dt_us").alias("span_us"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_obs",
+        "span_us",
+        (F.col("wsum").cast("double") / F.col("span_us").cast("double") / F.lit(100.0)).alias(
+            "twap"
+        ),
+    )

@@ -719,3 +719,35 @@ def test_q145_lpa_separates_two_cliques(spark, tmp_path):
     for r in rows:
         expect = len(block_a) if r.community in labs_a else len(block_b)
         assert r.community_size == expect
+
+
+def test_q147_twap_matches_hand_integration_and_beats_plain_avg(spark, tmp_path):
+    """TWAP on a constructed irregular series: value 10 held for 90 s
+    then 100 held for 10 s -> TWAP 19 (plain AVG would say 55); exact
+    against the hand integral, last observation excluded."""
+    from pinot_pulsar_plugin_spark.operators.timeseries import q147_twap
+
+    T0 = 1_700_000_000_000_000
+    rows = [
+        (0, "t", 10.0, T0),                    # held 90 s
+        (1, "t", 100.0, T0 + 90_000_000),      # held 10 s
+        (2, "t", 7.0, T0 + 100_000_000),       # last: excluded
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts_us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = q147_twap(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_obs == 2 and row.span_us == 100_000_000
+    # integral: (1000 cents * 90e6 + 10000 cents * 10e6) / 100e6 / 100
+    assert row.twap == (1000 * 90_000_000 + 10000 * 10_000_000) / 100_000_000 / 100.0
+    assert abs(row.twap - 19.0) < 1e-12
