@@ -424,3 +424,143 @@ def q144_order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("abs_dev_cents").alias("sum_abs_dev_cents"),
     )
+
+
+# --- q148: snapshot diff (CDC changelog reconstruction) -------------
+#
+# q139 maintains a view FROM a known delta; q148 solves the inverse
+# maintenance problem: given two whole-table SNAPSHOTS and no
+# changelog, reconstruct the changelog (the Iceberg `changes` /
+# Delta CDF backfill job, and the audit every migration runs to prove
+# a copied 100 TB table matches its source). The two snapshots are
+# carved deterministically from orders — membership mod-rules give
+# inserts and deletes, a price bump on o_orderkey ≡ 0 (mod 7) gives
+# updates — using moduli independent of each other so all three
+# change kinds are non-trivially populated.
+#
+# The mechanism is the production one: compare ROW FINGERPRINTS, not
+# columns one by one — md5 over a canonical rendering of the full
+# row, so the diff plan is the same regardless of schema width and a
+# wide table ships one 16-byte hash through the join, not every
+# column. Portability: every fingerprinted field renders identically
+# on both engines (int64 cents, int64 epoch-µs, plain VARCHARs —
+# never raw doubles, whose text rendering differs).
+#
+# Scale shape: one full outer hash join keyed on the primary key —
+# with both snapshots bucketed by key (the layout q137's compactor
+# maintains) this is a zero-shuffle sort-merge; unchanged keys (the
+# overwhelming majority at 100 TB) are filtered before the output
+# projection, so the result is changelog-sized, not table-sized.
+
+_Q148 = """
+    WITH snap AS (
+      SELECT o_orderkey,
+             o_custkey,
+             o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) AS odate_us,
+             o_orderpriority
+      FROM orders),
+    old AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           CAST(cents AS VARCHAR), CAST(odate_us AS VARCHAR),
+                           o_orderpriority)) AS fp,
+             cents
+      FROM snap WHERE o_orderkey % 13 <> 5),
+    new AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           CAST(cents + CASE WHEN o_orderkey % 7 = 0
+                                             THEN 250 ELSE 0 END AS VARCHAR),
+                           CAST(odate_us AS VARCHAR),
+                           o_orderpriority)) AS fp,
+             cents + CASE WHEN o_orderkey % 7 = 0 THEN 250 ELSE 0 END AS cents
+      FROM snap WHERE o_orderkey % 11 <> 3),
+    diff AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change,
+             o.cents AS old_cents,
+             n.cents AS new_cents
+      FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.fp <> n.fp)
+    SELECT change,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(COALESCE(new_cents, 0) - COALESCE(old_cents, 0))
+                AS BIGINT) AS net_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM diff GROUP BY change
+"""
+
+
+@query("q148_snapshot_diff", _Q148)
+def q148_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct an insert/update/delete changelog from two table
+    snapshots by full-outer-joining row FINGERPRINTS on the primary
+    key (see block comment), then summarize per change kind.
+
+    Scale shape: each snapshot is scanned once into (key, fp, cents)
+    — 32 bytes/row regardless of table width — then one key-keyed
+    full outer join; unchanged keys drop before the projection so the
+    output is changelog-sized. Bucketed-by-key snapshots make the
+    join shuffle-free; the summary is a 3-row combinable rollup."""
+    o = t(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.unix_micros("o_orderdate").alias("odate_us"),
+        "o_orderpriority",
+    )
+
+    def fingerprinted(df, bumped: bool):
+        cents = F.col("cents") + (
+            F.when(F.expr("o_orderkey % 7 = 0"), F.lit(250)).otherwise(F.lit(0))
+            if bumped
+            else F.lit(0)
+        )
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    cents.cast("string"),
+                    F.col("odate_us").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("fp"),
+            cents.alias("cents"),
+        )
+
+    old = fingerprinted(snap.where("o_orderkey % 13 != 5"), bumped=False)
+    new = fingerprinted(snap.where("o_orderkey % 11 != 3"), bumped=True)
+    j = old.alias("o").join(
+        new.alias("n"), F.col("n.o_orderkey") == F.col("o.o_orderkey"), "full_outer"
+    )
+    diff = j.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.fp") != F.col("n.fp"))
+    ).select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change"),
+        F.col("o.cents").alias("old_cents"),
+        F.col("n.cents").alias("new_cents"),
+    )
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.coalesce("new_cents", F.lit(0)) - F.coalesce("old_cents", F.lit(0))
+        ).alias("net_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

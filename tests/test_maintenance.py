@@ -177,3 +177,37 @@ def test_q144_bands_on_constructed_ledger(spark, tmp_path):
         "gt_10pct": (1, 5000),
         "no_lines": (1, 8000),
     }
+
+
+def test_q148_snapshot_diff_classifies_all_change_kinds(spark, tmp_path):
+    """Hand-built snapshot pair: key 5 exists only in the new snapshot
+    (insert), key 3 only in the old (delete), key 7 is price-bumped
+    (update, net +250 cents), key 1 is identical (excluded), and key
+    135 (both mod-rules fire) is in neither snapshot."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.maintenance import q148_snapshot_diff
+
+    d = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "O", 100.00, d, "1-URGENT"),
+        (3, 10, "F", 50.00, d, "1-URGENT"),
+        (5, 10, "O", 75.00, d, "1-URGENT"),
+        (7, 10, "O", 20.00, d, "1-URGENT"),
+        (135, 10, "O", 99.00, d, "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.change: (r.n_keys, r.net_cents, r.min_key, r.max_key)
+        for r in q148_snapshot_diff(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "insert": (1, 7500, 5, 5),
+        "delete": (1, -5000, 3, 3),
+        "update": (1, 250, 7, 7),
+    }
