@@ -913,3 +913,121 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("community"),
         F.count(F.lit(1)).over(size_w).alias("community_size"),
     )
+
+
+# --- q149: k-hop BFS reachability from a seed cohort ----------------
+#
+# The graph family so far covers components (d49), PageRank (q105),
+# triangles (q123), and communities (q145); q149 adds the TRAVERSAL
+# primitive: minimum hop distance from a seed set, bounded at K hops
+# — the "blast radius" query (which customers are within 3 hops of
+# the seed suppliers?) that risk/contamination analyses run
+# over transaction graphs. Bounded-K is the honest distributed form:
+# unbounded shortest path is a convergence loop, while K synchronous
+# BFS rounds are K static joins Catalyst can plan as one DAG.
+#
+# The Spark side is the Pregel-style layered expansion (frontier ⋈
+# edges, anti-join against visited, repeat); the DuckDB oracle is the
+# textbook recursive CTE with UNION-dedup on (node, hops). Hash
+# equality proves the layering: an anti-join bug (revisiting a node
+# at a deeper hop) or a lost frontier row changes MIN(hops).
+#
+# Exactness is trivial (integer hops, string node ids); the content
+# being verified is plan correctness, not arithmetic.
+
+_BFS_HOPS = 3
+
+_Q149 = f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT 'c:' || c AS src, 's:' || s AS dst FROM e0
+      UNION ALL
+      SELECT 's:' || s AS src, 'c:' || c AS dst FROM e0),
+    seeds AS (
+      SELECT DISTINCT 's:' || s_suppkey AS node
+      FROM supplier WHERE s_suppkey % 5 = 0),
+    bfs AS (
+      SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds
+      UNION
+      SELECT e.dst AS node, b.hops + 1 AS hops
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hops < {_BFS_HOPS}),
+    dist AS (SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+             FROM bfs GROUP BY node)
+    SELECT hops,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           MIN(node) AS sample_node
+    FROM dist GROUP BY hops
+"""
+
+
+@query("q149_bfs_reachability", _Q149)
+def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (≤ _BFS_HOPS) from the seed suppliers
+    (s_suppkey ≡ 0 mod 5 — a key-based cohort so the seed set is
+    non-empty at every SF; nation-based cohorts are empty at sf0.001)
+    over
+    the customer↔supplier transaction graph, summarized per hop layer
+    (see block comment — Pregel-style layered expansion vs the
+    oracle's recursive CTE).
+
+    Scale shape: the symmetric edge list is built once (one distinct
+    over the order⋈lineitem key projection) and PERSISTED — every
+    round reuses it, hash-partitioned on src, so AQE reuses the edge
+    exchange across rounds (the q105 layout). Each round is one
+    equi-join frontier⋈edges plus one anti-join against the visited
+    set; frontier and visited are node-grain relations (≪ edges).
+    K is fixed, so the whole traversal is one declarative DAG — no
+    driver-side convergence check. A hub node is an AQE skew-split
+    case, not a plan change."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = t(spark, sf_dir, "supplier")
+    e0 = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        e0.select(
+            F.concat(F.lit("c:"), F.col("c")).alias("src"),
+            F.concat(F.lit("s:"), F.col("s")).alias("dst"),
+        )
+        .unionAll(
+            e0.select(
+                F.concat(F.lit("s:"), F.col("s")).alias("src"),
+                F.concat(F.lit("c:"), F.col("c")).alias("dst"),
+            )
+        )
+        .persist()
+    )
+    seeds = (
+        sup.where(F.expr("s_suppkey % 5 = 0"))
+        .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
+        .distinct()
+    )
+    visited = seeds.select("node", F.lit(0).cast("long").alias("hops")).persist()
+    frontier = visited.select("node")
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).cast("long").alias("hops"))
+        ).persist()
+        frontier = nxt
+    return visited.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("node").startswith("c:"), 1).otherwise(0)).alias(
+            "n_customers"
+        ),
+        F.min("node").alias("sample_node"),
+    )

@@ -751,3 +751,31 @@ def test_q147_twap_matches_hand_integration_and_beats_plain_avg(spark, tmp_path)
     # integral: (1000 cents * 90e6 + 10000 cents * 10e6) / 100e6 / 100
     assert row.twap == (1000 * 90_000_000 + 10000 * 10_000_000) / 100_000_000 / 100.0
     assert abs(row.twap - 19.0) < 1e-12
+
+
+def test_q149_bfs_layers_on_path_graph(spark, tmp_path):
+    """Hand-built path s5-c1-s2-c3-s4 with seeds {s5, s10}: s4 sits at
+    hop 4 > _BFS_HOPS so it must NOT appear; the isolated seed s10
+    stays at hop 0; each layer's membership is exact."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import q149_bfs_reachability
+
+    spark.createDataFrame(
+        [(1, 1), (2, 3)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 5), (1, 2), (2, 2), (2, 4)], "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(5,), (10,), (2,), (4,), (7,)], "s_suppkey long"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+
+    got = {
+        r.hops: (r.n_nodes, r.n_customers, r.sample_node)
+        for r in q149_bfs_reachability(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (2, 0, "s:10"),
+        1: (1, 1, "c:1"),
+        2: (1, 0, "s:2"),
+        3: (1, 1, "c:3"),
+    }
