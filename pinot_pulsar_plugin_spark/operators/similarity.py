@@ -1315,3 +1315,144 @@ def s60_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(sims.groupBy("q_id"))
         .applyInPandas(greedy, "q_id long, step int, n_id long, mmr_score double")
     )
+
+
+# --- s61: NDCG@k retrieval-quality evaluation -----------------------
+#
+# The similarity family has retrieval METHODS (s48 exact, s49 LSH,
+# s50 IVF, s55 PQ, s58 SQ8) and pointwise accuracy evals (s52 1-NN
+# label accuracy, recall floors in test_ann_quality); s61 adds the
+# RANKING metric those evals can't see: NDCG@k with binary relevance
+# (neighbor shares the probe's label), the standard figure of merit
+# when deciding whether an ANN index is good enough to replace the
+# exact scan. Graded per probe so regressions localize.
+#
+# Exactness: the DCG discount table round(1e6/log2(i+1)) and its
+# prefix sums are PRECOMPUTED integer literals embedded identically
+# in both engines' queries (computing log2 at query time risks a
+# 1-ulp engine divergence under the ROUND half-boundary; a constant
+# table cannot diverge). DCG/IDCG are then int64 sums of table
+# lookups, and NDCG is one double division of two exact integers —
+# bit-identical. Ranking rides the fold-exact cosine with vec_id
+# tie-breaks (the s48 contract).
+
+_S61_PROBES = 12
+_S61_K = 10
+# round(1e6 / log2(rank+1)) for rank 1..10, and 1-based prefix sums
+_S61_W = [1000000, 630930, 500000, 430677, 386853, 356207,
+          333333, 315465, 301030, 289065]
+_S61_P = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+          3638000, 3953465, 4254495, 4543560]
+_S61_W_SQL = "[" + ", ".join(str(w) for w in _S61_W) + "]"
+_S61_P_SQL = "[" + ", ".join(str(p) for p in _S61_P) + "]"
+
+_S61 = f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding, {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    lab AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lab
+      FROM embeddings GROUP BY label),
+    ranked AS (
+      SELECT p_id, p_label, label,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+               ORDER BY cosine DESC, n_id) AS rank
+      FROM (
+        SELECT q.vec_id AS p_id, q.label AS p_label,
+               c.vec_id AS n_id, c.label,
+               {fold_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                 AS cosine
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_S61_PROBES})),
+    gains AS (
+      SELECT p_id, p_label,
+             CAST(SUM(CASE WHEN label = p_label
+                           THEN {_S61_W_SQL}[CAST(rank AS INTEGER)]
+                           ELSE 0 END) AS BIGINT) AS dcg_w,
+             CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_topk
+      FROM ranked WHERE rank <= {_S61_K}
+      GROUP BY p_id, p_label),
+    ideal AS (
+      SELECT g.p_id, g.n_rel_topk, g.dcg_w,
+             CAST(LEAST(l.n_lab - 1, {_S61_K}) AS BIGINT) AS ideal_n
+      FROM gains g JOIN lab l ON l.label = g.p_label)
+    SELECT p_id, n_rel_topk, dcg_w, ideal_n,
+           CASE WHEN ideal_n <= 0 THEN 0.0
+                ELSE CAST(dcg_w AS DOUBLE)
+                     / CAST({_S61_P_SQL}[CAST(ideal_n AS INTEGER)] AS DOUBLE)
+           END AS ndcg
+    FROM ideal
+"""
+
+
+@query("s61_ndcg_eval", _S61)
+def s61_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of exact-cosine retrieval under label-match relevance,
+    per probe (see block comment — literal integer discount table,
+    int64 DCG/IDCG, one double division).
+
+    Scale shape: probes broadcast against the corpus (the s48
+    pattern — the corpus never shuffles); per-probe top-k is a
+    partitioned window Spark rewrites to map-side partial top-k; the
+    per-label totals are a tiny broadcast dimension. Evaluating an
+    ANN method instead of the exact scan swaps the `ranked` CTE for
+    the method's candidate list — the metric plan is unchanged."""
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "label", "embedding", fold_norm("embedding").alias("nrm")
+    )
+    lab = em.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    probes = n.filter(F.col("vec_id") < _S61_PROBES).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("p_label"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    cos = fold_dot(F.col("p_emb"), F.col("embedding")) / (
+        F.col("p_nrm") * F.col("nrm")
+    )
+    scored = n.join(F.broadcast(probes), F.col("p_id") != F.col("vec_id")).select(
+        "p_id", "p_label", F.col("vec_id").alias("n_id"), "label", cos.alias("cosine")
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    w_arr = F.array(*[F.lit(w) for w in _S61_W])
+    p_arr = F.array(*[F.lit(p) for p in _S61_P])
+    gains = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S61_K)
+        .groupBy("p_id", "p_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("p_label"),
+                    F.element_at(w_arr, F.col("rank")),
+                ).otherwise(0)
+            ).alias("dcg_w"),
+            F.sum(
+                F.when(F.col("label") == F.col("p_label"), 1).otherwise(0)
+            ).alias("n_rel_topk"),
+        )
+    )
+    ideal = gains.join(
+        F.broadcast(lab), gains["p_label"] == lab["label"]
+    ).select(
+        "p_id",
+        "n_rel_topk",
+        "dcg_w",
+        F.least(F.col("n_lab") - 1, F.lit(_S61_K)).cast("long").alias("ideal_n"),
+    )
+    return ideal.select(
+        "p_id",
+        "n_rel_topk",
+        "dcg_w",
+        "ideal_n",
+        F.when(F.col("ideal_n") <= 0, F.lit(0.0))
+        .otherwise(
+            F.col("dcg_w").cast("double")
+            / F.element_at(p_arr, F.col("ideal_n").cast("int")).cast("double")
+        )
+        .alias("ndcg"),
+    )

@@ -244,3 +244,25 @@ def test_s60_mmr_first_pick_is_top_relevance_and_diversifies(spark):
 
         if set(ids) != set(topk):
             assert mean_pair(ids) < mean_pair(topk)
+
+
+def test_s61_ndcg_on_controlled_ranking(spark, tmp_path):
+    """One probe, three candidates with engineered cosine order
+    rel=[1,0,1]: DCG = W[1]+W[3] = 1.5e6, IDCG = prefix[2] (only two
+    relevant docs exist corpus-wide), so NDCG = 1500000/1630930."""
+    from pinot_pulsar_plugin_spark.operators.similarity import s61_ndcg_eval
+
+    rows = [
+        (0, [1.0, 0.0], 1),    # the probe
+        (20, [1.0, 0.1], 1),   # rank 1, relevant
+        (21, [1.0, 0.2], 0),   # rank 2, not relevant
+        (22, [0.0, 1.0], 1),   # rank 3, relevant
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {r.p_id: r for r in s61_ndcg_eval(spark, str(tmp_path)).collect()}
+    r0 = got[0]
+    assert (r0.n_rel_topk, r0.dcg_w, r0.ideal_n) == (2, 1500000, 2)
+    assert r0.ndcg == 1500000 / 1630930
