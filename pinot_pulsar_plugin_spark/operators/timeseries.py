@@ -598,3 +598,103 @@ def q147_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     )
+
+
+# --- q150: per-group OLS trend slope (exact integer sufficient stats)
+#
+# The trend detector a metrics pipeline runs over every series it
+# tracks ("is this brand's revenue growing?"): ordinary least squares
+# over (day index, daily revenue), computed from the five sufficient
+# statistics n, Σx, Σy, Σxy, Σx² — the classical distributed
+# regression: one combinable aggregate, no iteration, merges across
+# partitions/segments like any other partial agg (the same shape
+# Pinot's COVAR/VAR family and Spark's regr_slope use internally).
+# regr_slope itself is NOT used: both engines implement it with
+# double-accumulated Σ terms whose accumulation ORDER is
+# shuffle-dependent — irreproducible. Integer sufficient statistics
+# are order-independent, so the slope is bit-identical across
+# engines and shuffle schedules.
+#
+# Exactness: x = days since 1995-01-01 (int, ≤ ~2500), y = daily
+# revenue in cents (presum: per-line ROUND before the integer sum).
+# slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²): numerator/denominator are
+# int64-exact (headroom at sf0.1: nΣxy ≤ 2.5e18; lift the products
+# to DECIMAL(38) past ~sf0.3, the q81 note), the division is one
+# double op. r² = cov²/(varx·vary) is a pure double chain on the
+# same exact integers — deterministic cross-engine even where the
+# intermediate products exceed 2^53 (identical IEEE ops on identical
+# inputs).
+
+_Q150 = """
+    WITH daily AS (
+      SELECT p.p_brand,
+             date_diff('day', DATE '1995-01-01',
+                       CAST(l.l_shipdate AS DATE)) AS x,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY p_brand)
+    SELECT p_brand, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+    FROM stats WHERE n >= 2
+"""
+
+
+@query("q150_trend_slope", _Q150)
+def q150_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of daily revenue (cents/day) plus r², from
+    exact integer sufficient statistics (see block comment — the
+    order-independent alternative to double-accumulated regr_slope).
+
+    Scale shape: one fact-volume combinable aggregate to day grain
+    (the only big exchange; part is a broadcast dim), then a 25-group
+    aggregate of five int64 partials — mergeable across segments the
+    way a serving rollup is. Nothing iterates; adding a second metric
+    is adding one more partial column."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    daily = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy(
+            "p_brand",
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.sum(cents).alias("y"))
+    )
+    stats = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    return stats.where(F.col("n") >= 2).select(
+        "p_brand",
+        "n",
+        (num / den).alias("slope_cents_per_day"),
+        ((num * num) / (den * vary)).alias("r2"),
+    )

@@ -779,3 +779,33 @@ def test_q149_bfs_layers_on_path_graph(spark, tmp_path):
         2: (1, 0, "s:2"),
         3: (1, 1, "c:3"),
     }
+
+
+def test_q150_slope_exact_on_linear_series(spark, tmp_path):
+    """Brand A revenue is exactly 100+50x cents on days x=0..3 ->
+    slope 50.0 and r² 1.0 bit-exactly; brand B has a single day and
+    must be excluded by the n >= 2 filter."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import q150_trend_slope
+
+    base = datetime.datetime(1995, 1, 1)
+    lines = [
+        (1, (100 + 50 * x) / 100.0, 0.0, base + datetime.timedelta(days=x))
+        for x in range(4)
+    ] + [(2, 9.99, 0.0, base)]
+    spark.createDataFrame(
+        lines,
+        "l_partkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    rows = q150_trend_slope(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p_brand, r.n) == ("A", 4)
+    assert r.slope_cents_per_day == 50.0
+    assert r.r2 == 1.0
