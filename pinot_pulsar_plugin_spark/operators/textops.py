@@ -1520,3 +1520,114 @@ def t72_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_nats"
         ),
     ).select("src_from", "src_to", "n_terms", "kl_nats")
+
+
+# --- t73: chi-square term↔source association ------------------------
+#
+# Feature selection for corpus curation: which terms are
+# STATISTICALLY associated with a source (the χ² test over the 2×2
+# document-level contingency table — the classic term-selection
+# statistic of Yang & Pedersen '97, and the "what vocabulary marks
+# this domain" report a mixture-building pipeline (q79) reads before
+# weighting sources). For term t and source s over N docs:
+# a = docs in s containing t, b = in s without t, c = containing t
+# outside s, d = the rest; χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+#
+# Exactness: a/b/c/d are exact int64 counts from one distinct
+# (doc, term) relation plus two broadcast marginals. ad−bc is
+# computed in int64 (≤ N² — exact to ~3e9 docs); the SQUARE and the
+# 4-marginal product are pure double chains on those exact integers
+# (N⁴ would overflow int64 long before int64 counts do), which is
+# deterministic cross-engine: identical IEEE ops on identical inputs.
+# df filter ≥ 5 keeps the report to terms with evidence.
+
+_T73_MIN_DF = 5
+
+_T73 = f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    n_total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+            FROM documents GROUP BY source),
+    termdf AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+               FROM dt GROUP BY term),
+    a_tab AS (SELECT term, source, CAST(COUNT(*) AS BIGINT) AS a
+              FROM dt GROUP BY term, source),
+    cells AS (
+      SELECT a_tab.term, a_tab.source, a, n_src - a AS b, df - a AS c,
+             n - n_src - (df - a) AS d, df, n
+      FROM a_tab
+      JOIN termdf ON termdf.term = a_tab.term
+      JOIN src ON src.source = a_tab.source
+      CROSS JOIN n_total
+      WHERE df >= {_T73_MIN_DF})
+    SELECT term, source, a, b, c, d,
+           CASE WHEN (a+b) * (a+c) = 0 OR (c+d) * (b+d) = 0 THEN 0.0
+                ELSE CAST(n AS DOUBLE)
+                     * (CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE))
+                     / (CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)
+                        * CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE))
+           END AS chi2
+    FROM cells
+"""
+
+
+@query("t73_chi2_term_assoc", _T73)
+def t73_chi2_term_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² association between every (term, source) pair at document
+    grain (see block comment): exact int64 contingency cells, one
+    double chain for the statistic.
+
+    Scale shape: the only corpus-volume work is the distinct
+    (doc, source, term) projection (combinable) and its two grouped
+    counts; the marginals (per-term df, per-source doc counts, N) are
+    tiny broadcast dims, so the cell join never shuffles the big
+    relation twice. Zipfian vocabularies keep the (term, source)
+    output ≪ corpus size; the df floor bounds it further."""
+    d = t(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).distinct()
+    n_total = d.agg(F.countDistinct("doc_id").alias("n"))
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    termdf = dt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    a_tab = dt.groupBy("term", "source").agg(F.count(F.lit(1)).alias("a"))
+    cells = (
+        a_tab.join(F.broadcast(termdf), "term")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(n_total))
+        .where(F.col("df") >= _T73_MIN_DF)
+        .select(
+            "term",
+            "source",
+            "a",
+            (F.col("n_src") - F.col("a")).alias("b"),
+            (F.col("df") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("n_src") - (F.col("df") - F.col("a"))).alias("d"),
+            "n",
+        )
+    )
+    diff_d = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    zero_marg = (
+        ((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) == 0)
+        | ((F.col("c") + F.col("d")) * (F.col("b") + F.col("d")) == 0)
+    )
+    return cells.select(
+        "term",
+        "source",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(zero_marg, F.lit(0.0))
+        .otherwise(F.col("n").cast("double") * (diff_d * diff_d) / denom)
+        .alias("chi2"),
+    )

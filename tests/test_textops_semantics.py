@@ -330,3 +330,29 @@ def test_t72_kl_matches_hand_computation_and_is_nonnegative(spark, tmp_path):
     # and a genuinely different pair is asymmetric
     assert rows[("s1", "s3")] == min(rows.values())
     assert rows[("s1", "s2")] != rows[("s2", "s1")]
+
+
+def test_t73_chi2_on_perfectly_separated_sources(spark, tmp_path):
+    """10 docs, two sources with disjoint vocabularies: every observed
+    (term, source) cell is a=5,b=0,c=0,d=5 over N=10, so
+    chi2 = 10*(25)^2/5^4 = 10.0 exactly; unobserved (a=0) pairs do not
+    emit rows."""
+    from pinot_pulsar_plugin_spark.operators.textops import t73_chi2_term_assoc
+
+    rows = [(i, "apple x", "en", "s1", 7) for i in range(5)] + [
+        (i + 5, "banana y", "en", "s2", 8) for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.term, r.source): (r.a, r.b, r.c, r.d, r.chi2)
+        for r in t73_chi2_term_assoc(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("apple", "s1"): (5, 0, 0, 5, 10.0),
+        ("x", "s1"): (5, 0, 0, 5, 10.0),
+        ("banana", "s2"): (5, 0, 0, 5, 10.0),
+        ("y", "s2"): (5, 0, 0, 5, 10.0),
+    }
