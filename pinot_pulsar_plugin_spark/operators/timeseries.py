@@ -698,3 +698,71 @@ def q150_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("slope_cents_per_day"),
         ((num * num) / (den * vary)).alias("r2"),
     )
+
+
+# --- q151: sliding-window distinct count (7-day active users) -------
+#
+# "Distinct users over the trailing 7 days, per day" — the WAU-style
+# engagement series every event pipeline serves. A RANGE window can't
+# compute it (COUNT(DISTINCT) isn't a supported window aggregate on
+# either engine), and re-scanning 7 days per output day is 7× read
+# amplification. The distributed form: reduce to the distinct
+# (type, user, day) grain once, then each observation CONTRIBUTES to
+# the ≤7 window-end days it falls in (explode of a 7-element day
+# sequence — bounded fanout on the already-deduplicated relation,
+# the standard contribute-then-count rotation), then one exact
+# distinct count per (type, window-end day).
+#
+# Exactness: day = epoch-µs floor-div 86400e6 (positive, so Spark
+# div ≡ DuckDB //); counts are integers. Window-end days with no
+# event of their own still emit (the trailing tail after a type's
+# last active day, ≤6 rows per type) — the honest "window ending at
+# D" semantics; n_today distinguishes them.
+
+_Q151 = """
+    WITH obs AS (
+      SELECT DISTINCT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    contrib AS (
+      SELECT event_type, user_id, day AS obs_day,
+             UNNEST(generate_series(day, day + 6)) AS wday
+      FROM obs)
+    SELECT event_type, CAST(wday AS BIGINT) AS wday,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d,
+           CAST(COUNT(DISTINCT CASE WHEN obs_day = wday THEN user_id END)
+                AS BIGINT) AS n_today
+    FROM contrib GROUP BY event_type, wday
+"""
+
+
+@query("q151_sliding_distinct", _Q151)
+def q151_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per (event_type, day) via
+    the contribute-then-count rotation (see block comment), plus the
+    same-day distinct count for reference.
+
+    Scale shape: one combinable distinct to (type, user, day) grain —
+    the only event-volume exchange — then a ×7 bounded explode on the
+    REDUCED relation and one distinct-count keyed by (type, day).
+    Nothing rescans raw events per output day; skew rides AQE. The
+    window length is a constant in the sequence, so widening to 30
+    days is a fanout knob, not a plan change."""
+    e = t(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    contrib = obs.select(
+        "event_type",
+        "user_id",
+        F.col("day").alias("obs_day"),
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
+    )
+    return contrib.groupBy("event_type", "wday").agg(
+        F.countDistinct("user_id").alias("n_users_7d"),
+        F.countDistinct(
+            F.when(F.col("obs_day") == F.col("wday"), F.col("user_id"))
+        ).alias("n_today"),
+    )

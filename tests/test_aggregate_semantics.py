@@ -74,3 +74,32 @@ def test_q146_bitmap_distinct_is_exact_incl_bit63(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].distinct_users == len(set(ids)) == 8
     assert rows[0].n_words == 4  # words 0, 1, 2, 3
+
+
+def test_q151_sliding_distinct_window_membership(spark, tmp_path):
+    """User 1 active on day 0, user 2 on day 3: day-3 window sees both,
+    day 7 has fallen past user 1 (0 + 6 < 7) but still holds user 2,
+    day 10 only trails user 2's activity (n_today 0)."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import q151_sliding_distinct
+
+    def ts(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+
+    rows = [(1, ts(0), 1, "click", 1.0, "{}"), (2, ts(3), 2, "click", 1.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.wday: (r.n_users_7d, r.n_today)
+        for r in q151_sliding_distinct(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (1, 1), 1: (1, 0), 2: (1, 0),
+        3: (2, 1), 4: (2, 0), 5: (2, 0), 6: (2, 0),
+        7: (1, 0), 8: (1, 0), 9: (1, 0),
+    }
