@@ -367,3 +367,203 @@ def q143_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+# --- q152: theta-sketch SET OPERATIONS (intersect / A-not-B) --------
+#
+# q141 proves the KMV theta sketch and its UNION merge; q152 adds the
+# other half of Pinot's DistinctCountThetaSketch surface: SET
+# EXPRESSIONS over sketches ("users who did A and B", "did A but not
+# B") answered from sketch state alone. Standard theta algebra
+# (Dasgupta et al., the DataSketches paper): each sketch keeps its
+# threshold θ (= k-th smallest hash, or the full domain when exact)
+# and its sample S = {h < θ}; for a pair, θ∩ = min(θ_a, θ_b),
+# M = |{h ∈ S_a ∩ S_b : h < θ∩}|, est = M·DOM/θ∩ — and the same
+# filtered count over S_a \ S_b estimates the difference. The exact
+# per-pair intersection (a user-keyed equi-join, q109-style bounded
+# fanout) rides along as ground truth, making the entry its own
+# accuracy report.
+#
+# Exactness: same 60-bit md5 hash as q141 (identical hex on both
+# engines), integer counts, and one double division per estimate —
+# bit-identical. Sketch state is ≤ k hashes/type, so every set
+# expression runs on broker-merge-sized data.
+
+_Q152 = f"""
+    WITH dv AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM dv),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM h),
+    kept AS (SELECT event_type, h FROM ranked WHERE r <= {_KMV_K}),
+    theta AS (
+      SELECT event_type,
+             CASE WHEN COUNT(*) < {_KMV_K} THEN CAST({_KMV_DOM} AS BIGINT)
+                  ELSE MAX(h) END AS theta
+      FROM kept GROUP BY event_type),
+    samp AS (
+      SELECT k.event_type, k.h
+      FROM kept k JOIN theta t ON t.event_type = k.event_type
+      WHERE k.h < t.theta),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             LEAST(a.theta, b.theta) AS th
+      FROM theta a JOIN theta b ON a.event_type < b.event_type),
+    m AS (
+      SELECT sa.event_type AS ta, sb.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM samp sa
+      JOIN samp sb ON sb.h = sa.h AND sa.event_type < sb.event_type
+      JOIN pairs p ON p.ta = sa.event_type AND p.tb = sb.event_type
+                   AND sa.h < p.th
+      GROUP BY 1, 2),
+    anb AS (
+      SELECT sa.event_type AS ta, p.tb,
+             CAST(COUNT(*) AS BIGINT) AS n_a_only
+      FROM samp sa
+      JOIN pairs p ON p.ta = sa.event_type
+      LEFT JOIN samp sb ON sb.event_type = p.tb AND sb.h = sa.h
+      WHERE sa.h < p.th AND sb.h IS NULL
+      GROUP BY 1, 2),
+    ex AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM dv a JOIN dv b ON b.user_id = a.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.ta, p.tb,
+           COALESCE(m.n_common, 0) AS n_common,
+           CAST(COALESCE(m.n_common, 0) AS DOUBLE) * {_KMV_DOM}
+             / CAST(p.th AS DOUBLE) AS est_intersect,
+           COALESCE(anb.n_a_only, 0) AS n_a_only,
+           CAST(COALESCE(anb.n_a_only, 0) AS DOUBLE) * {_KMV_DOM}
+             / CAST(p.th AS DOUBLE) AS est_a_not_b,
+           COALESCE(ex.n_exact, 0) AS n_exact_intersect
+    FROM pairs p
+    LEFT JOIN m ON m.ta = p.ta AND m.tb = p.tb
+    LEFT JOIN anb ON anb.ta = p.ta AND anb.tb = p.tb
+    LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+"""
+
+
+@query("q152_theta_sketch_setops", _Q152)
+def q152_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection and A-not-B estimates for every
+    event-type pair, with the exact intersection as in-row ground
+    truth (see block comment).
+
+    Scale shape: the only event-volume work is the (type, user)
+    distinct and the user-keyed exact-intersection join (bounded by
+    per-user type combinations, the q109 shape); everything
+    downstream — thresholds, samples, pair algebra — runs on ≤ k
+    rows per type and broadcasts. At 100 TB the sketches come from
+    segment-level partials merged at serve time (the q141 union
+    path); the set expressions here never touch base data."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    dv = e.select("event_type", "user_id").distinct().persist()
+    h = dv.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        h.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _KMV_K)
+        .drop("r")
+    )
+    theta = kept.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < _KMV_K, F.lit(_KMV_DOM).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    samp = (
+        kept.join(F.broadcast(theta), "event_type")
+        .where(F.col("h") < F.col("theta"))
+        .select("event_type", "h")
+        .persist()
+    )
+    ta = theta.alias("a")
+    tb = theta.alias("b")
+    pairs = ta.join(
+        tb, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.least("a.theta", "b.theta").alias("th"),
+    )
+    sa = samp.alias("sa")
+    sb = samp.alias("sb")
+    m = (
+        sa.join(
+            sb,
+            (F.col("sb.h") == F.col("sa.h"))
+            & (F.col("sa.event_type") < F.col("sb.event_type")),
+        )
+        .join(
+            F.broadcast(pairs),
+            (F.col("ta") == F.col("sa.event_type"))
+            & (F.col("tb") == F.col("sb.event_type"))
+            & (F.col("sa.h") < F.col("th")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    anb = (
+        sa.join(F.broadcast(pairs), F.col("ta") == F.col("sa.event_type"))
+        .join(
+            sb,
+            (F.col("sb.event_type") == F.col("tb"))
+            & (F.col("sb.h") == F.col("sa.h")),
+            "left",
+        )
+        .where((F.col("sa.h") < F.col("th")) & F.col("sb.h").isNull())
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_a_only"))
+    )
+    da = dv.alias("da")
+    db = dv.alias("db")
+    ex = (
+        da.join(
+            db,
+            (F.col("db.user_id") == F.col("da.user_id"))
+            & (F.col("da.event_type") < F.col("db.event_type")),
+        )
+        .groupBy(
+            F.col("da.event_type").alias("ta"), F.col("db.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    dom_d = float(_KMV_DOM)
+    out = (
+        pairs.join(m, ["ta", "tb"], "left")
+        .join(anb, ["ta", "tb"], "left")
+        .join(ex, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                * F.lit(dom_d)
+                / F.col("th").cast("double")
+            ).alias("est_intersect"),
+            F.coalesce("n_a_only", F.lit(0)).alias("n_a_only"),
+            (
+                F.coalesce("n_a_only", F.lit(0)).cast("double")
+                * F.lit(dom_d)
+                / F.col("th").cast("double")
+            ).alias("est_a_not_b"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact_intersect"),
+        )
+    )
+    return out

@@ -111,3 +111,30 @@ def test_q141_kmv_estimate_within_error_and_exact_below_k(spark, tmp_path):
     assert got["t_small"] == (7, 7.0)  # below capacity -> exact
     assert got["t_big"][0] == _KMV_K
     assert abs(got["t_big"][1] - 400) <= 4 * rse * 400
+
+
+def test_q152_setops_exact_when_sketches_are_exact(spark, tmp_path):
+    """Below k distinct users per type the sketch IS the set: theta is
+    the full domain, every estimate collapses to the exact count.
+    A = users 1-10, B = users 6-15 -> intersect 5, A-not-B 5."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.patterns import q152_theta_sketch_setops
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, u, "A", 1.0, "{}") for i, u in enumerate(range(1, 11))] + [
+        (100 + i, ts, u, "B", 1.0, "{}") for i, u in enumerate(range(6, 16))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    rows = q152_theta_sketch_setops(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.ta, r.tb) == ("A", "B")
+    assert (r.n_common, r.est_intersect) == (5, 5.0)
+    assert (r.n_a_only, r.est_a_not_b) == (5, 5.0)
+    assert r.n_exact_intersect == 5
