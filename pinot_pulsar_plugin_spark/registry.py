@@ -97,7 +97,10 @@ _MODULES = [
 # q142_negated_sequence_conversion, q143_upsert_with_deletes,
 # q144_order_reconciliation_audit, q145_label_propagation,
 # q146_bitmap_distinct, s60_mmr_diversified_topk,
-# m61_training_batches — have no driver row yet and must LEAD the r7
+# m61_training_batches, q147_twap, q148_snapshot_diff,
+# q149_bfs_reachability, q150_trend_slope, q151_sliding_distinct,
+# q152_theta_sketch_setops, s61_ndcg_eval, t73_chi2_term_assoc —
+# have no driver row yet and must LEAD the r7
 # window; all are parity-green at sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
     # --- never driver-scored (locally parity-green at 3 SFs since r5)
