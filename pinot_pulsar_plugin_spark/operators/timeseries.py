@@ -766,3 +766,124 @@ def q151_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("obs_day") == F.col("wday"), F.col("user_id"))
         ).alias("n_today"),
     )
+
+
+# --- q153: lagged cross-correlation between two daily series --------
+#
+# "Does event stream A lead stream B?" — the lead/lag diagnostic run
+# before trusting one metric as an early-warning signal for another
+# (and the feature-screening step of demand forecasting). For each
+# lag L in [-3, +3], the Pearson correlation of (A[d], B[d+L]) over
+# all days where both sides exist, computed — like q150 — from exact
+# integer sufficient statistics so the result is order-independent
+# and engine-portable, unlike double-accumulated corr().
+#
+# The series: daily event-count-weighted value sums (cents) of the
+# two highest-volume event types, pinned by NAME ordering (not by
+# volume rank, which could tie): the lexicographically first two
+# types. Day join at shifted key d+L; n ≥ 3 overlapping days
+# required per lag. r = (nΣxy − ΣxΣy) / sqrt((nΣxx − Σx²)(nΣyy −
+# Σy²)): numerator int64-exact, denominator a double sqrt of exact
+# int64s — one IEEE chain, bit-identical.
+
+_Q153_LAGS = 3
+
+_Q153 = f"""
+    WITH t1 AS (SELECT MIN(event_type) AS ta FROM events),
+    t2 AS (SELECT MIN(event_type) AS tb FROM events, t1
+           WHERE event_type > ta),
+    daily AS (
+      SELECT CASE WHEN e.event_type = ta THEN 1 ELSE 2 END AS tr,
+             epoch_us(e.ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events e CROSS JOIN t1 CROSS JOIN t2
+      WHERE e.event_type = ta OR e.event_type = tb
+      GROUP BY 1, 2),
+    lags AS (SELECT UNNEST(generate_series(-{_Q153_LAGS}, {_Q153_LAGS})) AS lag),
+    pairs AS (
+      SELECT l.lag, a.cents AS x, b.cents AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.tr = 2 AND b.day = a.day + l.lag
+      WHERE a.tr = 1),
+    stats AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM stats
+    WHERE n >= 3 AND n * sxx > sx * sx AND n * syy > sy * sy
+"""
+
+
+@query("q153_lag_correlation", _Q153)
+def q153_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the two lexicographically-first
+    event types' daily value series at every lag in ±{lags} days,
+    from exact integer sufficient statistics (see block comment).
+    The two series are pinned by min / min-above-min scalar
+    aggregates, not a global ROW_NUMBER — the partition-less-window
+    gate applies to tiny relations too.
+
+    Scale shape: one combinable day-grain aggregate over events (the
+    only fact-volume exchange), then a 7-lag bounded explode of the
+    tiny day-grain series and an equi-join on the shifted day key —
+    day-grain data, thousands of rows regardless of event volume.
+    Constant-degenerate lags (zero variance) are excluded on both
+    engines rather than risking a 0/0."""
+    e = t(spark, sf_dir, "events")
+    m1 = e.agg(F.min("event_type").alias("ta"))
+    m2 = (
+        e.crossJoin(F.broadcast(m1))
+        .where(F.col("event_type") > F.col("ta"))
+        .agg(F.min("event_type").alias("tb"))
+    )
+    daily = (
+        e.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .where((F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .groupBy(
+            F.when(F.col("event_type") == F.col("ta"), 1).otherwise(2).alias("tr"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    a = daily.where(F.col("tr") == 1).select(
+        F.col("day").alias("a_day"), F.col("cents").alias("x")
+    )
+    b = daily.where(F.col("tr") == 2).select(
+        F.col("day").alias("b_day"), F.col("cents").alias("y")
+    )
+    lags = spark.range(-_Q153_LAGS, _Q153_LAGS + 1).select(
+        F.col("id").alias("lag")
+    )
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("b_day") == F.col("a_day") + F.col("lag")
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        stats.where((F.col("n") >= 3) & (varx > 0) & (vary > 0))
+        .select(
+            "lag",
+            "n",
+            (num / F.sqrt(varx.cast("double") * vary.cast("double"))).alias("r"),
+        )
+    )

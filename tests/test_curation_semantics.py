@@ -809,3 +809,30 @@ def test_q150_slope_exact_on_linear_series(spark, tmp_path):
     assert (r.p_brand, r.n) == ("A", 4)
     assert r.slope_cents_per_day == 50.0
     assert r.r2 == 1.0
+
+
+def test_q153_detects_known_lead_lag(spark, tmp_path):
+    """Series B is an exact copy of series A shifted forward one day
+    (B[d+1] = A[d]): r must be exactly 1.0 at lag +1 and the lag-0
+    correlation of the engineered anti-phase values must be -1.0."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import q153_lag_correlation
+
+    def ts(day):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+
+    # A on days 0..9 alternates 1.00/2.00; B mirrors it one day later
+    # (and anti-phases on the same day because of the alternation).
+    a_vals = [1.0 if d % 2 == 0 else 2.0 for d in range(10)]
+    rows = [(d, ts(d), 1, "A", a_vals[d], "{}") for d in range(10)]
+    rows += [(100 + d, ts(d + 1), 1, "B", a_vals[d], "{}") for d in range(10)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.lag: (r.n, r.r) for r in q153_lag_correlation(spark, str(tmp_path)).collect()}
+    assert got[1] == (10, 1.0)
+    assert got[0][1] == -1.0
