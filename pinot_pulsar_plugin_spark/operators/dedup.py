@@ -1082,3 +1082,173 @@ def chunk_rewrite(d: DataFrame, w: int) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# --- d57: MinHash Jaccard ESTIMATOR with exact ground truth ---------
+#
+# d45 is the production MinHash+LSH candidate generator — rows-only
+# checkable because its xxhash64 permutations have no DuckDB
+# counterpart. d57 is the missing instrument: the SAME estimator
+# built on a PORTABLE hash family (h_i(s) = first 60 bits of
+# md5(i || '#' || shingle), the q141 trick), so both engines compute
+# bit-identical signatures AND the estimate is oracle-checked —
+# together with the exact Jaccard in-row, the entry is the accuracy
+# report that justifies d45's band thresholds. Probe-scoped (doc_id
+# < 40, ≤780 pairs at any SF): an estimator audit samples pairs; the
+# corpus-wide candidate path stays d45's.
+#
+# Estimate: Ĵ = |{i : sig_a[i] = sig_b[i]}| / H with H = 32
+# signature slots; E[Ĵ] = J (Broder '97), σ = sqrt(J(1-J)/H).
+# All-integer mins and match counts; the two divisions are single
+# double ops on exact integers.
+
+_D57_MAX_DOC = 40
+_D57_H = 32
+
+_D57 = f"""
+    WITH probe AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk
+      FROM documents WHERE doc_id < {_D57_MAX_DOC}),
+    sh_idx AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - {_SHINGLE_K - 1})) AS i
+      FROM probe),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+             tk[CAST(i AS INT) + 2] AS s
+      FROM sh_idx),
+    hs AS (
+      SELECT doc_id, hi,
+             CAST('0x' || substr(md5(CAST(hi AS VARCHAR) || '#' || s), 1, 15)
+                  AS BIGINT) AS h
+      FROM (SELECT doc_id, s, unnest(generate_series(0, {_D57_H - 1})) AS hi
+            FROM sh)),
+    sig AS (SELECT doc_id, hi, MIN(h) AS m FROM hs GROUP BY doc_id, hi),
+    est AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM sig a JOIN sig b ON b.hi = a.hi AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT e.doc_a, e.doc_b, e.n_match,
+           CAST(e.n_match AS DOUBLE) / {_D57_H}.0 AS est_jaccard,
+           COALESCE(i.n_common, 0) AS n_common,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / CAST(ca.n + cb.n - COALESCE(i.n_common, 0) AS DOUBLE)
+             AS exact_jaccard
+    FROM est e
+    JOIN counts ca ON ca.doc_id = e.doc_a
+    JOIN counts cb ON cb.doc_id = e.doc_b
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    WHERE e.n_match > 0 OR COALESCE(i.n_common, 0) > 0
+"""
+
+
+@query("d57_minhash_estimate", _D57)
+def d57_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed MinHash Jaccard estimator over a probe pair set,
+    exact Jaccard alongside (see block comment — the accuracy audit
+    for d45's rows-only scale path).
+
+    Scale shape: everything is probe-bounded (≤{maxdoc} docs → ≤780
+    pairs × {h} slots); on the full corpus the identical signature
+    plan is constant-width per doc (H int64 mins) and pair costs move
+    to d45's band join. The signature build is one combinable
+    min-aggregate keyed (doc, slot); no window, no cartesian — the
+    pair joins are equi-joins on slot / shingle."""
+    d = t(spark, sf_dir, "documents")
+    probe = d.where(F.col("doc_id") < _D57_MAX_DOC).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    )
+    sh = probe.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(tk) >= {_SHINGLE_K} THEN "
+                    f"transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
+                    f"i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1])) "
+                    f"ELSE array() END"
+                )
+            )
+        ).alias("s"),
+    ).persist()
+    hs = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_D57_H - 1))).alias("hi"),
+        F.col("s"),
+    ).select(
+        "doc_id",
+        "hi",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("hi").cast("string"), F.lit("#"), F.col("s"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sig = hs.groupBy("doc_id", "hi").agg(F.min("h").alias("m")).persist()
+    sa, sb = sig.alias("a"), sig.alias("b")
+    est = (
+        sa.join(
+            sb,
+            (F.col("b.hi") == F.col("a.hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.m") == F.col("b.m"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ia, ib = sh.alias("ia"), sh.alias("ib")
+    inter = (
+        ia.join(
+            ib,
+            (F.col("ib.s") == F.col("ia.s"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        est.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            (F.col("n_match").cast("double") / float(_D57_H)).alias("est_jaccard"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0))
+                ).cast("double")
+            ).alias("exact_jaccard"),
+        )
+        .where((F.col("n_match") > 0) | (F.col("n_common") > 0))
+    )
+    return out

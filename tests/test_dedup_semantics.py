@@ -415,3 +415,33 @@ def test_d56_chunk_rewrite_matches_brute_force(spark):
     assert rows[3].clean_text == "w0 w1 w2 w3"
     assert rows[4].clean_text == "" and rows[4].n_chunks == 1
     assert rows[6].clean_text == "" and rows[5].clean_text == "x0 x1"
+
+
+def test_d57_estimator_exact_on_identical_and_overlapping_docs(spark, tmp_path):
+    """Identical docs share every signature slot -> estimate exactly
+    1.0; a 1/3-overlap pair reports exact_jaccard 1/3 and a bounded
+    estimate; disjoint docs produce no row."""
+    from pinot_pulsar_plugin_spark.operators.dedup import d57_minhash_estimate
+
+    docs = [
+        (0, "w1 w2 w3 w4 w5", "en", "s", 1),
+        (1, "w1 w2 w3 w4 w5", "en", "s", 1),   # identical to 0
+        (2, "a b c d", "en", "s", 1),           # shingles {abc, bcd}
+        (3, "b c d e", "en", "s", 1),           # shingles {bcd, cde} -> J=1/3
+        (4, "x y z q", "en", "s", 1),           # disjoint from all
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in d57_minhash_estimate(spark, str(tmp_path)).collect()
+    }
+    ident = rows[(0, 1)]
+    assert ident.n_match == 32 and ident.est_jaccard == 1.0
+    assert ident.exact_jaccard == 1.0
+    over = rows[(2, 3)]
+    assert over.n_common == 1 and over.exact_jaccard == 1 / 3
+    assert 0 <= over.n_match <= 32
+    assert not any(4 in k for k in rows)
