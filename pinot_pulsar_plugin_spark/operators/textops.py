@@ -1631,3 +1631,75 @@ def t73_chi2_term_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n").cast("double") * (diff_d * diff_d) / denom)
         .alias("chi2"),
     )
+
+
+# --- t75: language-ID confusion matrix ------------------------------
+#
+# t51 emits per-doc predictions; t75 is the model-eval rollup a
+# curation pipeline runs before trusting the classifier to route
+# documents: the full confusion matrix (true lang × predicted lang)
+# with per-cell recall-of-row and precision-of-column shares. This is
+# the generic classifier-audit plan — swap t51's rule chain for any
+# per-row scorer and the eval is unchanged.
+#
+# Exactness: counts are integers; shares are integer ppm
+# floor-divisions over positive counts (Spark div ≡ DuckDB //, the
+# t63 rule). Marginals are tiny broadcast dims.
+
+_T75 = f"""
+    WITH pred AS (
+      SELECT lang, {_lang_case_sql()} AS lang_pred
+      FROM (SELECT lang, string_split(lower(text), ' ') AS tk
+            FROM documents)),
+    cells AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_pred),
+    row_m AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+              FROM cells GROUP BY lang),
+    col_m AS (SELECT lang_pred, CAST(SUM(n) AS BIGINT) AS n_pred
+              FROM cells GROUP BY lang_pred)
+    SELECT c.lang, c.lang_pred, c.n,
+           CAST(c.n * 1000000 // r.n_true AS BIGINT) AS recall_ppm,
+           CAST(c.n * 1000000 // p.n_pred AS BIGINT) AS precision_ppm
+    FROM cells c
+    JOIN row_m r ON r.lang = c.lang
+    JOIN col_m p ON p.lang_pred = c.lang_pred
+"""
+
+
+@query("t75_langid_confusion", _T75)
+def t75_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the t51 language classifier against the
+    stored lang label, with per-cell recall (share of the true-lang
+    row) and precision (share of the predicted column) in integer ppm.
+
+    Scale shape: one combinable (lang, pred) count over the corpus —
+    the only document-volume exchange — then two broadcast joins
+    against the ≤|langs|-row marginals. The prediction is an in-row
+    expression at scan speed (no shuffle to classify)."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    expr = None
+    for lang, w in _LANG_MARKERS:
+        cond = F.array_contains(tk, w)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("other")
+    cells = (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    row_m = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    col_m = cells.groupBy("lang_pred").agg(F.sum("n").alias("n_pred"))
+    return (
+        cells.join(F.broadcast(row_m), "lang")
+        .join(F.broadcast(col_m), "lang_pred")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000 div n_true").alias("recall_ppm"),
+            F.expr("n * 1000000 div n_pred").alias("precision_ppm"),
+        )
+    )

@@ -356,3 +356,29 @@ def test_t73_chi2_on_perfectly_separated_sources(spark, tmp_path):
         ("banana", "s2"): (5, 0, 0, 5, 10.0),
         ("y", "s2"): (5, 0, 0, 5, 10.0),
     }
+
+
+def test_t75_confusion_cells_and_ppm_shares(spark, tmp_path):
+    """3 en docs (2 predicted en, 1 predicted de) + 1 de doc predicted
+    de: en row recall 666666/333333 ppm; the de column holds one true
+    de (precision 500000) and one en miss (500000)."""
+    from pinot_pulsar_plugin_spark.operators.textops import t75_langid_confusion
+
+    docs = [
+        (0, "the cat", "en"), (1, "the dog", "en"), (2, "der hund", "en"),
+        (3, "der baum", "de"),
+    ]
+    spark.createDataFrame(
+        [(i, tx, lg, "s", len(tx)) for i, tx, lg in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.lang, r.lang_pred): (r.n, r.recall_ppm, r.precision_ppm)
+        for r in t75_langid_confusion(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("en", "en"): (2, 666666, 1000000),
+        ("en", "de"): (1, 333333, 500000),
+        ("de", "de"): (1, 1000000, 500000),
+    }
