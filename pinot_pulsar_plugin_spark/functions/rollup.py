@@ -220,3 +220,62 @@ def read_kmv_sketch(
         .otherwise(F.lit(float(k - 1)) * F.lit(dom) / F.col("h_k").cast("double"))
         .alias("est_distinct"),
     )
+
+
+# --- Streaming sliding-distinct maintenance (q151's stream twin) ----
+#
+# The WAU-style serving view: trailing-N-day distinct users per group
+# per day. COUNT(DISTINCT) partials are NOT summable, but the
+# DISTINCT OBSERVATION SET is: each micro-batch lands its distinct
+# (group, user, day) triples — idempotent under replay
+# (overwrite-by-batch-id) and under cross-batch repeats (the serving
+# read re-distincts) — and the serving read runs q151's
+# contribute-then-count rotation over the union. The maintained state
+# is one row per (group, user, active day), the minimal exact state
+# any engine needs for this metric (Pinot's equivalent is a realtime
+# segment per day queried with DISTINCTCOUNT over a day range).
+# Compaction note: partials accumulate per batch; rewrite the merged
+# distinct periodically (the read_rollup note) and age out days older
+# than the largest window served.
+
+
+def sliding_distinct_sink(out_dir: str, group_cols: list[str], user_col: str,
+                          day_col: str):
+    """foreachBatch function landing each micro-batch's distinct
+    (group, user, day) observation triples under ``batch_id=N``."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.select(*group_cols, user_col, day_col).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return write_batch
+
+
+def read_sliding_distinct(
+    spark, out_dir: str, group_cols: list[str], user_col: str, day_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Serve trailing-``window_days`` distinct users per (group, day)
+    from the maintained observation set — identical semantics (and
+    column names) to the batch q151 rotation."""
+    obs = (
+        spark.read.parquet(out_dir)
+        .select(*group_cols, user_col, day_col)
+        .distinct()
+    )
+    contrib = obs.select(
+        *group_cols,
+        F.col(user_col),
+        F.col(day_col).alias("obs_day"),
+        F.explode(
+            F.sequence(F.col(day_col), F.col(day_col) + (window_days - 1))
+        ).alias("wday"),
+    )
+    return contrib.groupBy(*group_cols, "wday").agg(
+        F.countDistinct(user_col).alias(f"n_users_{window_days}d"),
+        F.countDistinct(
+            F.when(F.col("obs_day") == F.col("wday"), F.col(user_col))
+        ).alias("n_today"),
+    )

@@ -1321,3 +1321,78 @@ def test_stream_kmv_sketch_merge_equals_batch_sketch(spark, tmp_path):
     assert got == want and set(got) == {"a", "b", "c"}
     # 97 distinct users per type >> K=16: every sketch is at capacity
     assert all(n == K for n, _ in got.values())
+
+
+def test_stream_sliding_distinct_equals_batch_q151(spark, tmp_path):
+    """Streaming WAU maintenance (q151's stream twin): events stream
+    through in several micro-batches, each landing its distinct
+    (type, user, day) triples; the serving rollup must be ROW-EQUAL to
+    the batch q151 operator on the same events — the observation-set
+    partials make the non-summable COUNT(DISTINCT) exactly mergeable,
+    including across duplicate observations split over batches."""
+    import glob
+
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        read_sliding_distinct,
+        sliding_distinct_sink,
+    )
+    from pinot_pulsar_plugin_spark.operators.timeseries import q151_sliding_distinct
+
+    DAY_US = 86_400_000_000
+    rows = [
+        {
+            "event_id": i,
+            "user_id": (i * 7) % 23,
+            "event_type": ["a", "b"][i % 2],
+            "ts_us": ((i * 13) % 11) * DAY_US + (i % 5) * 3_600_000_000,
+        }
+        for i in range(240)
+    ]
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=2)
+    for r in rows:
+        w.append(r["event_id"] % 2, json.dumps(r))
+
+    served, ck = str(tmp_path / "sd"), str(tmp_path / "ck")
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=37),
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint",
+    ).withColumn("day", F.expr(f"ts_us div {DAY_US}"))
+    q = (
+        decoded.writeStream.foreachBatch(
+            sliding_distinct_sink(served, ["event_type"], "user_id", "day")
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(glob.glob(served + "/batch_id=*")) > 1  # really incremental
+
+    got = {
+        (r.event_type, r.wday): (r.n_users_7d, r.n_today)
+        for r in read_sliding_distinct(
+            spark, served, ["event_type"], "user_id", "day"
+        ).collect()
+    }
+
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [
+            (r["event_id"], r["user_id"], r["event_type"], r["ts_us"])
+            for r in rows
+        ],
+        "event_id long, user_id long, event_type string, ts_us long",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(batch_dir + "/events.parquet")
+    want = {
+        (r.event_type, r.wday): (r.n_users_7d, r.n_today)
+        for r in q151_sliding_distinct(spark, batch_dir).collect()
+    }
+    assert got == want and len(want) > 10
