@@ -986,3 +986,116 @@ def q142_negated_sequence_conversion(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(clean.cast("int")).cast("long").alias("n_clean"),
         F.sum(blocked.cast("int")).cast("long").alias("n_blocked"),
     )
+
+
+# --- q154: windowed funnel (max step within a time budget) ----------
+#
+# q60 is the unwindowed first-occurrence funnel; q154 is the
+# windowFunnel/funnelMaxStep semantics every event-analytics engine
+# serves (ClickHouse windowFunnel, Pinot FUNNEL_MAX_STEP with
+# maxStepDuration): per user, the deepest prefix of
+# view → click → purchase completable with ALL steps inside W of the
+# anchor view. The naive form joins each view anchor against later
+# clicks and purchases — quadratic per user. The linear form used
+# here: one descending-suffix scan per user with REVERSED running
+# minima,
+#   np  = min over subsequent rows of purchase time
+#   ncp = min over subsequent rows of (click ? np(click row) : ∞)
+# so ncp at a view anchor is the EARLIEST purchase that completes an
+# in-order chain starting at that anchor (minimizing over click
+# choices minimizes the chain's finish) — funnel depth is then two
+# integer comparisons per anchor. One window pass, no self-join.
+#
+# Ordering ties are broken by event_id (a total order), so the row
+# frames — and therefore the result — are identical on both engines.
+# All arithmetic is integer µs.
+
+_Q154_W_US = 86_400_000_000  # 24 h step budget
+
+_Q154 = f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER w AS np
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    chain AS (
+      SELECT user_id, event_type, us,
+             MIN(CASE WHEN event_type = 'click' THEN us END) OVER w AS nc,
+             MIN(CASE WHEN event_type = 'click' THEN np END) OVER w AS ncp
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    depth AS (
+      SELECT user_id,
+             MAX(CASE
+                   WHEN ncp IS NOT NULL AND ncp - us <= {_Q154_W_US} THEN 3
+                   WHEN nc IS NOT NULL AND nc - us <= {_Q154_W_US} THEN 2
+                   ELSE 1 END) AS max_step
+      FROM chain WHERE event_type = 'view'
+      GROUP BY user_id)
+    SELECT max_step,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM depth GROUP BY max_step
+"""
+
+
+@query("q154_window_funnel", _Q154)
+def q154_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users by deepest funnel step (view → click → purchase) with all
+    steps inside a 24 h window of the anchor view — the
+    windowFunnel/FUNNEL_MAX_STEP semantics, computed with reversed
+    running minima instead of per-anchor self-joins (see block
+    comment).
+
+    Scale shape: ONE user-keyed exchange feeds both window passes
+    (same partitioning and ordering — Spark plans a single sort), and
+    the depth rollup is a combinable per-user max. Cost is linear in
+    events per user; a power user is an AQE skew case, not a plan
+    change. Adding funnel steps adds window columns, not passes over
+    the data."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        us.alias("us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).over(w).alias("np"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    chain = seq.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).over(w2).alias("nc"),
+        F.min(F.when(F.col("event_type") == "click", F.col("np"))).over(w2).alias("ncp"),
+    )
+    step = (
+        F.when(
+            F.col("ncp").isNotNull() & (F.col("ncp") - F.col("us") <= _Q154_W_US), 3
+        )
+        .when(F.col("nc").isNotNull() & (F.col("nc") - F.col("us") <= _Q154_W_US), 2)
+        .otherwise(1)
+    )
+    depth = (
+        chain.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.max(step).alias("max_step"))
+    )
+    return depth.groupBy("max_step").agg(
+        F.count(F.lit(1)).alias("n_users"), F.min("user_id").alias("min_user")
+    )

@@ -836,3 +836,46 @@ def test_q153_detects_known_lead_lag(spark, tmp_path):
     got = {r.lag: (r.n, r.r) for r in q153_lag_correlation(spark, str(tmp_path)).collect()}
     assert got[1] == (10, 1.0)
     assert got[0][1] == -1.0
+
+
+def test_q154_window_funnel_step_semantics(spark, tmp_path):
+    """Per-journey depth: complete chain in-window -> 3; purchase
+    outside the 24h budget -> 2; click outside -> 1; wrong order -> 1;
+    purchase without an intermediate click -> 1; a later in-window
+    anchor lifts the user's max; the chain may use ANY click between
+    view and purchase (not just the first)."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import q154_window_funnel
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(hours):
+        return t0 + datetime.timedelta(hours=hours)
+
+    journeys = {
+        1: [("view", 0), ("click", 1), ("purchase", 2)],          # 3
+        2: [("view", 0), ("click", 1), ("purchase", 30)],         # 2
+        3: [("view", 0), ("click", 30)],                          # 1
+        4: [("view", 0)],                                         # 1
+        5: [("purchase", 0), ("click", 1), ("view", 2)],          # 1
+        6: [("view", 0), ("click", 25), ("view", 24), ("purchase", 26)],  # 3
+        7: [("view", 0), ("purchase", 1)],                        # 1
+        8: [("view", 0), ("click", 1), ("click", 23), ("purchase", 23.5)],  # 3
+    }
+    rows, eid = [], 0
+    for uid, evs in journeys.items():
+        for etype, h in evs:
+            rows.append((eid, ts(h), uid, etype, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {}
+    for r in q154_window_funnel(spark, str(tmp_path)).collect():
+        got[r.max_step] = r.n_users
+    # users 1, 6, 8 -> step 3; user 2 -> step 2; users 3, 4, 5, 7 -> 1
+    assert got == {3: 3, 2: 1, 1: 4}
