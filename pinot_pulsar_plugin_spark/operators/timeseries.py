@@ -887,3 +887,115 @@ def q153_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num / F.sqrt(varx.cast("double") * vary.cast("double"))).alias("r"),
         )
     )
+
+
+# --- q155: CUSUM mean-shift detection (changepoint alarms) ----------
+#
+# q140 (KS test) compares two WHOLE distributions; q83 flags pointwise
+# z-score outliers. The monitoring gap between them is the SEQUENTIAL
+# drift detector: CUSUM (Page 1954), which accumulates small
+# persistent deviations until they cross a decision threshold — the
+# standard "this metric's mean has shifted" alarm a feed-health
+# pipeline runs per series. The textbook recurrence
+# s_d = max(0, s_{d-1} + (x_d − μ0 − k)) looks inherently sequential,
+# but it has an exact closed form over prefix sums:
+#   s_d = c_d − min(0, min_{j≤d} c_j),  c_d = Σ_{i≤d}(x_i − μ0 − k)
+# — a running sum plus a running min, i.e. ONE window pass (the q142
+# running-extremum trick, applied to control charts). The low-side
+# chart is the mirrored prefix with a running max.
+#
+# Exactness: x is daily cents; μ0 is the per-type integer floor-mean
+# (positive ⇒ Spark div ≡ DuckDB //), slack k = μ0 div 20 (±5%),
+# decision threshold h = μ0 (one in-control day's worth of drift).
+# Everything is int64 — no rounding anywhere.
+
+_Q155 = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    mu AS (
+      SELECT event_type,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu0
+      FROM daily GROUP BY event_type),
+    pre AS (
+      SELECT d.event_type, d.day,
+             SUM(d.cents - m.mu0 - m.mu0 // 20)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS c_hi,
+             SUM(m.mu0 - m.mu0 // 20 - d.cents)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS c_lo,
+             m.mu0
+      FROM daily d JOIN mu m ON m.event_type = d.event_type),
+    stat AS (
+      SELECT event_type, day, mu0,
+             c_hi - LEAST(0, MIN(c_hi) OVER
+               (PARTITION BY event_type ORDER BY day)) AS s_hi,
+             c_lo - LEAST(0, MIN(c_lo) OVER
+               (PARTITION BY event_type ORDER BY day)) AS s_lo
+      FROM pre)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN s_hi > mu0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_hi,
+           CAST(SUM(CASE WHEN s_lo > mu0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_lo,
+           CAST(MIN(CASE WHEN s_hi > mu0 THEN day END) AS BIGINT)
+             AS first_alarm_hi_day,
+           CAST(MAX(s_hi) AS BIGINT) AS max_s_hi,
+           CAST(MAX(s_lo) AS BIGINT) AS max_s_lo
+    FROM stat GROUP BY event_type
+"""
+
+
+@query("q155_cusum_changepoint", _Q155)
+def q155_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart per event_type daily value series
+    (see block comment): the sequential recurrence computed exactly as
+    prefix sum minus running minimum — one window pass, all int64.
+
+    Scale shape: one combinable day-grain aggregate over events, then
+    two window expressions sharing ONE type-keyed sort (same partition
+    and order spec), then a per-type rollup. Day-grain data is tiny at
+    any event volume; the fact-volume exchange is only the first
+    aggregate. The closed form is what makes this distributable at
+    all — the recurrence itself would demand a sequential scan."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    mu = daily.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("mu0")
+    )
+    j = daily.join(F.broadcast(mu), "event_type")
+    wcum = Window.partitionBy("event_type").orderBy("day")
+    slack = F.expr("mu0 div 20")
+    pre = j.select(
+        "event_type",
+        "day",
+        "mu0",
+        F.sum(F.col("cents") - F.col("mu0") - slack).over(wcum).alias("c_hi"),
+        F.sum(F.col("mu0") - slack - F.col("cents")).over(wcum).alias("c_lo"),
+    )
+    stat = pre.select(
+        "event_type",
+        "day",
+        "mu0",
+        (F.col("c_hi") - F.least(F.lit(0), F.min("c_hi").over(wcum))).alias("s_hi"),
+        (F.col("c_lo") - F.least(F.lit(0), F.min("c_lo").over(wcum))).alias("s_lo"),
+    )
+    return stat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("s_hi") > F.col("mu0"), 1).otherwise(0)).alias(
+            "n_alarms_hi"
+        ),
+        F.sum(F.when(F.col("s_lo") > F.col("mu0"), 1).otherwise(0)).alias(
+            "n_alarms_lo"
+        ),
+        F.min(F.when(F.col("s_hi") > F.col("mu0"), F.col("day"))).alias(
+            "first_alarm_hi_day"
+        ),
+        F.max("s_hi").alias("max_s_hi"),
+        F.max("s_lo").alias("max_s_lo"),
+    )

@@ -879,3 +879,53 @@ def test_q154_window_funnel_step_semantics(spark, tmp_path):
         got[r.max_step] = r.n_users
     # users 1, 6, 8 -> step 3; user 2 -> step 2; users 3, 4, 5, 7 -> 1
     assert got == {3: 3, 2: 1, 1: 4}
+
+
+def test_q155_closed_form_matches_textbook_recurrence(spark, tmp_path):
+    """A 20-day series with a mean shift at day 10: the window-pass
+    closed form must reproduce the sequential CUSUM recurrence exactly
+    (alarm count, first alarm day, max statistic), and the alarm must
+    fire only after the shift."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import q155_cusum_changepoint
+
+    vals = [10.00] * 10 + [20.00] * 10
+    rows = [
+        (d, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), 1, "m",
+         vals[d], "{}")
+        for d in range(20)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = q155_cusum_changepoint(spark, str(tmp_path)).collect()[0]
+
+    # textbook recurrence on the same integers
+    cents = [int(v * 100) for v in vals]
+    mu0 = sum(cents) // len(cents)
+    k = mu0 // 20
+    base_day = rows[0][1].toordinal() - datetime.date(1970, 1, 1).toordinal()
+    s_hi = s_lo = 0
+    alarms_hi = alarms_lo = 0
+    first_alarm, smax_hi, smax_lo = None, 0, 0
+    for d, x in enumerate(cents):
+        s_hi = max(0, s_hi + (x - mu0 - k))
+        s_lo = max(0, s_lo + (mu0 - k - x))
+        smax_hi, smax_lo = max(smax_hi, s_hi), max(smax_lo, s_lo)
+        if s_hi > mu0:
+            alarms_hi += 1
+            if first_alarm is None:
+                first_alarm = base_day + d
+        if s_lo > mu0:
+            alarms_lo += 1
+    assert first_alarm is not None and first_alarm - base_day >= 10
+    assert (r.n_alarms_hi, r.first_alarm_hi_day, r.max_s_hi) == (
+        alarms_hi, first_alarm, smax_hi,
+    )
+    # the in-sample mean makes the BELOW-mean first half alarm the
+    # low-side chart too — correct CUSUM behavior, mirrored exactly
+    assert (r.n_alarms_lo, r.max_s_lo) == (alarms_lo, smax_lo)
