@@ -1099,3 +1099,87 @@ def q154_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth.groupBy("max_step").agg(
         F.count(F.lit(1)).alias("n_users"), F.min("user_id").alias("min_user")
     )
+
+
+# --- q156: cohort LTV triangle (cumulative revenue by cohort × age) -
+#
+# q61 answers next-week retention; the LTV TRIANGLE is its revenue
+# generalization and the standard cohort report (each signup-week
+# cohort's cumulative per-user value at age 0,1,2,… weeks) used to
+# compare acquisition quality across cohorts at equal age. Cohort =
+# ISO week of the user's FIRST event; age = week offset; cell value =
+# cumulative purchase cents per cohort member (members count ALL
+# cohort users, not just purchasers — the LTV denominator).
+#
+# Exactness: weeks are integer epoch-day floor-divisions on µs
+# (positive ⇒ div ≡ //; epoch day 0 was a Thursday, so weeks here are
+# Thu-anchored fixed 7-day buckets — a deliberate, engine-portable
+# convention), revenue is presum cents, the cumulative is an int64
+# running sum over a cohort-keyed window, and the per-user LTV is one
+# double division of two exact int64s.
+
+_Q156 = """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000 // 7) AS cohort_wk
+      FROM events GROUP BY user_id),
+    cohort_n AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort_wk),
+    rev AS (
+      SELECT f.cohort_wk,
+             epoch_us(e.ts) // 86400000000 // 7 - f.cohort_wk AS age_wk,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS wk_cents
+      FROM events e
+      JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    tri AS (
+      SELECT cohort_wk, age_wk, wk_cents,
+             CAST(SUM(wk_cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk)
+                  AS BIGINT) AS cum_cents
+      FROM rev)
+    SELECT t.cohort_wk, CAST(t.age_wk AS BIGINT) AS age_wk,
+           t.wk_cents, t.cum_cents, c.n_users,
+           CAST(t.cum_cents AS DOUBLE) / CAST(c.n_users AS DOUBLE)
+             AS ltv_cents_per_user
+    FROM tri t JOIN cohort_n c ON c.cohort_wk = t.cohort_wk
+"""
+
+
+@query("q156_cohort_ltv", _Q156)
+def q156_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: cumulative purchase revenue per cohort
+    member by (first-event week, age in weeks) — see block comment.
+
+    Scale shape: the user→cohort map is one combinable min-aggregate
+    (user grain); the revenue join keys on user_id — the same hash
+    partitioning as the aggregate, so AQE chains them without a
+    second fact shuffle; the triangle itself is cohort×age grain
+    (tiny), where the running sum and the broadcast cohort-size join
+    run. No windows touch event-volume data."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    wk = F.expr("unix_micros(ts) div 86400000000 div 7")
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    cohort_n = firsts.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy("cohort_wk", (wk - F.col("cohort_wk")).alias("age_wk"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("wk_cents"))
+    )
+    wcum = Window.partitionBy("cohort_wk").orderBy("age_wk")
+    tri = rev.withColumn("cum_cents", F.sum("wk_cents").over(wcum))
+    return tri.join(F.broadcast(cohort_n), "cohort_wk").select(
+        "cohort_wk",
+        "age_wk",
+        "wk_cents",
+        "cum_cents",
+        "n_users",
+        (F.col("cum_cents").cast("double") / F.col("n_users").cast("double")).alias(
+            "ltv_cents_per_user"
+        ),
+    )

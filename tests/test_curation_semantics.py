@@ -929,3 +929,44 @@ def test_q155_closed_form_matches_textbook_recurrence(spark, tmp_path):
     # the in-sample mean makes the BELOW-mean first half alarm the
     # low-side chart too — correct CUSUM behavior, mirrored exactly
     assert (r.n_alarms_lo, r.max_s_lo) == (alarms_lo, smax_lo)
+
+
+def test_q156_ltv_triangle_cumulates_per_cohort(spark, tmp_path):
+    """Two users in week-0 cohort (one never purchases), one in week-1:
+    cumulative cells divide by ALL cohort members and ages are relative
+    to each cohort's own start."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import q156_cohort_ltv
+
+    day0 = datetime.datetime(1970, 1, 1)  # epoch week 0
+
+    def ts(day):
+        return day0 + datetime.timedelta(days=day)
+
+    rows = [
+        # cohort week 0: u1 signs up day 0, buys 10.00 wk0 and 20.00 wk1
+        (1, ts(0), 1, "view", 0.0, "{}"),
+        (2, ts(1), 1, "purchase", 10.0, "{}"),
+        (3, ts(8), 1, "purchase", 20.0, "{}"),
+        # u2 same cohort, never purchases
+        (4, ts(2), 2, "view", 0.0, "{}"),
+        # cohort week 1: u3 buys 40.00 at its own age 0
+        (5, ts(7), 3, "purchase", 40.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.cohort_wk, r.age_wk): (r.wk_cents, r.cum_cents, r.n_users,
+                                  r.ltv_cents_per_user)
+        for r in q156_cohort_ltv(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, 0): (1000, 1000, 2, 500.0),
+        (0, 1): (2000, 3000, 2, 1500.0),
+        (1, 0): (4000, 4000, 1, 4000.0),
+    }
