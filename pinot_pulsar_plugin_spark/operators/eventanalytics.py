@@ -1183,3 +1183,81 @@ def q156_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_cents_per_user"
         ),
     )
+
+
+# --- q157: activity streaks (gaps-and-islands) ----------------------
+#
+# The classic gaps-and-islands idiom, absent from the registry until
+# now: longest run of CONSECUTIVE active days per user. Distinct
+# active days minus their per-user dense sequence number is constant
+# within a run (day − ROW_NUMBER() is the island id — consecutive
+# days advance both by 1), so one window pass + one group-by finds
+# every streak without self-joins or recursion. Integer day
+# arithmetic end to end.
+
+_Q157 = """
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(day) AS BIGINT) AS start_day
+      FROM isl GROUP BY user_id, island),
+    best AS (
+      SELECT user_id, len, start_day,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY len DESC, start_day) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks
+      FROM streaks)
+    SELECT user_id, len AS best_len, start_day AS best_start_day, n_streaks
+    FROM best WHERE rk = 1
+"""
+
+
+@query("q157_activity_streaks", _Q157)
+def q157_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user via the
+    day − ROW_NUMBER island id (see block comment); ties broken toward
+    the earliest streak.
+
+    Scale shape: one combinable distinct to (user, day) grain — the
+    only event-volume exchange — then both windows and the island
+    group-by share the SAME user-keyed partitioning (one sort, reused
+    exchange). State per user is its active-day count, never raw
+    events. The best-streak filter is a WindowGroupLimit (map-side
+    partial top-1)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    wseq = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(wseq)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start_day")
+    )
+    wcnt = Window.partitionBy("user_id")
+    best = streaks.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.row_number().over(wbest).alias("rk"),
+        F.count(F.lit(1)).over(wcnt).alias("n_streaks"),
+    )
+    return best.where(F.col("rk") == 1).select(
+        "user_id",
+        F.col("len").alias("best_len"),
+        F.col("start_day").alias("best_start_day"),
+        "n_streaks",
+    )

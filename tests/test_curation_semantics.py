@@ -970,3 +970,33 @@ def test_q156_ltv_triangle_cumulates_per_cohort(spark, tmp_path):
         (0, 1): (2000, 3000, 2, 1500.0),
         (1, 0): (4000, 4000, 1, 4000.0),
     }
+
+
+def test_q157_streaks_island_arithmetic(spark, tmp_path):
+    """User 1 is active days 0,1,2, 5,6, 9 -> best streak 3 starting
+    day 0, three islands; duplicate events within a day collapse; a
+    tie between two 2-day streaks resolves to the earlier one."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import q157_activity_streaks
+
+    def ts(day, hour=0):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day, hours=hour)
+
+    rows = [(i, ts(d, h), 1, "e", 1.0, "{}") for i, (d, h) in enumerate(
+        [(0, 0), (0, 5), (1, 0), (2, 0), (5, 0), (6, 0), (9, 0)]
+    )]
+    rows += [(100 + i, ts(d), 2, "e", 1.0, "{}") for i, d in enumerate(
+        [3, 4, 8, 9]  # two 2-day streaks -> earliest wins
+    )]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.user_id: (r.best_len, r.best_start_day, r.n_streaks)
+        for r in q157_activity_streaks(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 0, 3), 2: (2, 3, 2)}
