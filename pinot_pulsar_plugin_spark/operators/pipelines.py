@@ -1031,3 +1031,92 @@ def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("node").alias("sample_node"),
     )
+
+
+# --- q158: largest-remainder quota allocation (Hamilton method) -----
+#
+# q79 computes real-valued mixture weights; a sampler needs INTEGER
+# document quotas that sum exactly to the batch budget. Naive
+# rounding breaks the sum; the largest-remainder (Hamilton) method is
+# the standard fix: base_i = floor(N·w_i/W), then the N − Σ base
+# leftover slots go to the largest remainders (N·w_i mod W), ties to
+# the lexicographically first source. Here each language gets a
+# budget of N = 1000 slots allocated across its sources by document
+# count — the per-lane quota table a curation run executes against.
+#
+# Exactness: pure integer arithmetic (floor-div and mod on positive
+# int64s — Spark div/pmod ≡ DuckDB /// %); the remainder rank is a
+# language-partitioned window. Invariant (asserted in tests and by
+# construction): Σ alloc per language = N exactly.
+
+_Q158_N = 1000
+
+_Q158 = f"""
+    WITH counts AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS w FROM counts
+            GROUP BY lang),
+    quo AS (
+      SELECT c.lang, c.source, c.n_docs,
+             ({_Q158_N} * c.n_docs) // t.w AS base,
+             ({_Q158_N} * c.n_docs) % t.w AS rem
+      FROM counts c JOIN tot t ON t.lang = c.lang),
+    leftover AS (
+      SELECT lang, CAST({_Q158_N} - SUM(base) AS BIGINT) AS extra_slots
+      FROM quo GROUP BY lang),
+    ranked AS (
+      SELECT q.lang, q.source, q.n_docs, q.base, q.rem,
+             ROW_NUMBER() OVER (PARTITION BY q.lang
+               ORDER BY q.rem DESC, q.source) AS rk,
+             l.extra_slots
+      FROM quo q JOIN leftover l ON l.lang = q.lang)
+    SELECT lang, source, n_docs, CAST(base AS BIGINT) AS base,
+           CAST(CASE WHEN rk <= extra_slots THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base + CASE WHEN rk <= extra_slots THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+"""
+
+
+@query("q158_largest_remainder_alloc", _Q158)
+def q158_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quota allocation of {n} slots per language across its
+    sources by the largest-remainder method (see block comment) —
+    floors plus remainder-ranked top-ups, so per-language allocations
+    sum EXACTLY to the budget.
+
+    Scale shape: one combinable (lang, source) count over the corpus;
+    everything after runs at lane grain (≤ |langs|×|sources| rows)
+    with a language-partitioned window and broadcast totals. The
+    allocation table then drives per-lane sampling (q95) without any
+    further corpus passes."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.groupBy("lang").agg(F.sum("n_docs").alias("w"))
+    quo = counts.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr(f"({_Q158_N} * n_docs) div w").alias("base"),
+        F.expr(f"pmod({_Q158_N} * n_docs, w)").alias("rem"),
+    )
+    leftover = quo.groupBy("lang").agg(
+        (F.lit(_Q158_N) - F.sum("base")).alias("extra_slots")
+    )
+    wrk = Window.partitionBy("lang").orderBy(F.desc("rem"), F.asc("source"))
+    ranked = quo.join(F.broadcast(leftover), "lang").withColumn(
+        "rk", F.row_number().over(wrk)
+    )
+    extra = F.when(F.col("rk") <= F.col("extra_slots"), 1).otherwise(0)
+    return ranked.select(
+        "lang",
+        "source",
+        "n_docs",
+        "base",
+        extra.cast("long").alias("extra"),
+        (F.col("base") + extra).cast("long").alias("alloc"),
+    )

@@ -1000,3 +1000,24 @@ def test_q157_streaks_island_arithmetic(spark, tmp_path):
         for r in q157_activity_streaks(spark, str(tmp_path)).collect()
     }
     assert got == {1: (3, 0, 3), 2: (2, 3, 2)}
+
+
+def test_q158_hamilton_allocation_exact(spark, tmp_path):
+    """3 sources with counts 1,1,1 over N=1000: base 333 each, one
+    leftover slot goes to the lexicographically first source (all
+    remainders tie); allocations always sum to exactly N."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        q158_largest_remainder_alloc,
+    )
+
+    docs = [(i, "t", "en", src, 1) for i, src in enumerate(["sa", "sb", "sc"])]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.source: (r.base, r.extra, r.alloc)
+        for r in q158_largest_remainder_alloc(spark, str(tmp_path)).collect()
+    }
+    assert got == {"sa": (333, 1, 334), "sb": (333, 0, 333), "sc": (333, 0, 333)}
+    assert sum(a for _, _, a in got.values()) == 1000
