@@ -101,6 +101,18 @@ HEADLINE = [
     "q141_kmv_theta_sketch",
     "q142_negated_sequence_conversion",
     "s60_mmr_diversified_topk",
+    # third continuation batch: CDC diff, graph traversal, retrieval
+    # eval, regression/monitoring stats, sliding distinct, sketch set
+    # ops, windowed funnel, streaks, allocation
+    "q148_snapshot_diff",
+    "q149_bfs_reachability",
+    "q151_sliding_distinct",
+    "q152_theta_sketch_setops",
+    "q154_window_funnel",
+    "q157_activity_streaks",
+    "s61_ndcg_eval",
+    "d57_minhash_estimate",
+    "t73_chi2_term_assoc",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for
