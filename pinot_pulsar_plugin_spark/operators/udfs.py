@@ -199,3 +199,41 @@ def q120_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_qty("l_quantity").alias("med_qty"),
         n_rows("l_quantity").alias("n_items"),
     )
+
+
+# --- q159: Arrow-optimized Python UDF (Spark 4 useArrow path) -------
+_Q159 = """
+    SELECT o_orderkey,
+           CAST(
+             length(CAST(o_orderkey AS VARCHAR))
+             + CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END
+             AS BIGINT) AS tag,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+"""
+
+
+@query("q159_arrow_python_udf", _Q159)
+def q159_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized row UDF (``@F.udf(useArrow=True)``, Spark 4's
+    middle tier between q54's pickled row UDF and q46's pandas UDF):
+    row-at-a-time Python semantics but Arrow-batched transfer, so the
+    per-row serde tax drops to the columnar exchange without rewriting
+    the function vectorized. Plans as ArrowEvalPython — counted as a
+    deliberate python_eval surface in PLAN_AUDIT next to q54/q46.
+
+    Like q54, surface-completeness ONLY: the logic is expressible as
+    built-ins (the oracle proves it), which remains the production
+    answer for anything hot."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType(), useArrow=True)
+    def tag(k):  # closure → pickled by value, Arrow-batched transfer
+        return len(str(k)) + (100 if k % 97 == 0 else 0)
+
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tag(F.col("o_orderkey")).alias("tag"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )

@@ -1338,3 +1338,14 @@ def test_q137_window_is_group_partitioned(spark):
     m = _re.search(r"windowspecdefinition\(([^)]*)\)", plan)
     assert m, plan
     assert m.group(1).split(",")[0].strip().startswith("group_id"), m.group(1)
+
+
+def test_q159_plans_as_arrow_eval_python(spark):
+    """The Arrow-optimized row UDF must take the ArrowEvalPython path —
+    NOT BatchEvalPython (that would mean useArrow silently degraded to
+    the pickled row path)."""
+    from pinot_pulsar_plugin_spark.operators import udfs
+
+    plan = formatted_plan(udfs.q159_arrow_python_udf(spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
