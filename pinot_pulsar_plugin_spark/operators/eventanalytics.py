@@ -1261,3 +1261,103 @@ def q157_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_day").alias("best_start_day"),
         "n_streaks",
     )
+
+
+# --- q160: conversion latency percentiles ---------------------------
+#
+# q154 counts HOW MANY users complete the funnel; q160 reports HOW
+# FAST: the distribution (p50/p90/p99) of the view→purchase
+# completion latency over converting anchors — each anchor's latency
+# is the EARLIEST in-order completion (the q154 reversed-running-min
+# chain), deduplicated to one best (fastest) conversion per user so
+# power users don't dominate the distribution.
+#
+# Exactness: latencies are int64 µs; the interpolated percentiles are
+# ROUNDed to 6 dp on both engines (the q93/q123 rule — Spark
+# interpolates (1-f)·lo + f·hi, DuckDB lo + f·(hi-lo): a 1-ulp
+# divergence class unless rounded).
+
+_Q160 = f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER w AS np
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    chain AS (
+      SELECT user_id, event_type, us,
+             MIN(CASE WHEN event_type = 'click' THEN np END) OVER w AS ncp
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    conv AS (
+      SELECT user_id, MIN(ncp - us) AS lat_us
+      FROM chain
+      WHERE event_type = 'view' AND ncp IS NOT NULL
+        AND ncp - us <= {_Q154_W_US}
+      GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converting_users,
+           CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+           ROUND(quantile_cont(lat_us, 0.5), 6) AS p50_us,
+           ROUND(quantile_cont(lat_us, 0.9), 6) AS p90_us,
+           ROUND(quantile_cont(lat_us, 0.99), 6) AS p99_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_lat_us
+    FROM conv
+"""
+
+
+@query("q160_conversion_latency", _Q160)
+def q160_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles of the fastest in-window view→purchase completion
+    latency per converting user (see block comment — q154's chain
+    minima turned into a latency distribution).
+
+    Scale shape: identical to q154 — one user-keyed sort shared by
+    both window passes, then a per-user min and ONE global aggregate
+    row (percentile over #converting-users values, combinable
+    partials). No per-anchor joins."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        us.alias("us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).over(w).alias("np"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    chain = seq.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.min(F.when(F.col("event_type") == "click", F.col("np"))).over(w2).alias("ncp"),
+    )
+    conv = (
+        chain.where(
+            (F.col("event_type") == "view")
+            & F.col("ncp").isNotNull()
+            & (F.col("ncp") - F.col("us") <= _Q154_W_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.col("ncp") - F.col("us")).alias("lat_us"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converting_users"),
+        F.min("lat_us").alias("min_lat_us"),
+        F.round(F.expr("percentile(lat_us, 0.5)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(lat_us, 0.9)"), 6).alias("p90_us"),
+        F.round(F.expr("percentile(lat_us, 0.99)"), 6).alias("p99_us"),
+        F.max("lat_us").alias("max_lat_us"),
+    )

@@ -1021,3 +1021,44 @@ def test_q158_hamilton_allocation_exact(spark, tmp_path):
     }
     assert got == {"sa": (333, 1, 334), "sb": (333, 0, 333), "sc": (333, 0, 333)}
     assert sum(a for _, _, a in got.values()) == 1000
+
+
+def test_q160_latency_distribution_known_values(spark, tmp_path):
+    """Three converting users with per-user best latencies of exactly
+    1h, 2h, 3h (user C has a slower 5h anchor that must NOT win):
+    p50 = 2h, p90/p99 interpolate between 2h and 3h."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q160_conversion_latency,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(hours):
+        return t0 + datetime.timedelta(hours=hours)
+
+    journeys = {
+        1: [("view", 0), ("click", 0.5), ("purchase", 1)],
+        2: [("view", 0), ("click", 1), ("purchase", 2)],
+        3: [("view", 0), ("click", 4), ("purchase", 5),
+            ("view", 10), ("click", 11), ("purchase", 13)],
+    }
+    rows, eid = [], 0
+    for uid, evs in journeys.items():
+        for etype, h in evs:
+            rows.append((eid, ts(h), uid, etype, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = q160_conversion_latency(spark, str(tmp_path)).collect()[0]
+    H = 3_600_000_000
+    assert r.n_converting_users == 3
+    assert (r.min_lat_us, r.max_lat_us) == (1 * H, 3 * H)
+    assert r.p50_us == float(2 * H)
+    assert r.p90_us == 0.2 * 2 * H + 0.8 * 3 * H
+    assert r.p99_us == 0.02 * 2 * H + 0.98 * 3 * H
