@@ -1456,3 +1456,165 @@ def s61_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg"),
     )
+
+
+# --- s62: IVF recall@k vs the exact scan ----------------------------
+#
+# The eval that closes the ANN loop: s50 IS the IVF index; s62
+# measures what nprobe=2 buys — recall@{{1,5,10}} of the IVF
+# candidate ranking against the exhaustive scan, over the same
+# probe set. This is the number a 100 TB deployment watches when
+# tuning nprobe/K (recall floors live in test_ann_quality; this
+# entry makes the curve itself a served, oracle-checked table).
+#
+# Exactness: both rankings ride the fold-exact cosine with vec_id
+# tie-breaks, so the pair set is deterministic; recalls are integer
+# ppm floor-divisions (hits·1e6 // (k·n_probes)). A true-neighbor
+# pair counts at level k iff BOTH ranks ≤ k — GREATEST(er, ir) ≤ k —
+# so one inner join on (q, n) yields every level's hit count by
+# conditional sum (no rank-theta join, no per-k pass).
+
+_S62_TOP_K = 10
+
+_S62 = f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS c_id,
+             embedding AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    scored AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+             {fold_dot_sql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS ccos
+      FROM n CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, embedding, nrm, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, c_id) AS rn
+      FROM scored),
+    cell AS (SELECT vec_id, embedding, nrm, c_id FROM ranked WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+      FROM ranked WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    ivf AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT p.q_id, m.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+                 {fold_dot_sql("p.q_emb", "m.embedding")} / (p.q_nrm * m.nrm)
+                   DESC, m.vec_id) AS rank
+        FROM probe p JOIN cell m ON m.c_id = p.c_id
+        WHERE m.vec_id <> p.q_id)
+      WHERE rank <= {_S62_TOP_K}),
+    exact AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {fold_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                   DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES})
+      WHERE rank <= {_S62_TOP_K}),
+    pairs AS (
+      SELECT e.q_id, GREATEST(e.rank, i.rank) AS mr
+      FROM exact e JOIN ivf i ON i.q_id = e.q_id AND i.n_id = e.n_id)
+    SELECT CAST({_N_QUERIES} AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN mr <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+           CAST(SUM(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_5,
+           CAST(SUM(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_10,
+           CAST(SUM(CASE WHEN mr <= 1 THEN 1 ELSE 0 END) * 1000000
+                // (1 * {_N_QUERIES}) AS BIGINT) AS recall_1_ppm,
+           CAST(SUM(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) * 1000000
+                // (5 * {_N_QUERIES}) AS BIGINT) AS recall_5_ppm,
+           CAST(SUM(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) * 1000000
+                // (10 * {_N_QUERIES}) AS BIGINT) AS recall_10_ppm
+    FROM pairs
+"""
+
+
+@query("s62_ivf_recall", _S62)
+def s62_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1/5/10 of the s50 IVF configuration against the exact
+    scan over the same probes (see block comment) — the nprobe-tuning
+    curve as an oracle-checked one-row table.
+
+    Scale shape: the exact arm is probe-bounded (probes broadcast, the
+    s48 pattern); the IVF arm touches ~nprobe/K of the corpus per
+    probe; the recall join runs on ≤ probes×k pairs. At 100 TB the
+    exact arm runs on a SAMPLE of probes (it is the measurement, not
+    the serving path) while the IVF arm is the serving plan itself."""
+    from pyspark.sql import Window as W
+
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "embedding", fold_norm("embedding").alias("nrm")
+    ).persist()
+    cent = n.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    # sanctioned broadcast product vs the K-row quantizer (s50 note)
+    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
+    )
+    cell = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("neg_c"))).alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "embedding", "nrm", (-F.col("m.neg_c")).alias("c_id"))
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    probe = (
+        scored.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "c_id",
+        )
+    )
+    cosi = fold_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    wr = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    ivf = (
+        cell.join(F.broadcast(probe), "c_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cosi.alias("cos"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S62_TOP_K)
+        .select("q_id", "n_id", F.col("rank").alias("i_rank"))
+    )
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cose = fold_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    exact = (
+        n.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cose.alias("cos"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S62_TOP_K)
+        .select("q_id", "n_id", F.col("rank").alias("e_rank"))
+    )
+    pairs = exact.join(ivf, ["q_id", "n_id"]).select(
+        F.greatest("e_rank", "i_rank").alias("mr")
+    )
+    nq = _N_QUERIES
+    return pairs.agg(
+        F.lit(nq).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("mr") <= 1, 1).otherwise(0)).alias("hits_1"),
+        F.sum(F.when(F.col("mr") <= 5, 1).otherwise(0)).alias("hits_5"),
+        F.sum(F.when(F.col("mr") <= 10, 1).otherwise(0)).alias("hits_10"),
+        F.expr(f"sum(CASE WHEN mr <= 1 THEN 1 ELSE 0 END) * 1000000 div (1 * {nq})").alias("recall_1_ppm"),
+        F.expr(f"sum(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) * 1000000 div (5 * {nq})").alias("recall_5_ppm"),
+        F.expr(f"sum(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) * 1000000 div (10 * {nq})").alias("recall_10_ppm"),
+    )

@@ -266,3 +266,30 @@ def test_s61_ndcg_on_controlled_ranking(spark, tmp_path):
     r0 = got[0]
     assert (r0.n_rel_topk, r0.dcg_w, r0.ideal_n) == (2, 1500000, 2)
     assert r0.ndcg == 1500000 / 1630930
+
+
+def test_s62_recall_is_perfect_when_cells_cover_the_cluster(spark, tmp_path):
+    """Two orthogonal clusters; the only A-side centroid is cell 0, so
+    every A vector (probes included) lands there and nprobe=2 covers
+    all true neighbors -> recall 1.0 at k=1/5/10; and the hit counts
+    are monotone by construction."""
+    from pinot_pulsar_plugin_spark.operators.similarity import s62_ivf_recall
+
+    rows = []
+    # probes 0..9 and extras 26..40: cluster A along [1, eps]
+    for i in range(10):
+        rows.append((i, [1.0, 0.001 * (i + 1)], 0))
+    rows.append((10, [1.0, 0.0], 0))           # the single A centroid
+    for i in range(11, 26):                     # B centroids along [eps, 1]
+        rows.append((i, [0.001 * (i - 10), 1.0], 1))
+    for i in range(26, 41):                     # more A corpus vectors
+        rows.append((i, [1.0, 0.001 * (i - 10)], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    r = s62_ivf_recall(spark, str(tmp_path)).collect()[0]
+    assert (r.recall_1_ppm, r.recall_5_ppm, r.recall_10_ppm) == (
+        1000000, 1000000, 1000000,
+    )
+    assert r.hits_1 == 10 and r.hits_5 == 50 and r.hits_10 == 100
