@@ -99,7 +99,11 @@ _MODULES = [
 # q146_bitmap_distinct, s60_mmr_diversified_topk,
 # m61_training_batches, q147_twap, q148_snapshot_diff,
 # q149_bfs_reachability, q150_trend_slope, q151_sliding_distinct,
-# q152_theta_sketch_setops, s61_ndcg_eval, t73_chi2_term_assoc —
+# q152_theta_sketch_setops, s61_ndcg_eval, t73_chi2_term_assoc,
+# q154_window_funnel, q155_cusum_changepoint, q156_cohort_ltv,
+# q157_activity_streaks, q158_largest_remainder_alloc,
+# q159_arrow_python_udf, q160_conversion_latency, s62_ivf_recall,
+# t75_langid_confusion, d57_minhash_estimate —
 # have no driver row yet and must LEAD the r7
 # window; all are parity-green at sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
