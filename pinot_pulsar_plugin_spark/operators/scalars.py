@@ -298,3 +298,91 @@ def q42_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# --- q161: URL function family (Pinot urlProtocol/urlDomain/…) ------
+#
+# Pinot ships a URL scalar family; the engine analog is structured
+# URL decomposition + per-host rollup. No URL column exists in the
+# corpus, so referrer URLs are INJECTED deterministically from event
+# ids (the q86/t60 pattern) — the interesting part is the
+# decomposition plan, which is identical on real data. Parsing uses
+# one anchored regexp evaluated identically on both engines (Spark's
+# parse_url has no DuckDB counterpart; a shared regex does), plus
+# query-string key extraction.
+
+_Q161_RE = "^(https?)://([^/?]+)(/[^?]*)?(?:\\?(.*))?$"
+
+_Q161 = f"""
+    WITH urls AS (
+      SELECT event_id,
+             'http' || CASE WHEN event_id % 4 = 0 THEN 's' ELSE '' END ||
+             '://h' || CAST(user_id % 7 AS VARCHAR) || '.example.com/p/' ||
+             CAST(event_id % 13 AS VARCHAR) ||
+             CASE WHEN event_id % 3 = 0
+                  THEN '?ref=' || CAST(event_id % 5 AS VARCHAR) || '&x=1'
+                  ELSE '' END AS url
+      FROM events),
+    parts AS (
+      SELECT event_id,
+             regexp_extract(url, '{_Q161_RE}', 1) AS proto,
+             regexp_extract(url, '{_Q161_RE}', 2) AS host,
+             COALESCE(NULLIF(regexp_extract(url, '{_Q161_RE}', 3), ''), '/')
+               AS path,
+             NULLIF(regexp_extract(url, '{_Q161_RE}', 4), '') AS query,
+             NULLIF(regexp_extract(url, 'ref=([^&]*)', 1), '') AS ref_val
+      FROM urls)
+    SELECT proto, host,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(SUM(CASE WHEN query IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_with_query,
+           CAST(COUNT(DISTINCT ref_val) AS BIGINT) AS n_ref_values
+    FROM parts GROUP BY proto, host
+"""
+
+
+@query("q161_url_functions", _Q161)
+def q161_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (protocol/host/path/query/param) and per-host
+    rollup — the Pinot URL-function-family analog on injected referrer
+    URLs (see block comment).
+
+    Scale shape: parsing is in-row regexp at scan speed (zero
+    shuffle); the rollup is one combinable aggregate keyed by
+    (proto, host) — cardinality-bounded output. The two exact
+    DISTINCTs share the single Expand pass Spark plans for
+    multi-distinct aggregates."""
+    e = t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http"),
+        F.when(F.expr("event_id % 4 = 0"), "s").otherwise(""),
+        F.lit("://h"),
+        F.expr("CAST(user_id % 7 AS STRING)"),
+        F.lit(".example.com/p/"),
+        F.expr("CAST(event_id % 13 AS STRING)"),
+        F.when(
+            F.expr("event_id % 3 = 0"),
+            F.concat(F.lit("?ref="), F.expr("CAST(event_id % 5 AS STRING)"), F.lit("&x=1")),
+        ).otherwise(""),
+    )
+    urls = e.select("event_id", url.alias("url"))
+    rx = _Q161_RE.replace("\\\\", "\\")
+    parts = urls.select(
+        "event_id",
+        F.regexp_extract("url", rx, 1).alias("proto"),
+        F.regexp_extract("url", rx, 2).alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("url", rx, 3), F.lit("")), F.lit("/")
+        ).alias("path"),
+        F.nullif(F.regexp_extract("url", rx, 4), F.lit("")).alias("query"),
+        F.nullif(F.regexp_extract("url", "ref=([^&]*)", 1), F.lit("")).alias(
+            "ref_val"
+        ),
+    )
+    return parts.groupBy("proto", "host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("path").alias("n_paths"),
+        F.sum(F.when(F.col("query").isNull(), 0).otherwise(1)).alias("n_with_query"),
+        F.countDistinct("ref_val").alias("n_ref_values"),
+    )

@@ -382,3 +382,32 @@ def test_t75_confusion_cells_and_ppm_shares(spark, tmp_path):
         ("en", "de"): (1, 333333, 500000),
         ("de", "de"): (1, 1000000, 500000),
     }
+
+
+def test_q161_url_parts_roundtrip(spark, tmp_path):
+    """Constructed ids cover all four URL shapes (http/https ×
+    with/without query); the parsed parts must reassemble the original
+    string and the missing-path default is '/' (none here — injected
+    URLs always carry /p/<n>)."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.scalars import q161_url_functions
+
+    rows = [(i, datetime.datetime(2024, 1, 1), i, "view", 1.0, "{}")
+            for i in [0, 3, 4, 7]]  # 0: https+query, 3: http+query, 4: https, 7: http
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.proto, r.host): (r.n, r.n_paths, r.n_with_query, r.n_ref_values)
+        for r in q161_url_functions(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("https", "h0.example.com"): (1, 1, 1, 1),   # id 0
+        ("http", "h3.example.com"): (1, 1, 1, 1),    # id 3
+        ("https", "h4.example.com"): (1, 1, 0, 0),   # id 4
+        ("http", "h0.example.com"): (1, 1, 0, 0),    # id 7 (7%7=0)
+    }
