@@ -567,3 +567,128 @@ def q152_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --- q162: TUPLE sketch (metric-carrying theta sketch) --------------
+#
+# The third member of the DataSketches theta family (Pinot
+# DistinctCountTupleSketch / SUM_VALUES_INTEGER_TUPLE_SKETCH): each
+# retained hash carries a VALUE, so the sketch answers "estimated
+# TOTAL METRIC over distinct keys" (here: total purchase cents over
+# distinct purchasing users per event type) from sketch state alone.
+# Estimator: exact when the key set fits (n < k); otherwise the
+# sampled entries h < θ scale by the inverse inclusion probability
+# DOM/θ — the Horvitz-Thompson estimate the tuple sketch implements.
+#
+# Exactness: q141's portable 60-bit md5 hash; per-user metrics are
+# presum int64 cents aggregated BEFORE sketching (the sketch stores
+# one entry per key, so the value must already be the key's total);
+# the estimate is one double chain on exact integers. The exact
+# corpus total rides along as ground truth.
+
+_Q162 = f"""
+    WITH uv AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, user_id),
+    h AS (
+      SELECT event_type, cents,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM uv),
+    ranked AS (
+      SELECT event_type, cents, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM h),
+    kept AS (SELECT event_type, cents, h FROM ranked WHERE r <= {_KMV_K}),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS h_k,
+             CAST(SUM(cents) AS BIGINT) AS kept_cents
+      FROM kept GROUP BY event_type),
+    samp AS (
+      SELECT k.event_type, CAST(SUM(k.cents) AS BIGINT) AS samp_cents
+      FROM kept k JOIN st ON st.event_type = k.event_type
+      WHERE st.n_kept = {_KMV_K} AND k.h < st.h_k
+      GROUP BY k.event_type),
+    exact AS (
+      SELECT event_type, CAST(SUM(cents) AS BIGINT) AS exact_cents,
+             CAST(COUNT(*) AS BIGINT) AS exact_users
+      FROM uv GROUP BY event_type)
+    SELECT st.event_type, st.n_kept,
+           CASE WHEN st.n_kept < {_KMV_K}
+                THEN CAST(st.kept_cents AS DOUBLE)
+                ELSE CAST(s.samp_cents AS DOUBLE) * {_KMV_DOM}
+                     / CAST(st.h_k AS DOUBLE) END AS est_total_cents,
+           e.exact_cents, e.exact_users
+    FROM st
+    LEFT JOIN samp s ON s.event_type = st.event_type
+    JOIN exact e ON e.event_type = st.event_type
+"""
+
+
+@query("q162_tuple_sketch_sum", _Q162)
+def q162_tuple_sketch_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple-sketch estimate of total purchase cents over distinct
+    users per event type, exact totals in-row as ground truth (see
+    block comment) — the metric-carrying member of the q141/q152
+    theta-sketch family.
+
+    Scale shape: one combinable (type, user) aggregate over events —
+    the only fact-volume exchange (the sketch REQUIRES per-key totals,
+    so this pass exists in any implementation) — then bottom-k via the
+    WindowGroupLimit rank filter and sketch-sized arithmetic. Merge
+    across segments = union entries, re-take bottom-k, re-sum
+    (associative, the q141 property)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    uv = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    h = uv.select(
+        "event_type",
+        "cents",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        h.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _KMV_K)
+        .drop("r")
+        .persist()
+    )
+    st = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum("cents").alias("kept_cents"),
+    )
+    samp = (
+        kept.join(F.broadcast(st), "event_type")
+        .where((F.col("n_kept") == _KMV_K) & (F.col("h") < F.col("h_k")))
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("samp_cents"))
+    )
+    exact = uv.groupBy("event_type").agg(
+        F.sum("cents").alias("exact_cents"), F.count(F.lit(1)).alias("exact_users")
+    )
+    dom = float(_KMV_DOM)
+    return (
+        st.join(samp, "event_type", "left")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_kept",
+            F.when(F.col("n_kept") < _KMV_K, F.col("kept_cents").cast("double"))
+            .otherwise(
+                F.col("samp_cents").cast("double") * F.lit(dom)
+                / F.col("h_k").cast("double")
+            )
+            .alias("est_total_cents"),
+            "exact_cents",
+            "exact_users",
+        )
+    )

@@ -138,3 +138,26 @@ def test_q152_setops_exact_when_sketches_are_exact(spark, tmp_path):
     assert (r.n_common, r.est_intersect) == (5, 5.0)
     assert (r.n_a_only, r.est_a_not_b) == (5, 5.0)
     assert r.n_exact_intersect == 5
+
+
+def test_q162_tuple_sketch_exact_below_capacity(spark, tmp_path):
+    """Below k distinct users the tuple sketch IS the keyed totals:
+    est_total equals the exact corpus total bit-for-bit, and repeated
+    events per user collapse into one entry (per-key presum)."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.patterns import q162_tuple_sketch_sum
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(1, ts, 1, "A", 10.0, "{}"), (2, ts, 1, "A", 5.0, "{}"),
+            (3, ts, 2, "A", 7.5, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = q162_tuple_sketch_sum(spark, str(tmp_path)).collect()[0]
+    assert (r.event_type, r.n_kept, r.exact_users) == ("A", 2, 2)
+    assert r.exact_cents == 2250
+    assert r.est_total_cents == 2250.0
