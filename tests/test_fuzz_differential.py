@@ -1211,3 +1211,123 @@ def test_fuzz_q4_exists_interval_differential(seed, spark, fuzz_env):
     expected = fuzz_env.sql(sql).arrow().to_pandas(date_as_object=True)
     problems = compare(f"q4fuzz{seed}", spark.sql(sql), expected)
     assert not problems, f"{sql}\n" + "\n".join(problems)
+
+
+# --- closed-form vs sequential-reference fuzz (q155 / q154) ----------
+#
+# The two novel window tricks of the third r6 batch replace inherently
+# sequential definitions with one-pass window algebra; these fuzzers
+# replay the SEQUENTIAL definition in Python on random inputs and
+# demand bit-equality — the guard that keeps the closed forms honest
+# as they evolve.
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_cusum_closed_form(seed, spark, tmp_path):
+    import datetime
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import q155_cusum_changepoint
+
+    rng = _r.Random(900 + seed)
+    n = rng.randint(5, 40)
+    vals = [round(rng.uniform(1, 500), 2) for _ in range(n)]
+    if rng.random() < 0.7:  # usually inject a shift
+        at = rng.randrange(1, n)
+        vals = vals[:at] + [round(v * rng.uniform(1.5, 4), 2) for v in vals[at:]]
+    rows = [
+        (d, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), 1, "m",
+         vals[d], "{}")
+        for d in range(len(vals))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = q155_cusum_changepoint(spark, str(tmp_path)).collect()[0]
+
+    cents = [int(round(v * 100)) for v in vals]
+    mu0 = sum(cents) // len(cents)
+    k = mu0 // 20
+    s_hi = s_lo = 0
+    a_hi = a_lo = 0
+    m_hi = m_lo = 0
+    for x in cents:
+        s_hi = max(0, s_hi + (x - mu0 - k))
+        s_lo = max(0, s_lo + (mu0 - k - x))
+        m_hi, m_lo = max(m_hi, s_hi), max(m_lo, s_lo)
+        a_hi += s_hi > mu0
+        a_lo += s_lo > mu0
+    assert (r.n_alarms_hi, r.n_alarms_lo, r.max_s_hi, r.max_s_lo) == (
+        a_hi, a_lo, m_hi, m_lo,
+    ), (seed, vals)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_window_funnel_vs_bruteforce(seed, spark, tmp_path):
+    import datetime
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        _Q154_W_US,
+        q154_window_funnel,
+    )
+
+    rng = _r.Random(4200 + seed)
+    rows, eid = [], 0
+    journeys = {}
+    for uid in range(rng.randint(2, 8)):
+        evs = []
+        for _ in range(rng.randint(1, 12)):
+            etype = rng.choice(["view", "click", "purchase", "signup"])
+            us = rng.randrange(0, 3 * 86_400_000_000)  # 3 days in µs
+            evs.append((etype, us))
+        if not any(e == "view" for e, _ in evs):
+            evs.append(("view", rng.randrange(0, 3 * 86_400_000_000)))
+        journeys[uid] = evs
+        for etype, us in evs:
+            rows.append(
+                (eid,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(microseconds=us),
+                 uid, etype, 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {}
+    for r in q154_window_funnel(spark, str(tmp_path)).collect():
+        got.setdefault(r.max_step, 0)
+        got[r.max_step] += r.n_users
+
+    want = {}
+    for uid, evs in journeys.items():
+        views = [us for e, us in evs if e == "view"]
+        clicks = sorted(us for e, us in evs if e == "click")
+        purchases = sorted(us for e, us in evs if e == "purchase")
+        best = 1
+        for v in views:
+            # step 2: any click at/after v within W (same-µs ties are
+            # ordered by event_id; click rows always follow the view
+            # rows they tie with only if inserted later — emulate the
+            # operator's (us, event_id) order by >= on us, which
+            # matches because ties in this generator are measure-zero)
+            step = 1
+            cands = [c for c in clicks if v <= c <= v + _Q154_W_US]
+            if cands:
+                step = 2
+                if any(
+                    any(c <= p <= v + _Q154_W_US for p in purchases)
+                    for c in cands
+                ):
+                    step = 3
+            best = max(best, step)
+        want.setdefault(best, 0)
+        want[best] += 1
+    assert got == want, (seed, journeys)
