@@ -1703,3 +1703,124 @@ def t75_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div n_pred").alias("precision_ppm"),
         )
     )
+
+
+# --- t76: character-n-gram language ID (Cavnar–Trenkle) -------------
+#
+# t51's docstring promises that "a production version swaps the rule
+# chain for a char-n-gram profile scorer"; t76 IS that scorer: the
+# Cavnar–Trenkle '94 out-of-place classifier. Training and inference
+# in one declarative plan over the labeled corpus:
+#   profiles: per lang, the top-{pm} char trigrams ranked by corpus
+#             frequency (rank ties by trigram string);
+#   doc model: each doc's top-{dn} trigrams ranked the same way;
+#   distance: Σ over doc trigrams of |doc_rank − profile_rank|, with
+#             an out-of-profile penalty of {pm};
+#   prediction: argmin distance (ties → lexicographically first
+#             lang); report the confusion matrix.
+# Everything is exact integer counts/ranks/distances — no floats at
+# all — so cross-engine parity is structural.
+
+_T76_PROF_M = 50   # profile size (and the out-of-profile penalty)
+_T76_DOC_N = 20    # trigrams kept per document
+
+_T76 = f"""
+    WITH tri AS (
+      SELECT d.doc_id, d.lang,
+             substr(lower(d.text), CAST(s.i AS INTEGER), 3) AS g
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(
+                      1, CAST(d.n_chars AS INTEGER) - 2)) AS i) s
+      WHERE d.n_chars >= 3),
+    lang_counts AS (
+      SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tri GROUP BY lang, g),
+    prof AS (
+      SELECT lang, g,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) AS pr
+      FROM lang_counts QUALIFY pr <= {_T76_PROF_M}),
+    doc_counts AS (
+      SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tri GROUP BY doc_id, lang, g),
+    dm AS (
+      SELECT doc_id, lang, g,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS dr
+      FROM doc_counts QUALIFY dr <= {_T76_DOC_N}),
+    langs AS (SELECT DISTINCT lang AS cand FROM documents),
+    dist AS (
+      SELECT dm.doc_id, dm.lang, l.cand,
+             CAST(SUM(COALESCE(ABS(dm.dr - p.pr), {_T76_PROF_M})) AS BIGINT)
+               AS d
+      FROM dm
+      CROSS JOIN langs l
+      LEFT JOIN prof p ON p.lang = l.cand AND p.g = dm.g
+      GROUP BY dm.doc_id, dm.lang, l.cand),
+    pred AS (
+      SELECT doc_id, lang, cand AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, cand) AS rk
+      FROM dist QUALIFY rk = 1)
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_pred
+"""
+
+
+@query("t76_charngram_langid", _T76)
+def t76_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle char-trigram language classifier, trained and
+    evaluated in one plan (see block comment); output is the confusion
+    matrix against the stored labels.
+
+    Scale shape: trigram extraction is a zero-shuffle in-row explode
+    (the t64 substr pattern); the two count aggregates are combinable;
+    the lang profiles are a ≤|langs|×{pm}-row BROADCAST, so scoring is
+    a per-doc-trigram map — the corpus-volume work never pairs with
+    more than the 5-row lang list (bounded broadcast product). Doc and
+    profile top-k ranks are WindowGroupLimit rewrites."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tri = d.where(F.col("n_chars") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, CAST(n_chars AS INT) - 2), "
+                "i -> substr(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    ).persist()
+    wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    prof = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("pr", F.row_number().over(wl))
+        .where(F.col("pr") <= _T76_PROF_M)
+        .select(F.col("lang").alias("cand"), "g", "pr")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    dm = (
+        tri.groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("dr", F.row_number().over(wd))
+        .where(F.col("dr") <= _T76_DOC_N)
+    )
+    langs = d.select(F.col("lang").alias("cand")).distinct()
+    dist = (
+        dm.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["cand", "g"], "left")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("dr") - F.col("pr")), F.lit(_T76_PROF_M)
+                )
+            ).alias("d")
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.asc("d"), F.asc("cand"))
+    pred = (
+        dist.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select("lang", F.col("cand").alias("lang_pred"))
+    )
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))

@@ -411,3 +411,27 @@ def test_q161_url_parts_roundtrip(spark, tmp_path):
         ("https", "h4.example.com"): (1, 1, 0, 0),   # id 4
         ("http", "h0.example.com"): (1, 1, 0, 0),    # id 7 (7%7=0)
     }
+
+
+def test_t76_separable_languages_classify_perfectly(spark, tmp_path):
+    """Two languages with disjoint character inventories: every doc's
+    trigram set matches only its own language profile, so the
+    confusion matrix is exactly diagonal."""
+    from pinot_pulsar_plugin_spark.operators.textops import t76_charngram_langid
+
+    docs = []
+    for i in range(4):
+        tx = "alpha beta gamma delta " * 3
+        docs.append((i, tx, "aa", "s", len(tx)))
+    for i in range(4, 8):
+        tx = "zorro quixote jukebox " * 3
+        docs.append((i, tx, "zz", "s", len(tx)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.lang, r.lang_pred): r.n
+        for r in t76_charngram_langid(spark, str(tmp_path)).collect()
+    }
+    assert got == {("aa", "aa"): 4, ("zz", "zz"): 4}
