@@ -334,7 +334,7 @@ def q89_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events),
+      FROM events WHERE event_type <> 'purchase'),
     ch AS (
       SELECT user_id, event_type, event_id, ts_us
       FROM seq WHERE prev_type IS NULL OR prev_type <> event_type)
@@ -1360,4 +1360,135 @@ def q160_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat_us, 0.9)"), 6).alias("p90_us"),
         F.round(F.expr("percentile(lat_us, 0.99)"), 6).alias("p99_us"),
         F.max("lat_us").alias("max_lat_us"),
+    )
+
+
+# --- q163: point-in-time enrichment audit (leakage check) -----------
+#
+# The ML-ops correctness rule for training joins: a training row must
+# be enriched with the feature value valid AT its timestamp, never
+# the current one (temporal leakage). q163 composes the q90 SCD2
+# intervals (user state = latest event_type run) with the purchase
+# fact stream two ways — the correct PIT interval join
+# (valid_from ≤ ts < valid_to, µs boundaries) and the naive
+# current-state join — and reports the confusion between them: each
+# (pit_state, current_state) cell counts purchases whose enrichment
+# WOULD silently change if the pipeline took the shortcut. Off-
+# diagonal mass is the quantified leakage a feature-store audit
+# reports.
+#
+# The state dimension is built from NON-purchase events only (the
+# last browsing activity type): if purchases fed the dimension, every
+# fact would start its own 'purchase' interval and the PIT side would
+# be degenerate. A purchase before any activity (or a user with no
+# activity at all) enriches as '__none__' via left joins — the
+# uncovered-fact case every feature store must define.
+#
+# Exactness: intervals and comparisons are integer µs; money is
+# presum cents.
+
+_Q163 = """
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE event_type <> 'purchase'),
+    ch AS (
+      SELECT user_id, event_type, event_id, ts_us
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type),
+    iv AS (
+      SELECT user_id, event_type AS state, ts_us AS vf,
+             lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS vt
+      FROM ch),
+    cur AS (SELECT user_id, state AS current_state FROM iv WHERE vt IS NULL),
+    fact AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    pit AS (
+      SELECT f.user_id, f.cents,
+             COALESCE(iv.state, '__none__') AS pit_state
+      FROM fact f
+      LEFT JOIN iv ON iv.user_id = f.user_id
+             AND iv.vf <= f.ts_us AND (iv.vt IS NULL OR f.ts_us < iv.vt))
+    SELECT p.pit_state,
+           COALESCE(c.current_state, '__none__') AS current_state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(p.cents) AS BIGINT) AS cents,
+           CAST(p.pit_state <> COALESCE(c.current_state, '__none__')
+                AS INTEGER) AS is_leak
+    FROM pit p LEFT JOIN cur c ON c.user_id = p.user_id
+    GROUP BY 1, 2
+"""
+
+
+@query("q163_pit_enrichment_audit", _Q163)
+def q163_pit_enrichment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time vs current-state enrichment confusion over the
+    purchase stream (see block comment) — the temporal-leakage audit
+    for training joins, built on the q90 SCD2 intervals.
+
+    Scale shape: the interval build is q90's one user-keyed sort; the
+    PIT join is an EQUI join on user_id with the range predicate as
+    residual (per-user interval lists are short — the as-of family's
+    cost model; q82-style bucketing is the escape hatch if a key's
+    history grows pathological); the current-state map is one
+    filtered projection broadcast by user. Output is state² cells."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    wseq = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = e.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        us.alias("ts_us"),
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    )
+    ch = seq.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wiv = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = ch.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("vf"),
+        F.lead("ts_us").over(wiv).alias("vt"),
+    ).persist()
+    cur = iv.where(F.col("vt").isNull()).select(
+        "user_id", F.col("state").alias("current_state")
+    )
+    fact = e.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("ts_us"), F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    pit = fact.alias("f").join(
+        iv.alias("iv"),
+        (F.col("iv.user_id") == F.col("f.user_id"))
+        & (F.col("iv.vf") <= F.col("f.ts_us"))
+        & (F.col("iv.vt").isNull() | (F.col("f.ts_us") < F.col("iv.vt"))),
+        "left",
+    ).select(
+        F.col("f.user_id").alias("user_id"),
+        "cents",
+        F.coalesce(F.col("iv.state"), F.lit("__none__")).alias("pit_state"),
+    )
+    return (
+        pit.join(cur, "user_id", "left")
+        .withColumn(
+            "current_state", F.coalesce("current_state", F.lit("__none__"))
+        )
+        .groupBy("pit_state", "current_state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "pit_state",
+            "current_state",
+            "n_purchases",
+            "cents",
+            (F.col("pit_state") != F.col("current_state")).cast("int").alias("is_leak"),
+        )
     )

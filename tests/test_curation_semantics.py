@@ -1064,3 +1064,47 @@ def test_q160_latency_distribution_known_values(spark, tmp_path):
     # the engine's interpolation chain is the spec)
     assert r.p90_us == 10080000000.0
     assert r.p99_us == 10728000000.0
+
+
+def test_q163_pit_vs_current_confusion(spark, tmp_path):
+    """Constructed timelines: a purchase enriched under the state
+    valid AT its time (view) differs from the user's current state
+    (click) -> leak; a purchase after the last change agrees; facts
+    before any activity (or for activity-free users) enrich as
+    __none__."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q163_pit_enrichment_audit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), 1, "view", 0.0, "{}"),
+        (2, ts(1), 1, "purchase", 10.0, "{}"),
+        (3, ts(2), 1, "click", 0.0, "{}"),
+        (4, ts(3), 1, "purchase", 20.0, "{}"),
+        (5, ts(0), 2, "purchase", 30.0, "{}"),   # no activity at all
+        (6, ts(0), 3, "purchase", 40.0, "{}"),   # purchase BEFORE activity
+        (7, ts(1), 3, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.pit_state, r.current_state): (r.n_purchases, r.cents, r.is_leak)
+        for r in q163_pit_enrichment_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 1000, 1),
+        ("click", "click"): (1, 2000, 0),
+        ("__none__", "__none__"): (1, 3000, 0),
+        ("__none__", "view"): (1, 4000, 1),
+    }
