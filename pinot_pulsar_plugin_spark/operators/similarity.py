@@ -1618,3 +1618,121 @@ def s62_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) * 1000000 div (5 * {nq})").alias("recall_5_ppm"),
         F.expr(f"sum(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) * 1000000 div (10 * {nq})").alias("recall_10_ppm"),
     )
+
+
+# --- s63: prefix-truncation (Matryoshka) recall ---------------------
+#
+# The third compression axis next to PQ (s54/s55) and SQ8 (s58):
+# rank with only the FIRST m dimensions of the embedding (the
+# Matryoshka/MRL deployment trick — truncated vectors cost m/d of
+# the scan bandwidth and index memory with no re-encoding at all)
+# and measure recall@k against the full-dimension exact ranking.
+# Unlike PQ/SQ8 there is no codebook to train: the "index build" is
+# a projection, which is why truncation is the first knob a 100 TB
+# deployment tries.
+#
+# Exactness: both rankings ride sequential-fold cosines (the fold
+# prefix is itself a fold — bit-identical on both engines); recalls
+# are integer ppm floor-divisions (the s62 algebra).
+
+_S63_M = 32   # prefix dimensions kept (of 64)
+_S63_TOP_K = 10
+
+_S63 = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {fold_norm_sql("embedding")} AS nrm,
+             sqrt({fold_dot_sql("embedding[1:{m}]", "embedding[1:{m}]")})
+               AS tnrm
+      FROM embeddings),
+    trunc AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {fold_dot_sql("q.embedding[1:{m}]", "c.embedding[1:{m}]")}
+                   / (q.tnrm * c.tnrm) DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {{nq}})
+      WHERE rank <= {_S63_TOP_K}),
+    exact AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {fold_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                   DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {{nq}})
+      WHERE rank <= {_S63_TOP_K}),
+    pairs AS (
+      SELECT e.q_id, GREATEST(e.rank, t.rank) AS mr
+      FROM exact e JOIN trunc t ON t.q_id = e.q_id AND t.n_id = e.n_id)
+    SELECT CAST({{nq}} AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN mr <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+           CAST(SUM(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_5,
+           CAST(SUM(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_10,
+           CAST(SUM(CASE WHEN mr <= 1 THEN 1 ELSE 0 END) * 1000000
+                // (1 * {{nq}}) AS BIGINT) AS recall_1_ppm,
+           CAST(SUM(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) * 1000000
+                // (5 * {{nq}}) AS BIGINT) AS recall_5_ppm,
+           CAST(SUM(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) * 1000000
+                // (10 * {{nq}}) AS BIGINT) AS recall_10_ppm
+    FROM pairs
+""".replace("{m}", str(_S63_M)).replace("{nq}", str(_N_QUERIES))
+
+
+@query("s63_matryoshka_recall", _S63)
+def s63_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1/5/10 of first-{m}-of-64-dimension cosine ranking vs the
+    full-dimension exact scan (see block comment) — the truncation
+    point on the compression-recall curve next to s62 (IVF) and the
+    PQ/SQ8 evals.
+
+    Scale shape: probes broadcast (s48 pattern), corpus never
+    shuffles; at deployment the truncated scan reads HALF the vector
+    bytes — with columnar storage of fixed-size arrays that is real
+    I/O savings, not just FLOPs."""
+    from pyspark.sql import Window as W
+
+    em = t(spark, sf_dir, "embeddings")
+    trunc_col = F.slice("embedding", 1, _S63_M)
+    n = em.select(
+        "vec_id",
+        "embedding",
+        fold_norm("embedding").alias("nrm"),
+        F.sqrt(fold_dot(trunc_col, trunc_col)).alias("tnrm"),
+    ).persist()
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("tnrm").alias("q_tnrm"),
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+
+    def ranked(score_col, rank_name):
+        return (
+            n.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+            .select("q_id", F.col("vec_id").alias("n_id"), score_col.alias("cos"))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= _S63_TOP_K)
+            .select("q_id", "n_id", F.col("rank").alias(rank_name))
+        )
+
+    tdot = fold_dot(F.slice("q_emb", 1, _S63_M), F.slice("embedding", 1, _S63_M))
+    trunc = ranked(tdot / (F.col("q_tnrm") * F.col("tnrm")), "t_rank")
+    edot = fold_dot("q_emb", "embedding")
+    exact = ranked(edot / (F.col("q_nrm") * F.col("nrm")), "e_rank")
+    pairs = exact.join(trunc, ["q_id", "n_id"]).select(
+        F.greatest("e_rank", "t_rank").alias("mr")
+    )
+    nq = _N_QUERIES
+    return pairs.agg(
+        F.lit(nq).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("mr") <= 1, 1).otherwise(0)).alias("hits_1"),
+        F.sum(F.when(F.col("mr") <= 5, 1).otherwise(0)).alias("hits_5"),
+        F.sum(F.when(F.col("mr") <= 10, 1).otherwise(0)).alias("hits_10"),
+        F.expr(f"sum(CASE WHEN mr <= 1 THEN 1 ELSE 0 END) * 1000000 div (1 * {nq})").alias("recall_1_ppm"),
+        F.expr(f"sum(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) * 1000000 div (5 * {nq})").alias("recall_5_ppm"),
+        F.expr(f"sum(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) * 1000000 div (10 * {nq})").alias("recall_10_ppm"),
+    )

@@ -293,3 +293,25 @@ def test_s62_recall_is_perfect_when_cells_cover_the_cluster(spark, tmp_path):
         1000000, 1000000, 1000000,
     )
     assert r.hits_1 == 10 and r.hits_5 == 50 and r.hits_10 == 100
+
+
+def test_s63_recall_perfect_when_tail_dims_are_zero(spark, tmp_path):
+    """Vectors that carry all information in the first 32 dims (zero
+    tail): truncated cosine == full cosine, so recall is 1.0 at every
+    k and both rankings agree pairwise."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.similarity import s63_matryoshka_recall
+
+    rows = []
+    for i in range(30):
+        head = [math.cos(0.1 * i * (j + 1)) for j in range(32)]
+        rows.append((i, [float(x) for x in head] + [0.0] * 32, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    r = s63_matryoshka_recall(spark, str(tmp_path)).collect()[0]
+    assert (r.recall_1_ppm, r.recall_5_ppm, r.recall_10_ppm) == (
+        1000000, 1000000, 1000000,
+    )
