@@ -1492,3 +1492,69 @@ def q163_pit_enrichment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pit_state") != F.col("current_state")).cast("int").alias("is_leak"),
         )
     )
+
+
+# --- q164: cohort retention curve (N-week survival matrix) ----------
+#
+# q61 answers only next-week retention; q164 is the full retention
+# TRIANGLE (cohort week × age week → % of the cohort still active),
+# the companion of q156's revenue triangle and the other half of
+# every growth dashboard. Cohort = week of first activity (the q156
+# Thu-anchored fixed 7-day epoch buckets); a user counts at age a if
+# they have ANY event in cohort_wk + a.
+#
+# Exactness: distinct counts are integers; retention is an integer
+# ppm floor-division. Age 0 is 1e6 ppm by construction (every member
+# is active in their first week) — asserted in tests.
+
+_Q164 = """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000 // 7) AS cohort_wk
+      FROM events GROUP BY user_id),
+    cohort_n AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort_wk),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_wk,
+             epoch_us(e.ts) // 86400000000 // 7 - f.cohort_wk AS age_wk
+      FROM events e JOIN firsts f ON f.user_id = e.user_id),
+    cells AS (
+      SELECT cohort_wk, age_wk, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act GROUP BY cohort_wk, age_wk)
+    SELECT c.cohort_wk, CAST(c.age_wk AS BIGINT) AS age_wk,
+           c.n_active, n.n_users,
+           CAST(c.n_active * 1000000 // n.n_users AS BIGINT)
+             AS retention_ppm
+    FROM cells c JOIN cohort_n n ON n.cohort_wk = c.cohort_wk
+"""
+
+
+@query("q164_cohort_retention_curve", _Q164)
+def q164_cohort_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: share of each first-activity-week cohort
+    active at each age week, in integer ppm (see block comment).
+
+    Scale shape: the user→cohort map is one combinable min-aggregate;
+    the activity join keys on user_id (same partitioning — AQE chains
+    the exchanges); the distinct and the cell counts run at
+    (user, week) grain. Cohort sizes broadcast."""
+    e = t(spark, sf_dir, "events")
+    wk = F.expr("unix_micros(ts) div 86400000000 div 7")
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    cohort_n = firsts.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
+    act = (
+        e.join(firsts, "user_id")
+        .select("user_id", "cohort_wk", (wk - F.col("cohort_wk")).alias("age_wk"))
+        .distinct()
+    )
+    cells = act.groupBy("cohort_wk", "age_wk").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return cells.join(F.broadcast(cohort_n), "cohort_wk").select(
+        "cohort_wk",
+        "age_wk",
+        "n_active",
+        "n_users",
+        F.expr("n_active * 1000000 div n_users").alias("retention_ppm"),
+    )

@@ -1108,3 +1108,36 @@ def test_q163_pit_vs_current_confusion(spark, tmp_path):
         ("__none__", "__none__"): (1, 3000, 0),
         ("__none__", "view"): (1, 4000, 1),
     }
+
+
+def test_q164_retention_cells_exact(spark, tmp_path):
+    """Cohort of 2 (users 1,2 first active week 0): user 1 returns in
+    week 1, nobody in week 2, both in week 3 -> 1000000/500000/1000000
+    ppm at ages 0/1/3 and no age-2 row."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q164_cohort_retention_curve,
+    )
+
+    def ts(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(1), 2, "view", 1.0, "{}"),
+        (3, ts(8), 1, "click", 1.0, "{}"),    # age 1: only user 1
+        (4, ts(22), 1, "view", 1.0, "{}"),    # age 3: both
+        (5, ts(23), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.age_wk: (r.n_active, r.n_users, r.retention_ppm)
+        for r in q164_cohort_retention_curve(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (2, 2, 1000000), 1: (1, 2, 500000), 3: (2, 2, 1000000)}
