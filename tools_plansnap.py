@@ -557,6 +557,74 @@ COMMENTARY = {
         "cogrouped by query — parallel across queries, zero driver "
         "loops, one Arrow batch per query."
     ),
+    "q148_snapshot_diff": (
+        "Each snapshot collapses to (key, fp, cents) at scan time — 32 "
+        "bytes/row regardless of table width — then ONE key-keyed full "
+        "outer SortMergeJoin; the unchanged-key filter runs before the "
+        "output projection so the result is changelog-sized. With both "
+        "snapshots bucketed by key the exchanges disappear; the final "
+        "rollup is 3 combinable rows."
+    ),
+    "q149_bfs_reachability": (
+        "The symmetric edge list is built once (distinct over the "
+        "order⋈lineitem key projection) and persisted; each of the K "
+        "rounds is one equi-join frontier⋈edges plus one anti-join "
+        "against the visited set — all hash-partitioned on the node "
+        "key, so AQE reuses the edge exchange across rounds. Frontier "
+        "and visited stay node-grain. Fixed K keeps the whole "
+        "traversal one declarative DAG."
+    ),
+    "q151_sliding_distinct": (
+        "One combinable distinct to (type, user, day) grain is the only "
+        "event-volume exchange; the ×7 window-membership explode runs "
+        "on the REDUCED relation, and the final distinct-count keys on "
+        "(type, day). No per-day rescans of raw events; window length "
+        "is a fanout constant, not a plan change."
+    ),
+    "q152_theta_sketch_setops": (
+        "14 exchanges, but all except the first distinct and the exact "
+        "ground-truth join operate on ≤ k-row-per-type sketch state "
+        "(thresholds, samples, pair algebra — broadcast joins). The "
+        "exact intersection is a user-keyed equi-join bounded by "
+        "per-user type combinations (the q109 shape). At 100 TB the "
+        "sketches come from merged segment partials; the set "
+        "expressions never touch base data."
+    ),
+    "q154_window_funnel": (
+        "ONE user-keyed sort feeds both reversed-running-min window "
+        "passes (same partition+order spec — Spark plans a single "
+        "Window chain), then a combinable per-user max and a 3-row "
+        "rollup. The naive per-anchor self-join is gone entirely; cost "
+        "is linear in events/user, a power user is an AQE skew case."
+    ),
+    "q157_activity_streaks": (
+        "One combinable distinct to (user, day) grain, then the island "
+        "window, the streak group-by, and the best-streak "
+        "WindowGroupLimit all share the SAME user-keyed exchange. "
+        "Per-user state is its active-day count."
+    ),
+    "s61_ndcg_eval": (
+        "Probes broadcast against the corpus (the s48 pattern — the "
+        "corpus never shuffles); per-probe top-k is a partitioned "
+        "window with map-side partial top-k; label totals are a tiny "
+        "broadcast dim; the discount table is a literal array lookup "
+        "inside codegen."
+    ),
+    "d57_minhash_estimate": (
+        "Probe-bounded by construction (doc_id < 40): the signature "
+        "build is one combinable (doc, slot) min-aggregate; pair joins "
+        "are equi-joins on slot / shingle. On the full corpus the "
+        "identical signature plan is constant-width per doc and pair "
+        "cost moves to d45's band join — this entry is the estimator's "
+        "oracle-checked accuracy instrument."
+    ),
+    "t73_chi2_term_assoc": (
+        "One distinct (doc, source, term) projection feeds both counts "
+        "(combinable); marginals (per-term df, per-source totals, N) "
+        "are broadcast dims, so the cell join never reshuffles the "
+        "corpus-volume relation. The statistic is a pure double chain "
+        "on exact int64 cells inside codegen."
+    ),
 }
 
 
