@@ -1120,3 +1120,129 @@ def q158_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("long").alias("extra"),
         (F.col("base") + extra).cast("long").alias("alloc"),
     )
+
+
+# --- q165: quota-constrained sample EXECUTION (q158 ∘ q95) ----------
+#
+# q158 decides per-(lang, source) INTEGER quotas; q165 executes them:
+# within each lane, keep exactly min(alloc, lane size) documents by
+# the deterministic PPS priority of q95 (Ohlsson sequential Poisson:
+# u/n_chars with the Knuth-hash uniform — length-biased, seedless,
+# engine-portable). The operator shape that matters: the top-k limit
+# is DATA-DEPENDENT (each lane's k comes from the quota table), so
+# the static WindowGroupLimit rewrite doesn't apply — the rank filter
+# joins the broadcast quota table instead (rank ≤ alloc). Downscaled
+# quota: alloc div 10 per lane so the sample is a strict subset at
+# every SF.
+#
+# Exactness: integer quotas (q158 arithmetic), integer hash
+# priorities compared as (u * 1e6) div n_chars fixed-point (pure
+# int64 — q95 uses a double ratio; the integer form avoids even that
+# one IEEE op), ties by doc_id.
+
+from pinot_pulsar_plugin_spark.operators.curation import (  # noqa: E402
+    _SP_MOD,
+    _SP_MULT,
+)
+
+_Q165 = f"""
+    WITH counts AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS w FROM counts
+            GROUP BY lang),
+    quo AS (
+      SELECT c.lang, c.source, c.n_docs,
+             (1000 * c.n_docs) // t.w AS base,
+             (1000 * c.n_docs) % t.w AS rem
+      FROM counts c JOIN tot t ON t.lang = c.lang),
+    leftover AS (
+      SELECT lang, CAST(1000 - SUM(base) AS BIGINT) AS extra_slots
+      FROM quo GROUP BY lang),
+    alloc AS (
+      SELECT q.lang, q.source,
+             CAST((q.base + CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY q.lang ORDER BY q.rem DESC, q.source)
+                    <= l.extra_slots THEN 1 ELSE 0 END) // 10 AS BIGINT)
+               AS quota
+      FROM quo q JOIN leftover l ON l.lang = q.lang),
+    pri AS (
+      SELECT doc_id, lang, source, n_chars,
+             (((doc_id * {_SP_MULT}) % {_SP_MOD} + 1) * 1000000)
+               // n_chars AS priority
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, source, n_chars, priority,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+               ORDER BY priority, doc_id) AS rk
+      FROM pri)
+    SELECT r.doc_id, r.lang, r.source, r.n_chars,
+           CAST(r.rk AS BIGINT) AS pick_rank, a.quota
+    FROM ranked r JOIN alloc a ON a.lang = r.lang AND a.source = r.source
+    WHERE r.rk <= a.quota
+"""
+
+
+@query("q165_quota_sample_execution", _Q165)
+def q165_quota_sample_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the q158 largest-remainder quotas: per (lang, source)
+    lane, keep exactly min(quota, lane) docs by the q95 deterministic
+    PPS priority (see block comment). The defining plan feature is
+    the DATA-DEPENDENT top-k — rank ≤ a per-lane quota joined from
+    the allocation table, not a literal WindowGroupLimit.
+
+    Scale shape: quotas compute at lane grain and BROADCAST; the
+    corpus pays one lane-keyed sort for the rank and one broadcast
+    join for the cutoff. Output size is exactly the summed quotas —
+    the sample a training run then reads."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.groupBy("lang").agg(F.sum("n_docs").alias("w"))
+    quo = counts.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "source",
+        F.expr("(1000 * n_docs) div w").alias("base"),
+        F.expr("pmod(1000 * n_docs, w)").alias("rem"),
+    )
+    leftover = quo.groupBy("lang").agg(
+        (F.lit(1000) - F.sum("base")).alias("extra_slots")
+    )
+    wrk = Window.partitionBy("lang").orderBy(F.desc("rem"), F.asc("source"))
+    alloc = (
+        quo.join(F.broadcast(leftover), "lang")
+        .withColumn("rk", F.row_number().over(wrk))
+        .select(
+            "lang",
+            "source",
+            F.expr(
+                "(base + CASE WHEN rk <= extra_slots THEN 1 ELSE 0 END) div 10"
+            ).alias("quota"),
+        )
+    )
+    pri = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr(
+            f"(pmod(doc_id * {_SP_MULT}, {_SP_MOD}) + 1) * 1000000 div n_chars"
+        ).alias("priority"),
+    )
+    wlane = Window.partitionBy("lang", "source").orderBy(
+        F.asc("priority"), F.asc("doc_id")
+    )
+    ranked = pri.withColumn("rk", F.row_number().over(wlane))
+    return (
+        ranked.join(F.broadcast(alloc), ["lang", "source"])
+        .where(F.col("rk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.col("rk").alias("pick_rank"),
+            "quota",
+        )
+    )

@@ -1141,3 +1141,35 @@ def test_q164_retention_cells_exact(spark, tmp_path):
         for r in q164_cohort_retention_curve(spark, str(tmp_path)).collect()
     }
     assert got == {0: (2, 2, 1000000), 1: (1, 2, 500000), 3: (2, 2, 1000000)}
+
+
+def test_q165_executes_quotas_exactly(spark, tmp_path):
+    """Two lanes (150 and 50 docs) under one language: quotas 75/25
+    (Hamilton then div 10), so exactly 75/25 docs survive, and each
+    lane's picks are precisely its lowest-(priority, doc_id) members
+    recomputed in Python."""
+    from pinot_pulsar_plugin_spark.operators.curation import _SP_MOD, _SP_MULT
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        q165_quota_sample_execution,
+    )
+
+    docs = [(i, "t", "en", "sa", 10 + (i % 7)) for i in range(150)]
+    docs += [(1000 + i, "t", "en", "sb", 10 + (i % 5)) for i in range(50)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = q165_quota_sample_execution(spark, str(tmp_path)).collect()
+    by_lane = {}
+    for r in rows:
+        by_lane.setdefault(r.source, set()).add(r.doc_id)
+        assert r.pick_rank <= r.quota
+    assert len(by_lane["sa"]) == 75 and len(by_lane["sb"]) == 25
+
+    def pri(doc_id, n_chars):
+        return ((doc_id * _SP_MULT) % _SP_MOD + 1) * 1000000 // n_chars
+
+    for src, k in (("sa", 75), ("sb", 25)):
+        lane = [(pri(d, n), d) for d, _, _, s, n in docs if s == src]
+        want = {d for _, d in sorted(lane)[:k]}
+        assert by_lane[src] == want
