@@ -999,3 +999,75 @@ def q155_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_hi").alias("max_s_hi"),
         F.max("s_lo").alias("max_s_lo"),
     )
+
+
+# --- q166: weekday seasonality index --------------------------------
+#
+# The calendar-profile diagnostic behind q155's alarms and q127's
+# forecasts: how much does each weekday deviate from the series
+# mean? index_ppm = (weekday mean) / (overall mean) in parts-per-
+# million — 1e6 means "an average day". Computed per event_type.
+#
+# Exactness: day-of-week = (epoch_day + 4) % 7 with Monday=0
+# (epoch day 0 was a Thursday — the +4 shift is spelled identically
+# on both engines rather than relying on either engine's dow()
+# convention); means are nested integer floor-divisions (positive ⇒
+# Spark div ≡ DuckDB //). Headroom: per-event cents ≤ 1e7 ⇒
+# avg_micro ≤ 1e13, ×1e6 ≤ 1e19 — within int64 for this corpus;
+# lift to DECIMAL for larger per-event values (q81 note).
+
+_Q166 = """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    wd AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM daily GROUP BY event_type, dow),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(s) AS BIGINT) AS ts_
+      FROM wd GROUP BY event_type)
+    SELECT w.event_type, w.dow, w.n,
+           CAST((w.s * 1000000 // w.n) * 1000000
+                // (t.ts_ * 1000000 // t.tn) AS BIGINT) AS index_ppm
+    FROM wd w JOIN tot t ON t.event_type = w.event_type
+"""
+
+
+@query("q166_weekday_seasonality", _Q166)
+def q166_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, weekday) seasonality index in ppm of the
+    series mean (see block comment — portable Monday=0 weekday from
+    epoch-day arithmetic, nested integer floor-divisions).
+
+    Scale shape: one combinable (type, dow) aggregate — 7 rows per
+    type out of any event volume — then a broadcast join against the
+    per-type totals. Pure scan-speed arithmetic."""
+    e = t(spark, sf_dir, "events")
+    daily = e.select(
+        "event_type",
+        F.expr("CAST((unix_micros(ts) div 86400000000 + 4) % 7 AS BIGINT)").alias(
+            "dow"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wd = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    tot = wd.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts_")
+    )
+    return wd.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.expr("(s * 1000000 div n) * 1000000 div (ts_ * 1000000 div tn)").alias(
+            "index_ppm"
+        ),
+    )

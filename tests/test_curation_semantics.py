@@ -1173,3 +1173,30 @@ def test_q165_executes_quotas_exactly(spark, tmp_path):
         lane = [(pri(d, n), d) for d, _, _, s, n in docs if s == src]
         want = {d for _, d in sorted(lane)[:k]}
         assert by_lane[src] == want
+
+
+def test_q166_weekday_index_and_dow_anchor(spark, tmp_path):
+    """Epoch day 0 (1970-01-01) was a THURSDAY: the +4 shift must map
+    it to dow=3 under Monday=0. A series worth 100 on Thursday and 300
+    on Friday indexes at 500000 / 1500000 ppm."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q166_weekday_seasonality,
+    )
+
+    rows = [
+        (1, datetime.datetime(1970, 1, 1), 1, "m", 100.0, "{}"),   # Thu
+        (2, datetime.datetime(1970, 1, 2), 1, "m", 300.0, "{}"),   # Fri
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.dow: (r.n, r.index_ppm)
+        for r in q166_weekday_seasonality(spark, str(tmp_path)).collect()
+    }
+    assert got == {3: (1, 500000), 4: (1, 1500000)}
