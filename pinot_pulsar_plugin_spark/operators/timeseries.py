@@ -1008,8 +1008,9 @@ def q155_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean? index_ppm = (weekday mean) / (overall mean) in parts-per-
 # million — 1e6 means "an average day". Computed per event_type.
 #
-# Exactness: day-of-week = (epoch_day + 4) % 7 with Monday=0
-# (epoch day 0 was a Thursday — the +4 shift is spelled identically
+# Exactness: day-of-week = (epoch_day + 3) % 7 with Monday=0
+# (epoch day 0 was a Thursday, i.e. Monday=0 ⇒ Thursday=3 — the +3
+# shift is spelled identically
 # on both engines rather than relying on either engine's dow()
 # convention); means are nested integer floor-divisions (positive ⇒
 # Spark div ≡ DuckDB //). Headroom: per-event cents ≤ 1e7 ⇒
@@ -1020,7 +1021,7 @@ _Q166 = """
     WITH daily AS (
       SELECT event_type,
              epoch_us(ts) // 86400000000 AS day,
-             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+             CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
              CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events),
     wd AS (
@@ -1052,7 +1053,7 @@ def q166_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     daily = e.select(
         "event_type",
-        F.expr("CAST((unix_micros(ts) div 86400000000 + 4) % 7 AS BIGINT)").alias(
+        F.expr("CAST((unix_micros(ts) div 86400000000 + 3) % 7 AS BIGINT)").alias(
             "dow"
         ),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
