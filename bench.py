@@ -113,6 +113,10 @@ HEADLINE = [
     "s61_ndcg_eval",
     "d57_minhash_estimate",
     "t73_chi2_term_assoc",
+    "t76_charngram_langid",
+    "q163_pit_enrichment_audit",
+    "q165_quota_sample_execution",
+    "s62_ivf_recall",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

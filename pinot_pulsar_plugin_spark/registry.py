@@ -103,7 +103,11 @@ _MODULES = [
 # q154_window_funnel, q155_cusum_changepoint, q156_cohort_ltv,
 # q157_activity_streaks, q158_largest_remainder_alloc,
 # q159_arrow_python_udf, q160_conversion_latency, s62_ivf_recall,
-# t75_langid_confusion, d57_minhash_estimate —
+# t75_langid_confusion, d57_minhash_estimate, q161_url_functions,
+# q162_tuple_sketch_sum, q163_pit_enrichment_audit,
+# q164_cohort_retention_curve, q165_quota_sample_execution,
+# q166_weekday_seasonality, s63_matryoshka_recall,
+# t76_charngram_langid —
 # have no driver row yet and must LEAD the r7
 # window; all are parity-green at sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
