@@ -334,7 +334,7 @@ def q89_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events WHERE event_type <> 'purchase'),
+      FROM events),
     ch AS (
       SELECT user_id, event_type, event_id, ts_us
       FROM seq WHERE prev_type IS NULL OR prev_type <> event_type)
