@@ -1558,3 +1558,78 @@ def q164_cohort_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.expr("n_active * 1000000 div n_users").alias("retention_ppm"),
     )
+
+
+# --- q167: frequent journey trigrams (sequential pattern mining) ----
+#
+# q89 models first-order transitions (bigrams); q167 mines length-3
+# PATHS — the minimal sequential pattern that distinguishes
+# "view→click→purchase" journeys from bag-of-transitions statistics,
+# and the building block of next-step recommendation and funnel
+# discovery. Each user's event-type sequence (time order, event_id
+# ties) contributes its consecutive trigrams; support = distinct
+# users, frequency = total occurrences — both reported, because
+# path mining over power users diverges badly if only raw counts are
+# read.
+#
+# Exactness: pure integer counts; share is an integer ppm
+# floor-division over the trigram total.
+
+_Q167 = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    tri AS (
+      SELECT user_id, event_type AS t1, t2, t3
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+    cells AS (
+      SELECT t1, t2, t3,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tri GROUP BY t1, t2, t3),
+    tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM cells)
+    SELECT t1, t2, t3, n_occurrences, n_users,
+           CAST(n_occurrences * 1000000 // total AS BIGINT) AS share_ppm
+    FROM cells CROSS JOIN tot
+"""
+
+
+@query("q167_path_trigrams", _Q167)
+def q167_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive event-type trigrams per user journey with occurrence
+    and distinct-user support counts (see block comment).
+
+    Scale shape: ONE user-keyed sort produces both LEAD columns; the
+    trigram rollup is combinable with bounded output (|types|³ cells);
+    the total is a broadcast scalar. Longer patterns are more LEAD
+    columns on the same sort — not a new pass."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    cells = (
+        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    tot = cells.agg(F.sum("n_occurrences").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n_occurrences",
+        "n_users",
+        F.expr("n_occurrences * 1000000 div total").alias("share_ppm"),
+    )

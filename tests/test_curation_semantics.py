@@ -1200,3 +1200,33 @@ def test_q166_weekday_index_and_dow_anchor(spark, tmp_path):
         for r in q166_weekday_seasonality(spark, str(tmp_path)).collect()
     }
     assert got == {3: (1, 500000), 4: (1, 1500000)}
+
+
+def test_q167_trigrams_respect_order_and_user_boundaries(spark, tmp_path):
+    """User 1's a,b,c,b,c yields trigrams abc, bcb, cbc (one each);
+    user 2's a,b,c adds a second abc occurrence and a second
+    supporting user; trigrams never span users."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import q167_path_trigrams
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+    rows = [(i, ts(i), 1, e, 1.0, "{}") for i, e in enumerate("abcbc")]
+    rows += [(10 + i, ts(i), 2, e, 1.0, "{}") for i, e in enumerate("abc")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.t1, r.t2, r.t3): (r.n_occurrences, r.n_users, r.share_ppm)
+        for r in q167_path_trigrams(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("a", "b", "c"): (2, 2, 500000),
+        ("b", "c", "b"): (1, 1, 250000),
+        ("c", "b", "c"): (1, 1, 250000),
+    }
