@@ -1246,3 +1246,100 @@ def q165_quota_sample_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quota",
         )
     )
+
+
+# --- q168: survivorship merge (golden-record construction) ----------
+#
+# The entity-resolution OUTPUT stage the dedup family feeds: after
+# matching decides which records are the same entity (d49's
+# components / d51's keeper logic), survivorship merges their FIELDS
+# into one golden record under per-field rules. Clusters are injected
+# deterministically (entity = c_custkey div 3 — the q148/t60
+# pattern); the rules exercised are the three standard shapes:
+#   best-record   — name from the record with MAX acctbal
+#                   (ties → min custkey): argmax via max(struct(...)),
+#   max-value     — acctbal = MAX over the cluster,
+#   mode          — mktsegment = most frequent value
+#                   (ties → lexicographically first).
+# All selections are exact integer/lexicographic comparisons; cents
+# presum for the balance.
+
+_Q168 = """
+    WITH rec AS (
+      SELECT c_custkey // 3 AS entity_id, c_custkey, c_name, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    best AS (
+      SELECT entity_id,
+             MAX(bal_cents) AS max_bal_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM rec GROUP BY entity_id),
+    pick AS (
+      SELECT r.entity_id, r.c_name,
+             ROW_NUMBER() OVER (PARTITION BY r.entity_id
+               ORDER BY r.bal_cents DESC, r.c_custkey) AS rk
+      FROM rec r),
+    seg AS (
+      SELECT entity_id, c_mktsegment,
+             ROW_NUMBER() OVER (PARTITION BY entity_id
+               ORDER BY COUNT(*) DESC, c_mktsegment) AS rk
+      FROM rec GROUP BY entity_id, c_mktsegment)
+    SELECT b.entity_id, b.n_records, p.c_name AS golden_name,
+           b.max_bal_cents, s.c_mktsegment AS golden_segment
+    FROM best b
+    JOIN pick p ON p.entity_id = b.entity_id AND p.rk = 1
+    JOIN seg s ON s.entity_id = b.entity_id AND s.rk = 1
+"""
+
+
+@query("q168_survivorship_merge", _Q168)
+def q168_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over injected duplicate clusters:
+    best-record, max-value, and mode field rules in one pass (see
+    block comment).
+
+    Scale shape: every rule is a combinable aggregate or a
+    WindowGroupLimit top-1 on the SAME entity-keyed partitioning —
+    one exchange total at cluster grain. Adding a field rule adds a
+    column, not a pass; the match stage that produces entity ids is
+    d49's component labeling at scale."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer")
+    rec = c.select(
+        F.expr("c_custkey div 3").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    best = rec.groupBy("entity_id").agg(
+        F.max("bal_cents").alias("max_bal_cents"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    wp = Window.partitionBy("entity_id").orderBy(
+        F.desc("bal_cents"), F.asc("c_custkey")
+    )
+    pick = (
+        rec.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select("entity_id", F.col("c_name").alias("golden_name"))
+    )
+    ws = Window.partitionBy("entity_id").orderBy(
+        F.desc("cnt"), F.asc("c_mktsegment")
+    )
+    seg = (
+        rec.groupBy("entity_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") == 1)
+        .select("entity_id", F.col("c_mktsegment").alias("golden_segment"))
+    )
+    return (
+        best.join(pick, "entity_id")
+        .join(seg, "entity_id")
+        .select(
+            "entity_id", "n_records", "golden_name", "max_bal_cents",
+            "golden_segment",
+        )
+    )

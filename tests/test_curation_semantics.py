@@ -1230,3 +1230,37 @@ def test_q167_trigrams_respect_order_and_user_boundaries(spark, tmp_path):
         ("b", "c", "b"): (1, 1, 250000),
         ("c", "b", "c"): (1, 1, 250000),
     }
+
+
+def test_q168_survivorship_rules(spark, tmp_path):
+    """Entity 0 = custkeys 0,1,2: name follows the max-balance record,
+    balance is the max, segment is the mode with lexicographic
+    tie-break (two AUTO vs one BUILD -> AUTO); a tie on balance picks
+    the smaller custkey's name."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.pipelines import q168_survivorship_merge
+
+    rows = [
+        (0, "n0", 0, 10.00, "AUTO"),
+        (1, "n1", 0, 50.00, "AUTO"),
+        (2, "n2", 0, 20.00, "BUILD"),
+        (3, "n3", 0, 70.00, "CAR"),    # entity 1: balance tie 70/70
+        (4, "n4", 0, 70.00, "BIKE"),
+        (5, "n5", 0, 10.00, "BIKE"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        r.entity_id: (r.n_records, r.golden_name, r.max_bal_cents,
+                      r.golden_segment)
+        for r in q168_survivorship_merge(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (3, "n1", 5000, "AUTO"),
+        1: (3, "n3", 7000, "BIKE"),  # mode: BIKE×2 beats CAR×1
+    }
