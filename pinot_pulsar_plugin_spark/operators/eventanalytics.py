@@ -1633,3 +1633,124 @@ def q167_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.expr("n_occurrences * 1000000 div total").alias("share_ppm"),
     )
+
+
+# --- q169: A/B experiment analysis (two-proportion z-test) ----------
+#
+# The experimentation readout every event platform serves: assign
+# users to variants (injected deterministically by user-id hash — the
+# q86/t60 pattern; a real deployment reads the assignment table),
+# measure conversion (here: a HEAVY-purchaser flag, ≥ 13 purchases —
+# plain did-purchase is degenerate on this corpus, every user buys;
+# the guard below handles true degenerate experiments), and report
+# per-variant
+# rates plus the two-proportion pooled z statistic and its squared
+# value (χ² with 1 dof) against the control.
+#
+# Exactness: counts are exact integers from one user-grain aggregate;
+# rates are integer ppm; z is a pure double chain on those exact
+# integers (sqrt/×/÷ — correctly rounded, the s57 rule), so parity is
+# bit-exact without any rounding step. Degenerate experiments (zero
+# or total conversion — pooled variance 0) yield z = NULL on both
+# engines; under ANSI Spark the unguarded division would RAISE.
+
+_Q169 = """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 13
+                       THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY 1, 2),
+    arm AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM assign GROUP BY variant),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'control' THEN n_users END) AS n1,
+        MAX(CASE WHEN variant = 'control' THEN n_conv END) AS c1,
+        MAX(CASE WHEN variant = 'treatment' THEN n_users END) AS n2,
+        MAX(CASE WHEN variant = 'treatment' THEN n_conv END) AS c2
+      FROM arm)
+    SELECT n1, c1, n2, c2,
+           CAST(c1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+           CAST(c2 * 1000000 // n2 AS BIGINT) AS rate2_ppm,
+           CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL
+                ELSE (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                      - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                  / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 - CAST(c1 + c2 AS DOUBLE)
+                             / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+           END AS z
+    FROM wide
+"""
+
+
+@query("q169_abtest_ztest", _Q169)
+def q169_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test between hash-assigned experiment
+    arms on user-level purchase conversion (see block comment).
+
+    Scale shape: ONE user-grain combinable aggregate over events (the
+    only fact-volume exchange — assignment and conversion fold into
+    it), a 2-row arm rollup, and scalar arithmetic. At 100 TB the
+    assignment join replaces the hash CASE; everything else is
+    unchanged."""
+    e = t(spark, sf_dir, "events")
+    assign = e.groupBy(
+        "user_id",
+        F.when(F.expr("(user_id * 2654435761) % 100 < 50"), "control")
+        .otherwise("treatment")
+        .alias("variant"),
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 13,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("converted")
+    )
+    arm = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == "control", F.col("n_conv"))).alias("c1"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_users"))).alias("n2"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_conv"))).alias("c2"),
+    )
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("c2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("c1") + F.col("c2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    degenerate = (F.col("c1") + F.col("c2") == 0) | (
+        F.col("c1") + F.col("c2") == F.col("n1") + F.col("n2")
+    )
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        (p2 - p1)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("n1").cast("double")
+                + F.lit(1.0) / F.col("n2").cast("double")
+            )
+        )
+    )
+    return wide.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.expr("c1 * 1000000 div n1").alias("rate1_ppm"),
+        F.expr("c2 * 1000000 div n2").alias("rate2_ppm"),
+        z.alias("z"),
+    )

@@ -1264,3 +1264,54 @@ def test_q168_survivorship_rules(spark, tmp_path):
         0: (3, "n1", 5000, "AUTO"),
         1: (3, "n3", 7000, "BIKE"),  # mode: BIKE×2 beats CAR×1
     }
+
+
+def test_q169_ztest_known_tables_and_degenerate_guard(spark, tmp_path):
+    """Hand-built arms: control 2/3 convert, treatment 1/3 -> z matches
+    the textbook pooled formula computed in Python; an all-converting
+    corpus yields z = NULL instead of an ANSI divide-by-zero."""
+    import datetime
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import q169_abtest_ztest
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    # hash (uid * 2654435761) % 100 < 50 -> control
+    def variant(uid):
+        return "control" if (uid * 2654435761) % 100 < 50 else "treatment"
+
+    control = [u for u in range(1, 60) if variant(u) == "control"][:3]
+    treat = [u for u in range(1, 60) if variant(u) == "treatment"][:3]
+    rows, eid = [], 0
+    # converted = >= 13 purchases
+    for uid, n_purch in zip(control + treat, [13, 13, 1, 13, 1, 1]):
+        for _ in range(n_purch):
+            rows.append((eid, ts, uid, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = q169_abtest_ztest(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.c1, r.n2, r.c2) == (3, 2, 3, 1)
+    p1, p2, pp = 2 / 3, 1 / 3, 3 / 6
+    want = (p2 - p1) / math.sqrt(pp * (1 - pp) * (1 / 3 + 1 / 3))
+    assert r.z == want
+
+    # degenerate: everyone converts
+    rows2 = []
+    eid = 0
+    for uid in control + treat:
+        for _ in range(13):
+            rows2.append((eid, ts, uid, "purchase", 1.0, "{}")); eid += 1
+    d2 = tmp_path / "deg"
+    d2.mkdir()
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d2 / "events.parquet"))
+    r2 = q169_abtest_ztest(spark, str(d2)).collect()[0]
+    assert r2.z is None and (r2.rate1_ppm, r2.rate2_ppm) == (1000000, 1000000)
