@@ -386,3 +386,104 @@ def q161_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("query").isNull(), 0).otherwise(1)).alias("n_with_query"),
         F.countDistinct("ref_val").alias("n_ref_values"),
     )
+
+
+# --- q170: nested JSON array extraction (jsonPath-over-arrays) ------
+#
+# q03/q39 cover scalar and map JSON; q170 covers the third shape
+# Pinot's JSON index and json_extract family serve: an ARRAY OF
+# OBJECTS inside the payload (order line arrays, tag lists). The
+# payload is synthesized per order from its ids (deterministic, the
+# q161 pattern): items = [{"sku": …, "qty": …}, …] with 1-3 entries.
+# The plan: one from_json with an array<struct> schema, explode, and
+# an aggregate proving values survive the round-trip — all JVM-side
+# (from_json/explode), zero Python.
+#
+# Exactness: every extracted field is an integer derived from ids;
+# the aggregate is integer sums/counts.
+
+_Q170 = """
+    WITH payload AS (
+      SELECT o_orderkey,
+             '{"items": [' ||
+             '{"sku": ' || CAST(o_orderkey % 97 AS VARCHAR) ||
+             ', "qty": ' || CAST(o_orderkey % 5 + 1 AS VARCHAR) || '}' ||
+             CASE WHEN o_orderkey % 3 >= 1 THEN
+               ', {"sku": ' || CAST((o_orderkey + 13) % 97 AS VARCHAR) ||
+               ', "qty": ' || CAST(o_orderkey % 7 + 1 AS VARCHAR) || '}'
+             ELSE '' END ||
+             CASE WHEN o_orderkey % 3 = 2 THEN
+               ', {"sku": ' || CAST((o_orderkey + 29) % 97 AS VARCHAR) ||
+               ', "qty": 1}'
+             ELSE '' END ||
+             ']}' AS doc
+      FROM orders),
+    items AS (
+      SELECT o_orderkey,
+             CAST(item.sku AS BIGINT) AS sku,
+             CAST(item.qty AS BIGINT) AS qty
+      FROM payload,
+           LATERAL UNNEST(CAST(json_extract(doc, '$.items')
+                          AS STRUCT(sku BIGINT, qty BIGINT)[])) AS u(item))
+    SELECT sku,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM items GROUP BY sku
+"""
+
+
+@query("q170_json_array_extract", _Q170)
+def q170_json_array_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-objects JSON decode: from_json with an array<struct>
+    schema, explode, per-sku rollup (see block comment) — the nested
+    third of the JSON surface next to q03 (project) and q39 (map).
+
+    Scale shape: parse and explode are in-row JVM expressions at scan
+    speed (bounded ×3 fanout); the rollup is one combinable exchange
+    keyed by sku. A real JSON column replaces the synthesized doc;
+    the plan is unchanged."""
+    o = t(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"items": [{"sku": '),
+        F.expr("CAST(o_orderkey % 97 AS STRING)"),
+        F.lit(', "qty": '),
+        F.expr("CAST(o_orderkey % 5 + 1 AS STRING)"),
+        F.lit("}"),
+        F.when(
+            F.expr("o_orderkey % 3 >= 1"),
+            F.concat(
+                F.lit(', {"sku": '),
+                F.expr("CAST((o_orderkey + 13) % 97 AS STRING)"),
+                F.lit(', "qty": '),
+                F.expr("CAST(o_orderkey % 7 + 1 AS STRING)"),
+                F.lit("}"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.expr("o_orderkey % 3 = 2"),
+            F.concat(
+                F.lit(', {"sku": '),
+                F.expr("CAST((o_orderkey + 29) % 97 AS STRING)"),
+                F.lit(', "qty": 1}'),
+            ),
+        ).otherwise(""),
+        F.lit("]}"),
+    )
+    payload = o.select("o_orderkey", doc.alias("doc"))
+    parsed = payload.select(
+        "o_orderkey",
+        F.from_json(
+            "doc", "struct<items: array<struct<sku: bigint, qty: bigint>>>"
+        ).alias("p"),
+    )
+    items = parsed.select(
+        "o_orderkey", F.explode(F.col("p.items")).alias("item")
+    ).select(
+        "o_orderkey", F.col("item.sku").alias("sku"), F.col("item.qty").alias("qty")
+    )
+    return items.groupBy("sku").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("total_qty"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )

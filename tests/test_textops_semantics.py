@@ -435,3 +435,29 @@ def test_t76_separable_languages_classify_perfectly(spark, tmp_path):
         for r in t76_charngram_langid(spark, str(tmp_path)).collect()
     }
     assert got == {("aa", "aa"): 4, ("zz", "zz"): 4}
+
+
+def test_q170_json_array_shapes_roundtrip(spark, tmp_path):
+    """Orderkeys 3,4,5 produce 2-, 1-, and 3-item arrays; the exploded
+    rollup must reproduce the synthesized skus/qtys exactly."""
+    from pinot_pulsar_plugin_spark.operators.scalars import q170_json_array_extract
+
+    spark.createDataFrame(
+        [(3, 1, "O", 1.0, __import__("datetime").datetime(2024, 1, 1), "1"),
+         (4, 1, "O", 1.0, __import__("datetime").datetime(2024, 1, 1), "1"),
+         (5, 1, "O", 1.0, __import__("datetime").datetime(2024, 1, 1), "1")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.sku: (r.n_lines, r.total_qty, r.n_orders)
+        for r in q170_json_array_extract(spark, str(tmp_path)).collect()
+    }
+    # key 3 (3%3=0 -> 1 item): sku 3 qty 4
+    # key 4 (4%3=1 -> 2 items): sku 4 qty 5; sku 17 qty 5
+    # key 5 (5%3=2 -> 3 items): sku 5 qty 1; sku 18 qty 6; sku 34 qty 1
+    assert got == {
+        3: (1, 4, 1), 4: (1, 5, 1), 17: (1, 5, 1),
+        5: (1, 1, 1), 18: (1, 6, 1), 34: (1, 1, 1),
+    }
