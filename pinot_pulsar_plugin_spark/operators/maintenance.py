@@ -564,3 +564,94 @@ def q148_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# --- q171: shuffle-skew report (pre-join key diagnosis) -------------
+#
+# The diagnosis a pipeline owner runs BEFORE a big keyed join to
+# decide between plain hash join, AQE skew-split, and q112-style
+# salting: model the B-way hash partitioning of the join key and
+# report each bucket's load plus its hottest key. The modeled
+# partitioner is a multiplicative hash mod B spelled identically on
+# both engines (Spark's internal Murmur3 isn't portable to the
+# oracle; the DIAGNOSIS — relative bucket loads under a uniform hash
+# — is the same). Key grain: lineitem.l_suppkey, the key q112 salts.
+#
+# Exactness: pure integer counts and ppm floor-divisions; hottest
+# key per bucket via rank with key tie-break.
+
+_Q171_B = 32
+
+_Q171 = f"""
+    WITH keyed AS (
+      SELECT l_suppkey AS k,
+             (l_suppkey * 2654435761) % {_Q171_B} AS bucket
+      FROM lineitem),
+    per_key AS (
+      SELECT bucket, k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM keyed GROUP BY bucket, k),
+    hot AS (
+      SELECT bucket, k AS hottest_key, n AS hottest_n,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, k) AS rk
+      FROM per_key),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM per_key GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM per_bucket)
+    SELECT b.bucket, b.n_rows, b.n_keys,
+           CAST(b.n_rows * 1000000 // t.total AS BIGINT) AS share_ppm,
+           h.hottest_key, h.hottest_n
+    FROM per_bucket b
+    JOIN hot h ON h.bucket = b.bucket AND h.rk = 1
+    CROSS JOIN tot t
+"""
+
+
+@query("q171_shuffle_skew_report", _Q171)
+def q171_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket load and hottest key under a modeled {b}-way hash
+    partitioning of lineitem.l_suppkey (see block comment) — the
+    skew diagnosis read before choosing salting (q112) vs AQE
+    skew-join.
+
+    Scale shape: one combinable (bucket, key) count over the fact —
+    the same exchange the diagnosed join would pay — then bucket-grain
+    arithmetic with a broadcast total and a WindowGroupLimit top-1.
+    Reading this table at 100 TB costs one aggregate; acting on it
+    saves the straggler task that would otherwise dominate the job."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.expr(f"(l_suppkey * 2654435761) % {_Q171_B}").alias("bucket"),
+    )
+    per_key = keyed.groupBy("bucket", "k").agg(F.count(F.lit(1)).alias("n"))
+    wh = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("k"))
+    hot = (
+        per_key.withColumn("rk", F.row_number().over(wh))
+        .where(F.col("rk") == 1)
+        .select(
+            "bucket",
+            F.col("k").alias("hottest_key"),
+            F.col("n").alias("hottest_n"),
+        )
+    )
+    per_bucket = per_key.groupBy("bucket").agg(
+        F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    tot = per_bucket.agg(F.sum("n_rows").alias("total"))
+    return (
+        per_bucket.join(hot, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_keys",
+            F.expr("n_rows * 1000000 div total").alias("share_ppm"),
+            "hottest_key",
+            "hottest_n",
+        )
+    )

@@ -211,3 +211,25 @@ def test_q148_snapshot_diff_classifies_all_change_kinds(spark, tmp_path):
         "delete": (1, -5000, 3, 3),
         "update": (1, 250, 7, 7),
     }
+
+
+def test_q171_skew_report_finds_the_hot_key(spark, tmp_path):
+    """A fact with one hot supplier (80 of 100 rows) must report that
+    key as its bucket's hottest with the right counts and share."""
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.maintenance import (
+        _Q171_B,
+        q171_shuffle_skew_report,
+    )
+
+    rows = [(7,)] * 80 + [(k,) for k in range(1, 21)]
+    spark.createDataFrame(rows, "l_suppkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {r.bucket: r for r in q171_shuffle_skew_report(spark, str(tmp_path)).collect()}
+    hot_bucket = (7 * 2654435761) % _Q171_B
+    r = out[hot_bucket]
+    assert r.hottest_key == 7 and r.hottest_n == 80
+    assert r.n_rows >= 80 and r.share_ppm >= 800000
+    assert sum(b.n_rows for b in out.values()) == 100
