@@ -223,6 +223,7 @@ def test_q171_skew_report_finds_the_hot_key(spark, tmp_path):
         q171_shuffle_skew_report,
     )
 
+    # key 7 appears 81 times total (80 hot + once from the 1..20 range)
     rows = [(7,)] * 80 + [(k,) for k in range(1, 21)]
     spark.createDataFrame(rows, "l_suppkey long").write.parquet(
         str(tmp_path / "lineitem.parquet")
@@ -230,6 +231,6 @@ def test_q171_skew_report_finds_the_hot_key(spark, tmp_path):
     out = {r.bucket: r for r in q171_shuffle_skew_report(spark, str(tmp_path)).collect()}
     hot_bucket = (7 * 2654435761) % _Q171_B
     r = out[hot_bucket]
-    assert r.hottest_key == 7 and r.hottest_n == 80
-    assert r.n_rows >= 80 and r.share_ppm >= 800000
+    assert r.hottest_key == 7 and r.hottest_n == 81
+    assert r.n_rows >= 81 and r.share_ppm >= 810000
     assert sum(b.n_rows for b in out.values()) == 100
