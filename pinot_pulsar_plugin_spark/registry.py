@@ -107,7 +107,9 @@ _MODULES = [
 # q162_tuple_sketch_sum, q163_pit_enrichment_audit,
 # q164_cohort_retention_curve, q165_quota_sample_execution,
 # q166_weekday_seasonality, s63_matryoshka_recall,
-# t76_charngram_langid —
+# t76_charngram_langid, q167_path_trigrams, q168_survivorship_merge,
+# q169_abtest_ztest, q170_json_array_extract,
+# q171_shuffle_skew_report —
 # have no driver row yet and must LEAD the r7
 # window; all are parity-green at sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
