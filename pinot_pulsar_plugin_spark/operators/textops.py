@@ -1824,3 +1824,65 @@ def t76_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("cand").alias("lang_pred"))
     )
     return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- t77: tokenizer fertility by language ---------------------------
+#
+# The corpus-level tokenizer-quality report: FERTILITY (subword
+# tokens per whitespace word) and compression (chars per token) per
+# language — the numbers a tokenizer evaluation tables first (high
+# fertility on a language means the vocab under-serves it and its
+# effective context shrinks). Tokens come from t55's BPE-proxy regex
+# (pure character classes — Java and RE2 agree).
+#
+# Exactness: integer token/char sums (combinable), ratios as integer
+# ppm / milli floor-divisions over positive sums.
+
+_T77 = """
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))
+                  AS BIGINT) AS n_bpe,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_bpe) * 1000000 // SUM(n_ws) AS BIGINT)
+             AS fertility_ppm,
+           CAST(SUM(n_chars) * 1000 // SUM(n_bpe) AS BIGINT)
+             AS chars_per_token_milli
+    FROM per_doc GROUP BY lang
+"""
+
+
+@query("t77_tokenizer_fertility", _T77)
+def t77_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-proxy tokens per word)
+    and compression (chars per token) — see block comment; the
+    corpus-level rollup of t55's per-doc counts.
+
+    Scale shape: in-row regexp counting at scan speed, then one
+    combinable |langs|-row aggregate. Zero joins."""
+    d = t(spark, sf_dir, "documents")
+    n_ws = F.size(F.split("text", " ")).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), F.lit(0))
+    ).cast("long")
+    per_doc = d.select(
+        "lang", n_ws.alias("n_ws"), n_bpe.alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.expr("sum(n_bpe) * 1000000 div sum(n_ws)").alias("fertility_ppm"),
+        F.expr("sum(n_chars) * 1000 div sum(n_bpe)").alias(
+            "chars_per_token_milli"
+        ),
+    )

@@ -461,3 +461,21 @@ def test_q170_json_array_shapes_roundtrip(spark, tmp_path):
         3: (1, 4, 1), 4: (1, 5, 1), 17: (1, 5, 1),
         5: (1, 1, 1), 18: (1, 6, 1), 34: (1, 1, 1),
     }
+
+
+def test_t77_fertility_known_corpus(spark, tmp_path):
+    """'ab cd' -> 2 words, 2 proxy tokens, fertility 1.0; 'a-b x1y' ->
+    2 words, 6 tokens (a,-,b,x,1,y), so the en rollup over both docs
+    is 8 tokens / 4 words = 2.0 fertility and 12 chars -> 1500 milli
+    chars/token."""
+    from pinot_pulsar_plugin_spark.operators.textops import t77_tokenizer_fertility
+
+    docs = [(0, "ab cd", "en", "s", 5), (1, "a-b x1y", "en", "s", 7)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    r = t77_tokenizer_fertility(spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.ws_tokens, r.bpe_tokens, r.chars) == (2, 4, 8, 12)
+    assert r.fertility_ppm == 2000000
+    assert r.chars_per_token_milli == 1500
