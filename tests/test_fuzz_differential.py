@@ -1331,3 +1331,43 @@ def test_fuzz_window_funnel_vs_bruteforce(seed, spark, tmp_path):
         want.setdefault(best, 0)
         want[best] += 1
     assert got == want, (seed, journeys)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_hamilton_allocation_properties(seed, spark, tmp_path):
+    """Largest-remainder invariants on random lane tables: per-language
+    allocations sum EXACTLY to 1000, and every lane receives floor or
+    ceil of its exact proportional share (the quota-method property
+    that rounding-based allocators violate)."""
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        q158_largest_remainder_alloc,
+    )
+
+    rng = _r.Random(7100 + seed)
+    docs, did = [], 0
+    lanes = {}
+    for lang in ["aa", "bb"][: rng.randint(1, 2)]:
+        for s_i in range(rng.randint(1, 6)):
+            src = f"s{s_i}"
+            n = rng.randint(1, 40)
+            lanes[(lang, src)] = n
+            for _ in range(n):
+                docs.append((did, "t", lang, src, 3)); did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = q158_largest_remainder_alloc(spark, str(tmp_path)).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, 0)
+        per_lang[r.lang] += r.alloc
+        w = sum(n for (lg, _), n in lanes.items() if lg == r.lang)
+        exact = 1000 * lanes[(r.lang, r.source)] / w
+        assert r.alloc in (int(exact) // 1, int(exact) + 1, int(exact)), (
+            seed, r, exact,
+        )
+        assert abs(r.alloc - exact) < 1, (seed, r, exact)
+    assert all(v == 1000 for v in per_lang.values()), (seed, per_lang)
