@@ -311,3 +311,109 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+# --- q172: decile lift / gains table --------------------------------
+#
+# The scoring-model readout (next to q169's experiment readout):
+# rank customers by a score — acctbal stands in for a model score —
+# into DECILES, and report each decile's response rate (customer
+# placed ≥1 order) against the base rate: lift_ppm > 1e6 means the
+# score concentrates responders at the top. Deciles are computed
+# WITHIN market segment (the natural partition — and a global NTILE
+# would be the partition-less-window scale killer the plan gate
+# bans).
+#
+# Exactness: decile = (rank-1)*10 // n via ROW_NUMBER with
+# (score, key) total order — NTILE's remainder-distribution rule is
+# engine-identical too, but the explicit floor form keeps the
+# arithmetic in the proven div/// class; rates and lift are integer
+# ppm floor-divisions; nested floor-divs are identical on both
+# engines.
+
+_Q172 = """
+    WITH resp AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS score_cents,
+             CAST(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_custkey = c.c_custkey)
+                       THEN 1 ELSE 0 END AS BIGINT) AS responded
+      FROM customer c),
+    ranked AS (
+      SELECT segment, responded, score_cents,
+             ROW_NUMBER() OVER (PARTITION BY segment
+               ORDER BY score_cents DESC, c_custkey) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n_seg,
+             CAST(SUM(responded) OVER (PARTITION BY segment) AS BIGINT)
+               AS n_resp_seg
+      FROM resp),
+    cells AS (
+      SELECT segment, (rk - 1) * 10 // n_seg AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(responded) AS BIGINT) AS n_resp,
+             MAX(n_seg) AS n_seg, MAX(n_resp_seg) AS n_resp_seg
+      FROM ranked GROUP BY 1, 2)
+    SELECT segment, CAST(decile AS BIGINT) AS decile, n, n_resp,
+           CAST(n_resp * 1000000 // n AS BIGINT) AS rate_ppm,
+           CAST((n_resp * 1000000 // n) * 1000000
+                // (n_resp_seg * 1000000 // n_seg) AS BIGINT) AS lift_ppm
+    FROM cells WHERE n_resp_seg > 0
+"""
+
+
+@query("q172_decile_lift", _Q172)
+def q172_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment decile lift table of the acctbal 'score' against
+    order response (see block comment) — the gains chart every scoring
+    model ships with, in exact integer ppm.
+
+    Scale shape: response is a semi-join flag (one key-partitioned
+    EXISTS probe against order keys); ranking and segment totals share
+    one segment-keyed sort; the rollup is 10 rows per segment. The
+    score column swaps for a real model score with no plan change."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    resp = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("score_cents"),
+            F.when(F.col("o_custkey").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("responded"),
+        )
+    )
+    wr = Window.partitionBy("segment").orderBy(
+        F.desc("score_cents"), F.asc("c_custkey")
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = resp.select(
+        "segment",
+        "responded",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wseg).alias("n_seg"),
+        F.sum("responded").over(wseg).alias("n_resp_seg"),
+    )
+    cells = ranked.groupBy(
+        "segment", F.expr("(rk - 1) * 10 div n_seg").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("responded").alias("n_resp"),
+        F.max("n_seg").alias("n_seg"),
+        F.max("n_resp_seg").alias("n_resp_seg"),
+    )
+    return cells.where(F.col("n_resp_seg") > 0).select(
+        "segment",
+        "decile",
+        "n",
+        "n_resp",
+        F.expr("n_resp * 1000000 div n").alias("rate_ppm"),
+        F.expr(
+            "(n_resp * 1000000 div n) * 1000000"
+            " div (n_resp_seg * 1000000 div n_seg)"
+        ).alias("lift_ppm"),
+    )

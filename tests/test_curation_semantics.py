@@ -1315,3 +1315,38 @@ def test_q169_ztest_known_tables_and_degenerate_guard(spark, tmp_path):
     ).write.parquet(str(d2 / "events.parquet"))
     r2 = q169_abtest_ztest(spark, str(d2)).collect()[0]
     assert r2.z is None and (r2.rate1_ppm, r2.rate2_ppm) == (1000000, 1000000)
+
+
+def test_q172_lift_concentrates_responders(spark, tmp_path):
+    """10 customers, one segment, top-5 scores respond: deciles 0-4
+    rate 1e6 with lift 2e6 (base rate 50%), deciles 5-9 rate 0."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.curation import q172_decile_lift
+
+    cust = [
+        (k, f"c{k}", 0, 1000.0 - k, "SEG") for k in range(10)
+    ]  # score descends with key -> deciles = key
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        (i, k, "O", 1.0, datetime.datetime(2024, 1, 1), "1")
+        for i, k in enumerate(range(5))
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.decile: (r.n, r.n_resp, r.rate_ppm, r.lift_ppm)
+        for r in q172_decile_lift(spark, str(tmp_path)).collect()
+    }
+    for d in range(5):
+        assert got[d] == (1, 1, 1000000, 2000000)
+    for d in range(5, 10):
+        assert got[d] == (1, 0, 0, 0)
