@@ -417,3 +417,118 @@ def q172_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_resp_seg * 1000000 div n_seg)"
         ).alias("lift_ppm"),
     )
+
+
+# --- q173: RFM segmentation (recency / frequency / monetary) --------
+#
+# The classic customer-value segmentation: per customer, recency =
+# days since last order (vs the corpus max date — a deterministic
+# "as-of"), frequency = order count, monetary = total cents; each
+# scored 1-5 by SEGMENT-RELATIVE quintile (the q172 rank-floor form;
+# a global NTILE would be the partition-less-window scale killer),
+# 5 = best (most recent / most frequent / highest spend). Output is
+# the (segment, r, f, m) cell histogram — the table a campaign
+# planner reads.
+#
+# Exactness: integer days/counts/cents; quintile = rank-floor
+# arithmetic with (metric, custkey) total orders; recency ranks
+# ASCENDING days (fewer days = better) so score 5 is the most recent.
+
+_Q173 = """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    nowt AS (SELECT MAX(last_us) AS now_us FROM cust),
+    base AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             (a.now_us - u.last_us) // 86400000000 AS rec_days,
+             u.n_orders, u.cents
+      FROM cust u
+      JOIN customer c ON c.c_custkey = u.o_custkey
+      CROSS JOIN nowt a),
+    scored AS (
+      SELECT segment, c_custkey, rec_days, n_orders, cents,
+             5 - (ROW_NUMBER() OVER (PARTITION BY segment
+                    ORDER BY rec_days, c_custkey) - 1) * 5
+                 // COUNT(*) OVER (PARTITION BY segment) AS r_score,
+             1 + (ROW_NUMBER() OVER (PARTITION BY segment
+                    ORDER BY n_orders, c_custkey) - 1) * 5
+                 // COUNT(*) OVER (PARTITION BY segment) AS f_score,
+             1 + (ROW_NUMBER() OVER (PARTITION BY segment
+                    ORDER BY cents, c_custkey) - 1) * 5
+                 // COUNT(*) OVER (PARTITION BY segment) AS m_score
+      FROM base)
+    SELECT segment, CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM scored GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("q173_rfm_segmentation", _Q173)
+def q173_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM cell histogram: segment-relative quintile scores for
+    recency, frequency, and monetary value (see block comment).
+
+    Scale shape: one order-volume combinable aggregate to customer
+    grain, a customer-dim join, then three quintile rankings sharing
+    the segment partitioning (three sort orders — the unavoidable
+    cost of three independent rank dimensions) and a ≤125-cell
+    rollup per segment. The as-of scalar broadcasts."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    asof = cust.agg(F.max("last_us").alias("now_us"))
+    base = (
+        cust.join(c, c["c_custkey"] == cust["o_custkey"])
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            F.expr("(now_us - last_us) div 86400000000").alias("rec_days"),
+            "n_orders",
+            "cents",
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    n_seg = F.count(F.lit(1)).over(wseg)
+    rk_r = F.row_number().over(
+        Window.partitionBy("segment").orderBy("rec_days", "c_custkey")
+    )
+    rk_f = F.row_number().over(
+        Window.partitionBy("segment").orderBy("n_orders", "c_custkey")
+    )
+    rk_m = F.row_number().over(
+        Window.partitionBy("segment").orderBy("cents", "c_custkey")
+    )
+    # integer floor-div quintiles (the proven div ≡ // class), never a
+    # double divide-then-floor
+    scored = base.select(
+        "segment",
+        "cents",
+        rk_r.alias("rk_r"),
+        rk_f.alias("rk_f"),
+        rk_m.alias("rk_m"),
+        n_seg.alias("n_seg"),
+    ).select(
+        "segment",
+        "cents",
+        F.expr("5 - (rk_r - 1) * 5 div n_seg").cast("long").alias("r_score"),
+        F.expr("1 + (rk_f - 1) * 5 div n_seg").cast("long").alias("f_score"),
+        F.expr("1 + (rk_m - 1) * 5 div n_seg").cast("long").alias("m_score"),
+    )
+    return scored.groupBy("segment", "r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("cents").alias("sum_cents")
+    )

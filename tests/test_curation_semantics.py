@@ -1350,3 +1350,43 @@ def test_q172_lift_concentrates_responders(spark, tmp_path):
         assert got[d] == (1, 1, 1000000, 2000000)
     for d in range(5, 10):
         assert got[d] == (1, 0, 0, 0)
+
+
+def test_q173_rfm_scores_on_constructed_customers(spark, tmp_path):
+    """5 customers, one segment, metrics engineered so quintiles are
+    the identity: the best customer (most recent, most orders, highest
+    spend) lands in cell (5,5,5), the worst in (1,1,1)."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.curation import q173_rfm_segmentation
+
+    base = datetime.datetime(2024, 1, 1)
+    orders, oid = [], 0
+    # customer k (1..5): last order day k (k=5 most recent), k orders,
+    # spend 100*k
+    for k in range(1, 6):
+        for i in range(k):
+            orders.append(
+                (oid, k, "O", 100.0,
+                 base + datetime.timedelta(days=k if i == 0 else 0), "1")
+            )
+            oid += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "SEG") for k in range(1, 6)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.sum_cents)
+        for r in q173_rfm_segmentation(spark, str(tmp_path)).collect()
+    }
+    # customer k: recency rank k-th best, frequency k-th, monetary k-th
+    assert got == {
+        (k, k, k): (1, 100 * k * 100) for k in range(1, 6)
+    }
