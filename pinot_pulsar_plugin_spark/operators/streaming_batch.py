@@ -283,3 +283,93 @@ def st63_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("n_events"), F.asc("event_type")
     )
     return c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 2)
+
+
+# --- q174: event-time lateness audit (watermark tuning input) -------
+#
+# Every watermark choice in the streaming modules (sessions, windowed
+# aggs, dedup) trades completeness for latency; q174 is the batch
+# audit that QUANTIFIES the trade on real data: treating event_id as
+# arrival order (the generator emits sequentially; in production this
+# is the ingestion offset), an event's lateness is how far the
+# per-type event-time high-water mark had already advanced past it on
+# arrival — running_max(ts) − ts in arrival order. The report
+# buckets lateness and counts what a watermark of 1 s / 1 min / 1 h
+# would drop — read it, then set the delay.
+#
+# Exactness: integer µs lateness from a running max (one window),
+# integer bucket thresholds, ppm floor-divisions.
+
+_Q174 = """
+    WITH arr AS (
+      SELECT event_type,
+             GREATEST(CAST(0 AS BIGINT),
+               MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - epoch_us(ts)) AS late_us
+      FROM events),
+    graded AS (
+      SELECT event_type,
+             CASE WHEN late_us = 0 THEN 'on_time'
+                  WHEN late_us <= 1000000 THEN 'le_1s'
+                  WHEN late_us <= 60000000 THEN 'le_1m'
+                  WHEN late_us <= 3600000000 THEN 'le_1h'
+                  ELSE 'gt_1h' END AS bucket,
+             late_us
+      FROM arr)
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(COUNT(*) * 1000000
+                // SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm
+    FROM graded GROUP BY event_type, bucket
+"""
+
+
+@query("q174_lateness_audit", _Q174)
+def q174_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateness distribution per event type: event-time shortfall
+    against the arrival-order high-water mark, bucketed at the
+    candidate watermark delays (see block comment).
+
+    Scale shape: ONE type-keyed sort feeds the running max; the
+    rollup is ≤5 buckets per type with a window-share over the tiny
+    cell relation. On the live path the same numbers come from the
+    streaming metrics; this audit runs on the landed table to tune
+    them ahead of deployment."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    warr = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = F.greatest(F.lit(0).cast("long"), F.max(us).over(warr) - us)
+    arr = e.select("event_type", late.alias("late_us"))
+    bucket = (
+        F.when(F.col("late_us") == 0, "on_time")
+        .when(F.col("late_us") <= 1_000_000, "le_1s")
+        .when(F.col("late_us") <= 60_000_000, "le_1m")
+        .when(F.col("late_us") <= 3_600_000_000, "le_1h")
+        .otherwise("gt_1h")
+    )
+    cells = arr.select("event_type", bucket.alias("bucket"), "late_us").groupBy(
+        "event_type", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("late_us").alias("max_late_us"))
+    wtype = Window.partitionBy("event_type")
+    # integer floor-div share (div ≡ // class) — never a double divide
+    # + cast, whose correctly-rounded result can cross the floor
+    return (
+        cells.withColumn("n_type", F.sum("n").over(wtype))
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            "max_late_us",
+            F.expr("n * 1000000 div n_type").alias("share_ppm"),
+        )
+    )

@@ -719,3 +719,43 @@ def test_stateful_ops_under_rocksdb_state_store(spark, tmp_path):
     rocks_out = run("rocks", True)
     assert default_out == rocks_out
     assert len(rocks_out) > 0
+
+
+def test_q174_lateness_measured_against_arrival_highwater(spark, tmp_path):
+    """Arrival order (event_id) carries an out-of-order event: ids
+    1,2,3 with event times 10:00, 10:02, 10:01 -> the third event is
+    60s late (inside le_1m); the first two are on time; a second type
+    with monotone times is all on_time."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.streaming_batch import (
+        q174_lateness_audit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    rows = [
+        (1, ts(0), 1, "a", 1.0, "{}"),
+        (2, ts(2), 1, "a", 1.0, "{}"),
+        (3, ts(1), 1, "a", 1.0, "{}"),   # 60s behind the high-water mark
+        (4, ts(0), 1, "b", 1.0, "{}"),
+        (5, ts(5), 1, "b", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.event_type, r.bucket): (r.n, r.max_late_us, r.share_ppm)
+        for r in q174_lateness_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("a", "on_time"): (2, 0, 666666),
+        ("a", "le_1m"): (1, 60_000_000, 333333),
+        ("b", "on_time"): (2, 0, 1000000),
+    }
