@@ -532,3 +532,103 @@ def q173_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("segment", "r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"), F.sum("cents").alias("sum_cents")
     )
+
+
+# --- q175: ABC (Pareto) classification ------------------------------
+#
+# Inventory's 80/20 rule as an operator: within each product type,
+# rank parts by revenue and classify A (first parts covering 80% of
+# the type's revenue), B (to 95%), C (rest) — the classification a
+# catalog pipeline runs to pick storage/indexing tiers (hot parts
+# get the zone-mapped fast path, C parts archive). Per-type, not
+# global: the natural partition, and the partition-less-window gate.
+#
+# Exactness: revenue is presum cents; the class thresholds compare
+# integer cumulative sums against scaled totals (cum*100 vs
+# total*80/95 — integer products, no division at all). A part
+# straddling the 80% boundary is A (its cum first crosses the line —
+# the standard inclusive convention).
+
+_Q175 = """
+    WITH rev AS (
+      SELECT p.p_type, l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, l.l_partkey),
+    ranked AS (
+      SELECT p_type, l_partkey, cents,
+             CAST(SUM(cents) OVER (PARTITION BY p_type
+               ORDER BY cents DESC, l_partkey) AS BIGINT) AS cum_cents,
+             CAST(SUM(cents) OVER (PARTITION BY p_type) AS BIGINT)
+               AS type_cents
+      FROM rev),
+    classed AS (
+      SELECT p_type, l_partkey, cents,
+             CASE WHEN (cum_cents - cents) * 100 < type_cents * 80 THEN 'A'
+                  WHEN (cum_cents - cents) * 100 < type_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT p_type, abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY p_type, abc
+"""
+
+
+@query("q175_abc_classification", _Q175)
+def q175_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type ABC Pareto classes by cumulative revenue share (see
+    block comment): A covers the first 80%, B to 95%, C the tail —
+    pure integer cumulative-sum comparisons, no divisions.
+
+    Scale shape: one fact-volume combinable aggregate to part grain
+    (part is a broadcast dim), then a type-partitioned running sum
+    and a ≤3-cell-per-type rollup. The class boundary reads the
+    PRE-row cumulative (cum − own), so a part straddling 80% is A —
+    deterministic under the (cents DESC, partkey) total order."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_type", "l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    wcum = Window.partitionBy("p_type").orderBy(F.desc("cents"), F.asc("l_partkey"))
+    wtyp = Window.partitionBy("p_type")
+    ranked = rev.select(
+        "p_type",
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.sum("cents").over(wtyp).alias("type_cents"),
+    )
+    abc = (
+        F.when(
+            (F.col("cum_cents") - F.col("cents")) * 100
+            < F.col("type_cents") * 80,
+            "A",
+        )
+        .when(
+            (F.col("cum_cents") - F.col("cents")) * 100
+            < F.col("type_cents") * 95,
+            "B",
+        )
+        .otherwise("C")
+    )
+    return (
+        ranked.select("p_type", abc.alias("abc"), "cents")
+        .groupBy("p_type", "abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+        )
+    )

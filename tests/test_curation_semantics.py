@@ -1390,3 +1390,26 @@ def test_q173_rfm_scores_on_constructed_customers(spark, tmp_path):
     assert got == {
         (k, k, k): (1, 100 * k * 100) for k in range(1, 6)
     }
+
+
+def test_q175_abc_boundary_inclusive(spark, tmp_path):
+    """One type, parts with revenue 70/20/9/1: part 1 (pre-cum 0 <
+    80%) is A, part 2 (pre-cum 70 < 80) is ALSO A (straddles the
+    line), part 3 (pre-cum 90 < 95) is B, part 4 (pre-cum 99) is C."""
+    from pinot_pulsar_plugin_spark.operators.curation import q175_abc_classification
+
+    lines = [
+        (1, 70.0, 0.0), (2, 20.0, 0.0), (3, 9.0, 0.0), (4, 1.0, 0.0),
+    ]
+    spark.createDataFrame(
+        lines, "l_partkey long, l_extendedprice double, l_discount double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, "T") for k in range(1, 5)], "p_partkey long, p_type string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        r.abc: (r.n_parts, r.class_cents)
+        for r in q175_abc_classification(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (2, 9000), "B": (1, 900), "C": (1, 100)}
