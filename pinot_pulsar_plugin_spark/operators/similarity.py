@@ -1736,3 +1736,92 @@ def s63_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum(CASE WHEN mr <= 5 THEN 1 ELSE 0 END) * 1000000 div (5 * {nq})").alias("recall_5_ppm"),
         F.expr(f"sum(CASE WHEN mr <= 10 THEN 1 ELSE 0 END) * 1000000 div (10 * {nq})").alias("recall_10_ppm"),
     )
+
+
+# --- s64: embedding-table quality audit -----------------------------
+#
+# Every operator in this family ASSUMES clean vectors (finite values,
+# non-zero norms, uniform dimension, one vector per document); s64 is
+# the gate that verifies it before an index build — the vector-table
+# analog of q119's column profile. Checks per label: dimension
+# uniformity (min=max), zero-norm and non-finite counts (either
+# poisons a cosine), plus the doc↔vector pairing coverage (vec_id ≡
+# doc_id pairing of the test corpus; production passes its own key).
+#
+# Exactness: dims and counts are integers; the non-finite probe folds
+# isnan/isinf flags through an integer sum (no float compare); the
+# zero-norm probe compares the exact fold dot against literal 0.0.
+
+_S64 = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             {fold_dot_sql("embedding", "embedding")} AS norm2,
+             CAST(len(list_filter(embedding,
+                    x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))))
+                  AS BIGINT) AS n_bad
+      FROM embeddings),
+    pair AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_unpaired
+      FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+    SELECT v.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS dim_min,
+           CAST(MAX(dim) AS BIGINT) AS dim_max,
+           CAST(SUM(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           p.n_docs_unpaired
+    FROM v CROSS JOIN pair p
+    GROUP BY v.label, p.n_docs_unpaired
+"""
+
+
+@query("s64_embedding_quality_audit", _S64)
+def s64_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-table quality gate: per-label dimension uniformity,
+    zero-norm and non-finite vector counts, and doc↔vector pairing
+    coverage (see block comment) — run before any index build.
+
+    Scale shape: one scan of embeddings with in-row folds (dim, norm,
+    finite flags — no shuffle to check a vector), a |labels|-row
+    rollup, and one anti-join for pairing coverage keyed on the doc
+    id. The unpaired count is a broadcast scalar riding every row of
+    the tiny output."""
+    em = t(spark, sf_dir, "embeddings")
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    bad = F.size(
+        F.filter(
+            "embedding",
+            lambda x: F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == float("inf")),
+        )
+    ).cast("long")
+    v = em.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        fold_dot("embedding", "embedding").alias("norm2"),
+        bad.alias("n_bad"),
+    )
+    unpaired = (
+        d.join(em.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_docs_unpaired"))
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            F.sum(F.when(F.col("norm2") == 0.0, 1).otherwise(0)).alias(
+                "n_zero_norm"
+            ),
+            F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0)).alias(
+                "n_nonfinite"
+            ),
+        )
+        .crossJoin(F.broadcast(unpaired))
+    )

@@ -315,3 +315,38 @@ def test_s63_recall_perfect_when_tail_dims_are_zero(spark, tmp_path):
     assert (r.recall_1_ppm, r.recall_5_ppm, r.recall_10_ppm) == (
         1000000, 1000000, 1000000,
     )
+
+
+def test_s64_flags_bad_vectors_and_unpaired_docs(spark, tmp_path):
+    """A zero vector, a NaN vector, and a ragged dimension must each be
+    flagged; one doc without a matching vec_id counts as unpaired."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        s64_embedding_quality_audit,
+    )
+
+    rows = [
+        (0, [1.0, 2.0], 0),
+        (1, [0.0, 0.0], 0),                  # zero norm
+        (2, [float("nan"), 1.0], 0),         # non-finite
+        (3, [1.0, 2.0, 3.0], 1),             # ragged dim in label 1
+        (4, [1.0, 1.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    spark.createDataFrame(
+        [(0, "t", "en", "s", 1), (9, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.label: (r.n_vecs, r.dim_min, r.dim_max, r.n_zero_norm,
+                  r.n_nonfinite, r.n_docs_unpaired)
+        for r in s64_embedding_quality_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (3, 2, 2, 1, 1, 1),   # doc 9 has no vector
+        1: (2, 2, 3, 0, 0, 1),   # ragged: min 2, max 3
+    }
