@@ -1072,3 +1072,91 @@ def q166_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index_ppm"
         ),
     )
+
+
+# --- q176: semi-additive closing balance (last-in-period) -----------
+#
+# The measure class every finance/inventory mart has that plain SUM
+# mis-aggregates: BALANCES add across accounts but NOT across time —
+# the month value is the LAST observation, not the sum. Here the
+# running inventory balance per brand (shipped quantity signed by
+# return flag: returns come back in) is snapshotted at each month's
+# close: running sum in event order, then last-per-(brand, month) via
+# an argmax over the (day, orderkey, linenumber) total order — the
+# standard two-window semi-additive pattern.
+#
+# Exactness: quantities are exact integers (l_quantity is integral in
+# this corpus — ROUND pins it), the running sum is int64, and the
+# argmax struct comparison is integer-lexicographic.
+
+_Q176 = """
+    WITH mv AS (
+      SELECT p.p_brand,
+             epoch_us(l.l_shipdate) // 86400000000 AS day,
+             l.l_orderkey, l.l_linenumber,
+             CAST(CASE WHEN l.l_returnflag = 'R' THEN -1 ELSE 1 END
+                  * CAST(ROUND(l.l_quantity) AS BIGINT) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    run AS (
+      SELECT p_brand, day, l_orderkey, l_linenumber,
+             day // 30 AS month_bucket,
+             CAST(SUM(qty) OVER (PARTITION BY p_brand
+               ORDER BY day, l_orderkey, l_linenumber) AS BIGINT) AS balance
+      FROM mv),
+    closing AS (
+      SELECT p_brand, month_bucket, balance,
+             ROW_NUMBER() OVER (PARTITION BY p_brand, month_bucket
+               ORDER BY day DESC, l_orderkey DESC, l_linenumber DESC) AS rk
+      FROM run)
+    SELECT p_brand, CAST(month_bucket AS BIGINT) AS month_bucket,
+           balance AS closing_balance
+    FROM closing WHERE rk = 1
+"""
+
+
+@query("q176_closing_balance", _Q176)
+def q176_closing_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive closing balance per (brand, 30-day bucket): the
+    LAST running-balance observation of each period (see block
+    comment), not a period sum.
+
+    Scale shape: one brand-keyed sort feeds the running sum; the
+    per-period close is a WindowGroupLimit top-1 on the SAME
+    partitioning extended by the bucket. Periods with no movement
+    emit nothing — the serving join forward-fills from the previous
+    close (q77's carry pattern) rather than materializing empty
+    periods here."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = (
+        F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
+        * F.round("l_quantity").cast("long")
+    ).cast("long")
+    mv = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(
+        "p_brand",
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("day"),
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("qty"),
+    )
+    wrun = Window.partitionBy("p_brand").orderBy(
+        "day", "l_orderkey", "l_linenumber"
+    )
+    run = mv.select(
+        "p_brand",
+        "day",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("day div 30").alias("month_bucket"),
+        F.sum("qty").over(wrun).alias("balance"),
+    )
+    wclose = Window.partitionBy("p_brand", "month_bucket").orderBy(
+        F.desc("day"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    return (
+        run.withColumn("rk", F.row_number().over(wclose))
+        .where(F.col("rk") == 1)
+        .select("p_brand", "month_bucket", F.col("balance").alias("closing_balance"))
+    )

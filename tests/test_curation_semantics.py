@@ -1413,3 +1413,35 @@ def test_q175_abc_boundary_inclusive(spark, tmp_path):
         for r in q175_abc_classification(spark, str(tmp_path)).collect()
     }
     assert got == {"A": (2, 9000), "B": (1, 900), "C": (1, 100)}
+
+
+def test_q176_closing_is_last_not_sum(spark, tmp_path):
+    """Brand A: +10 on day 5, -3 (return) on day 20, +7 on day 35:
+    bucket 0 closes at 7 (10-3, the LAST balance, not the 13 a SUM
+    would give), bucket 1 closes at 14."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import q176_closing_balance
+
+    def ts(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+
+    lines = [
+        (1, 1, 1, 10.0, "N", ts(5)),
+        (2, 1, 1, 3.0, "R", ts(20)),
+        (3, 1, 1, 7.0, "N", ts(35)),
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_linenumber int, l_partkey long, l_quantity double, "
+        "l_returnflag string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "A")], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        r.month_bucket: r.closing_balance
+        for r in q176_closing_balance(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 7, 1: 14}
