@@ -1886,3 +1886,100 @@ def t77_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token_milli"
         ),
     )
+
+
+# --- t78: readability scoring (Flesch-style proxies) ----------------
+#
+# The classic readability screen a curation pipeline adds next to
+# t52's quality score: words-per-sentence and syllables-per-word
+# folded into a Flesch-reading-ease-shaped score. Deterministic
+# proxies (no dictionary): sentences = terminal-punctuation runs
+# (with a floor of 1), syllables = vowel GROUPS per word (the
+# standard approximation). The score's weights are the published
+# Flesch constants; the engine value is the in-row plan — counts via
+# regexp at scan speed, zero shuffles before the rollup.
+#
+# Exactness: all counts are integers; the score is computed per doc
+# in integer milli-units (206835 − 1015·words·1000/sentences/1000 …)
+# — spelled as nested integer floor-divs, identical on both engines —
+# then averaged per lang via integer sums.
+
+_T78 = """
+    WITH counts AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             GREATEST(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+               AS n_sents,
+             GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT),
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT)) AS n_syll
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, n_words, n_sents, n_syll,
+             206835 - 1015 * (n_words * 1000 // n_sents) // 1000
+                    - 84600 * (n_syll * 1000 // n_words) // 1000000
+               AS flesch_milli
+      FROM counts WHERE n_words > 0)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) * 1000 // SUM(n_sents) AS BIGINT)
+             AS words_per_sentence_milli,
+           CAST(SUM(n_syll) * 1000 // SUM(n_words) AS BIGINT)
+             AS syllables_per_word_milli,
+           CAST(FLOOR(CAST(SUM(flesch_milli) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS mean_flesch_milli
+    FROM scored GROUP BY lang
+"""
+
+
+@query("t78_readability", _T78)
+def t78_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability rollup: words/sentence,
+    syllables/word (vowel-group proxy), and the mean Flesch-shaped
+    score in exact integer milli-units (see block comment).
+
+    Scale shape: all counting is in-row regexp at scan speed; one
+    |langs|-row combinable rollup. Zero joins, zero Python. The
+    syllable floor (≥ words) keeps consonant-only tokens from
+    producing a sub-1 rate."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    n_syll = F.greatest(
+        n_words,
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        ).cast("long"),
+    )
+    counts = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    scored = counts.withColumn(
+        "flesch_milli",
+        F.expr(
+            "206835 - 1015 * (n_words * 1000 div n_sents) div 1000"
+            " - 84600 * (n_syll * 1000 div n_words) div 1000000"
+        ),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(n_words) * 1000 div sum(n_sents)").alias(
+            "words_per_sentence_milli"
+        ),
+        F.expr("sum(n_syll) * 1000 div sum(n_words)").alias(
+            "syllables_per_word_milli"
+        ),
+        # flesch can go NEGATIVE on run-on text: Spark div truncates
+        # while DuckDB // floors, so the mean uses the documented
+        # FLOOR(double) form that is identical for either sign
+        F.expr("CAST(FLOOR(CAST(sum(flesch_milli) AS DOUBLE) / count(*)) AS BIGINT)").alias("mean_flesch_milli"),
+    )

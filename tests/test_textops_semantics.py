@@ -479,3 +479,32 @@ def test_t77_fertility_known_corpus(spark, tmp_path):
     assert (r.n_docs, r.ws_tokens, r.bpe_tokens, r.chars) == (2, 4, 8, 12)
     assert r.fertility_ppm == 2000000
     assert r.chars_per_token_milli == 1500
+
+
+def test_t78_readability_values_incl_negative_mean(spark, tmp_path):
+    """'go on. we do.' -> 4 words, 2 sentences, 4 syllable floors:
+    flesch = 206835 - 1015*2 - 84600/1000 = 204720.4 -> 204720 milli.
+    A 60-word run-on single-sentence doc drives flesch negative; the
+    floored mean must match the hand computation."""
+    from pinot_pulsar_plugin_spark.operators.textops import t78_readability
+
+    runon = " ".join(["beau"] * 60) + "."
+    docs = [(0, "go on. we do.", "en", "s", 13), (1, runon, "fr", "s", len(runon))]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.lang: (r.n_docs, r.words_per_sentence_milli,
+                 r.syllables_per_word_milli, r.mean_flesch_milli)
+        for r in t78_readability(spark, str(tmp_path)).collect()
+    }
+    # en: wps = 4*1000//2 = 2000; syll floor = words = 4 -> spw 1000
+    # flesch = 206835 - 1015*(2000)//1000 - 84600*(1000)//1000000
+    en_flesch = 206835 - 1015 * 2000 // 1000 - 84600 * 1000 // 1000000
+    assert got["en"] == (1, 2000, 1000, en_flesch)
+    # fr: 60 words, 1 sentence, syllables: 'eau'+... 'beau' has vowel
+    # groups 'eau' -> 1 per word, floored to 60 total
+    fr_flesch = 206835 - 1015 * (60 * 1000 // 1) // 1000 - 84600 * 1000 // 1000000
+    assert fr_flesch < 0
+    assert got["fr"] == (1, 60000, 1000, fr_flesch)
