@@ -484,11 +484,11 @@ def test_t77_fertility_known_corpus(spark, tmp_path):
 def test_t78_readability_values_incl_negative_mean(spark, tmp_path):
     """'go on. we do.' -> 4 words, 2 sentences, 4 syllable floors:
     flesch = 206835 - 1015*2 - 84600/1000 = 204720.4 -> 204720 milli.
-    A 60-word run-on single-sentence doc drives flesch negative; the
+    A 250-word run-on single-sentence doc drives flesch negative; the
     floored mean must match the hand computation."""
     from pinot_pulsar_plugin_spark.operators.textops import t78_readability
 
-    runon = " ".join(["beau"] * 60) + "."
+    runon = " ".join(["beau"] * 250) + "."
     docs = [(0, "go on. we do.", "en", "s", 13), (1, runon, "fr", "s", len(runon))]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
@@ -503,8 +503,9 @@ def test_t78_readability_values_incl_negative_mean(spark, tmp_path):
     # flesch = 206835 - 1015*(2000)//1000 - 84600*(1000)//1000000
     en_flesch = 206835 - 1015 * 2000 // 1000 - 84600 * 1000 // 1000000
     assert got["en"] == (1, 2000, 1000, en_flesch)
-    # fr: 60 words, 1 sentence, syllables: 'eau'+... 'beau' has vowel
-    # groups 'eau' -> 1 per word, floored to 60 total
-    fr_flesch = 206835 - 1015 * (60 * 1000 // 1) // 1000 - 84600 * 1000 // 1000000
+    # fr: 250 words, 1 sentence ('beau' = one vowel group per word):
+    # 1.015 * 250 = 253.75 > 206.835 -> negative flesch
+    fr_flesch = (206835 - 1015 * (250 * 1000 // 1) // 1000
+                 - 84600 * 1000 // 1000000)
     assert fr_flesch < 0
-    assert got["fr"] == (1, 60000, 1000, fr_flesch)
+    assert got["fr"] == (1, 250000, 1000, fr_flesch)
