@@ -111,7 +111,8 @@ _MODULES = [
 # q169_abtest_ztest, q170_json_array_extract,
 # q171_shuffle_skew_report, t77_tokenizer_fertility,
 # q172_decile_lift, q173_rfm_segmentation, q174_lateness_audit,
-# q175_abc_classification —
+# q175_abc_classification, s64_embedding_quality_audit,
+# q176_closing_balance, t78_readability —
 # have no driver row yet and must LEAD the r7
 # window; all are parity-green at sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
