@@ -564,3 +564,105 @@ def q146_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.bit_count("bits")).alias("distinct_users"),
     )
+
+
+# --- q177: market concentration (HHI + CR4) -------------------------
+#
+# The concentration diagnostics read over any keyed revenue
+# distribution — supplier concentration per product type here. Two
+# standards: the Herfindahl–Hirschman index Σ share_i² (the antitrust
+# metric; 10000·HHI convention → "points"), and the CR4 top-4
+# concentration ratio. Monitoring either tells a sourcing pipeline
+# when one supplier quietly becomes a single point of failure.
+#
+# Exactness: revenue is presum cents; shares are integer ppm
+# (floor-div), and HHI = Σ share_ppm² summed in int64 (≤ 1e12 per
+# cell — order-independent, where a double Σshare² varies with
+# shuffle order; that draft diverged in the last ulps) then one
+# double division to points. CR4 counts via a rank ≤ 4 filter with
+# (cents, suppkey) total order, as integer ppm. n_suppliers rides
+# along (HHI of a monopoly = 10000 points).
+
+_Q177 = """
+    WITH rev AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, l.l_suppkey),
+    tot AS (
+      SELECT p_type, CAST(SUM(cents) AS BIGINT) AS t_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY p_type),
+    ranked AS (
+      SELECT p_type, l_suppkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY p_type
+               ORDER BY cents DESC, l_suppkey) AS rk
+      FROM rev),
+    hhi AS (
+      SELECT r.p_type, t.n_suppliers,
+             CAST(SUM((r.cents * 1000000 // t.t_cents)
+                      * (r.cents * 1000000 // t.t_cents)) AS BIGINT)
+               AS hhi_fp,
+             CAST(SUM(CASE WHEN r.rk <= 4 THEN r.cents ELSE 0 END)
+                  AS BIGINT) AS top4_cents,
+             t.t_cents
+      FROM ranked r JOIN tot t ON t.p_type = r.p_type
+      GROUP BY r.p_type, t.n_suppliers, t.t_cents)
+    SELECT p_type, n_suppliers,
+           CAST(hhi_fp AS DOUBLE) / 100000000.0 AS hhi_points,
+           CAST(top4_cents * 1000000 // t_cents AS BIGINT) AS cr4_ppm
+    FROM hhi
+"""
+
+
+@query("q177_market_concentration", _Q177)
+def q177_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per product type: HHI in points and the
+    CR4 top-4 revenue share in ppm (see block comment).
+
+    Scale shape: one fact-volume combinable aggregate to
+    (type, supplier) grain — everything after runs at that reduced
+    grain: a type-partitioned rank, two broadcast-sized rollups.
+    Σshare² caveat: the double squares are deterministic IEEE chains
+    on exact int64s on both engines regardless of magnitude."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+        .persist()
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("cents").alias("t_cents"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    wr = Window.partitionBy("p_type").orderBy(F.desc("cents"), F.asc("l_suppkey"))
+    ranked = rev.withColumn("rk", F.row_number().over(wr))
+    hhi = (
+        ranked.join(F.broadcast(tot), "p_type")
+        .groupBy("p_type", "t_cents", "n_suppliers")
+        .agg(
+            F.sum(
+                F.expr("(cents * 1000000 div t_cents)")
+                * F.expr("(cents * 1000000 div t_cents)")
+            ).alias("hhi_fp"),
+            F.sum(F.when(F.col("rk") <= 4, F.col("cents")).otherwise(0)).alias(
+                "top4_cents"
+            ),
+        )
+    )
+    return hhi.select(
+        "p_type",
+        "n_suppliers",
+        (F.col("hhi_fp").cast("double") / F.lit(100000000.0)).alias("hhi_points"),
+        F.expr("top4_cents * 1000000 div t_cents").alias("cr4_ppm"),
+    )

@@ -103,3 +103,34 @@ def test_q151_sliding_distinct_window_membership(spark, tmp_path):
         3: (2, 1), 4: (2, 0), 5: (2, 0), 6: (2, 0),
         7: (1, 0), 8: (1, 0), 9: (1, 0),
     }
+
+
+def test_q177_hhi_and_cr4_known_market(spark, tmp_path):
+    """One type, four suppliers with shares 50/30/15/5 (%): HHI =
+    2500+900+225+25 = 3650 points exactly (ppm shares are exact here);
+    CR4 = 100% with only four suppliers; a monopoly type scores
+    10000 points."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q177_market_concentration,
+    )
+
+    lines = [
+        (1, 1, 50.0, 0.0), (2, 2, 30.0, 0.0), (3, 3, 15.0, 0.0),
+        (4, 4, 5.0, 0.0),
+        (5, 9, 42.0, 0.0),   # part 5 -> type M, single supplier
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_partkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, "T") for k in range(1, 5)] + [(5, "M")],
+        "p_partkey long, p_type string",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        r.p_type: (r.n_suppliers, r.hhi_points, r.cr4_ppm)
+        for r in q177_market_concentration(spark, str(tmp_path)).collect()
+    }
+    assert got == {"T": (4, 3650.0, 1000000), "M": (1, 10000.0, 1000000)}
