@@ -655,3 +655,85 @@ def q171_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hottest_n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q178: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9; the rounded ppm values sum
+# to exactly 1_000_000, so expected counts partition N without drift.
+# Embedded as INTEGER LITERALS on both engines (the s61 rule: a
+# query-time log10 risks a 1-ulp ROUND flip between libm builds).
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+_Q178 = f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM cents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM digits)
+    SELECT d.digit, d.obs,
+           CAST(d.obs * 1000000 // t.n AS BIGINT) AS obs_ppm,
+           CAST(({_BENFORD_PPM})[d.digit] AS BIGINT) AS exp_ppm,
+           CAST(d.obs * 1000000 - t.n * ({_BENFORD_PPM})[d.digit] AS DOUBLE)
+             * CAST(d.obs * 1000000 - t.n * ({_BENFORD_PPM})[d.digit] AS DOUBLE)
+             / (CAST(t.n * ({_BENFORD_PPM})[d.digit] AS DOUBLE) * 1000000.0)
+             AS chi2_contrib
+    FROM digits d CROSS JOIN tot t
+"""
+
+
+@query("q178_benford_audit", _Q178)
+def q178_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic anomaly / fabrication screen a data-quality pipeline runs
+    on monetary fact columns (Pinot users run the same shape as a
+    scheduled quality query). Per digit: observed count, observed
+    share in ppm, the Benford expectation in ppm, and the chi-square
+    contribution ((obs·1e6 − N·ppm)² / (N·ppm·1e6)).
+
+    Exactness: digit extraction is string-on-integer-cents (no log10
+    at query time); expected shares are integer ppm literals summing
+    to exactly 1e6; the chi-square term is a pure double chain on
+    exact int64s (products stay < 2^53 before the square, and the
+    square/divide are single IEEE ops — identical on both engines).
+
+    Scale shape: one combinable 9-group aggregate over a scan (the
+    digit is a scan-time expression, so this is map-side partial all
+    the way), then a one-row total broadcast. Zero wide exchanges at
+    any scale."""
+    o = t(spark, sf_dir, "orders")
+    arr = F.array(*[F.lit(p) for p in _BENFORD_PPM])
+    digits = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = digits.agg(F.sum("obs").alias("n"))
+    exp_ppm = F.element_at(arr, F.col("digit"))
+    chi_num = (F.col("obs") * 1000000 - F.col("n") * exp_ppm).cast("double")
+    return digits.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "obs",
+        F.expr("obs * 1000000 div n").alias("obs_ppm"),
+        exp_ppm.cast("long").alias("exp_ppm"),
+        (
+            chi_num
+            * chi_num
+            / ((F.col("n") * exp_ppm).cast("double") * F.lit(1000000.0))
+        ).alias("chi2_contrib"),
+    )

@@ -234,3 +234,33 @@ def test_q171_skew_report_finds_the_hot_key(spark, tmp_path):
     assert r.hottest_key == 7 and r.hottest_n == 81
     assert r.n_rows >= 81 and r.share_ppm >= 810000
     assert sum(b.n_rows for b in out.values()) == 100
+
+
+def test_q178_benford_digits_and_chi2(spark, tmp_path):
+    """90 orders whose cent-values' first digits follow counts
+    10,20,...: digit extraction, ppm shares, and the chi-square term
+    must match hand arithmetic; a digit with obs*1e6 == N*ppm exactly
+    contributes 0."""
+    from pinot_pulsar_plugin_spark.operators.maintenance import (
+        _BENFORD_PPM,
+        q178_benford_audit,
+    )
+
+    # 50 orders starting with digit 1, 30 with digit 2, 20 with 9;
+    # one non-positive row that must be filtered out entirely.
+    vals = [1.23] * 50 + [25.0] * 30 + [999.99] * 20 + [0.0]
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = {r.digit: r for r in q178_benford_audit(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2, 9}
+    n = 100
+    assert rows[1].obs == 50 and rows[1].obs_ppm == 500000
+    assert rows[2].obs == 30 and rows[2].obs_ppm == 300000
+    assert rows[9].obs == 20 and rows[9].obs_ppm == 200000
+    for d in (1, 2, 9):
+        ppm = _BENFORD_PPM[d - 1]
+        num = float(rows[d].obs * 1_000_000 - n * ppm)
+        assert rows[d].chi2_contrib == num * num / (n * ppm * 1_000_000.0)
+        assert rows[d].exp_ppm == ppm
