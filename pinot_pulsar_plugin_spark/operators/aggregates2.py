@@ -666,3 +666,104 @@ def q177_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hhi_fp").cast("double") / F.lit(100000000.0)).alias("hhi_points"),
         F.expr("top4_cents * 1000000 div t_cents").alias("cr4_ppm"),
     )
+
+
+# --- q179: top-N brands per month with an OTHERS bucket --------------
+#
+# The dashboard regroup every serving layer runs: monthly revenue per
+# brand, but the legend only holds the top-5 brands by ALL-TIME
+# revenue — everything else collapses into one 'OTHERS' series. The
+# top set is decided globally (not per month) so series membership is
+# stable across the chart.
+#
+# Determinism: per-brand revenue is an integer fixed-point sum
+# (presum cents*100 per row, the q114 rule), and the top-5 cutoff uses
+# a count-of-strictly-better self-join on (rev_fp DESC, brand ASC) —
+# exact integer + string comparisons, so the winner set is identical
+# cross-engine even under revenue ties. A global ROW_NUMBER would trip
+# the partition-less-window plan gate (the q153/q158 constraint); the
+# triangular join runs on the ~25-row brand-total relation.
+
+_Q179 = """
+    WITH mb AS (
+      SELECT p.p_brand AS brand,
+             epoch_us(l.l_shipdate) // 86400000000 // 30 AS month_bucket,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS fp
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    agg1 AS (
+      SELECT brand, month_bucket, CAST(SUM(fp) AS BIGINT) AS rev_fp
+      FROM mb GROUP BY 1, 2),
+    btot AS (
+      SELECT brand, CAST(SUM(rev_fp) AS BIGINT) AS tot_fp
+      FROM agg1 GROUP BY 1),
+    top5 AS (
+      SELECT a.brand
+      FROM btot a LEFT JOIN btot b
+        ON b.tot_fp > a.tot_fp OR (b.tot_fp = a.tot_fp AND b.brand < a.brand)
+      GROUP BY a.brand
+      HAVING COUNT(b.brand) < 5)
+    SELECT agg1.month_bucket,
+           CASE WHEN top5.brand IS NULL THEN 'OTHERS'
+                ELSE agg1.brand END AS series,
+           CAST(SUM(agg1.rev_fp) AS DOUBLE) / 10000.0 AS revenue
+    FROM agg1 LEFT JOIN top5 ON top5.brand = agg1.brand
+    GROUP BY 1, 2
+"""
+
+
+@query("q179_topn_others_rollup", _Q179)
+def q179_topn_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5-plus-OTHERS monthly revenue series (see block comment).
+
+    Scale shape: the fact joins a broadcast part dim and aggregates
+    once on (brand, month) — map-side combinable, shuffle is
+    #brands×#months rows. Everything downstream (brand totals, the
+    count-of-better top-5 election, the OTHERS regroup) runs on that
+    small aggregate; the top-5 set joins back as a broadcast. The fact
+    table is scanned exactly once; ``agg1`` is persisted because both
+    the election and the final regroup consume it (the q114 persist
+    rationale)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    agg1 = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr("unix_micros(l_shipdate) div 86400000000 div 30").alias(
+                "month_bucket"
+            ),
+            fp.alias("fp"),
+        )
+        .groupBy("brand", "month_bucket")
+        .agg(F.sum("fp").alias("rev_fp"))
+        .persist()
+    )
+    btot = agg1.groupBy("brand").agg(F.sum("rev_fp").alias("tot_fp"))
+    a, b = btot.alias("a"), btot.alias("b")
+    better = (F.col("b.tot_fp") > F.col("a.tot_fp")) | (
+        (F.col("b.tot_fp") == F.col("a.tot_fp"))
+        & (F.col("b.brand") < F.col("a.brand"))
+    )
+    top5 = (
+        a.join(b, better, "left")
+        .groupBy(F.col("a.brand").alias("top_brand"))
+        .agg(F.count(F.col("b.brand")).alias("n_better"))
+        .filter(F.col("n_better") < 5)
+        .select("top_brand")
+    )
+    return (
+        agg1.join(F.broadcast(top5), agg1["brand"] == top5["top_brand"], "left")
+        .select(
+            "month_bucket",
+            F.when(F.col("top_brand").isNull(), F.lit("OTHERS"))
+            .otherwise(F.col("brand"))
+            .alias("series"),
+            "rev_fp",
+        )
+        .groupBy("month_bucket", "series")
+        .agg((F.sum("rev_fp").cast("double") / 10000.0).alias("revenue"))
+    )

@@ -1983,3 +1983,91 @@ def t78_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         # FLOOR(double) form that is identical for either sign
         F.expr("CAST(FLOOR(CAST(sum(flesch_milli) AS DOUBLE) / count(*)) AS BIGINT)").alias("mean_flesch_milli"),
     )
+
+
+# --- t79: Heaps-law vocabulary growth curve ---------------------------
+#
+# The corpus-scaling diagnostic tokenizer teams run before sizing a
+# vocabulary: distinct-type count V(n) as a function of tokens seen n,
+# sampled at 10 ingest milestones (doc_id deciles of the max id). A
+# sub-linear V(n) ~ K·n^β curve (Heaps' law) is the healthy shape; a
+# near-linear one flags boilerplate/noise flooding the type inventory.
+#
+# The naive form is a running COUNT(DISTINCT) over the ingest order —
+# non-summable and partition-less. The scalable rewrite: a term's
+# contribution to the vocabulary at milestone m is first_doc <= m, so
+# ONE distinct scan electing min(doc_id) per term plus a 10-row
+# broadcast milestone join replaces the cumulative distinct entirely
+# (the same first-occurrence election q151 uses for sliding
+# distincts). All counts are exact integers.
+
+_T79 = """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    doctok AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tok),
+    firstdoc AS (
+      SELECT term, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(tk) AS term FROM tok)
+      GROUP BY term),
+    scal AS (SELECT MAX(doc_id) AS maxid FROM documents),
+    ms AS (
+      SELECT CAST(r.k AS BIGINT) AS k, scal.maxid * r.k // 10 AS m
+      FROM range(1, 11) r(k) CROSS JOIN scal),
+    dstats AS (
+      SELECT ms.k, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(d.n_tokens) AS BIGINT) AS tokens
+      FROM ms JOIN doctok d ON d.doc_id <= ms.m
+      GROUP BY ms.k),
+    vstats AS (
+      SELECT ms.k, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM ms JOIN firstdoc f ON f.first_doc <= ms.m
+      GROUP BY ms.k)
+    SELECT d.k, d.docs, d.tokens, v.vocab
+    FROM dstats d JOIN vstats v ON v.k = d.k
+"""
+
+
+@query("t79_vocab_growth", _T79)
+def t79_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: (docs, tokens, distinct types)
+    at 10 doc_id-decile milestones (see block comment for why the
+    first-occurrence election replaces a running COUNT(DISTINCT)).
+
+    Scale shape: one token explode feeding a term-keyed MIN aggregate
+    (map-side combinable — the shuffle carries one row per distinct
+    term per task); doc token counts never explode at all (``size`` on
+    the split array). Both milestone joins are 10-row broadcast
+    inequality probes (bounded ×10 fan-out, the q151 explode budget);
+    the final join runs on two 10-row aggregates."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    doctok = tok.select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens")
+    )
+    firstdoc = (
+        tok.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    scal = d.agg(F.max("doc_id").alias("maxid"))
+    ms = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(scal))
+        .select("k", F.expr("maxid * k div 10").alias("m"))
+    )
+    dstats = (
+        doctok.join(F.broadcast(ms), F.col("doc_id") <= F.col("m"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    vstats = (
+        firstdoc.join(F.broadcast(ms), F.col("first_doc") <= F.col("m"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    return dstats.join(vstats, "k").select("k", "docs", "tokens", "vocab")

@@ -1160,3 +1160,127 @@ def q176_closing_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("p_brand", "month_bucket", F.col("balance").alias("closing_balance"))
     )
+
+
+# --- q180: peak concurrency of open orders (interval sweep) ----------
+#
+# The interval-stabbing rollup behind "peak concurrent sessions /
+# open tickets / active rentals" dashboards: an order is OPEN over
+# [o_orderdate, last l_shipdate) (half-open, µs grain); per 30-day
+# bucket, report the maximum number of simultaneously open orders and
+# the earliest instant it is attained.
+#
+# Sweep semantics: each interval emits (+1 at start, -1 at end);
+# concurrency is the running sum over the global (ts, delta, okey)
+# order. delta ASC puts ends before starts at equal ts, which is
+# exactly half-open intervals; within a tie group of equal (ts, delta)
+# the running sum is monotone, so the per-bucket MAX and its earliest
+# ts are invariant to okey order — the okey key only pins a total
+# order for the window.
+#
+# A global running sum would trip the partition-less-window plan gate,
+# so the Spark plan is a SEGMENTED PREFIX SUM — the scalable form of
+# a global cumulative: within-bucket running sums (bucket-partitioned
+# window) plus per-bucket carry-in offsets computed on the tiny
+# bucket-totals relation via a triangular join (the q179 election
+# pattern; #buckets rows, broadcast). This is the pattern a 100 TB
+# global cumulative has to use anyway — no single-task sort ever
+# materializes.
+
+_Q180 = """
+    WITH iv AS (
+      SELECT o.o_orderkey AS okey,
+             epoch_us(o.o_orderdate) AS s_us,
+             MAX(epoch_us(l.l_shipdate)) AS e_us
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+      HAVING MAX(epoch_us(l.l_shipdate)) > epoch_us(o.o_orderdate)),
+    ev AS (
+      SELECT okey, s_us AS ts_us, 1 AS delta FROM iv
+      UNION ALL
+      SELECT okey, e_us AS ts_us, -1 AS delta FROM iv),
+    run AS (
+      SELECT ts_us // 86400000000 // 30 AS month_bucket, ts_us,
+             CAST(SUM(delta) OVER (ORDER BY ts_us, delta, okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS conc
+      FROM ev),
+    mm AS (
+      SELECT month_bucket, MAX(conc) AS max_open
+      FROM run GROUP BY 1)
+    SELECT m.month_bucket, CAST(m.max_open AS BIGINT) AS max_open,
+           CAST(MIN(r.ts_us) AS BIGINT) AS at_ts_us
+    FROM mm m JOIN run r
+      ON r.month_bucket = m.month_bucket AND r.conc = m.max_open
+    GROUP BY 1, 2
+"""
+
+
+@query("q180_max_concurrency", _Q180)
+def q180_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open orders per 30-day bucket (see block
+    comment for the sweep semantics and the segmented-prefix-sum
+    rationale).
+
+    Scale shape: the interval build is one orderkey-keyed aggregate
+    (map-side combinable MAX); the sweep relation is 2 rows per order
+    with 3 narrow int64 columns. The running sum partitions by bucket
+    — every task sorts only its bucket — and the cross-bucket carry-in
+    is a #buckets-row triangular join, broadcast back. The argmin-ts
+    resolution re-reads the persisted narrow (bucket, ts, conc)
+    projection against the broadcast per-bucket maxima; nothing
+    event-sized is ever globally sorted."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr("unix_micros(o_orderdate)").alias("s_us"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr("unix_micros(l_shipdate)").alias("ship_us")
+    )
+    iv = (
+        li.join(o, li["l_orderkey"] == o["okey"])
+        .groupBy("okey", "s_us")
+        .agg(F.max("ship_us").alias("e_us"))
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    ev = iv.select(
+        "okey", F.col("s_us").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("okey", F.col("e_us").alias("ts_us"), F.lit(-1).alias("delta"))
+    ).withColumn(
+        "month_bucket", F.expr("ts_us div 86400000000 div 30")
+    )
+    w = Window.partitionBy("month_bucket").orderBy("ts_us", "delta", "okey")
+    within = ev.select(
+        "month_bucket",
+        "ts_us",
+        F.sum("delta").over(w).alias("within_sum"),
+    )
+    btot = ev.groupBy("month_bucket").agg(F.sum("delta").alias("tot"))
+    a, b = btot.alias("a"), btot.alias("b")
+    offsets = (
+        a.join(b, F.col("b.month_bucket") < F.col("a.month_bucket"), "left")
+        .groupBy(F.col("a.month_bucket").alias("mb"))
+        .agg(F.coalesce(F.sum(F.col("b.tot")), F.lit(0)).alias("carry_in"))
+    )
+    run = (
+        within.join(F.broadcast(offsets), F.col("month_bucket") == F.col("mb"))
+        .select(
+            "month_bucket",
+            "ts_us",
+            (F.col("carry_in") + F.col("within_sum")).alias("conc"),
+        )
+        .persist()
+    )
+    mm = run.groupBy("month_bucket").agg(F.max("conc").alias("max_open"))
+    return (
+        run.join(
+            F.broadcast(mm.withColumnRenamed("month_bucket", "mmb")),
+            (F.col("month_bucket") == F.col("mmb"))
+            & (F.col("conc") == F.col("max_open")),
+        )
+        .groupBy("month_bucket", "max_open")
+        .agg(F.min("ts_us").alias("at_ts_us"))
+    )

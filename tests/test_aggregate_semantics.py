@@ -134,3 +134,73 @@ def test_q177_hhi_and_cr4_known_market(spark, tmp_path):
         for r in q177_market_concentration(spark, str(tmp_path)).collect()
     }
     assert got == {"T": (4, 3650.0, 1000000), "M": (1, 10000.0, 1000000)}
+
+
+def test_q179_topn_election_ties_and_others(spark, tmp_path):
+    """Six brands with totals 10/20/30/30/50/67 (B3 and B4 tie at 30,
+    broken by brand name): top-5 = B6,B5,B3,B4,B2; only B1 collapses
+    into OTHERS, in both months it appears in."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q179_topn_others_rollup,
+    )
+
+    m0 = dt.datetime(1970, 1, 2)     # month_bucket 0
+    m1 = dt.datetime(1970, 2, 15)    # day 45 -> month_bucket 1
+    lines = [
+        (1, 10.0, m0), (2, 20.0, m0), (3, 30.0, m0), (4, 30.0, m0),
+        (5, 50.0, m0), (6, 60.0, m0),
+        (1, 5.0, m1), (6, 7.0, m1),
+    ]
+    spark.createDataFrame(
+        [(pk, pr, 0.0, ts) for pk, pr, ts in lines],
+        "l_partkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, f"B{k}") for k in range(1, 7)], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        (r.month_bucket, r.series): r.revenue
+        for r in q179_topn_others_rollup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, "B6"): 60.0, (0, "B5"): 50.0, (0, "B4"): 30.0,
+        (0, "B3"): 30.0, (0, "B2"): 20.0, (0, "OTHERS"): 10.0,
+        (1, "B6"): 7.0, (1, "OTHERS"): 5.0,
+    }
+
+
+def test_q180_sweep_halfopen_and_carry_in(spark, tmp_path):
+    """Intervals [Jan2,Jan6) [Jan3,Jan4) [Jan4,Feb5) [Feb10,Feb12):
+    the Jan4 end fires BEFORE the Jan4 start (half-open), so bucket-0
+    peaks at 2 (first attained Jan3), and bucket 1 needs the +1
+    carry-in from bucket 0 for its Feb10 peak of 1 (without the carry
+    the Feb5 end would drag it to 0). A zero-length order is dropped;
+    MAX-shipdate (not any-shipdate) closes the interval."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q180_max_concurrency,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    spark.createDataFrame(
+        [(1, d(1)), (2, d(2)), (3, d(3)), (4, d(40)), (5, d(9))],
+        "o_orderkey long, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        # order 1 has two lines -> interval closes at the MAX (day 5)
+        [(1, d(2)), (1, d(5)), (2, d(3)), (3, d(35)), (4, d(42)),
+         (5, d(9))],  # order 5: e == s -> zero-length, excluded
+        "l_orderkey long, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    us = 86_400_000_000
+    got = {
+        r.month_bucket: (r.max_open, r.at_ts_us)
+        for r in q180_max_concurrency(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (2, 2 * us), 1: (1, 40 * us)}

@@ -509,3 +509,26 @@ def test_t78_readability_values_incl_negative_mean(spark, tmp_path):
                  - 84600 * 1000 // 1000000)
     assert fr_flesch < 0
     assert got["fr"] == (1, 250000, 1000, fr_flesch)
+
+
+def test_t79_vocab_growth_milestones(spark, tmp_path):
+    """Five docs at ids 0/2/4/6/8 with hand-placed first occurrences:
+    every decile milestone's (docs, tokens, vocab) triple matches the
+    sequential count; repeated terms never re-count."""
+    from pinot_pulsar_plugin_spark.operators.textops import t79_vocab_growth
+
+    docs = [(0, "a a b"), (2, "b c"), (4, "c"), (6, "d e"), (8, "a f")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.k: (r.docs, r.tokens, r.vocab)
+        for r in t79_vocab_growth(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1, 3, 2), 2: (1, 3, 2),
+        3: (2, 5, 3), 4: (2, 5, 3),
+        5: (3, 6, 3), 6: (3, 6, 3), 7: (3, 6, 3),
+        8: (4, 8, 5), 9: (4, 8, 5),
+        10: (5, 10, 6),
+    }
