@@ -2071,3 +2071,92 @@ def t79_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("vocab"))
     )
     return dstats.join(vstats, "k").select("k", "docs", "tokens", "vocab")
+
+
+# --- t80: cross-corpus n-gram memorization recall ---------------------
+#
+# The train/test contamination audit at N-GRAM granularity (Lee et
+# al.'s dedup paper runs the doc-level twin d50; eval suites like
+# BIG-bench report this per-example form): for every held-out doc, the
+# fraction of its distinct word-5-grams that appear ANYWHERE in the
+# training split. recall_ppm ~ 1e6 means the example is effectively
+# memorizable from train; the per-source rollup is the curation
+# signal. Split is deterministic (even doc_id = train, odd = test —
+# the q74 hash-split precedent at its simplest).
+#
+# Unlike d44's self-join, the probe side joins a DISTINCT train
+# shingle set, so a boilerplate shingle contributes one train row ×
+# its test occurrences — linear, never quadratic; no stop-list needed.
+# Spark shuffles 8-byte xxhash64 keys only (the d44 width rule); the
+# oracle stays string-exact, so parity re-verifies collision-freedom.
+
+_T80_K = 5
+
+_T80 = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + {_T80_K - 1}], ' ') AS s
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - {_T80_K - 1})) AS i
+            FROM toks)),
+    train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+    test AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(tr.s) AS BIGINT) AS n_seen
+      FROM test t LEFT JOIN train tr ON tr.s = t.s
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_shingles, n_seen,
+           CAST(n_seen * 1000000 // n_shingles AS BIGINT) AS recall_ppm
+    FROM hits
+"""
+
+
+@query("t80_crosscorpus_ngram_recall", _T80)
+def t80_crosscorpus_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-doc distinct-5-gram recall against the train split
+    (see block comment). Docs with fewer than {K} tokens have no
+    shingles and emit nothing.
+
+    Scale shape: one shingle explode (per-doc distinct happens in-row
+    via array_distinct — no shuffle spent on dedup), one distinct on
+    the train side, one hash equi-join on 8-byte keys, one doc-keyed
+    count aggregate. The train set never broadcasts (it is corpus-
+    sized); the join is shuffle-hash on a high-cardinality key with
+    bounded per-key fan-out — the skew-safe shape."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tk) >= {_T80_K} THEN "
+                f"array_distinct(transform(sequence(1, size(tk) - {_T80_K - 1}), "
+                f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_T80_K}))))) "
+                f"ELSE array() END"
+            )
+        ).alias("h"),
+    )
+    train = sh.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    test = sh.filter(F.col("doc_id") % 2 == 1)
+    hits = (
+        test.join(
+            train.withColumnRenamed("h", "th"),
+            test["h"] == F.col("th"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("th").alias("n_seen"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_seen",
+        F.expr("n_seen * 1000000 div n_shingles").alias("recall_ppm"),
+    )

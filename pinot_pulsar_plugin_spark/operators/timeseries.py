@@ -1284,3 +1284,90 @@ def q180_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_bucket", "max_open")
         .agg(F.min("ts_us").alias("at_ts_us"))
     )
+
+
+# --- q181: ratio-to-moving-average seasonal indices -------------------
+#
+# Classical multiplicative seasonal decomposition, the BI form: the
+# weekday seasonal index is the mean RATIO of each day's total to its
+# centered 7-day moving trend, so a level shift in the series does not
+# contaminate the seasonality estimate (q166's plain weekday means
+# would). Only full 7-day windows contribute (edge days have no
+# centered trend).
+#
+# Exactness: daily totals are exact cents; the ratio is
+# cents·7e6 // trend_sum (the trend MEAN never materializes as a
+# double — multiplying by 7 keeps the whole chain in int64, exact
+# while daily cents < ~1.3e12, i.e. $13B/day/type); the per-weekday
+# mean is a floored integer division of exact sums. Weekday uses
+# (epoch_day + 3) % 7 pure integer arithmetic — Monday = 0, and epoch
+# day 0 is a THURSDAY (the q166 anchor rule) — no engine date
+# functions in the hot path.
+
+_Q181 = """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    trend AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS trend_sum,
+             COUNT(*) OVER w AS n_win
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ratios AS (
+      SELECT event_type, (day + 3) % 7 AS weekday,
+             cents * 7000000 // trend_sum AS ratio_ppm
+      FROM trend WHERE n_win = 7 AND trend_sum > 0)
+    SELECT event_type, CAST(weekday AS BIGINT) AS weekday,
+           CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS seasonal_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM ratios GROUP BY 1, 2
+"""
+
+
+@query("q181_seasonal_decomposition", _Q181)
+def q181_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal indices per event type via ratio-to-centered-
+    moving-average (see block comment).
+
+    Scale shape: the fact collapses to (type, day) grain in one
+    map-side-combinable aggregate before any window — the centered-MA
+    window runs over #types × #days rows, partitioned by type (never
+    partition-less), and the final index aggregate is 7 rows per type.
+    Nothing event-grain ever reaches a sort."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trend = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("trend_sum"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    ratios = trend.filter(
+        (F.col("n_win") == 7) & (F.col("trend_sum") > 0)
+    ).select(
+        "event_type",
+        ((F.col("day") + 3) % 7).alias("weekday"),
+        F.expr("cents * 7000000 div trend_sum").alias("ratio_ppm"),
+    )
+    return ratios.groupBy("event_type", "weekday").agg(
+        F.expr("sum(ratio_ppm) div count(1)").alias("seasonal_ppm"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

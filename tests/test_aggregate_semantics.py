@@ -204,3 +204,33 @@ def test_q180_sweep_halfopen_and_carry_in(spark, tmp_path):
         for r in q180_max_concurrency(spark, str(tmp_path)).collect()
     }
     assert got == {0: (2, 2 * us), 1: (1, 40 * us)}
+
+
+def test_q181_seasonal_ratio_to_ma(spark, tmp_path):
+    """14 flat days of 7.00 with a 2x spike on day 6: ratios are exact
+    ppm integer divisions of the centered 7-day window sums; only days
+    3..10 (full windows) contribute; weekday = (day+3)%7; weekday 6
+    averages its two observations with floor division. Day 0 arrives
+    as two events (3.00 + 4.00) to pin the daily pre-aggregation."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q181_seasonal_decomposition,
+    )
+
+    base = dt.datetime(1970, 1, 1)
+    rows = [(base, "T", 3.0), (base, "T", 4.0)]
+    for d in range(1, 14):
+        rows.append((base + dt.timedelta(days=d), "T", 14.0 if d == 6 else 7.0))
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.weekday: (r.seasonal_ppm, r.n_obs)
+        for r in q181_seasonal_decomposition(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (875000, 1), 1: (875000, 1), 2: (1750000, 1), 3: (875000, 1),
+        4: (875000, 1), 5: (875000, 1), 6: (937500, 2),
+    }

@@ -532,3 +532,30 @@ def test_t79_vocab_growth_milestones(spark, tmp_path):
         8: (4, 8, 5), 9: (4, 8, 5),
         10: (5, 10, 6),
     }
+
+
+def test_t80_memorization_recall_per_doc(spark, tmp_path):
+    """Even ids train, odd ids test: doc 1 shares one of its two
+    5-grams with train (500000 ppm); doc 3's repeated-token shingle
+    dedups to one unseen shingle (0 ppm); doc 5 is too short to emit;
+    doc 7 is fully memorized (1000000 ppm)."""
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t80_crosscorpus_ngram_recall,
+    )
+
+    docs = [
+        (0, "a b c d e f"),          # train: "a b c d e", "b c d e f"
+        (2, "q r s t u v"),          # train: "q r s t u", "r s t u v"
+        (1, "a b c d e x"),          # test: one seen, one novel
+        (3, "z z z z z z"),          # test: one distinct novel shingle
+        (5, "a b c"),                # test: too short, no shingles
+        (7, "q r s t u"),            # test: exactly one seen shingle
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_seen, r.recall_ppm)
+        for r in t80_crosscorpus_ngram_recall(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 1, 500000), 3: (1, 0, 0), 7: (1, 1, 1000000)}
