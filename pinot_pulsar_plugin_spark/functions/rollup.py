@@ -279,3 +279,58 @@ def read_sliding_distinct(
             F.when(F.col("obs_day") == F.col("wday"), F.col(user_col))
         ).alias("n_today"),
     )
+
+
+# --- streaming heavy-hitters maintenance ------------------------------
+#
+# q76's stream twin. COUNT per (group, key) IS summable, so the
+# maintained state is the minimal mergeable partial: each micro-batch
+# lands its pre-aggregated (group, key, cnt) rows under batch_id=N
+# (idempotent overwrite per batch — the exactly-once ledger shape the
+# other sinks in this module use). The SHARE threshold is not
+# distributive (it needs the group total), so it is applied at SERVE
+# time after the merge — which is exactly how a realtime store serves
+# frequent-items over segment-local partials.
+
+
+def heavy_hitters_sink(out_dir: str, group_cols: list[str], key_col: str):
+    """foreachBatch function landing each micro-batch's partial
+    (group, key, cnt) counts under ``batch_id=N``."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.groupBy(*group_cols, key_col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_heavy_hitters(
+    spark, out_dir: str, group_cols: list[str], key_col: str,
+    min_share: float = 0.0015,
+) -> DataFrame:
+    """Serve exact heavy hitters (share of group traffic > threshold)
+    from the maintained count partials — identical semantics and
+    arithmetic (double share of exact int64 counts) to the batch q76.
+
+    Scale shape: the merge is one map-side-combinable SUM keyed on
+    (group, key); the share window partitions by group. Partials are
+    #distinct-keys-per-batch rows, never event-grain."""
+    from pyspark.sql.window import Window
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy(*group_cols, key_col)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    share = F.col("cnt").cast("double") / F.sum("cnt").over(
+        Window.partitionBy(*group_cols)
+    )
+    return (
+        merged.withColumn("share", share)
+        .filter(F.col("share") > min_share)
+        .select(*group_cols, key_col, "cnt", "share")
+    )

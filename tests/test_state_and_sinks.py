@@ -1396,3 +1396,79 @@ def test_stream_sliding_distinct_equals_batch_q151(spark, tmp_path):
         for r in q151_sliding_distinct(spark, batch_dir).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_stream_heavy_hitters_equals_batch_q76(spark, tmp_path):
+    """Streaming frequent-items maintenance (q76's stream twin):
+    events stream through in several micro-batches, each landing
+    pre-aggregated (type, user, cnt) partials; the serving merge +
+    share threshold must be ROW-EQUAL (including the double share) to
+    batch q76 over the same events — counts are summable, so partials
+    merge exactly across batch splits."""
+    import glob
+
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        heavy_hitters_sink,
+        read_heavy_hitters,
+    )
+    from pinot_pulsar_plugin_spark.operators.timeseries import q76_heavy_hitters
+
+    # a skewed key mix sized so the share threshold BITES: 1500 events
+    # per type, so a (type,user) needs cnt >= 3 (0.002) to clear
+    # 0.0015 — the ~1000 rare users (1-2 hits per type) must filter out
+    rows = [
+        {
+            "event_id": i,
+            "user_id": 0 if i % 3 == 0 else (i * 11) % 1000,
+            "event_type": ["a", "b"][i % 2],
+            "ts_us": i * 1_000_000,
+        }
+        for i in range(3000)
+    ]
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=2)
+    for r in rows:
+        w.append(r["event_id"] % 2, json.dumps(r))
+
+    served, ck = str(tmp_path / "hh"), str(tmp_path / "ck")
+    decoded = decode_json(
+        read_stream(spark, root, "ev", maxmsgs=523),
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint",
+    )
+    q = (
+        decoded.writeStream.foreachBatch(
+            heavy_hitters_sink(served, ["event_type"], "user_id")
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(glob.glob(served + "/batch_id=*")) > 1  # really incremental
+
+    got = {
+        (r.event_type, r.user_id): (r.cnt, r.share)
+        for r in read_heavy_hitters(
+            spark, served, ["event_type"], "user_id"
+        ).collect()
+    }
+
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["event_type"], r["ts_us"]) for r in rows],
+        "event_id long, user_id long, event_type string, ts_us long",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(batch_dir + "/events.parquet")
+    want = {
+        (r.event_type, r.user_id): (r.cnt, r.share)
+        for r in q76_heavy_hitters(spark, batch_dir).collect()
+    }
+    assert got == want
+    # the dominant user must surface in both types; rare users filtered
+    assert ("a", 0) in got and ("b", 0) in got and len(got) < 50
