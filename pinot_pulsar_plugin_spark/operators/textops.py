@@ -2160,3 +2160,135 @@ def t80_crosscorpus_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seen",
         F.expr("n_seen * 1000000 div n_shingles").alias("recall_ppm"),
     )
+
+
+# --- t81: RAKE keyphrase extraction (top phrase per doc) --------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010), the
+# stopword-delimited keyphrase miner: tokens split into candidate
+# phrases at stopwords; within each DOC, word freq = occurrences in
+# candidates, word degree = sum of the lengths of the phrases each
+# occurrence sits in (co-occurrence degree incl. self); phrase score =
+# sum of member-word degree/freq ratios; emit each doc's best phrase.
+#
+# Exactness: word scores are floor ppm ratios (degree·1e6 // freq,
+# int64) and the phrase score sums the FLOORED per-occurrence ratios
+# (the presum/ratchet rule — never ROUND after a float sum); the
+# per-doc winner is a (score DESC, phrase ASC, pnum ASC) ROW_NUMBER —
+# integer/string comparisons only, so the winner is identical
+# cross-engine even under score ties. Candidate phrases are capped at
+# 6 words (the RAKE convention); stats are computed over kept
+# candidates only, identically on both engines.
+
+_T81_STOPS = "('the', 'a', 'is', 'of', 'and', 'to', 'in')"
+_T81_MAX_LEN = 6
+
+_T81 = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, tk[CAST(i AS INT)] AS token,
+             CASE WHEN tk[CAST(i AS INT)] IN {_T81_STOPS}
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM toks, unnest(generate_series(1, len(tk))) t(i)),
+    seg AS (
+      SELECT doc_id, i, token, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pnum
+      FROM tok),
+    words AS (
+      SELECT doc_id, pnum, i, token FROM seg WHERE is_stop = 0),
+    plen AS (
+      SELECT doc_id, pnum, CAST(COUNT(*) AS BIGINT) AS len
+      FROM words GROUP BY 1, 2
+      HAVING COUNT(*) BETWEEN 1 AND {_T81_MAX_LEN}),
+    occ AS (
+      SELECT w.doc_id, w.pnum, w.i, w.token, p.len
+      FROM words w JOIN plen p ON p.doc_id = w.doc_id AND p.pnum = w.pnum),
+    wstat AS (
+      SELECT doc_id, token,
+             CAST(SUM(len) * 1000000 // COUNT(*) AS BIGINT) AS score_ppm
+      FROM occ GROUP BY 1, 2),
+    pscore AS (
+      SELECT o.doc_id, o.pnum,
+             string_agg(o.token, ' ' ORDER BY o.i) AS phrase,
+             CAST(MAX(o.len) AS BIGINT) AS len,
+             CAST(SUM(s.score_ppm) AS BIGINT) AS score_fp
+      FROM occ o JOIN wstat s ON s.doc_id = o.doc_id AND s.token = o.token
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, phrase, len, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score_fp DESC, phrase ASC, pnum ASC) AS rk
+      FROM pscore)
+    SELECT doc_id, phrase, len, score_fp FROM ranked WHERE rk = 1
+"""
+
+
+@query("t81_rake_keyphrases", _T81)
+def t81_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document RAKE keyphrase (see block comment). Docs whose
+    candidate phrases all exceed {MAX_LEN} words emit nothing.
+
+    Scale shape: everything is doc-local — the segmentation window,
+    both stat aggregates, and the winner election all partition by
+    doc_id, so the whole operator is embarrassingly parallel over
+    documents; no cross-doc state exists at any scale. Shuffles carry
+    (doc, pnum/token) grains, never the corpus."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "token"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        "token",
+        F.when(
+            F.col("token").isin("the", "a", "is", "of", "and", "to", "in"), 1
+        )
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = tok.withColumn("pnum", F.sum("is_stop").over(wseg))
+    words = seg.filter(F.col("is_stop") == 0).select(
+        "doc_id", "pnum", "i", "token"
+    )
+    plen = (
+        words.groupBy("doc_id", "pnum")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .filter(F.col("len").between(1, _T81_MAX_LEN))
+    )
+    occ = words.join(plen, ["doc_id", "pnum"]).persist()
+    wstat = occ.groupBy("doc_id", "token").agg(
+        F.expr("sum(len) * 1000000 div count(1)").alias("score_ppm")
+    )
+    pscore = (
+        occ.join(wstat, ["doc_id", "token"])
+        .groupBy("doc_id", "pnum")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("len").alias("len"),
+            F.sum("score_ppm").alias("score_fp"),
+        )
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.asc("phrase"), F.asc("pnum")
+    )
+    return (
+        pscore.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "phrase", "len", "score_fp")
+    )

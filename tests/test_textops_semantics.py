@@ -559,3 +559,29 @@ def test_t80_memorization_recall_per_doc(spark, tmp_path):
         for r in t80_crosscorpus_ngram_recall(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 1, 500000), 3: (1, 0, 0), 7: (1, 1, 1000000)}
+
+
+def test_t81_rake_scores_and_tiebreak(spark, tmp_path):
+    """Hand-computed RAKE: doc 0 has two equal-score phrases (4.0) and
+    the lexicographic tiebreak picks 'alpha beta'; doc 1's repeated 'x'
+    raises the degree of its 3-word phrase to 9.0; all-stopword and
+    over-long-phrase docs emit nothing."""
+    from pinot_pulsar_plugin_spark.operators.textops import t81_rake_keyphrases
+
+    docs = [
+        (0, "alpha beta the alpha gamma"),
+        (1, "x x y the z"),
+        (2, "the a to"),                    # stopwords only
+        (3, "w1 w2 w3 w4 w5 w6 w7"),        # one 7-word phrase: > cap
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.phrase, r.len, r.score_fp)
+        for r in t81_rake_keyphrases(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: ("alpha beta", 2, 4_000_000),
+        1: ("x x y", 3, 9_000_000),
+    }
