@@ -117,6 +117,15 @@ HEADLINE = [
     "q163_pit_enrichment_audit",
     "q165_quota_sample_execution",
     "s62_ivf_recall",
+    # round-6 tenth batch: quality audit, dashboard regroup, interval
+    # sweep, seasonal indices, corpus growth/memorization, keyphrases
+    "q178_benford_audit",
+    "q179_topn_others_rollup",
+    "q180_max_concurrency",
+    "q181_seasonal_decomposition",
+    "t79_vocab_growth",
+    "t80_crosscorpus_ngram_recall",
+    "t81_rake_keyphrases",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -1343,3 +1343,142 @@ def q168_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_segment",
         )
     )
+
+
+# --- q182: bounded cheapest-path cost (weighted Bellman-Ford) --------
+#
+# q149's weighted sibling: hop count treats a one-order relationship
+# and a fifty-order one identically, but supply-chain risk flows more
+# easily along STRONG relationships — so edges get an integer cost
+# inversely proportional to relationship strength (1e9 // the
+# number of lineitems linking the pair),
+# and the query asks for the CHEAPEST total cost from the seed
+# suppliers within K=3 relaxation rounds (bounded Bellman-Ford, the
+# honest distributed form — unbounded SP is a convergence loop).
+#
+# Both engines run the SAME K synchronous relaxations: dist_{i+1} =
+# MIN over (dist_i ∪ dist_i⋈edges). The oracle unrolls the three
+# rounds as explicit CTE levels rather than a recursive CTE — path
+# enumeration with per-path costs explodes combinatorially on a dense
+# bipartite graph, while relaxation stays node-grain at every level.
+# Costs are exact int64 sums of integer edge weights, so MIN is
+# deterministic cross-engine.
+
+_Q182_K = 3
+
+_Q182 = f"""
+    WITH e0 AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS cnt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT 'c:' || c AS src, 's:' || s AS dst,
+             1000000000 // cnt AS w FROM e0
+      UNION ALL
+      SELECT 's:' || s AS src, 'c:' || c AS dst,
+             1000000000 // cnt AS w FROM e0),
+    d0 AS (
+      SELECT DISTINCT 's:' || s_suppkey AS node, CAST(0 AS BIGINT) AS cost
+      FROM supplier WHERE s_suppkey % 7 = 0),
+    d1 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d0
+        UNION ALL
+        SELECT e.dst AS node, d.cost + e.w AS cost
+        FROM d0 d JOIN edges e ON e.src = d.node)
+      GROUP BY node),
+    d2 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d1
+        UNION ALL
+        SELECT e.dst AS node, d.cost + e.w AS cost
+        FROM d1 d JOIN edges e ON e.src = d.node)
+      GROUP BY node),
+    d3 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d2
+        UNION ALL
+        SELECT e.dst AS node, d.cost + e.w AS cost
+        FROM d2 d JOIN edges e ON e.src = d.node)
+      GROUP BY node)
+    SELECT CASE WHEN node LIKE 'c:%' THEN 'customer' ELSE 'supplier' END
+             AS node_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(MIN(cost) AS BIGINT) AS min_cost,
+           CAST(MAX(cost) AS BIGINT) AS max_cost,
+           CAST(SUM(cost) AS BIGINT) AS total_cost
+    FROM d3 GROUP BY 1
+"""
+
+
+@query("q182_cheapest_path_cost", _Q182)
+def q182_cheapest_path_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest weighted path cost from the seed suppliers within
+    {K} Bellman-Ford rounds (see block comment), summarized per node
+    kind.
+
+    Scale shape: the weighted symmetric edge list is built by ONE
+    (c, s)-keyed aggregate over the order⋈lineitem projection and
+    persisted — every relaxation round reuses the same hash layout.
+    Each round is one equi-join dist⋈edges plus a node-keyed MIN
+    (map-side combinable); dist stays node-grain throughout, so the
+    intermediate state never exceeds the vertex set no matter how
+    dense the paths are — the property that makes relaxation (not
+    path enumeration) the only shape that survives 100 TB."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = t(spark, sf_dir, "supplier")
+    e0 = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w", F.expr("1000000000 div cnt"))
+    )
+    # both edge directions come from ONE in-row explode, not a unionAll
+    # of two e0 projections — union legs are separate stage chains that
+    # race the cache and recompute the fact join (measured: the union
+    # form cost an extra full join+aggregate pass at sf0.1)
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("c:"), F.col("c")).alias("src"),
+                    F.concat(F.lit("s:"), F.col("s")).alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.concat(F.lit("s:"), F.col("s")).alias("src"),
+                    F.concat(F.lit("c:"), F.col("c")).alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w").repartition("src").persist()
+    dist = (
+        sup.where(F.expr("s_suppkey % 7 = 0"))
+        .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+    for _ in range(_Q182_K):
+        relaxed = dist.join(edges, edges["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .persist()
+        )
+    return dist.groupBy(
+        F.when(F.col("node").startswith("c:"), "customer")
+        .otherwise("supplier")
+        .alias("node_kind")
+    ).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.min("cost").alias("min_cost"),
+        F.max("cost").alias("max_cost"),
+        F.sum("cost").alias("total_cost"),
+    )

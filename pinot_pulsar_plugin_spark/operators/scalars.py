@@ -487,3 +487,69 @@ def q170_json_array_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("total_qty"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
+
+
+# --- q183: business-day fulfillment lag -------------------------------
+#
+# The SLA metric ops teams actually track: WEEKDAYS between order
+# placement and first shipment (calendar-day lags overstate weekend
+# spans). Closed form, no calendar explode: with epoch day 0 a
+# Thursday and Monday = 0 (the q166 anchor rule), the number of
+# business days in [0, d) is g(d+3) where
+#     g(n) = 5·(n // 7) + LEAST(n % 7, 5)
+# (count of y in [0, n) with y % 7 ≤ 4), so the lag over [d1, d2) is
+# g(d2+3) − g(d1+3). Pure int64 floor-div/mod arithmetic — identical
+# on both engines at any date, no date functions in the hot path.
+
+_Q183 = """
+    WITH first_ship AS (
+      SELECT l_orderkey,
+             MIN(epoch_us(l_shipdate)) // 86400000000 AS ship_day
+      FROM lineitem GROUP BY 1),
+    lags AS (
+      SELECT o.o_orderpriority,
+             (5 * ((f.ship_day + 3) // 7)
+                + LEAST((f.ship_day + 3) % 7, 5))
+             - (5 * ((epoch_us(o.o_orderdate) // 86400000000 + 3) // 7)
+                + LEAST((epoch_us(o.o_orderdate) // 86400000000 + 3) % 7, 5))
+               AS lag_bd
+      FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(lag_bd) * 1000 // COUNT(*) AS BIGINT) AS avg_lag_milli,
+           CAST(MAX(lag_bd) AS BIGINT) AS max_lag_bd
+    FROM lags GROUP BY 1
+"""
+
+
+@query("q183_business_day_lag", _Q183)
+def q183_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day lag from order date to first shipment, per
+    priority (see block comment for the closed-form weekday count).
+
+    Scale shape: first-ship is one map-side-combinable MIN per order;
+    the order join is key-to-key; the priority rollup is a handful of
+    groups. The lag itself is whole-stage-codegen integer arithmetic —
+    no calendar table, no explode, no UDF."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.expr("min(unix_micros(l_shipdate)) div 86400000000").alias("ship_day")
+    )
+    joined = o.join(first_ship, first_ship["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        (
+            (
+                F.expr("5 * ((ship_day + 3) div 7) + least((ship_day + 3) % 7, 5)")
+            )
+            - F.expr(
+                "5 * ((unix_micros(o_orderdate) div 86400000000 + 3) div 7) "
+                "+ least((unix_micros(o_orderdate) div 86400000000 + 3) % 7, 5)"
+            )
+        ).alias("lag_bd"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(lag_bd) * 1000 div count(1)").alias("avg_lag_milli"),
+        F.max("lag_bd").alias("max_lag_bd"),
+    )

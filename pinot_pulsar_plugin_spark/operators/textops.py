@@ -2124,9 +2124,10 @@ def t80_crosscorpus_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shingle explode (per-doc distinct happens in-row
     via array_distinct — no shuffle spent on dedup), one distinct on
     the train side, one hash equi-join on 8-byte keys, one doc-keyed
-    count aggregate. The train set never broadcasts (it is corpus-
-    sized); the join is shuffle-hash on a high-cardinality key with
-    bounded per-key fan-out — the skew-safe shape."""
+    count aggregate. AQE broadcasts the train set while it fits (it
+    does at test SFs); at corpus scale the same plan degrades
+    gracefully to a shuffle join on a high-cardinality key with
+    bounded per-key fan-out — the skew-safe shape either way."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
     sh = toks.select(

@@ -234,3 +234,83 @@ def test_q181_seasonal_ratio_to_ma(spark, tmp_path):
         0: (875000, 1), 1: (875000, 1), 2: (1750000, 1), 3: (875000, 1),
         4: (875000, 1), 5: (875000, 1), 6: (937500, 2),
     }
+
+
+def test_q182_relaxation_prefers_strong_edges(spark, tmp_path):
+    """Two routes from seed supplier 7 to customer 100: the direct
+    1-order edge costs 1e9, while the 3-edge route through c200 and
+    supplier 9 (250M + 200M + 500M = 950M) is cheaper despite the
+    extra hops — Bellman-Ford must prefer it. Supplier 3 stays
+    unreachable; node kinds and counts pin the reachable set."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        q182_cheapest_path_cost,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    # orders: key -> customer; lineitem links order -> supplier
+    orders, lines = [], []
+    ok = 0
+    def link(cust, supp, n_orders):
+        nonlocal ok
+        for _ in range(n_orders):
+            ok += 1
+            orders.append((ok, cust, ts))
+            lines.append((ok, supp))
+    link(100, 7, 1)    # seed s7 -- c100: weight 1e9
+    link(200, 7, 4)    # seed s7 -- c200: weight 250e6
+    link(200, 9, 5)    # c200 -- s9:      weight 200e6
+    link(100, 9, 2)    # s9 -- c100:      weight 500e6
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(7,), (9,), (3,)], "s_suppkey long"  # only 7 seeds (7 % 7 = 0)
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+
+    got = {
+        r.node_kind: (r.n_reached, r.min_cost, r.max_cost, r.total_cost)
+        for r in q182_cheapest_path_cost(spark, str(tmp_path)).collect()
+    }
+    # suppliers: s7 at 0; s9 via c200 at 450M (not via c100 at 1.5e9)
+    # customers: c200 at 250M; c100 at min(1e9 direct, 950M via s9) = 950M
+    assert got == {
+        "supplier": (2, 0, 450_000_000, 450_000_000),
+        "customer": (2, 250_000_000, 950_000_000, 1_200_000_000),
+    }
+
+
+def test_q183_business_day_closed_form(spark, tmp_path):
+    """Friday->Monday spans a weekend: 1 business day, not 3; a
+    Thursday->Friday same-week lag is 1; a full 2-week span is 10.
+    Epoch day 0 (1970-01-01) is a Thursday."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.scalars import (
+        q183_business_day_lag,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    # day 0 Thu, 1 Fri, 2 Sat, 3 Sun, 4 Mon
+    orders = [
+        (1, "A", d(1)),   # Fri -> Mon: 1 business day (Fri counted)
+        (2, "A", d(0)),   # Thu -> Fri: 1
+        (3, "B", d(0)),   # Thu -> Thu+14: 10
+    ]
+    lines = [(1, d(4)), (2, d(1)), (3, d(14)), (3, d(20))]  # min wins
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate timestamp"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.avg_lag_milli, r.max_lag_bd)
+        for r in q183_business_day_lag(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (2, 1000, 1), "B": (1, 10000, 10)}

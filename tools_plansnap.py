@@ -625,6 +625,55 @@ COMMENTARY = {
         "corpus-volume relation. The statistic is a pure double chain "
         "on exact int64 cells inside codegen."
     ),
+    "q178_benford_audit": (
+        "The first digit is a scan-time expression, so the 9-group "
+        "aggregate is map-side partial all the way; the corpus total is "
+        "a one-row broadcast. Zero wide exchanges at any scale — the "
+        "quality audit costs one pass over the fact column."
+    ),
+    "q179_topn_others_rollup": (
+        "Fact joins the broadcast part dim and aggregates ONCE on "
+        "(brand, month); the persisted small aggregate feeds the brand "
+        "totals, the count-of-better top-5 election (a ~25-row "
+        "triangular join), and the OTHERS regroup — the fact is scanned "
+        "exactly once and nothing fact-sized shuffles twice."
+    ),
+    "q180_max_concurrency": (
+        "Segmented prefix sum: the sweep relation (2 narrow rows per "
+        "order) gets bucket-partitioned running sums, and cross-bucket "
+        "carry-ins come from a #buckets-row triangular join broadcast "
+        "back — a global cumulative with NO partition-less sort, the "
+        "shape a 100 TB running total must take. Peak resolution "
+        "re-probes the persisted narrow projection against broadcast "
+        "per-bucket maxima."
+    ),
+    "q181_seasonal_decomposition": (
+        "Event grain collapses to (type, day) in one combinable "
+        "aggregate BEFORE any window; the centered-MA window runs over "
+        "#types×#days rows partitioned by type; the index aggregate is "
+        "7 rows per type. All-integer ppm ratio chain inside codegen."
+    ),
+    "t79_vocab_growth": (
+        "First-occurrence election (term-keyed MIN, map-side "
+        "combinable) replaces the non-summable running COUNT(DISTINCT); "
+        "token counts never explode (size on the split array); both "
+        "milestone probes are 10-row broadcast inequality joins with "
+        "bounded ×10 fan-out."
+    ),
+    "t80_crosscorpus_ngram_recall": (
+        "Per-doc-distinct shingle hashes explode once (array_distinct "
+        "in-row, no dedup shuffle); the probe equi-joins a DISTINCT "
+        "train set on 8-byte keys — a hot shingle contributes one train "
+        "row × its test occurrences, linear where d44's self-join form "
+        "would be quadratic; one doc-keyed count closes it."
+    ),
+    "t81_rake_keyphrases": (
+        "Everything partitions by doc_id — the stopword-segmentation "
+        "window, both stat aggregates, and the winner election — so the "
+        "operator is embarrassingly parallel over documents; shuffles "
+        "carry (doc, pnum/token) grains. The occurrence relation is "
+        "persisted for its two consumers (word stats, phrase scores)."
+    ),
 }
 
 
