@@ -126,6 +126,8 @@ HEADLINE = [
     "t79_vocab_growth",
     "t80_crosscorpus_ngram_recall",
     "t81_rake_keyphrases",
+    "q182_cheapest_path_cost",
+    "q183_business_day_lag",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -767,3 +767,108 @@ def q179_topn_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_bucket", "series")
         .agg((F.sum("rev_fp").cast("double") / 10000.0).alias("revenue"))
     )
+
+
+# --- q184: month-over-month revenue bridge ----------------------------
+#
+# The revenue-bridge (waterfall) decomposition every subscription/
+# commerce BI team runs: each month's net revenue change splits into
+# NEW (customer absent last month), CHURNED (absent this month),
+# EXPANSION and CONTRACTION (present both, delta sign) — the four
+# bars that reconcile exactly to the net movement.
+#
+# Mechanics: per-(customer, month) cents, then a self FULL OUTER join
+# aligning month m-1 to m per customer; prev-only rows surface as
+# churn in month p.m+1, curr-only rows as new. The phantom trailing
+# month (everyone "churns" after the last observed month) is cut by a
+# broadcast max-month scalar. All cents are exact int64; the bridge
+# identity SUM(new+churn+expansion+contraction) = net is exact and
+# asserted in tests.
+
+_Q184 = """
+    WITH mrev AS (
+      SELECT o_custkey AS c,
+             epoch_us(o_orderdate) // 86400000000 // 30 AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    mx AS (SELECT MAX(m) AS max_m FROM mrev),
+    j AS (
+      SELECT COALESCE(q.c, p.c) AS c,
+             COALESCE(q.m, p.m + 1) AS m,
+             p.cents AS cp, q.cents AS cc
+      FROM mrev p FULL OUTER JOIN mrev q
+        ON q.c = p.c AND q.m = p.m + 1)
+    SELECT j.m AS month_bucket,
+           CAST(SUM(CASE WHEN cp IS NULL THEN cc ELSE 0 END) AS BIGINT)
+             AS new_cents,
+           CAST(SUM(CASE WHEN cc IS NULL THEN -cp ELSE 0 END) AS BIGINT)
+             AS churned_cents,
+           CAST(SUM(CASE WHEN cp IS NOT NULL AND cc IS NOT NULL AND cc > cp
+                         THEN cc - cp ELSE 0 END) AS BIGINT)
+             AS expansion_cents,
+           CAST(SUM(CASE WHEN cp IS NOT NULL AND cc IS NOT NULL AND cc < cp
+                         THEN cc - cp ELSE 0 END) AS BIGINT)
+             AS contraction_cents,
+           CAST(SUM(CASE WHEN cp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN cc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned
+    FROM j CROSS JOIN mx WHERE j.m <= mx.max_m
+    GROUP BY 1
+"""
+
+
+@query("q184_revenue_bridge", _Q184)
+def q184_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge (see block comment).
+
+    Scale shape: the fact collapses to (customer, month) grain in one
+    combinable aggregate; the bridge is a self full-outer equi-join of
+    that aggregate on (customer, month±1) — both sides hash-partition
+    on the customer key, and the persisted aggregate feeds both join
+    legs and the max-month scalar without recomputing the fact scan.
+    The monthly rollup is a #months-row result."""
+    o = t(spark, sf_dir, "orders")
+    mrev = (
+        o.groupBy(
+            F.col("o_custkey").alias("c"),
+            F.expr("unix_micros(o_orderdate) div 86400000000 div 30").alias("m"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    mx = mrev.agg(F.max("m").alias("max_m"))
+    p = mrev.select(
+        F.col("c").alias("pc"), (F.col("m") + 1).alias("pm"), F.col("cents").alias("cp")
+    )
+    q = mrev.select(
+        F.col("c").alias("qc"), F.col("m").alias("qm"), F.col("cents").alias("cc")
+    )
+    j = p.join(q, (F.col("qc") == F.col("pc")) & (F.col("qm") == F.col("pm")), "full").select(
+        F.coalesce("qm", "pm").alias("m"), "cp", "cc"
+    )
+    both = F.col("cp").isNotNull() & F.col("cc").isNotNull()
+    return (
+        j.crossJoin(F.broadcast(mx))
+        .filter(F.col("m") <= F.col("max_m"))
+        .groupBy(F.col("m").alias("month_bucket"))
+        .agg(
+            F.sum(F.when(F.col("cp").isNull(), F.col("cc")).otherwise(0)).alias(
+                "new_cents"
+            ),
+            F.sum(F.when(F.col("cc").isNull(), -F.col("cp")).otherwise(0)).alias(
+                "churned_cents"
+            ),
+            F.sum(
+                F.when(both & (F.col("cc") > F.col("cp")), F.col("cc") - F.col("cp"))
+                .otherwise(0)
+            ).alias("expansion_cents"),
+            F.sum(
+                F.when(both & (F.col("cc") < F.col("cp")), F.col("cc") - F.col("cp"))
+                .otherwise(0)
+            ).alias("contraction_cents"),
+            F.sum(F.when(F.col("cp").isNull(), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("cc").isNull(), 1).otherwise(0)).alias("n_churned"),
+        )
+    )

@@ -1252,3 +1252,235 @@ def d57_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_match") > 0) | (F.col("n_common") > 0))
     )
     return out
+
+
+# --- d58: LSH band-configuration precision/recall sweep ---------------
+#
+# The instrument that justifies d45's (bands, rows) choice: over the
+# planted-duplicate probe cohort (docs containing the 'dup' marker —
+# present at every SF, unlike id-window probes which miss the
+# scattered dup pairs), build H=32 portable MinHash signatures (d57's
+# md5 family) and measure, for each banding of the SAME signature —
+# 16 bands x 2 rows, 8 x 4, 4 x 8 — the candidate-pair precision and
+# recall against exact shingle Jaccard >= 0.5. Fewer rows per band =
+# more permissive (P[candidate] = 1-(1-J^r)^b), so recall falls and
+# precision rises down the config list — the curve d45 sits on.
+#
+# Everything is integer/string-deterministic: the hash family is
+# md5-derived int64 (q141/d57 portability trick), band values are md5
+# over the ','-joined mins IN SLOT ORDER (ordered aggregation, q51
+# idiom), and the ppm metrics are floor divisions of exact counts.
+
+_D58_H = 32
+_D58_TAU = 0.5  # exact-Jaccard relevance threshold
+
+_D58 = f"""
+    WITH probe AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk
+      FROM documents WHERE text LIKE '%dup%'),
+    sh_idx AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - {_SHINGLE_K - 1})) AS i
+      FROM probe),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+             tk[CAST(i AS INT) + 2] AS s
+      FROM sh_idx),
+    hs AS (
+      SELECT doc_id, hi,
+             CAST('0x' || substr(md5(CAST(hi AS VARCHAR) || '#' || s), 1, 15)
+                  AS BIGINT) AS h
+      FROM (SELECT doc_id, s, unnest(generate_series(0, {_D58_H - 1})) AS hi
+            FROM sh)),
+    sig AS (SELECT doc_id, hi, MIN(h) AS m FROM hs GROUP BY doc_id, hi),
+    configs AS (
+      SELECT * FROM (VALUES ('b16r2', 2), ('b8r4', 4), ('b4r8', 8))
+        AS v(label, r)),
+    bands AS (
+      SELECT s.doc_id, c.label, s.hi // c.r AS bi,
+             md5(string_agg(CAST(s.m AS VARCHAR), ',' ORDER BY s.hi))
+               AS band_h
+      FROM sig s CROSS JOIN configs c
+      GROUP BY s.doc_id, c.label, s.hi // c.r),
+    cand AS (
+      SELECT DISTINCT a.label, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON b.label = a.label AND b.bi = a.bi AND b.band_h = a.band_h
+       AND a.doc_id < b.doc_id),
+    counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM sh GROUP BY doc_id),
+    rel AS (
+      SELECT i.doc_a, i.doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE)
+              / CAST(ca.n + cb.n - i.n_common AS DOUBLE) >= {_D58_TAU}),
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel),
+    cagg AS (
+      SELECT c.label,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN r.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_true
+      FROM cand c LEFT JOIN rel r
+        ON r.doc_a = c.doc_a AND r.doc_b = c.doc_b
+      GROUP BY c.label)
+    SELECT cf.label, CAST(cf.r AS BIGINT) AS rows_per_band,
+           COALESCE(g.n_candidates, 0) AS n_candidates,
+           COALESCE(g.n_true, 0) AS n_true,
+           n.n_relevant,
+           CASE WHEN COALESCE(g.n_candidates, 0) > 0
+                THEN g.n_true * 1000000 // g.n_candidates END
+             AS precision_ppm,
+           CASE WHEN n.n_relevant > 0
+                THEN COALESCE(g.n_true, 0) * 1000000 // n.n_relevant END
+             AS recall_ppm
+    FROM configs cf LEFT JOIN cagg g ON g.label = cf.label
+    CROSS JOIN nrel n
+"""
+
+
+@query("d58_lsh_band_sweep", _D58)
+def d58_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of three LSH band configurations of one H=32
+    MinHash signature against exact Jaccard >= {TAU} over the planted-
+    duplicate probe cohort (see block comment).
+
+    Scale shape: probe-bounded audit (the marker filter pushes to the
+    scan). On the full corpus the identical banding plan is what d45
+    ships: signatures are a (doc, slot)-keyed combinable MIN, band
+    values a (doc, config, band)-keyed ordered hash, and candidates an
+    equi-join on (config, band, band_hash) — never all-pairs; this
+    operator's job is to put oracle-checked numbers on that design's
+    quality knob."""
+    d = t(spark, sf_dir, "documents")
+    probe = d.where(F.col("text").contains("dup")).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    )
+    sh = probe.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(tk) >= {_SHINGLE_K} THEN "
+                    f"transform(sequence(1, size(tk) - {_SHINGLE_K - 1}), "
+                    f"i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1])) "
+                    f"ELSE array() END"
+                )
+            )
+        ).alias("s"),
+    ).persist()
+    hs = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_D58_H - 1))).alias("hi"),
+        F.col("s"),
+    ).select(
+        "doc_id",
+        "hi",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("hi").cast("string"), F.lit("#"), F.col("s"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sig = hs.groupBy("doc_id", "hi").agg(F.min("h").alias("m"))
+    configs = spark.createDataFrame(
+        [("b16r2", 2), ("b8r4", 4), ("b4r8", 8)], "label string, r int"
+    )
+    bands = (
+        sig.crossJoin(F.broadcast(configs))
+        .groupBy("doc_id", "label", F.expr("hi div r").alias("bi"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("hi", "m"))),
+                        lambda x: x["m"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_h")
+        )
+    )
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("b.label") == F.col("a.label"))
+            & (F.col("b.bi") == F.col("a.bi"))
+            & (F.col("b.band_h") == F.col("a.band_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ia, ib = sh.alias("ia"), sh.alias("ib")
+    inter = (
+        ia.join(
+            ib,
+            (F.col("ib.s") == F.col("ia.s"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    rel = (
+        inter.join(
+            F.broadcast(counts.select(F.col("doc_id").alias("doc_a"),
+                                      F.col("n").alias("na"))), "doc_a")
+        .join(
+            F.broadcast(counts.select(F.col("doc_id").alias("doc_b"),
+                                      F.col("n").alias("nb"))), "doc_b")
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+            >= _D58_TAU
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    nrel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
+    cagg = (
+        cand.join(rel.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_true"),
+        )
+    )
+    return (
+        configs.join(cagg, "label", "left")
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            "label",
+            F.col("r").cast("long").alias("rows_per_band"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            "n_relevant",
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                F.expr("n_true * 1000000 div n_candidates"),
+            ).alias("precision_ppm"),
+            F.when(
+                F.col("n_relevant") > 0,
+                F.expr("coalesce(n_true, 0) * 1000000 div n_relevant"),
+            ).alias("recall_ppm"),
+        )
+    )

@@ -314,3 +314,44 @@ def test_q183_business_day_closed_form(spark, tmp_path):
         for r in q183_business_day_lag(spark, str(tmp_path)).collect()
     }
     assert got == {"A": (2, 1000, 1), "B": (1, 10000, 10)}
+
+
+def test_q184_bridge_decomposition(spark, tmp_path):
+    """Four customers across two months: A expands (+50), B churns
+    (-200), C is new (+300), D is flat (no bucket, no count); month 0
+    books everyone as new; the phantom month after the last observed
+    one is cut."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q184_revenue_bridge,
+    )
+
+    m0, m1 = dt.datetime(1970, 1, 5), dt.datetime(1970, 2, 10)
+    orders = [
+        (1, 10, 1.00, m0), (2, 10, 1.50, m1),         # A: 100 -> 150
+        (3, 20, 2.00, m0),                            # B: 200 -> gone
+        (4, 30, 3.00, m1),                            # C: new 300
+        (5, 40, 0.50, m0), (6, 40, 0.50, m1),         # D: flat 50
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.month_bucket: (
+            r.new_cents, r.churned_cents, r.expansion_cents,
+            r.contraction_cents, r.n_new, r.n_churned,
+        )
+        for r in q184_revenue_bridge(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (350, 0, 0, 0, 3, 0),
+        1: (300, -200, 50, 0, 1, 1),
+    }
+    # bridge identity: components reconcile to the net movement
+    m0_total, m1_total = 350, 500
+    n, c, e, k = got[1][:4]
+    assert m0_total + n + c + e + k == m1_total

@@ -445,3 +445,40 @@ def test_d57_estimator_exact_on_identical_and_overlapping_docs(spark, tmp_path):
     assert over.n_common == 1 and over.exact_jaccard == 1 / 3
     assert 0 <= over.n_match <= 32
     assert not any(4 in k for k in rows)
+
+
+def test_d58_band_sweep_nesting_and_probe(spark, tmp_path):
+    """Identical probe docs are candidates under every banding (equal
+    signatures agree on every band) and count as the one relevant
+    pair; aligned band boundaries nest the candidate sets, so
+    n_candidates is monotone non-increasing in rows-per-band; docs
+    without the 'dup' marker stay outside the probe even if they are
+    exact duplicates."""
+    from pinot_pulsar_plugin_spark.operators.dedup import d58_lsh_band_sweep
+
+    base = "dup alpha beta gamma delta epsilon zeta eta theta iota"
+    other = "dup one two three four five six seven eight nine ten"
+    docs = [
+        (0, base),
+        (1, base),                        # exact duplicate of 0
+        (2, other),                       # disjoint probe member
+        (3, "kappa " + base.replace("dup ", "")),   # near 0/1 but NO marker
+        (4, "kappa " + base.replace("dup ", "")),   # its exact twin, NO marker
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r.label: r for r in d58_lsh_band_sweep(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"b16r2", "b8r4", "b4r8"}
+    for r in rows.values():
+        assert r.n_relevant == 1          # only (0,1); 3/4 are unprobed
+        assert r.n_true == 1 and r.recall_ppm == 1_000_000
+        assert r.n_candidates >= 1
+    # aligned boundaries nest candidate sets: coarser rows = fewer cands
+    assert (
+        rows["b16r2"].n_candidates
+        >= rows["b8r4"].n_candidates
+        >= rows["b4r8"].n_candidates
+    )

@@ -674,6 +674,21 @@ COMMENTARY = {
         "carry (doc, pnum/token) grains. The occurrence relation is "
         "persisted for its two consumers (word stats, phrase scores)."
     ),
+    "q182_cheapest_path_cost": (
+        "Bounded Bellman-Ford: the weighted symmetric edge list comes "
+        "from one (c,s)-keyed count aggregate and ONE in-row explode "
+        "(a unionAll of two projections would race the cache and "
+        "recompute the fact join), cached hash-partitioned on src so "
+        "every relaxation round reuses the layout. Each round is an "
+        "equi-join plus a node-keyed combinable MIN; state stays "
+        "node-grain, the only shape that survives dense paths at scale."
+    ),
+    "q183_business_day_lag": (
+        "First-ship is a combinable MIN per order; the lag is the "
+        "closed-form weekday count — whole-stage-codegen integer "
+        "arithmetic, no calendar spine, no explode; the rollup is a "
+        "handful of priority groups."
+    ),
 }
 
 
