@@ -872,3 +872,164 @@ def q184_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("cc").isNull(), 1).otherwise(0)).alias("n_churned"),
         )
     )
+
+
+# --- q185: rolling-origin forecast backtest ----------------------------
+#
+# The eval harness behind every "which baseline do we ship" forecasting
+# decision: walk the monthly revenue series and score two baselines —
+# naive-1 (last month) and MA-3 (mean of the three prior months, only
+# where all three exist) — by MAE and MAPE. Integer exact: monthly
+# cents are int64, the MA-3 forecast is a floor-divided mean, absolute
+# errors are int64, MAE is a floored milli-cents mean, and MAPE floors
+# each month's |err|·1e6/actual BEFORE the mean (presum rule).
+#
+# The series is the tiny (#months) aggregate, but a partition-less
+# ORDER BY window is gated at ANY size (q153/q158 rule), so both
+# forecasts come from month-key equi/range self-joins instead: m-1 for
+# naive, a count-guarded m-3..m-1 band for MA-3.
+
+_Q185 = """
+    WITH mrev AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 // 30 AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    naive AS (
+      SELECT a.m, a.cents AS actual, p.cents AS fc
+      FROM mrev a JOIN mrev p ON p.m = a.m - 1),
+    ma3 AS (
+      SELECT a.m, a.cents AS actual,
+             CAST(SUM(p.cents) // 3 AS BIGINT) AS fc
+      FROM mrev a JOIN mrev p ON p.m BETWEEN a.m - 3 AND a.m - 1
+      GROUP BY a.m, a.cents HAVING COUNT(*) = 3),
+    scored AS (
+      SELECT 'naive_1' AS method, m, abs(actual - fc) AS ae,
+             abs(actual - fc) * 1000000 // actual AS ape_ppm
+      FROM naive WHERE actual > 0
+      UNION ALL
+      SELECT 'ma_3' AS method, m, abs(actual - fc) AS ae,
+             abs(actual - fc) * 1000000 // actual AS ape_ppm
+      FROM ma3 WHERE actual > 0)
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_backtests,
+           CAST(SUM(ae) AS BIGINT) AS sum_abs_err_cents,
+           CAST(SUM(ae) * 1000 // COUNT(*) AS BIGINT) AS mae_milli,
+           CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm
+    FROM scored GROUP BY method
+"""
+
+
+@query("q185_forecast_backtest", _Q185)
+def q185_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of naive-1 vs MA-3 monthly revenue
+    forecasts (see block comment).
+
+    Scale shape: ONE combinable aggregate collapses the fact to
+    #months rows; every forecast join, the band aggregate, and the
+    scoring run on that tiny relation (broadcast by AQE). At 100 TB
+    the fact pass is the whole cost — the backtest itself is free."""
+    o = t(spark, sf_dir, "orders")
+    mrev = (
+        o.groupBy(
+            F.expr("unix_micros(o_orderdate) div 86400000000 div 30").alias("m")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    a, p = mrev.alias("a"), mrev.alias("p")
+    naive = a.join(p, F.col("p.m") == F.col("a.m") - 1).select(
+        F.col("a.m").alias("m"),
+        F.col("a.cents").alias("actual"),
+        F.col("p.cents").alias("fc"),
+    )
+    ma3 = (
+        a.join(
+            p,
+            (F.col("p.m") >= F.col("a.m") - 3) & (F.col("p.m") <= F.col("a.m") - 1),
+        )
+        .groupBy(F.col("a.m").alias("m"), F.col("a.cents").alias("actual"))
+        .agg(F.count(F.lit(1)).alias("k"), F.expr("sum(p.cents) div 3").alias("fc"))
+        .filter(F.col("k") == 3)
+        .select("m", "actual", "fc")
+    )
+    def score(df, method):
+        ae = F.abs(F.col("actual") - F.col("fc"))
+        return df.filter(F.col("actual") > 0).select(
+            F.lit(method).alias("method"),
+            "m",
+            ae.alias("ae"),
+            F.expr("abs(actual - fc) * 1000000 div actual").alias("ape_ppm"),
+        )
+    scored = score(naive, "naive_1").unionByName(score(ma3, "ma_3"))
+    return scored.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_backtests"),
+        F.sum("ae").alias("sum_abs_err_cents"),
+        F.expr("sum(ae) * 1000 div count(1)").alias("mae_milli"),
+        F.expr("sum(ape_ppm) div count(1)").alias("mape_ppm"),
+    )
+
+
+# --- q186: relational division (bought EVERY priority class) ----------
+#
+# The classic "FOR ALL" shape missing from the join/subquery families:
+# customers whose orders span EVERY order-priority class in the
+# corpus — relational division of distinct (customer, priority) by the
+# distinct priority set, rewritten as the standard count-match (a
+# per-customer DISTINCT count equal to the global distinct count; no
+# double-NOT-EXISTS needed when the divisor is a plain column domain).
+# Rolled up per nation with an exact ppm share of division-complete
+# customers. Pure integer counts; the divisor count is a broadcast
+# one-row scalar.
+
+_Q186 = """
+    WITH pr AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_pr FROM orders),
+    cov AS (
+      SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_cov
+      FROM orders GROUP BY 1),
+    complete AS (
+      SELECT c.c_nationkey, cov.n_cov = pr.n_pr AS is_complete
+      FROM cov CROSS JOIN pr
+      JOIN customer c ON c.c_custkey = cov.o_custkey)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_active_customers,
+           CAST(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_complete,
+           CAST(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS complete_ppm
+    FROM complete GROUP BY 1
+"""
+
+
+@query("q186_relational_division", _Q186)
+def q186_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division per nation: the share of active customers
+    who ordered in EVERY priority class (see block comment).
+
+    Scale shape: one customer-keyed distinct-count aggregate over the
+    fact (map-side combinable after the in-partition distinct), a
+    one-row divisor broadcast, and a broadcast customer-dim join for
+    the nation rollup. No anti-join cascade — the count-match rewrite
+    turns FOR-ALL into arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pr = o.agg(F.countDistinct("o_orderpriority").alias("n_pr"))
+    cov = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_cov")
+    )
+    complete = (
+        cov.crossJoin(F.broadcast(pr))
+        .join(F.broadcast(c), c["c_custkey"] == cov["o_custkey"])
+        .select(
+            "c_nationkey", (F.col("n_cov") == F.col("n_pr")).alias("is_complete")
+        )
+    )
+    return complete.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_active_customers"),
+        F.sum(F.when(F.col("is_complete"), 1).otherwise(0)).alias("n_complete"),
+        F.expr(
+            "sum(case when is_complete then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("complete_ppm"),
+    )

@@ -355,3 +355,66 @@ def test_q184_bridge_decomposition(spark, tmp_path):
     m0_total, m1_total = 350, 500
     n, c, e, k = got[1][:4]
     assert m0_total + n + c + e + k == m1_total
+
+
+def test_q185_backtest_hand_series(spark, tmp_path):
+    """Monthly cents 100/200/400/300: naive-1 scores months 1-3
+    (AE 100,200,100 -> MAE 133333 milli); MA-3 scores only month 3
+    (fc = 700//3 = 233, AE 67); APE floors per month before the mean."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q185_forecast_backtest,
+    )
+
+    base = dt.datetime(1970, 1, 2)
+    months = {0: 1.00, 1: 2.00, 2: 4.00, 3: 3.00}
+    spark.createDataFrame(
+        [(m, v, base + dt.timedelta(days=30 * m)) for m, v in months.items()],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.method: (r.n_backtests, r.sum_abs_err_cents, r.mae_milli, r.mape_ppm)
+        for r in q185_forecast_backtest(spark, str(tmp_path)).collect()
+    }
+    # naive: m1 |200-100|=100 ape 500000; m2 |400-200|=200 ape 500000;
+    #        m3 |300-400|=100 ape 333333
+    naive_mape = (500000 + 500000 + 333333) // 3
+    # ma3: m3 fc=(100+200+400)//3=233, ae=67, ape=67*1e6//300=223333
+    assert got == {
+        "naive_1": (3, 400, 400 * 1000 // 3, naive_mape),
+        "ma_3": (1, 67, 67000, 223333),
+    }
+
+
+def test_q186_division_count_match(spark, tmp_path):
+    """Priorities {H,M,L}: customer 1 covers all three (complete),
+    customer 2 covers two, customer 3 one (same nation as 1);
+    per-nation ppm shares are exact floors."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q186_relational_division,
+    )
+
+    ts = dt.datetime(1995, 6, 1)
+    orders = [
+        (1, 1, "H", ts), (2, 1, "M", ts), (3, 1, "L", ts),
+        (4, 2, "H", ts), (5, 2, "M", ts),
+        (6, 3, "L", ts),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10)], "c_custkey long, c_nationkey int"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        r.nationkey: (r.n_active_customers, r.n_complete, r.complete_ppm)
+        for r in q186_relational_division(spark, str(tmp_path)).collect()
+    }
+    assert got == {10: (2, 1, 500000), 20: (1, 0, 0)}
