@@ -1033,3 +1033,149 @@ def q186_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(case when is_complete then 1 else 0 end) * 1000000 div count(1)"
         ).alias("complete_ppm"),
     )
+
+
+# --- q187: percent-of-parent hierarchy shares --------------------------
+#
+# The drill-down share columns every pivot/tree report carries: each
+# nation's revenue as an exact ppm share of its REGION, and each
+# region's as a share of the TOTAL — two levels of ratio-to-parent
+# computed from ONE leaf aggregate (never re-scanning the fact per
+# level; parents are exact integer sums of children, so shares
+# reconcile by construction). Shares are floor ppm of int64 cents.
+
+_Q187 = """
+    WITH leaf AS (
+      SELECT n.n_regionkey, o.o_custkey, n.n_name, r.r_name,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey),
+    nat AS (
+      SELECT n_regionkey, n_name, r_name,
+             CAST(SUM(cents) AS BIGINT) AS n_cents
+      FROM leaf GROUP BY 1, 2, 3),
+    reg AS (
+      SELECT n_regionkey, CAST(SUM(n_cents) AS BIGINT) AS r_cents
+      FROM nat GROUP BY 1),
+    tot AS (SELECT CAST(SUM(r_cents) AS BIGINT) AS t_cents FROM reg)
+    SELECT nat.r_name AS region, nat.n_name AS nation,
+           nat.n_cents AS nation_cents,
+           CAST(nat.n_cents * 1000000 // reg.r_cents AS BIGINT)
+             AS share_of_region_ppm,
+           CAST(reg.r_cents * 1000000 // tot.t_cents AS BIGINT)
+             AS region_share_of_total_ppm
+    FROM nat JOIN reg ON reg.n_regionkey = nat.n_regionkey
+    CROSS JOIN tot
+"""
+
+
+@query("q187_percent_of_parent", _Q187)
+def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-within-region and region-within-total revenue shares
+    (see block comment).
+
+    Scale shape: the fact aggregates once at the leaf (nation) grain
+    after broadcast dim joins; the region and total levels are sums
+    OF THE LEAF AGGREGATE (#nations rows), then broadcast back — the
+    fact is scanned exactly once for the whole hierarchy."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    leaf = (
+        o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .select(
+            "n_regionkey",
+            "n_name",
+            "r_name",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    nat = (
+        leaf.groupBy("n_regionkey", "n_name", "r_name")
+        .agg(F.sum("cents").alias("n_cents"))
+        .persist()
+    )
+    reg = nat.groupBy("n_regionkey").agg(F.sum("n_cents").alias("r_cents"))
+    tot = reg.agg(F.sum("r_cents").alias("t_cents"))
+    return (
+        nat.join(F.broadcast(reg), "n_regionkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("n_cents").alias("nation_cents"),
+            F.expr("n_cents * 1000000 div r_cents").alias("share_of_region_ppm"),
+            F.expr("r_cents * 1000000 div t_cents").alias(
+                "region_share_of_total_ppm"
+            ),
+        )
+    )
+
+
+# --- q188: duplicate-payment screen ------------------------------------
+#
+# The accounts-payable audit classic: pairs of DISTINCT orders by the
+# same customer for the exact same amount within 7 days — the
+# double-charge / double-entry candidate list every finance team
+# screens. The pair join is blocked on (customer, exact cents): the
+# quadratic term is bounded by how many SAME-amount orders one
+# customer places in total, and only |Δday| ≤ 7 pairs survive. Cents
+# equality is exact int64 (a double-amount block key could split or
+# merge blocks across engines); day distance is integer µs//86400e6
+# arithmetic; a < b on order keys dedups the pair orientation.
+
+_Q188 = """
+    WITH px AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders)
+    SELECT a.o_custkey AS custkey, a.cents,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(abs(a.day - b.day) AS BIGINT) AS day_gap
+    FROM px a JOIN px b
+      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(a.day - b.day) <= 7
+"""
+
+
+@query("q188_duplicate_payments", _Q188)
+def q188_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-customer same-amount orders within 7 days (see block
+    comment) — the double-charge candidate pairs.
+
+    Scale shape: a self equi-join blocked on (customer, exact cents);
+    per-key fan-out is a customer's same-amount order count, so work
+    tracks block collisions, never orders². The day-gap predicate
+    filters inside the join's codegen; AQE skew-split covers any
+    pathological repeat-amount customer."""
+    o = t(spark, sf_dir, "orders")
+    px = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    )
+    a, b = px.alias("a"), px.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.cents") == F.col("a.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(F.abs(F.col("a.day") - F.col("b.day")) <= 7)
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.cents").alias("cents"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.abs(F.col("a.day") - F.col("b.day")).alias("day_gap"),
+        )
+    )

@@ -418,3 +418,71 @@ def test_q186_division_count_match(spark, tmp_path):
         for r in q186_relational_division(spark, str(tmp_path)).collect()
     }
     assert got == {10: (2, 1, 500000), 20: (1, 0, 0)}
+
+
+def test_q187_shares_reconcile(spark, tmp_path):
+    """Two regions, three nations, hand-set revenues: nation shares
+    floor-divide against their region's exact sum, regions against the
+    total; children reconcile to parents by construction."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q187_percent_of_parent,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    # nation 1,2 in region 10 (rev 100, 300); nation 3 in region 20 (600)
+    spark.createDataFrame(
+        [(1, 1, 1.00, ts), (2, 2, 3.00, ts), (3, 3, 6.00, ts)],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "c_custkey long, c_nationkey int"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "N1", 10), (2, "N2", 10), (3, "N3", 20)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(10, "R1"), (20, "R2")], "r_regionkey int, r_name string"
+    ).write.parquet(str(tmp_path / "region.parquet"))
+
+    got = {
+        r.nation: (r.nation_cents, r.share_of_region_ppm,
+                   r.region_share_of_total_ppm)
+        for r in q187_percent_of_parent(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "N1": (100, 250000, 400000),
+        "N2": (300, 750000, 400000),
+        "N3": (600, 1000000, 600000),
+    }
+
+
+def test_q188_blocking_and_window(spark, tmp_path):
+    """Same customer, same cents, 3 days apart -> flagged; 9 days
+    apart -> not; same amount different customer -> not; different
+    cents same customer -> not. Pair orientation dedups on key order."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q188_duplicate_payments,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    orders = [
+        (1, 1, 9.99, d(0)), (2, 1, 9.99, d(3)),    # dup pair, gap 3
+        (3, 1, 9.99, d(12)),                       # 9 > 7 from #2, 12 from #1
+        (4, 2, 9.99, d(0)),                        # other customer
+        (5, 1, 5.00, d(1)),                        # other amount
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = q188_duplicate_payments(spark, str(tmp_path)).collect()
+    assert [(r.custkey, r.cents, r.order_a, r.order_b, r.day_gap)
+            for r in rows] == [(1, 999, 1, 2, 3)]
