@@ -1754,3 +1754,99 @@ def q169_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c2 * 1000000 div n2").alias("rate2_ppm"),
         z.alias("z"),
     )
+
+
+# --- q189: grid hotspot detection (stencil local maxima) ---------------
+#
+# The heatmap-hotspot query behind every density dashboard: bucket the
+# synthetic event plane (q86's deterministic coordinates) into 50x50
+# grid cells, then find LOCAL MAXIMA — cells strictly busier than all
+# 8 neighbors — alongside a 3x3-smoothed density. The stencil is an
+# in-row explode of each CELL's count to its 9 neighbor targets
+# followed by one regroup: a bounded x9 fan-out on the #cells-sized
+# aggregate (never on events), the same budget family as q86/q151.
+# Ties between adjacent cells make NEITHER a hotspot (strict >, so
+# the verdict is deterministic); absent neighbors contribute zero.
+
+_Q189_GRID = 50
+
+_Q189 = f"""
+    WITH pts AS (
+      SELECT (user_id * 2654435761) % 1000 AS x,
+             (event_id * 2246822519) % 1000 AS y
+      FROM events),
+    cells AS (
+      SELECT x // {_Q189_GRID} AS cx, y // {_Q189_GRID} AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+    contrib AS (
+      SELECT c.cx + dx.d AS tx, c.cy + dy.d AS ty, c.n,
+             (dx.d = 0 AND dy.d = 0) AS is_self
+      FROM cells c
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(d)),
+    sten AS (
+      SELECT tx AS cx, ty AS cy,
+             CAST(SUM(n) AS BIGINT) AS smoothed_n,
+             CAST(MAX(CASE WHEN is_self THEN n END) AS BIGINT) AS self_n,
+             CAST(COALESCE(MAX(CASE WHEN NOT is_self THEN n END), 0)
+                  AS BIGINT) AS nbr_max
+      FROM contrib GROUP BY 1, 2)
+    SELECT CAST(cx AS BIGINT) AS cellx, CAST(cy AS BIGINT) AS celly,
+           self_n AS n_events, smoothed_n, nbr_max
+    FROM sten
+    WHERE self_n IS NOT NULL AND self_n > nbr_max
+"""
+
+
+@query("q189_grid_hotspots", _Q189)
+def q189_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid cells strictly busier than all 8 neighbors, with 3x3
+    smoothed density (see block comment).
+
+    Scale shape: events collapse to grid cells in one combinable
+    aggregate; the stencil explodes the CELL table x9 in-row and
+    regroups — cost is 9·#cells rows no matter how many events landed
+    in them. No window, no self-join, no point ever compared to
+    another point."""
+    ev = t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id") * 2654435761, F.lit(1000)).alias("x"),
+        F.pmod(F.col("event_id") * 2246822519, F.lit(1000)).alias("y"),
+    )
+    cells = ev.groupBy(
+        F.expr(f"x div {_Q189_GRID}").alias("cx"),
+        F.expr(f"y div {_Q189_GRID}").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    contrib = cells.select(
+        F.explode(offs).alias("o"), "cx", "cy", "n"
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        "n",
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_self"),
+    )
+    sten = contrib.groupBy(
+        F.col("tx").alias("cellx"), F.col("ty").alias("celly")
+    ).agg(
+        F.sum("n").alias("smoothed_n"),
+        F.max(F.when(F.col("is_self"), F.col("n"))).alias("self_n"),
+        F.coalesce(
+            F.max(F.when(~F.col("is_self"), F.col("n"))), F.lit(0)
+        ).alias("nbr_max"),
+    )
+    return sten.where(
+        F.col("self_n").isNotNull() & (F.col("self_n") > F.col("nbr_max"))
+    ).select(
+        "cellx",
+        "celly",
+        F.col("self_n").alias("n_events"),
+        "smoothed_n",
+        "nbr_max",
+    )

@@ -2293,3 +2293,90 @@ def t81_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "phrase", "len", "score_fp")
     )
+
+
+# --- t82: deterministic token-dropout augmentation ---------------------
+#
+# The data-augmentation op an LLM training pipeline runs to diversify
+# low-resource slices: drop ~20% of tokens per document,
+# DETERMINISTICALLY — the keep/drop verdict is a pure function of
+# (doc_id, position, token, seed) through the portable md5→int64
+# family (q141/d57 trick), so reruns, retries, and both engines
+# reproduce byte-identical augmented text (a Math.random dropout
+# would be unauditable and engine-divergent). Rebuild preserves token
+# order via ordered aggregation (q51 idiom).
+
+_T82_SEED = "s42"
+_T82_DROP_MOD = 10  # drop when hash % 10 < 2 → 20% expected dropout
+
+_T82 = f"""
+    WITH tok AS (
+      SELECT doc_id, i, tk[CAST(i AS INT)] AS token
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents))),
+    verdict AS (
+      SELECT doc_id, i, token,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(i AS VARCHAR) || ':' || token || ':{_T82_SEED}'),
+                  1, 15) AS BIGINT) % {_T82_DROP_MOD} >= 2 AS keep
+      FROM tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN token END, ' '
+                               ORDER BY i), '') AS aug_text
+    FROM verdict GROUP BY doc_id
+"""
+
+
+@query("t82_token_dropout_augment", _T82)
+def t82_token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% deterministic token dropout per document, with the
+    augmented text rebuilt in token order (see block comment).
+
+    Scale shape: one posexplode, a per-token codegen hash verdict, and
+    one doc-keyed ordered aggregation — embarrassingly parallel over
+    documents, shuffle carries (doc, idx, token) once. No randomness
+    source, no UDF, no state."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "token"),
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "token")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("i").cast("string"),
+                    F.col("token"),
+                    F.lit(_T82_SEED),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    verdict = tok.withColumn("keep", (h % _T82_DROP_MOD) >= 2)
+    return verdict.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("i", "token"))
+                        )
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("aug_text"),
+    )

@@ -585,3 +585,34 @@ def test_t81_rake_scores_and_tiebreak(spark, tmp_path):
         0: ("alpha beta", 2, 4_000_000),
         1: ("x x y", 3, 9_000_000),
     }
+
+
+def test_t82_dropout_deterministic_and_ordered(spark, tmp_path):
+    """Augmentation is a pure function: two runs produce identical
+    text; kept tokens preserve document order (every aug_text is a
+    subsequence of the original); dropout rate lands near 20% over a
+    500-token doc; n_kept counts match the rebuilt text."""
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t82_token_dropout_augment,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(500))
+    docs = [(0, "alpha beta gamma delta"), (1, long_doc)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r1 = {r.doc_id: r for r in t82_token_dropout_augment(spark, str(tmp_path)).collect()}
+    r2 = {r.doc_id: r for r in t82_token_dropout_augment(spark, str(tmp_path)).collect()}
+    assert {k: v.aug_text for k, v in r1.items()} == {
+        k: v.aug_text for k, v in r2.items()
+    }
+    for doc_id, text in docs:
+        orig = text.split(" ")
+        kept = r1[doc_id].aug_text.split(" ") if r1[doc_id].aug_text else []
+        assert len(kept) == r1[doc_id].n_kept
+        assert r1[doc_id].n_tokens == len(orig)
+        # subsequence check: kept tokens appear in original order
+        it = iter(orig)
+        assert all(tok in it for tok in kept)
+    rate = 1 - r1[1].n_kept / r1[1].n_tokens
+    assert 0.10 < rate < 0.30
