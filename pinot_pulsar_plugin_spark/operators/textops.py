@@ -2380,3 +2380,119 @@ def t82_token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("aug_text"),
     )
+
+
+# --- t83: held-out LM surprisal (train/test split) ----------------------
+#
+# t63's properly-evaluated sibling and t80's probabilistic twin: the
+# add-one bigram LM is trained ONLY on the even-doc_id split and
+# scored on the odd docs — the held-out fluency/novelty signal a
+# curation pipeline uses to find distribution-shifted slices, plus the
+# OOV rate (test bigrams never seen in train). Unseen bigrams and
+# unseen history words fall back to the smoothing mass via LEFT joins
+# with COALESCE(0) counts — identically on both engines. Per-bigram
+# surprisal is ROUND(ln·1e6) fixed-point BEFORE the per-doc sum
+# (t61/t63 ratchet rule); the mean is a floored integer division.
+
+_T83 = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    train_tok AS (
+      SELECT unnest(tk) AS w FROM toks WHERE doc_id % 2 = 0),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_a FROM train_tok GROUP BY w),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vs FROM train_tok),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])
+             ELSE [] END) AS b,
+             doc_id % 2 = 0 AS is_train
+      FROM toks),
+    cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM bg WHERE is_train GROUP BY b)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN cb.c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN cb.c_ab IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_ppm,
+           CAST(SUM(CAST(ROUND(
+               ln((CAST(COALESCE(u.c_a, 0) AS DOUBLE) + CAST(v.vs AS DOUBLE))
+                  / (CAST(COALESCE(cb.c_ab, 0) AS DOUBLE) + 1.0))
+               * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS mean_surprisal_micro
+    FROM bg g
+    LEFT JOIN cb ON cb.b = g.b
+    LEFT JOIN uni u ON u.w = split_part(g.b, ' ', 1)
+    CROSS JOIN v
+    WHERE NOT g.is_train
+    GROUP BY g.doc_id
+"""
+
+
+@query("t83_heldout_lm_surprisal", _T83)
+def t83_heldout_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out mean bigram surprisal + OOV rate per test doc under
+    the train-split add-one LM (see block comment).
+
+    Scale shape: identical to t63 — in-row bigram formation, two
+    map-side-combinable train count tables, string-keyed equi-joins
+    back onto the test bigrams, one-row V broadcast; the split filters
+    push to the scan. Nothing quadratic, no Python."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    bg = toks.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat_ws(' ', tk[i-1], tk[i])) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).persist()
+    train_tok = toks.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode("tk").alias("w")
+    )
+    uni = train_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
+    v = train_tok.agg(F.countDistinct("w").alias("vs"))
+    cb = (
+        bg.filter(F.col("is_train"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    test = bg.filter(~F.col("is_train"))
+    surpr = F.round(
+        F.log(
+            (F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+             + F.col("vs").cast("double"))
+            / (F.coalesce(F.col("c_ab"), F.lit(0)).cast("double") + 1.0)
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        test.join(cb, "b", "left")
+        .join(
+            uni.withColumnRenamed("w", "hist"),
+            F.col("hist") == F.split(F.col("b"), " ")[0],
+            "left",
+        )
+        .crossJoin(F.broadcast(v))
+        .withColumn("surpr", surpr)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c_ab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.expr(
+                "sum(case when c_ab is null then 1 else 0 end) * 1000000 "
+                "div count(1)"
+            ).alias("oov_ppm"),
+            # integer floor div, NOT double-divide-then-cast: a quotient
+            # landing within half an ulp of the next integer would round
+            # up in double and truncate wrong (q174 rounding-class rule)
+            F.expr("sum(surpr) div count(1)").alias("mean_surprisal_micro"),
+        )
+    )

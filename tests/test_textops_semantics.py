@@ -616,3 +616,31 @@ def test_t82_dropout_deterministic_and_ordered(spark, tmp_path):
         assert all(tok in it for tok in kept)
     rate = 1 - r1[1].n_kept / r1[1].n_tokens
     assert 0.10 < rate < 0.30
+
+
+def test_t83_heldout_oov_and_smoothing(spark, tmp_path):
+    """Train (doc 0): 'a b a b' -> bigrams {a b:2, b a:1}, unigrams
+    a:2 b:2, V=2. Test doc 1 'a b c': 'a b' seen (surprisal
+    ln((2+2)/(2+1))), 'b c' OOV (ln((2+2)/1)); doc 3 'x y' fully OOV
+    with unseen history (ln((0+2)/1)). Hand-checked micro values."""
+    import math
+
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t83_heldout_lm_surprisal,
+    )
+
+    docs = [(0, "a b a b"), (1, "a b c"), (3, "x y")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_oov, r.oov_ppm, r.mean_surprisal_micro)
+        for r in t83_heldout_lm_surprisal(spark, str(tmp_path)).collect()
+    }
+    s_ab = round(math.log((2 + 2) / (2 + 1)) * 1e6)   # seen 'a b'
+    s_bc = round(math.log((2 + 2) / (0 + 1)) * 1e6)   # OOV, history 'b' seen
+    s_xy = round(math.log((0 + 2) / (0 + 1)) * 1e6)   # OOV, history unseen
+    assert got == {
+        1: (2, 1, 500000, (s_ab + s_bc) // 2),
+        3: (1, 1, 1000000, s_xy),
+    }
