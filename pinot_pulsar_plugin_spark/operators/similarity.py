@@ -1825,3 +1825,100 @@ def s64_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(unpaired))
     )
+
+
+# --- s65: IVF index cell-balance audit ----------------------------------
+#
+# The index-health read that decides when to retrain the coarse
+# quantizer: per-cell member counts of s50's IVF assignment, each
+# cell's corpus share, and its imbalance versus the uniform ideal
+# (share·K — 1e6 ppm means perfectly balanced). A cell at several
+# times the ideal is a probe-latency hot spot (every query probing it
+# reranks that many more members) — the ANN twin of q171's shuffle-skew
+# report. Assignment math (cosine argmax with the (ccos DESC, c_id)
+# tie rule) is byte-identical to s50, so this audit measures exactly
+# the index that query serves. Counts and ppm shares are exact
+# integers; empty cells surface with zero members via the centroid
+# spine.
+
+_S65 = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS c_id,
+             embedding AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    scored AS (
+      SELECT n.vec_id, c.c_id,
+             {fold_dot_sql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS ccos
+      FROM n CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, c_id) AS rn
+      FROM scored),
+    cell AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
+    sizes AS (
+      SELECT c.c_id, CAST(COUNT(m.vec_id) AS BIGINT) AS n_members
+      FROM cent c LEFT JOIN cell m ON m.c_id = c.c_id
+      GROUP BY c.c_id),
+    tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS n_total FROM sizes)
+    SELECT CAST(s.c_id AS BIGINT) AS c_id, s.n_members, t.n_total,
+           CAST(s.n_members * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+           CAST(s.n_members * {_IVF_K} * 1000000 // t.n_total AS BIGINT)
+             AS vs_uniform_ppm
+    FROM sizes s CROSS JOIN tot t
+"""
+
+
+@query("s65_ivf_cell_balance", _S65)
+def s65_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell member counts and imbalance of s50's IVF index (see
+    block comment).
+
+    Scale shape: identical to s50's assignment — a broadcast product
+    bounded by the K-row centroid table folded into a per-vector
+    argmax, then ONE combinable count keyed on the 16-value cell id
+    and a one-row total broadcast. The audit costs one corpus scan."""
+    from pyspark.sql.window import Window
+
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(fold_dot("embedding", "embedding")).alias("nrm"),
+    )
+    cent = n.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    scored = n.crossJoin(F.broadcast(cent.select("c_id", "c_emb", "c_nrm"))).select(
+        "vec_id", "c_id", ccos.alias("ccos")
+    )
+    # same argmax-as-max(struct) trick as s50: highest cosine, lowest
+    # c_id on ties — no per-vector window needed
+    cell = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("neg"))).alias("best")
+    ).select("vec_id", (-F.col("best.neg")).cast("int").alias("c_id"))
+    sizes = (
+        cent.select("c_id")
+        .join(cell, "c_id", "left")
+        .groupBy("c_id")
+        .agg(F.count(F.col("vec_id")).alias("n_members"))
+    )
+    tot = sizes.agg(F.sum("n_members").alias("n_total"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("c_id").cast("long").alias("c_id"),
+        "n_members",
+        "n_total",
+        F.expr("n_members * 1000000 div n_total").alias("share_ppm"),
+        F.expr(f"n_members * {_IVF_K} * 1000000 div n_total").alias(
+            "vs_uniform_ppm"
+        ),
+    )

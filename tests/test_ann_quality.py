@@ -350,3 +350,26 @@ def test_s64_flags_bad_vectors_and_unpaired_docs(spark, tmp_path):
         0: (3, 2, 2, 1, 1, 1),   # doc 9 has no vector
         1: (2, 2, 3, 0, 0, 1),   # ragged: min 2, max 3
     }
+
+
+def test_s65_cell_balance_invariants(spark):
+    """Every corpus vector lands in exactly one cell (sizes sum to the
+    corpus count), all 16 cells surface (empty ones as zero via the
+    centroid spine), shares sum to ~1e6 (floor loss < K), and the
+    uniform comparison is share*K."""
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        _IVF_K,
+        s65_ivf_cell_balance,
+    )
+    from pinot_pulsar_plugin_spark.operators.common import t
+
+    sf = "/root/testdata/sf0.001"
+    rows = s65_ivf_cell_balance(spark, sf).collect()
+    assert len(rows) == _IVF_K
+    n_total = rows[0].n_total
+    assert sum(r.n_members for r in rows) == n_total
+    assert n_total == t(spark, sf, "embeddings").count()
+    share_sum = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - _IVF_K < share_sum <= 1_000_000
+    for r in rows:
+        assert r.vs_uniform_ppm == r.n_members * _IVF_K * 1_000_000 // n_total
