@@ -112,9 +112,19 @@ _MODULES = [
 # q171_shuffle_skew_report, t77_tokenizer_fertility,
 # q172_decile_lift, q173_rfm_segmentation, q174_lateness_audit,
 # q175_abc_classification, s64_embedding_quality_audit,
-# q176_closing_balance, t78_readability —
-# have no driver row yet and must LEAD the r7
-# window; all are parity-green at sf0.001/0.01/0.1 in the local suite.
+# q176_closing_balance, t78_readability, q177_market_concentration,
+# q178_benford_audit, q179_topn_others_rollup, q180_max_concurrency,
+# q181_seasonal_decomposition, t79_vocab_growth,
+# t80_crosscorpus_ngram_recall, t81_rake_keyphrases,
+# q182_cheapest_path_cost, q183_business_day_lag,
+# q184_revenue_bridge, d58_lsh_band_sweep, q185_forecast_backtest,
+# q186_relational_division, q187_percent_of_parent,
+# q188_duplicate_payments, q189_grid_hotspots,
+# t82_token_dropout_augment, t83_heldout_lm_surprisal,
+# s65_ivf_cell_balance —
+# have no driver row yet and must LEAD the r7 window (more than 50:
+# split across r7/r8 preserving category coverage); all are
+# parity-green at sf0.001/0.01/0.1 in the local suite.
 _PRIORITY = [
     # --- never driver-scored (locally parity-green at 3 SFs since r5)
     "q111_zorder_layout_audit",

@@ -105,6 +105,8 @@ def test_round_of_quotient_is_ratcheted():
         # BEFORE the integer fold; same IEEE double on both engines
         "t72_source_kl_divergence": "presum",  # ROUND(ln(ratio)*1e6) per
         # (pair, term) BEFORE the integer sum; final /n_a is pure double
+        "t83_heldout_lm_surprisal": "presum",  # ROUND(ln*1e6) per bigram
+        # (t63's rule) BEFORE the per-doc integer sum and floor-div mean
     }
     flagged = set()
     for name, sql in all_oracle_sql().items():
