@@ -1850,3 +1850,88 @@ def q189_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "smoothed_n",
         "nbr_max",
     )
+
+
+# --- q190: bounce rate by session entry type ----------------------------
+#
+# The web-analytics staple layered on q29's sessionization: sessions
+# keyed by their ENTRY event type (what the user landed on), with the
+# share that bounced — single-event sessions — and mean session depth.
+# Same 30-minute inactivity gap and (ts, event_id) total order as q29
+# so the session boundaries are bit-identical to the rest of the
+# session family; the entry event is min_by/arg_min on ts_us, which is
+# globally UNIQUE in this corpus (the q67 invariant) so the argmin is
+# deterministic. Rates are floor ppm of exact counts; depth is a
+# floored milli mean.
+
+_Q190 = """
+    WITH marked AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 OR
+                  LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM marked),
+    per_session AS (
+      SELECT user_id, session_idx,
+             arg_min(event_type, ts_us) AS entry_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2)
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm,
+           CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT) AS depth_milli
+    FROM per_session GROUP BY 1
+"""
+
+
+@query("q190_bounce_rate", _Q190)
+def q190_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate and mean depth per session entry type (see block
+    comment; session semantics ≡ q29).
+
+    Scale shape: one user-keyed sort feeds both windows (lag marking
+    and the running session index reuse the same exchange); the
+    per-session collapse is a combinable aggregate carrying an
+    arg_min struct; the rollup is #entry-types rows."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts_us").over(w)
+    marked = e.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("is_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.min_by("event_type", "ts_us").alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.expr(
+            "sum(case when n_events = 1 then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("bounce_ppm"),
+        F.expr("sum(n_events) * 1000 div count(1)").alias("depth_milli"),
+    )

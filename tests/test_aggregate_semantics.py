@@ -486,3 +486,35 @@ def test_q188_blocking_and_window(spark, tmp_path):
     rows = q188_duplicate_payments(spark, str(tmp_path)).collect()
     assert [(r.custkey, r.cents, r.order_a, r.order_b, r.day_gap)
             for r in rows] == [(1, 999, 1, 2, 3)]
+
+
+def test_q190_bounce_sessions(spark, tmp_path):
+    """User 1: events at t0,t0+10m (one session, entry 'land', depth
+    2), then t0+2h alone (bounce, entry 'solo'). User 2: one event
+    (bounce, entry 'land'). Rates: land 1/2 bounces, solo 1/1."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q190_bounce_rate,
+    )
+
+    t0 = dt.datetime(1995, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        (1, 1, "land", mins(0)),
+        (2, 1, "click", mins(10)),      # same session (gap 10m)
+        (3, 1, "solo", mins(130)),      # new session (gap 120m)
+        (4, 2, "land", mins(5)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.entry_type: (r.n_sessions, r.n_bounces, r.bounce_ppm, r.depth_milli)
+        for r in q190_bounce_rate(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "land": (2, 1, 500000, 1500),
+        "solo": (1, 1, 1000000, 1000),
+    }
