@@ -1935,3 +1935,90 @@ def q190_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounce_ppm"),
         F.expr("sum(n_events) * 1000 div count(1)").alias("depth_milli"),
     )
+
+
+# --- q191: process-conformance audit ------------------------------------
+#
+# Process-mining conformance checking over the q89 transition build:
+# a LITERAL allowed-transition model (the funnel's intended edges:
+# view→{view,click,signup,error}, click→{view,click,purchase,error},
+# signup→{view,click}, purchase→{view}, error→{view,error}) is joined
+# against the observed per-user consecutive transitions, and each
+# from-state reports its illegal-transition share — the "where does
+# the journey violate the product spec" audit. The model ships as a
+# broadcast VALUES relation; legality = left-join hit; shares are
+# floor ppm of exact counts. Per-user ordering is the (ts, event_id)
+# total order every sequence op in this module uses.
+
+_Q191_MODEL = [
+    ("view", "view"), ("view", "click"), ("view", "signup"),
+    ("view", "error"),
+    ("click", "view"), ("click", "click"), ("click", "purchase"),
+    ("click", "error"),
+    ("signup", "view"), ("signup", "click"),
+    ("purchase", "view"),
+    ("error", "view"), ("error", "error"),
+]
+
+_Q191_MODEL_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _Q191_MODEL)
+
+_Q191 = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    model AS (SELECT * FROM (VALUES {_Q191_MODEL_SQL}) AS m(f, t)),
+    judged AS (
+      SELECT c.prev_type, c.event_type, c.n,
+             m.f IS NOT NULL AS legal
+      FROM c LEFT JOIN model m
+        ON m.f = c.prev_type AND m.t = c.event_type)
+    SELECT prev_type,
+           CAST(SUM(n) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN NOT legal THEN n ELSE 0 END) AS BIGINT)
+             AS n_illegal,
+           CAST(SUM(CASE WHEN NOT legal THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS illegal_ppm
+    FROM judged GROUP BY prev_type
+"""
+
+
+@query("q191_conformance_audit", _Q191)
+def q191_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Illegal-transition share per from-state against the literal
+    process model (see block comment).
+
+    Scale shape: one user-keyed window exchange (shared with every
+    sequence op), a #types²-key combinable count, and a broadcast
+    13-row model join — the conformance verdict costs nothing beyond
+    q89's transition matrix."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = spark.createDataFrame(_Q191_MODEL, "f string, t string")
+    judged = c.join(
+        F.broadcast(model),
+        (F.col("f") == F.col("prev_type")) & (F.col("t") == F.col("event_type")),
+        "left",
+    ).select("prev_type", "n", F.col("f").isNotNull().alias("legal"))
+    return judged.groupBy("prev_type").agg(
+        F.sum("n").alias("n_transitions"),
+        F.sum(F.when(~F.col("legal"), F.col("n")).otherwise(0)).alias("n_illegal"),
+        F.expr(
+            "sum(case when not legal then n else 0 end) * 1000000 div sum(n)"
+        ).alias("illegal_ppm"),
+    )

@@ -518,3 +518,38 @@ def test_q190_bounce_sessions(spark, tmp_path):
         "land": (2, 1, 500000, 1500),
         "solo": (1, 1, 1000000, 1000),
     }
+
+
+def test_q191_conformance_verdicts(spark, tmp_path):
+    """User journey view->click->purchase->purchase: the purchase->
+    purchase hop is OFF-model (purchase may only return to view);
+    view->click and click->purchase are legal. Counts and ppm are
+    exact."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q191_conformance_audit,
+    )
+
+    t0 = dt.datetime(1995, 1, 1)
+    rows = [
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + dt.timedelta(minutes=1)),
+        (3, 1, "purchase", t0 + dt.timedelta(minutes=2)),
+        (4, 1, "purchase", t0 + dt.timedelta(minutes=3)),
+        (5, 2, "view", t0),
+        (6, 2, "view", t0 + dt.timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.prev_type: (r.n_transitions, r.n_illegal, r.illegal_ppm)
+        for r in q191_conformance_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (2, 0, 0),          # view->click, view->view
+        "click": (1, 0, 0),         # click->purchase
+        "purchase": (1, 1, 1000000),  # purchase->purchase illegal
+    }
