@@ -1179,3 +1179,115 @@ def q188_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("a.day") - F.col("b.day")).alias("day_gap"),
         )
     )
+
+
+# --- q192: top-k leaderboard drift between periods ----------------------
+#
+# The "what changed on the dashboard" diff: the brand revenue top-10
+# of the FIRST half of the corpus's date range versus the SECOND,
+# full-outer-joined so entries, exits, and rank moves are all visible.
+# The date midpoint is a broadcast scalar ((min+max+1)//2 on epoch
+# days); ranks come from the count-of-better triangular election on
+# the per-half brand aggregates (q179's pattern — a global ROW_NUMBER
+# would trip the partition-less-window gate), with exact int64 cents
+# and brand-name tiebreaks so the leaderboards are deterministic.
+
+_Q192_K = 10
+
+_Q192 = f"""
+    WITH mb AS (
+      SELECT p.p_brand AS brand,
+             epoch_us(l.l_shipdate) // 86400000000 AS day,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS fp
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    bounds AS (
+      SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM mb),
+    halves AS (
+      SELECT CASE WHEN mb.day < b.mid THEN 1 ELSE 2 END AS half,
+             mb.brand, CAST(SUM(mb.fp) AS BIGINT) AS rev_fp
+      FROM mb CROSS JOIN bounds b
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT a.half, a.brand, a.rev_fp,
+             1 + COUNT(b.brand) AS rk
+      FROM halves a LEFT JOIN halves b
+        ON b.half = a.half
+       AND (b.rev_fp > a.rev_fp
+            OR (b.rev_fp = a.rev_fp AND b.brand < a.brand))
+      GROUP BY a.half, a.brand, a.rev_fp),
+    h1 AS (SELECT brand, CAST(rk AS BIGINT) AS rank_h1,
+                  rev_fp AS rev_fp_h1
+           FROM ranked WHERE half = 1 AND rk <= {_Q192_K}),
+    h2 AS (SELECT brand, CAST(rk AS BIGINT) AS rank_h2,
+                  rev_fp AS rev_fp_h2
+           FROM ranked WHERE half = 2 AND rk <= {_Q192_K})
+    SELECT COALESCE(h1.brand, h2.brand) AS brand,
+           h1.rank_h1, h2.rank_h2,
+           h1.rev_fp_h1, h2.rev_fp_h2
+    FROM h1 FULL OUTER JOIN h2 ON h2.brand = h1.brand
+"""
+
+
+@query("q192_topk_drift", _Q192)
+def q192_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand top-{K} leaderboard diff between corpus halves (see
+    block comment). NULL rank marks an entry/exit.
+
+    Scale shape: ONE fact pass builds the (half, brand) aggregate
+    (the midpoint rides along as a broadcast scalar); the election,
+    top-k cut, and diff join all run on the ~2x#brands-row aggregate.
+    The fact is never scanned per half."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mb = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("day"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("long").alias("fp"),
+    )
+    bounds = mb.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("mid")
+    )
+    halves = (
+        mb.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("day") < F.col("mid"), 1).otherwise(2).alias("half"),
+            "brand",
+        )
+        .agg(F.sum("fp").alias("rev_fp"))
+        .persist()
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    better = (F.col("b.half") == F.col("a.half")) & (
+        (F.col("b.rev_fp") > F.col("a.rev_fp"))
+        | ((F.col("b.rev_fp") == F.col("a.rev_fp")) & (F.col("b.brand") < F.col("a.brand")))
+    )
+    ranked = (
+        a.join(b, better, "left")
+        .groupBy(
+            F.col("a.half").alias("half"),
+            F.col("a.brand").alias("brand"),
+            F.col("a.rev_fp").alias("rev_fp"),
+        )
+        .agg((F.count(F.col("b.brand")) + 1).alias("rk"))
+        .filter(F.col("rk") <= _Q192_K)
+    )
+    h1 = ranked.filter(F.col("half") == 1).select(
+        F.col("brand").alias("brand1"),
+        F.col("rk").alias("rank_h1"),
+        F.col("rev_fp").alias("rev_fp_h1"),
+    )
+    h2 = ranked.filter(F.col("half") == 2).select(
+        F.col("brand").alias("brand2"),
+        F.col("rk").alias("rank_h2"),
+        F.col("rev_fp").alias("rev_fp_h2"),
+    )
+    return h1.join(h2, F.col("brand2") == F.col("brand1"), "full").select(
+        F.coalesce("brand1", "brand2").alias("brand"),
+        "rank_h1",
+        "rank_h2",
+        "rev_fp_h1",
+        "rev_fp_h2",
+    )

@@ -553,3 +553,38 @@ def test_q191_conformance_verdicts(spark, tmp_path):
         "click": (1, 0, 0),         # click->purchase
         "purchase": (1, 1, 1000000),  # purchase->purchase illegal
     }
+
+
+def test_q192_leaderboard_diff(spark, tmp_path):
+    """Three brands, K=10 so all rank; B1 dominates half 1, B3 enters
+    only in half 2 (NULL rank_h1), B1 exits half 2 (NULL rank_h2);
+    the midpoint splits days [0, 10] at 5."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import q192_topk_drift
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    # (partkey, price, day): half1 days 0-4, half2 days 5-10
+    lines = [
+        (1, 100.0, 0), (1, 50.0, 2),    # B1: 150 in h1 only
+        (2, 60.0, 1), (2, 40.0, 8),     # B2: 60 h1, 40 h2
+        (3, 90.0, 9),                   # B3: h2 only
+    ]
+    spark.createDataFrame(
+        [(pk, pr, 0.0, d(dy)) for pk, pr, dy in lines],
+        "l_partkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, f"B{k}") for k in (1, 2, 3)], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        r.brand: (r.rank_h1, r.rank_h2, r.rev_fp_h1, r.rev_fp_h2)
+        for r in q192_topk_drift(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "B1": (1, None, 1_500_000, None),
+        "B2": (2, 2, 600_000, 400_000),
+        "B3": (None, 1, None, 900_000),
+    }
