@@ -334,3 +334,83 @@ def read_heavy_hitters(
         .filter(F.col("share") > min_share)
         .select(*group_cols, key_col, "cnt", "share")
     )
+
+
+# --- streaming interval maintenance (q180's stream twin) ---------------
+#
+# Peak-concurrency needs the full sweep, but the sweep's INPUT — one
+# (order, start, end) interval per order — is exactly maintainable:
+# per-order start is constant and the close is a MAX over shipment
+# lines, so each micro-batch lands (okey, s_us, max-batch-ship)
+# partials and the serve-time merge is a keyed MAX — the same
+# summable-partial shape as the count/observation sinks above. The
+# serve then runs q180's segmented-prefix sweep on the merged
+# intervals, so streaming results are row-equal to the batch operator
+# over the same lines (asserted by the differential test), even when
+# one order's lines are split across micro-batches.
+
+
+def interval_sweep_sink(out_dir: str):
+    """foreachBatch function landing per-batch (okey, s_us, e_us)
+    interval partials under ``batch_id=N``; e_us is the batch-local
+    MAX ship time, s_us constant per order."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.groupBy("okey", "s_us").agg(
+            F.max("ship_us").alias("e_us")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_max_concurrency(spark, out_dir: str) -> DataFrame:
+    """Serve per-30-day-bucket peak concurrency from the maintained
+    interval partials — identical sweep semantics (half-open, delta
+    ASC tiebreak, segmented prefix sum) and column names to batch
+    q180."""
+    from pyspark.sql.window import Window
+
+    iv = (
+        spark.read.parquet(out_dir)
+        .groupBy("okey", "s_us")
+        .agg(F.max("e_us").alias("e_us"))
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    ev = iv.select(
+        "okey", F.col("s_us").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("okey", F.col("e_us").alias("ts_us"), F.lit(-1).alias("delta"))
+    ).withColumn("month_bucket", F.expr("ts_us div 86400000000 div 30"))
+    w = Window.partitionBy("month_bucket").orderBy("ts_us", "delta", "okey")
+    within = ev.select(
+        "month_bucket", "ts_us", F.sum("delta").over(w).alias("within_sum")
+    )
+    btot = ev.groupBy("month_bucket").agg(F.sum("delta").alias("tot"))
+    a, b = btot.alias("a"), btot.alias("b")
+    offsets = (
+        a.join(b, F.col("b.month_bucket") < F.col("a.month_bucket"), "left")
+        .groupBy(F.col("a.month_bucket").alias("mb"))
+        .agg(F.coalesce(F.sum(F.col("b.tot")), F.lit(0)).alias("carry_in"))
+    )
+    run = (
+        within.join(F.broadcast(offsets), F.col("month_bucket") == F.col("mb"))
+        .select(
+            "month_bucket",
+            "ts_us",
+            (F.col("carry_in") + F.col("within_sum")).alias("conc"),
+        )
+        .persist()
+    )
+    mm = run.groupBy("month_bucket").agg(F.max("conc").alias("max_open"))
+    return (
+        run.join(
+            F.broadcast(mm.withColumnRenamed("month_bucket", "mmb")),
+            (F.col("month_bucket") == F.col("mmb"))
+            & (F.col("conc") == F.col("max_open")),
+        )
+        .groupBy("month_bucket", "max_open")
+        .agg(F.min("ts_us").alias("at_ts_us"))
+    )

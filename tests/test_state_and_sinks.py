@@ -1472,3 +1472,70 @@ def test_stream_heavy_hitters_equals_batch_q76(spark, tmp_path):
     assert got == want
     # the dominant user must surface in both types; rare users filtered
     assert ("a", 0) in got and ("b", 0) in got and len(got) < 50
+
+
+def test_stream_interval_sweep_equals_batch_q180(spark, tmp_path):
+    """Streaming peak-concurrency maintenance (q180's stream twin):
+    order lines stream through in micro-batches with each ORDER'S
+    LINES SPLIT ACROSS BATCHES; the per-batch (okey, s_us, max-ship)
+    partials merge by keyed MAX, and the served sweep must be
+    ROW-EQUAL to batch q180 over the same orders/lineitems."""
+    import glob
+
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        interval_sweep_sink,
+        read_max_concurrency,
+    )
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q180_max_concurrency,
+    )
+
+    DAY = 86_400_000_000
+    import datetime as dt
+    base = dt.datetime(1970, 1, 1)
+    # 40 orders; order k opens day k%25 and ships lines at +1, +3, +k%9
+    orders, lines = [], []
+    for k in range(1, 41):
+        s_day = k % 25
+        orders.append((k, base + dt.timedelta(days=s_day)))
+        for off in (1, 3, k % 9):
+            lines.append((k, s_day * DAY, (s_day + off) * DAY))
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "lines", partitions=2)
+    # interleave so one order's lines land in different micro-batches
+    for i, (okey, s_us, ship_us) in enumerate(sorted(lines, key=lambda x: x[2])):
+        w.append(i % 2, json.dumps({"okey": okey, "s_us": s_us, "ship_us": ship_us}))
+
+    served, ck = str(tmp_path / "iv"), str(tmp_path / "ck")
+    decoded = decode_json(
+        read_stream(spark, root, "lines", maxmsgs=17),
+        "okey bigint, s_us bigint, ship_us bigint",
+    )
+    q = (
+        decoded.writeStream.foreachBatch(interval_sweep_sink(served))
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(glob.glob(served + "/batch_id=*")) > 1
+
+    got = {
+        r.month_bucket: (r.max_open, r.at_ts_us)
+        for r in read_max_concurrency(spark, served).collect()
+    }
+
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate timestamp"
+    ).write.parquet(batch_dir + "/orders.parquet")
+    spark.createDataFrame(
+        [(okey, base + dt.timedelta(microseconds=ship)) for okey, _, ship in lines],
+        "l_orderkey long, l_shipdate timestamp",
+    ).write.parquet(batch_dir + "/lineitem.parquet")
+    want = {
+        r.month_bucket: (r.max_open, r.at_ts_us)
+        for r in q180_max_concurrency(spark, batch_dir).collect()
+    }
+    assert got == want and len(want) >= 1 and max(m for m, _ in want.values()) > 1
