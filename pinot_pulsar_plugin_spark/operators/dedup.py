@@ -1484,3 +1484,64 @@ def d58_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# --- d59: dedup savings report ------------------------------------------
+#
+# The accounting readout a curation run publishes after d43: how much
+# does exact dedup actually save, by duplicate-group size? Groups use
+# d43's byte-identical normalization (lower → collapse whitespace →
+# md5) and min-doc_id keeper; savings are the characters of every
+# NON-keeper copy (exact int64 sums of the stored n_chars). Histogram
+# grain (one row per group size) keeps the report constant-size no
+# matter the corpus.
+
+_D59 = """
+    WITH g AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             doc_id, n_chars
+      FROM documents),
+    grp AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+             MIN(doc_id) AS keeper
+      FROM g GROUP BY h),
+    withk AS (
+      SELECT grp.sz, grp.tot_chars - k.n_chars AS saved
+      FROM grp JOIN g k ON k.h = grp.h AND k.doc_id = grp.keeper)
+    SELECT sz AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(saved) AS BIGINT) AS chars_saved
+    FROM withk GROUP BY sz
+"""
+
+
+@query("d59_dedup_savings", _D59)
+def d59_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group-size histogram with exact characters saved by
+    keeping one copy per group (see block comment).
+
+    Scale shape: d43's digest aggregate (16-byte shuffle keys,
+    map-side combinable) plus ONE equi-join back on (digest, keeper)
+    to price the kept copy, then a #distinct-sizes-row histogram. The
+    text column itself never moves — only digests and n_chars ride
+    the exchanges."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    g = d.select(F.md5(norm).alias("h"), "doc_id", "n_chars").persist()
+    grp = g.groupBy("h").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_chars").alias("tot_chars"),
+        F.min("doc_id").alias("keeper"),
+    )
+    withk = grp.join(
+        g.select(F.col("h").alias("kh"), F.col("doc_id").alias("kid"),
+                 F.col("n_chars").alias("k_chars")),
+        (F.col("kh") == F.col("h")) & (F.col("kid") == F.col("keeper")),
+    ).select("sz", (F.col("tot_chars") - F.col("k_chars")).alias("saved"))
+    return withk.groupBy(F.col("sz").alias("group_size")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("sz").alias("n_docs"),
+        F.sum("saved").alias("chars_saved"),
+    )

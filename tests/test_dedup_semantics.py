@@ -482,3 +482,33 @@ def test_d58_band_sweep_nesting_and_probe(spark, tmp_path):
         >= rows["b8r4"].n_candidates
         >= rows["b4r8"].n_candidates
     )
+
+
+def test_d59_savings_histogram(spark, tmp_path):
+    """Three exact copies (normalization collapses case/whitespace)
+    of a 10-char doc plus one 20-char copy pair plus a unique doc:
+    group sizes 3, 2, 1 with savings = non-keeper chars; the keeper
+    is min doc_id so savings use the OTHER copies' n_chars."""
+    from pinot_pulsar_plugin_spark.operators.dedup import d59_dedup_savings
+
+    docs = [
+        (0, "Hello  World", 10),      # keeper of group A
+        (1, "hello world", 11),       # dup of A (normalized)
+        (2, "HELLO   world", 12),     # dup of A
+        (3, "foo bar", 20),           # keeper of group B
+        (4, "foo bar", 21),           # dup of B
+        (5, "unique text", 9),        # singleton
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.group_size: (r.n_groups, r.n_docs, r.chars_saved)
+        for r in d59_dedup_savings(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        3: (1, 3, 11 + 12),
+        2: (1, 2, 21),
+        1: (1, 1, 0),
+    }
