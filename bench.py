@@ -128,6 +128,16 @@ HEADLINE = [
     "t81_rake_keyphrases",
     "q182_cheapest_path_cost",
     "q183_business_day_lag",
+    "q184_revenue_bridge",
+    "q185_forecast_backtest",
+    "d58_lsh_band_sweep",
+    "d59_dedup_savings",
+    "t82_token_dropout_augment",
+    "t83_heldout_lm_surprisal",
+    "s65_ivf_cell_balance",
+    "q190_bounce_rate",
+    "q191_conformance_audit",
+    "q192_topk_drift",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

@@ -729,3 +729,81 @@ def q136_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --- q193: accumulating-snapshot lifecycle fact -------------------------
+#
+# Kimball's accumulating-snapshot pattern: one row per order carrying
+# its lifecycle milestones — placement, first shipment, final shipment
+# — and the lags between them, then rolled up per priority into the
+# funnel-velocity profile (mean lag in floored milli-days, max lag,
+# and the share of orders fully shipped within 30 days of placement).
+# All lags are integer epoch-day arithmetic; shares are floor ppm.
+
+_Q193 = """
+    WITH ship AS (
+      SELECT l_orderkey,
+             MIN(epoch_us(l_shipdate)) // 86400000000 AS first_ship,
+             MAX(epoch_us(l_shipdate)) // 86400000000 AS last_ship,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    snap AS (
+      SELECT o.o_orderpriority,
+             s.first_ship - epoch_us(o.o_orderdate) // 86400000000
+               AS start_lag,
+             s.last_ship - s.first_ship AS ship_span,
+             s.last_ship - epoch_us(o.o_orderdate) // 86400000000
+               AS total_lag,
+             s.n_lines
+      FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(start_lag) * 1000 // COUNT(*) AS BIGINT)
+             AS avg_start_lag_milli,
+           CAST(SUM(ship_span) * 1000 // COUNT(*) AS BIGINT)
+             AS avg_span_milli,
+           CAST(MAX(total_lag) AS BIGINT) AS max_total_lag,
+           CAST(SUM(CASE WHEN total_lag <= 30 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS within_30d_ppm
+    FROM snap GROUP BY 1
+"""
+
+
+@query("q193_accumulating_snapshot", _Q193)
+def q193_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-lifecycle accumulating snapshot rolled up per priority
+    (see block comment).
+
+    Scale shape: the milestone collapse is one combinable MIN/MAX/
+    COUNT per order; the order join is key-to-key; the profile is a
+    handful of priority groups — the snapshot build is exactly two
+    exchanges at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(
+        F.expr("min(unix_micros(l_shipdate)) div 86400000000").alias("first_ship"),
+        F.expr("max(unix_micros(l_shipdate)) div 86400000000").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    snap = o.join(ship, ship["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        (
+            F.col("first_ship")
+            - F.expr("unix_micros(o_orderdate) div 86400000000")
+        ).alias("start_lag"),
+        (F.col("last_ship") - F.col("first_ship")).alias("ship_span"),
+        (
+            F.col("last_ship")
+            - F.expr("unix_micros(o_orderdate) div 86400000000")
+        ).alias("total_lag"),
+    )
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(start_lag) * 1000 div count(1)").alias("avg_start_lag_milli"),
+        F.expr("sum(ship_span) * 1000 div count(1)").alias("avg_span_milli"),
+        F.max("total_lag").alias("max_total_lag"),
+        F.expr(
+            "sum(case when total_lag <= 30 then 1 else 0 end) * 1000000 "
+            "div count(1)"
+        ).alias("within_30d_ppm"),
+    )

@@ -264,3 +264,32 @@ def test_q178_benford_digits_and_chi2(spark, tmp_path):
         num = float(rows[d].obs * 1_000_000 - n * ppm)
         assert rows[d].chi2_contrib == num * num / (n * ppm * 1_000_000.0)
         assert rows[d].exp_ppm == ppm
+
+
+def test_q193_lifecycle_lags(spark, tmp_path):
+    """Order 1 (prio A): placed day 0, ships days 2 and 10 -> start
+    lag 2, span 8, total 10, within 30d. Order 2 (prio A): placed day
+    0, ships day 40 -> total 40, outside. Milli means floor."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.tpch_suite import (
+        q193_accumulating_snapshot,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    spark.createDataFrame(
+        [(1, "A", d(0)), (2, "A", d(0))],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, d(2)), (1, d(10)), (2, d(40))],
+        "l_orderkey long, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = {
+        r.o_orderpriority: r
+        for r in q193_accumulating_snapshot(spark, str(tmp_path)).collect()
+    }
+    r = rows["A"]
+    assert (r.n_orders, r.avg_start_lag_milli, r.avg_span_milli,
+            r.max_total_lag, r.within_30d_ppm) == (2, 21000, 4000, 40, 500000)

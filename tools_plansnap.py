@@ -689,6 +689,44 @@ COMMENTARY = {
         "arithmetic, no calendar spine, no explode; the rollup is a "
         "handful of priority groups."
     ),
+    "q184_revenue_bridge": (
+        "Fact collapses to (customer, month) once; the bridge is a "
+        "self full-outer equi-join of that aggregate on (customer, "
+        "month±1) — both legs hash-partition on the customer key; the "
+        "persisted aggregate also feeds the max-month scalar. The "
+        "monthly rollup is #months rows."
+    ),
+    "d58_lsh_band_sweep": (
+        "Probe-bounded audit: the dup-marker filter pushes to the "
+        "scan; signatures are a (doc, slot)-keyed combinable MIN, band "
+        "values a (doc, config, band)-keyed ordered hash, candidates "
+        "an equi-join on (config, band, hash) — the exact physical "
+        "shape d45 ships at corpus scale, never all-pairs."
+    ),
+    "d59_dedup_savings": (
+        "d43's 16-byte digest aggregate plus one equi-join back on "
+        "(digest, keeper) to price the kept copy; only digests and "
+        "n_chars ride exchanges, the text never moves; output is a "
+        "constant-size histogram."
+    ),
+    "t83_heldout_lm_surprisal": (
+        "In-row bigram formation, two map-side-combinable train count "
+        "tables, string-keyed LEFT equi-joins back onto test bigrams "
+        "(COALESCE(0) smoothing fallback), one-row V broadcast — t63's "
+        "shape with a split predicate pushed to the scan."
+    ),
+    "q190_bounce_rate": (
+        "One user-keyed sort feeds both the lag marking and the "
+        "running session index (same exchange); per-session collapse "
+        "is a combinable aggregate carrying a min_by; the rollup is "
+        "#entry-types rows."
+    ),
+    "q192_topk_drift": (
+        "ONE fact pass builds the (half, brand) aggregate with the "
+        "date midpoint as a broadcast scalar; the count-of-better "
+        "election, top-k cut, and full-outer diff all run on the "
+        "~2x#brands-row aggregate."
+    ),
 }
 
 
