@@ -366,19 +366,14 @@ def interval_sweep_sink(out_dir: str):
     return write_batch
 
 
-def read_max_concurrency(spark, out_dir: str) -> DataFrame:
-    """Serve per-30-day-bucket peak concurrency from the maintained
-    interval partials — identical sweep semantics (half-open, delta
-    ASC tiebreak, segmented prefix sum) and column names to batch
-    q180."""
+def max_concurrency_sweep(iv: DataFrame) -> DataFrame:
+    """Shared half-open interval sweep (delta-ASC tiebreak, segmented
+    prefix sum): per-30-day-bucket peak concurrency with the earliest
+    attaining instant. ``iv`` must carry (okey, s_us, e_us) with
+    e_us > s_us. Batch q180 and the streaming serve path both call
+    this, so their semantics cannot drift."""
     from pyspark.sql.window import Window
 
-    iv = (
-        spark.read.parquet(out_dir)
-        .groupBy("okey", "s_us")
-        .agg(F.max("e_us").alias("e_us"))
-        .filter(F.col("e_us") > F.col("s_us"))
-    )
     ev = iv.select(
         "okey", F.col("s_us").alias("ts_us"), F.lit(1).alias("delta")
     ).unionAll(
@@ -414,3 +409,16 @@ def read_max_concurrency(spark, out_dir: str) -> DataFrame:
         .groupBy("month_bucket", "max_open")
         .agg(F.min("ts_us").alias("at_ts_us"))
     )
+
+
+def read_max_concurrency(spark, out_dir: str) -> DataFrame:
+    """Serve per-30-day-bucket peak concurrency from the maintained
+    interval partials — identical sweep semantics and column names to
+    batch q180 (both call :func:`max_concurrency_sweep`)."""
+    iv = (
+        spark.read.parquet(out_dir)
+        .groupBy("okey", "s_us")
+        .agg(F.max("e_us").alias("e_us"))
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    return max_concurrency_sweep(iv)

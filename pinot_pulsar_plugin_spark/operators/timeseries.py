@@ -1230,8 +1230,6 @@ def q180_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution re-reads the persisted narrow (bucket, ts, conc)
     projection against the broadcast per-bucket maxima; nothing
     event-sized is ever globally sorted."""
-    from pyspark.sql.window import Window
-
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.expr("unix_micros(o_orderdate)").alias("s_us"),
@@ -1245,45 +1243,11 @@ def q180_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ship_us").alias("e_us"))
         .filter(F.col("e_us") > F.col("s_us"))
     )
-    ev = iv.select(
-        "okey", F.col("s_us").alias("ts_us"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select("okey", F.col("e_us").alias("ts_us"), F.lit(-1).alias("delta"))
-    ).withColumn(
-        "month_bucket", F.expr("ts_us div 86400000000 div 30")
+    from pinot_pulsar_plugin_spark.functions.rollup import (
+        max_concurrency_sweep,
     )
-    w = Window.partitionBy("month_bucket").orderBy("ts_us", "delta", "okey")
-    within = ev.select(
-        "month_bucket",
-        "ts_us",
-        F.sum("delta").over(w).alias("within_sum"),
-    )
-    btot = ev.groupBy("month_bucket").agg(F.sum("delta").alias("tot"))
-    a, b = btot.alias("a"), btot.alias("b")
-    offsets = (
-        a.join(b, F.col("b.month_bucket") < F.col("a.month_bucket"), "left")
-        .groupBy(F.col("a.month_bucket").alias("mb"))
-        .agg(F.coalesce(F.sum(F.col("b.tot")), F.lit(0)).alias("carry_in"))
-    )
-    run = (
-        within.join(F.broadcast(offsets), F.col("month_bucket") == F.col("mb"))
-        .select(
-            "month_bucket",
-            "ts_us",
-            (F.col("carry_in") + F.col("within_sum")).alias("conc"),
-        )
-        .persist()
-    )
-    mm = run.groupBy("month_bucket").agg(F.max("conc").alias("max_open"))
-    return (
-        run.join(
-            F.broadcast(mm.withColumnRenamed("month_bucket", "mmb")),
-            (F.col("month_bucket") == F.col("mmb"))
-            & (F.col("conc") == F.col("max_open")),
-        )
-        .groupBy("month_bucket", "max_open")
-        .agg(F.min("ts_us").alias("at_ts_us"))
-    )
+
+    return max_concurrency_sweep(iv)
 
 
 # --- q181: ratio-to-moving-average seasonal indices -------------------
