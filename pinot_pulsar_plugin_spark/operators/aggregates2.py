@@ -1291,3 +1291,82 @@ def q192_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_fp_h1",
         "rev_fp_h2",
     )
+
+
+# --- q194: spend-tier migration matrix ----------------------------------
+#
+# The customer-count companion to q184's dollar bridge: customers are
+# banded into fixed spend tiers per corpus half (T1 < $100, T2 < $1k,
+# T3 < $10k, T4 above — production segmentations use fixed bands, not
+# per-period quantiles, precisely so the matrix is comparable across
+# periods and needs NO ranking window), then counted per
+# (tier_before, tier_after) cell including NEW and CHURNED border
+# states. One fact pass; the matrix join is the q184 full-outer on
+# the (customer, half) aggregate; all banding is integer-cents CASE
+# arithmetic.
+
+_Q194_BANDS = "CASE WHEN cents < 10000 THEN 'T1' WHEN cents < 100000 THEN 'T2' WHEN cents < 1000000 THEN 'T3' ELSE 'T4' END"
+
+_Q194 = f"""
+    WITH mb AS (
+      SELECT o_custkey AS c,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS fp
+      FROM orders),
+    bounds AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM mb),
+    halves AS (
+      SELECT CASE WHEN mb.day < b.mid THEN 1 ELSE 2 END AS half, mb.c,
+             CAST(SUM(mb.fp) AS BIGINT) AS cents
+      FROM mb CROSS JOIN bounds b GROUP BY 1, 2),
+    tiers AS (
+      SELECT half, c, {_Q194_BANDS} AS tier FROM halves),
+    h1 AS (SELECT c, tier FROM tiers WHERE half = 1),
+    h2 AS (SELECT c, tier FROM tiers WHERE half = 2)
+    SELECT COALESCE(h1.tier, 'NEW') AS tier_before,
+           COALESCE(h2.tier, 'CHURNED') AS tier_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM h1 FULL OUTER JOIN h2 ON h2.c = h1.c
+    GROUP BY 1, 2
+"""
+
+
+@query("q194_tier_migration", _Q194)
+def q194_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-tier migration matrix between corpus halves, with NEW /
+    CHURNED border states (see block comment).
+
+    Scale shape: one fact pass to the (half, customer) grain (the
+    midpoint rides as a broadcast scalar), integer CASE banding, and
+    a customer-keyed self full-outer join of the small aggregate —
+    no window anywhere; the matrix is ≤ 5x5 rows."""
+    o = t(spark, sf_dir, "orders")
+    mb = o.select(
+        F.col("o_custkey").alias("c"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("fp"),
+    )
+    bounds = mb.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    halves = (
+        mb.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("day") < F.col("mid"), 1).otherwise(2).alias("half"),
+            "c",
+        )
+        .agg(F.sum("fp").alias("cents"))
+        .withColumn("tier", F.expr(_Q194_BANDS))
+        .persist()
+    )
+    h1 = halves.filter(F.col("half") == 1).select(
+        F.col("c").alias("c1"), F.col("tier").alias("t1")
+    )
+    h2 = halves.filter(F.col("half") == 2).select(
+        F.col("c").alias("c2"), F.col("tier").alias("t2")
+    )
+    return (
+        h1.join(h2, F.col("c2") == F.col("c1"), "full")
+        .groupBy(
+            F.coalesce("t1", F.lit("NEW")).alias("tier_before"),
+            F.coalesce("t2", F.lit("CHURNED")).alias("tier_after"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -588,3 +588,38 @@ def test_q192_leaderboard_diff(spark, tmp_path):
         "B2": (2, 2, 600_000, 400_000),
         "B3": (None, 1, None, 900_000),
     }
+
+
+def test_q194_tier_matrix(spark, tmp_path):
+    """Customer A upgrades T1->T2, B churns from T2, C is new into T1,
+    D stays T1; band edges are integer cents (exactly $100 is T2)."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q194_tier_migration,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    # midpoint of days [0, 10] is 5: h1 = days < 5
+    orders = [
+        (1, 10, 50.0, d(0)), (2, 10, 100.0, d(8)),    # A: T1 -> T2 (=\$100)
+        (3, 20, 500.0, d(1)),                         # B: T2 -> CHURNED
+        (4, 30, 20.0, d(9)),                          # C: NEW -> T1
+        (5, 40, 10.0, d(2)), (6, 40, 15.0, d(7)),     # D: T1 -> T1
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        (r.tier_before, r.tier_after): r.n_customers
+        for r in q194_tier_migration(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("T1", "T2"): 1,
+        ("T2", "CHURNED"): 1,
+        ("NEW", "T1"): 1,
+        ("T1", "T1"): 1,
+    }
