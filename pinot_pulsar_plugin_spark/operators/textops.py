@@ -2496,3 +2496,74 @@ def t83_heldout_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(surpr) div count(1)").alias("mean_surprisal_micro"),
         )
     )
+
+
+# --- t84: term burstiness (variance-to-mean ratio) ----------------------
+#
+# Church & Gale's dispersion signal: a term whose occurrences CLUMP
+# into few documents (burstiness, VMR >> 1) behaves differently from
+# a Poisson-scattered one at equal total frequency — the signal that
+# separates topical keywords from function words and that caps
+# df-weighting (complements t58's idf and t68's keyword scores).
+# Population VMR over ALL N docs (zeros included) has the exact
+# integer form VMR = (N·Σtf² − (Σtf)²) / (N·Σtf), emitted as a
+# floored milli ratio: 1000 = Poisson, above = bursty. int64-safe
+# while Σtf < ~3e9 (per-term corpus frequency; at larger scale shard
+# the corpus or lift to DECIMAL).
+
+_T84_MIN_TF = 5
+
+_T84 = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    tf AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY 1, 2),
+    stats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(f) AS BIGINT) AS tf_total,
+             CAST(SUM(f * f) AS BIGINT) AS sq
+      FROM tf GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT s.w AS term, s.df, s.tf_total,
+           CAST((n.n_docs * s.sq - s.tf_total * s.tf_total) * 1000
+                // (n.n_docs * s.tf_total) AS BIGINT) AS vmr_milli
+    FROM stats s CROSS JOIN n
+    WHERE s.tf_total >= {_T84_MIN_TF}
+"""
+
+
+@query("t84_term_burstiness", _T84)
+def t84_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term variance-to-mean dispersion in milli (see block
+    comment; 1000 = Poisson).
+
+    Scale shape: one explode, a (term, doc)-keyed combinable count,
+    a term-keyed combinable sufficient-stats aggregate, and a one-row
+    N broadcast — the exact-integer q150 pattern at term grain. No
+    window, no join wider than the scalar."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    tf = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("f"))
+    stats = tf.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("f").alias("tf_total"),
+        F.sum(F.col("f") * F.col("f")).alias("sq"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .filter(F.col("tf_total") >= _T84_MIN_TF)
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            "tf_total",
+            F.expr(
+                "(n_docs * sq - tf_total * tf_total) * 1000 "
+                "div (n_docs * tf_total)"
+            ).alias("vmr_milli"),
+        )
+    )

@@ -644,3 +644,30 @@ def test_t83_heldout_oov_and_smoothing(spark, tmp_path):
         1: (2, 1, 500000, (s_ab + s_bc) // 2),
         3: (1, 1, 1000000, s_xy),
     }
+
+
+def test_t84_burstiness_poisson_vs_clumped(spark, tmp_path):
+    """10 docs: 'flat' appears once in each of 10 docs (variance 0 ->
+    VMR 0); 'burst' appears 10 times all in one doc: VMR = (10*100 -
+    100)*1000 // (10*10) = 9000; a 4-total term is filtered out."""
+    from pinot_pulsar_plugin_spark.operators.textops import t84_term_burstiness
+
+    docs = []
+    for i in range(10):
+        words = ["flat"]
+        if i == 0:
+            words += ["burst"] * 10
+        if i < 4:
+            words += ["rare"]
+        docs.append((i, " ".join(words)))
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.term: (r.df, r.tf_total, r.vmr_milli)
+        for r in t84_term_burstiness(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "flat": (10, 10, 0),
+        "burst": (1, 10, 9000),
+    }
