@@ -632,3 +632,125 @@ def q175_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("class_cents"),
         )
     )
+
+
+# --- q195: ABC x XYZ inventory classification ---------------------------
+#
+# The two-axis classification supply-chain planners run before
+# deciding stocking policy: ABC = value concentration (q175's exact
+# integer Pareto cut per product type) crossed with XYZ = demand
+# STABILITY, where variability is the squared coefficient of
+# variation over monthly demand including zero months —
+# CV² = (M·Σq² − (Σq)²) / (Σq)², computed as an exact integer milli
+# ratio (no sqrt, no doubles): X < 0.25 (steady), Y < 1.0, Z above.
+# M (the corpus month count) is a broadcast scalar, so zero-demand
+# months need no spine join.
+
+_Q195 = """
+    WITH li AS (
+      SELECT l.l_partkey, p.p_type,
+             epoch_us(l.l_shipdate) // 86400000000 // 30 AS m,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    months AS (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS mm FROM li),
+    pm AS (
+      SELECT p_type, l_partkey, m, CAST(SUM(q) AS BIGINT) AS q,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM li GROUP BY 1, 2, 3),
+    per_part AS (
+      SELECT p_type, l_partkey,
+             CAST(SUM(q) AS BIGINT) AS qt,
+             CAST(SUM(q * q) AS BIGINT) AS sq,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM pm GROUP BY 1, 2),
+    xyz AS (
+      SELECT p.p_type, p.l_partkey, p.cents,
+             (n.mm * p.sq - p.qt * p.qt) * 1000 // (p.qt * p.qt)
+               AS cv2_milli
+      FROM per_part p CROSS JOIN months n),
+    ranked AS (
+      SELECT p_type, l_partkey, cents, cv2_milli,
+             SUM(cents) OVER (PARTITION BY p_type
+               ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cents) OVER (PARTITION BY p_type) AS tot
+      FROM xyz)
+    SELECT p_type,
+           CASE WHEN (cum - cents) * 100 < tot * 80 THEN 'A'
+                WHEN (cum - cents) * 100 < tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN cv2_milli < 250 THEN 'X'
+                WHEN cv2_milli < 1000 THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM ranked GROUP BY 1, 2, 3
+"""
+
+
+@query("q195_abc_xyz_matrix", _Q195)
+def q195_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC x XYZ part classification per product type (see block
+    comment).
+
+    Scale shape: the fact collapses to (type, part, month) then
+    (type, part) in combinable aggregates; the month count is a
+    one-row broadcast; the Pareto cut is q175's type-partitioned
+    running sum; the matrix is ≤ 9 cells per type."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    base = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(
+        "p_type",
+        "l_partkey",
+        F.expr("unix_micros(l_shipdate) div 86400000000 div 30").alias("m"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("cents"),
+    ).persist()
+    months = base.agg(F.countDistinct("m").alias("mm"))
+    pm = base.groupBy("p_type", "l_partkey", "m").agg(
+        F.sum("q").alias("q"), F.sum("cents").alias("cents")
+    )
+    per_part = pm.groupBy("p_type", "l_partkey").agg(
+        F.sum("q").alias("qt"),
+        F.sum(F.col("q") * F.col("q")).alias("sq"),
+        F.sum("cents").alias("cents"),
+    )
+    xyz = per_part.crossJoin(F.broadcast(months)).select(
+        "p_type",
+        "l_partkey",
+        "cents",
+        F.expr("(mm * sq - qt * qt) * 1000 div (qt * qt)").alias("cv2_milli"),
+    )
+    wcum = Window.partitionBy("p_type").orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtyp = Window.partitionBy("p_type")
+    ranked = xyz.select(
+        "p_type",
+        "cents",
+        "cv2_milli",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtyp).alias("tot"),
+    )
+    abc = (
+        F.when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 80, "A")
+        .when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    xyz_cls = (
+        F.when(F.col("cv2_milli") < 250, "X")
+        .when(F.col("cv2_milli") < 1000, "Y")
+        .otherwise("Z")
+    )
+    return ranked.groupBy(
+        "p_type", abc.alias("abc_class"), xyz_cls.alias("xyz_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("cents"),
+    )

@@ -1445,3 +1445,41 @@ def test_q176_closing_is_last_not_sum(spark, tmp_path):
         for r in q176_closing_balance(spark, str(tmp_path)).collect()
     }
     assert got == {0: 7, 1: 14}
+
+
+def test_q195_abc_xyz_cells(spark, tmp_path):
+    """Three parts, three corpus months: p1 steady (CV²=0 -> X) and
+    80% of value pre-cum 0 -> A; p2 one-month burst (CV²=2.0 -> Z)
+    sitting exactly AT the 80% boundary -> B; p3 mild variability
+    (CV²=0.667 -> Y) at the 95% boundary -> C."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.curation import (
+        q195_abc_xyz_matrix,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    lines = [
+        # (partkey, qty, price, day)
+        (1, 5.0, 4.00, 0), (1, 5.0, 2.00, 30), (1, 5.0, 2.00, 60),  # 800c
+        (2, 9.0, 1.50, 0),                                          # 150c
+        (3, 2.0, 0.30, 0), (3, 1.0, 0.20, 30),                      # 50c
+    ]
+    spark.createDataFrame(
+        [(pk, q, pr, 0.0, d(dy)) for pk, q, pr, dy in lines],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, "T") for k in (1, 2, 3)], "p_partkey long, p_type string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        (r.abc_class, r.xyz_class): (r.n_parts, r.cents)
+        for r in q195_abc_xyz_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("A", "X"): (1, 800),
+        ("B", "Z"): (1, 150),
+        ("C", "Y"): (1, 50),
+    }
