@@ -629,3 +629,67 @@ def m61_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         collate,
         "batch_id long, n_members long, px_sum long, px_min long, px_max long",
     )
+
+
+# --- m62: payload dedup savings by modality ------------------------------
+#
+# d59's multimodal twin: media payloads dedup by exact content digest
+# (sha-256 over the binary — m55's metadata column), and the savings
+# report rolls up per MODALITY: duplicate groups, redundant copies,
+# and exact bytes reclaimable by keeping one copy per digest. At
+# 100 TB this is the blob-store compaction read: only 32-byte digests
+# and byte counts ride the exchanges — payload bytes never move.
+
+_M62 = """
+    WITH meta AS (
+      SELECT doc_id, sha256(text) AS digest,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+      FROM documents),
+    grp AS (
+      SELECT modality, digest, CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(SUM(n_bytes) AS BIGINT) AS tot_bytes,
+             CAST(MIN(n_bytes) AS BIGINT) AS one_copy
+      FROM meta GROUP BY 1, 2)
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_payloads,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_redundant,
+           CAST(SUM(tot_bytes - one_copy) AS BIGINT) AS bytes_saved
+    FROM grp GROUP BY 1
+"""
+
+
+@query("m62_payload_dedup_savings", _M62)
+def m62_payload_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-digest payload dedup savings per modality (see block
+    comment). Copies of one digest have identical bytes, so the kept
+    copy's size is MIN(n_bytes) = every member's size — the savings
+    arithmetic needs no keeper election at all, unlike d59's
+    normalized-text groups where copies differ in raw length.
+
+    Scale shape: one scan computing (digest, bytes, modality), one
+    combinable aggregate keyed on the 32-byte digest, and a
+    #modalities-row rollup."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    meta = d.select(
+        F.sha2(payload, 256).alias("digest"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+    grp = meta.groupBy("modality", "digest").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_bytes").alias("tot_bytes"),
+        F.min("n_bytes").alias("one_copy"),
+    )
+    return grp.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("sz").alias("n_payloads"),
+        F.sum(F.col("sz") - 1).alias("n_redundant"),
+        F.sum(F.col("tot_bytes") - F.col("one_copy")).alias("bytes_saved"),
+    )

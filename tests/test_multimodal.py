@@ -184,3 +184,34 @@ def test_m61_batches_partition_the_corpus(spark):
     for r in rows:
         assert r.px_min <= r.px_max
         assert r.n_members * 64 * r.px_min <= r.px_sum <= r.n_members * 64 * r.px_max
+
+
+def test_m62_savings_by_modality(spark, tmp_path):
+    """doc_ids 0/3/6 are all 'image': two share identical bytes (one
+    redundant copy, its full size saved); 1 is 'audio' singleton;
+    2/5 are 'video' twins. Identical-digest copies have identical
+    sizes, so savings = (sz-1) * member size."""
+    from pinot_pulsar_plugin_spark.operators.multimodal import (
+        m62_payload_dedup_savings,
+    )
+
+    docs = [
+        (0, "same image bytes"),   # image, dup with 6
+        (6, "same image bytes"),   # image
+        (3, "another image"),      # image singleton
+        (1, "audio one"),          # audio singleton
+        (2, "video bytes"),        # video, dup with 5
+        (5, "video bytes"),        # video
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.modality: (r.n_groups, r.n_payloads, r.n_redundant, r.bytes_saved)
+        for r in m62_payload_dedup_savings(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "image": (2, 3, 1, len("same image bytes")),
+        "audio": (1, 1, 0, 0),
+        "video": (1, 2, 1, len("video bytes")),
+    }
