@@ -1370,3 +1370,73 @@ def q194_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# --- q196: revenue Gini coefficient per product type ---------------------
+#
+# The inequality companion to q177's HHI: the Gini coefficient of
+# part-level revenue within each product type, from the exact
+# rank-weighted form over ascending-sorted values
+#     G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+# — all-integer numerator/denominator (int64-safe while n·cents stays
+# below ~9e18), emitted as a floored milli ratio plus the raw
+# sufficient statistics. Ranks come from a TYPE-partitioned window
+# (never partition-less) on the deterministic (cents, partkey) order.
+
+_Q196 = """
+    WITH rev AS (
+      SELECT p.p_type, l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT p_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY p_type
+                                ORDER BY cents, l_partkey) AS i
+      FROM rev)
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST((2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 1000
+                // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_milli
+    FROM ranked GROUP BY p_type
+"""
+
+
+@query("q196_revenue_gini", _Q196)
+def q196_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-type part-revenue Gini in exact integer milli (see
+    block comment).
+
+    Scale shape: one fact-volume combinable aggregate to part grain
+    (broadcast part dim), a type-partitioned rank window, and a
+    per-type rollup — the q175 Pareto shape with a rank-weighted sum
+    instead of a cumulative cut."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_type", "l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy("cents", "l_partkey")
+    ranked = rev.select(
+        "p_type", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("total_cents"),
+        F.expr(
+            "(2 * sum(i * cents) - (count(1) + 1) * sum(cents)) * 1000 "
+            "div (count(1) * sum(cents))"
+        ).alias("gini_milli"),
+    )

@@ -623,3 +623,36 @@ def test_q194_tier_matrix(spark, tmp_path):
         ("NEW", "T1"): 1,
         ("T1", "T1"): 1,
     }
+
+
+def test_q196_gini_known_distributions(spark, tmp_path):
+    """Type E: two equal parts -> G = (2*(1*50+2*50) - 3*100)*1000 //
+    (2*100) = 0. Type U: one part holds everything among two ->
+    G = (2*(1*0+2*100) - 3*100)*1000 // 200 = 500 (the n=2 max).
+    Zero-revenue parts participate via rank."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q196_revenue_gini,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    lines = [
+        (1, 0.50, ts), (2, 0.50, ts),      # type E: 50/50 cents
+        (3, 0.00, ts), (4, 1.00, ts),      # type U: 0/100 cents
+    ]
+    spark.createDataFrame(
+        [(pk, pr, 0.0, t_) for pk, pr, t_ in lines],
+        "l_partkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "E"), (2, "E"), (3, "U"), (4, "U")],
+        "p_partkey long, p_type string",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        r.p_type: (r.n_parts, r.total_cents, r.gini_milli)
+        for r in q196_revenue_gini(spark, str(tmp_path)).collect()
+    }
+    assert got == {"E": (2, 100, 0), "U": (2, 100, 500)}
