@@ -1440,3 +1440,99 @@ def q196_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (count(1) * sum(cents))"
         ).alias("gini_milli"),
     )
+
+
+# --- q197: multi-measure correlation matrix (one pass) -------------------
+#
+# Pairwise Pearson correlations between the four lineitem measures —
+# quantity, price (whole dollars), discount (bps), tax (bps) — from
+# ONE scan of integer sufficient statistics (n, Σx, Σx², Σxy for all
+# pairs): the q150 pattern widened to a matrix. Each Σ is an exact
+# order-independent int64 (dollar/bps scaling keeps Σx² under ~1e15
+# at sf0.1; at much larger corpora shard or lift to DECIMAL — the t84
+# note); every r is then a pure double chain on those exact integers
+# — deterministic cross-engine, unlike built-in corr() whose double
+# accumulation is order-dependent on BOTH engines.
+
+_Q197 = """
+    WITH m AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 10000) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 10000) AS BIGINT) AS t
+      FROM lineitem),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(q*q) AS BIGINT) AS qq, CAST(SUM(p*p) AS BIGINT) AS pp,
+             CAST(SUM(d*d) AS BIGINT) AS dd, CAST(SUM(t*t) AS BIGINT) AS tt,
+             CAST(SUM(q*p) AS BIGINT) AS qp, CAST(SUM(q*d) AS BIGINT) AS qd,
+             CAST(SUM(q*t) AS BIGINT) AS qt2, CAST(SUM(p*d) AS BIGINT) AS pd,
+             CAST(SUM(p*t) AS BIGINT) AS pt, CAST(SUM(d*t) AS BIGINT) AS dt
+      FROM m)
+    SELECT n,
+      (CAST(n AS DOUBLE)*qp - CAST(sq AS DOUBLE)*sp)
+        / sqrt((CAST(n AS DOUBLE)*qq - CAST(sq AS DOUBLE)*sq)
+             * (CAST(n AS DOUBLE)*pp - CAST(sp AS DOUBLE)*sp)) AS r_qty_price,
+      (CAST(n AS DOUBLE)*qd - CAST(sq AS DOUBLE)*sd)
+        / sqrt((CAST(n AS DOUBLE)*qq - CAST(sq AS DOUBLE)*sq)
+             * (CAST(n AS DOUBLE)*dd - CAST(sd AS DOUBLE)*sd)) AS r_qty_disc,
+      (CAST(n AS DOUBLE)*qt2 - CAST(sq AS DOUBLE)*st)
+        / sqrt((CAST(n AS DOUBLE)*qq - CAST(sq AS DOUBLE)*sq)
+             * (CAST(n AS DOUBLE)*tt - CAST(st AS DOUBLE)*st)) AS r_qty_tax,
+      (CAST(n AS DOUBLE)*pd - CAST(sp AS DOUBLE)*sd)
+        / sqrt((CAST(n AS DOUBLE)*pp - CAST(sp AS DOUBLE)*sp)
+             * (CAST(n AS DOUBLE)*dd - CAST(sd AS DOUBLE)*sd)) AS r_price_disc,
+      (CAST(n AS DOUBLE)*pt - CAST(sp AS DOUBLE)*st)
+        / sqrt((CAST(n AS DOUBLE)*pp - CAST(sp AS DOUBLE)*sp)
+             * (CAST(n AS DOUBLE)*tt - CAST(st AS DOUBLE)*st)) AS r_price_tax,
+      (CAST(n AS DOUBLE)*dt - CAST(sd AS DOUBLE)*st)
+        / sqrt((CAST(n AS DOUBLE)*dd - CAST(sd AS DOUBLE)*sd)
+             * (CAST(n AS DOUBLE)*tt - CAST(st AS DOUBLE)*st)) AS r_disc_tax
+    FROM s
+"""
+
+
+@query("q197_correlation_matrix", _Q197)
+def q197_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise measure correlations from one sufficient-stats
+    pass (see block comment).
+
+    Scale shape: ONE map-side-combinable aggregate over the scan
+    carries all 15 integer sums; the matrix arithmetic runs on the
+    single result row. No joins, no windows, no second pass."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round("l_extendedprice").cast("long").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("t"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"), F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"), F.sum("t").alias("st"),
+        F.sum(F.expr("q*q")).alias("qq"), F.sum(F.expr("p*p")).alias("pp"),
+        F.sum(F.expr("d*d")).alias("dd"), F.sum(F.expr("t*t")).alias("tt"),
+        F.sum(F.expr("q*p")).alias("qp"), F.sum(F.expr("q*d")).alias("qd"),
+        F.sum(F.expr("q*t")).alias("qt2"), F.sum(F.expr("p*d")).alias("pd"),
+        F.sum(F.expr("p*t")).alias("pt"), F.sum(F.expr("d*t")).alias("dt"),
+    )
+
+    def r(nxy, sx, sy, sxx, syy):
+        return F.expr(
+            f"(cast(n as double)*{nxy} - cast({sx} as double)*{sy}) / "
+            f"sqrt((cast(n as double)*{sxx} - cast({sx} as double)*{sx}) * "
+            f"(cast(n as double)*{syy} - cast({sy} as double)*{sy}))"
+        )
+
+    return s.select(
+        "n",
+        r("qp", "sq", "sp", "qq", "pp").alias("r_qty_price"),
+        r("qd", "sq", "sd", "qq", "dd").alias("r_qty_disc"),
+        r("qt2", "sq", "st", "qq", "tt").alias("r_qty_tax"),
+        r("pd", "sp", "sd", "pp", "dd").alias("r_price_disc"),
+        r("pt", "sp", "st", "pp", "tt").alias("r_price_tax"),
+        r("dt", "sd", "st", "dd", "tt").alias("r_disc_tax"),
+    )

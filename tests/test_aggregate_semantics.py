@@ -656,3 +656,29 @@ def test_q196_gini_known_distributions(spark, tmp_path):
         for r in q196_revenue_gini(spark, str(tmp_path)).collect()
     }
     assert got == {"E": (2, 100, 0), "U": (2, 100, 500)}
+
+
+def test_q197_known_correlations(spark, tmp_path):
+    """q and p are perfectly collinear (r=1), d anti-collinear with q
+    (r=-1), t constructed orthogonal to q, p and d (r=0 exactly in the
+    integer sufficient stats)."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q197_correlation_matrix,
+    )
+
+    rows = [
+        (1.0, 10.0, 0.03, 0.00),
+        (2.0, 20.0, 0.02, 0.01),
+        (3.0, 30.0, 0.01, 0.00),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    r = q197_correlation_matrix(spark, str(tmp_path)).collect()[0]
+    assert r.n == 3
+    assert r.r_qty_price == 1.0 and r.r_qty_disc == -1.0
+    assert r.r_price_disc == -1.0
+    assert r.r_qty_tax == 0.0 and r.r_price_tax == 0.0 and r.r_disc_tax == 0.0
