@@ -2567,3 +2567,62 @@ def t84_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vmr_milli"),
         )
     )
+
+
+# --- t85: cross-language label-noise audit -------------------------------
+#
+# The label-noise screen a corpus with per-doc language tags needs:
+# byte-identical text (d43's normalization) appearing under MORE THAN
+# ONE language label is definitionally mislabeled somewhere. Groups
+# are keyed by the normalized-text digest; conflicted groups report
+# their label span as the deterministic (min_lang, max_lang, n_langs)
+# triple — exact counts, no similarity heuristics, so every flagged
+# row is a hard contradiction, not a suspicion.
+
+_T85 = """
+    WITH g AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             lang, doc_id
+      FROM documents),
+    grp AS (
+      SELECT h,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             MIN(lang) AS lang_lo, MAX(lang) AS lang_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY h)
+    SELECT lang_lo, lang_hi, n_langs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM grp WHERE n_langs > 1
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("t85_crosslang_label_noise", _T85)
+def t85_crosslang_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical normalized text under conflicting language labels
+    (see block comment). Empty result = clean labels.
+
+    Scale shape: one 16-byte-digest combinable aggregate (the d43
+    shuffle) carrying a distinct-lang count, then a tiny rollup over
+    conflicted groups only. Text never rides an exchange."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grp = (
+        d.select(F.md5(norm).alias("h"), "lang")
+        .groupBy("h")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("lang").alias("lang_lo"),
+            F.max("lang").alias("lang_hi"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return (
+        grp.where(F.col("n_langs") > 1)
+        .groupBy("lang_lo", "lang_hi", "n_langs")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+    )

@@ -671,3 +671,30 @@ def test_t84_burstiness_poisson_vs_clumped(spark, tmp_path):
         "flat": (10, 10, 0),
         "burst": (1, 10, 9000),
     }
+
+
+def test_t85_label_conflicts(spark, tmp_path):
+    """Identical normalized text under en+fr (two copies each) flags
+    one group spanning (en, fr); a 3-lang group reports n_langs=3 and
+    its (min, max) span; clean same-lang duplicates never flag."""
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t85_crosslang_label_noise,
+    )
+
+    docs = [
+        (0, "Shared  Text", "en"), (1, "shared text", "fr"),
+        (2, "tri text", "de"), (3, "TRI   text", "en"), (4, "tri text", "fr"),
+        (5, "clean dup", "en"), (6, "clean dup", "en"),
+        (7, "unique", "fr"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.lang_lo, r.lang_hi, r.n_langs): (r.n_groups, r.n_docs)
+        for r in t85_crosslang_label_noise(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("en", "fr", 2): (1, 2),
+        ("de", "fr", 3): (1, 3),
+    }
