@@ -1922,3 +1922,58 @@ def s65_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vs_uniform_ppm"
         ),
     )
+
+
+# --- s66: quantizer centroid-separation matrix ---------------------------
+#
+# s65's companion diagnostic: pairwise cosine between the 16 IVF
+# centroids. Near-parallel centroids split one true cluster across
+# cells (queries then need higher nprobe to reach full recall — the
+# s62 curve degrades), so "max pairwise cosine" is the retrain
+# trigger alongside s65's imbalance. K²/2 = 120 pairs total — a
+# bounded broadcast product, never data-sized. Cosines are rounded to
+# 6 dp in the OUTPUT only (the s50 display rule; comparisons all
+# happen on the driver of the retrain decision, not in-query).
+
+_S66 = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings
+      WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    cent AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS c_id,
+             embedding, nrm
+      FROM n)
+    SELECT a.c_id AS c_a, b.c_id AS c_b,
+           ROUND({fold_dot_sql("a.embedding", "b.embedding")}
+                 / (a.nrm * b.nrm), 6) AS cosine_r
+    FROM cent a JOIN cent b ON b.c_id > a.c_id
+"""
+
+
+@query("s66_centroid_separation", _S66)
+def s66_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 120 pairwise centroid cosines of s50's quantizer (see
+    block comment).
+
+    Scale shape: the centroid filter pushes to the scan; the pair
+    join is the K-row table against itself — bounded by the quantizer
+    size like s50's assignment product, independent of corpus size."""
+    em = t(spark, sf_dir, "embeddings")
+    cent = em.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
+        "embedding",
+        F.sqrt(fold_dot("embedding", "embedding")).alias("nrm"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    cos = fold_dot("a.embedding", "b.embedding") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return a.join(b, F.col("b.c_id") > F.col("a.c_id")).select(
+        F.col("a.c_id").alias("c_a"),
+        F.col("b.c_id").alias("c_b"),
+        F.round(cos, 6).alias("cosine_r"),
+    )

@@ -373,3 +373,19 @@ def test_s65_cell_balance_invariants(spark):
     assert 1_000_000 - _IVF_K < share_sum <= 1_000_000
     for r in rows:
         assert r.vs_uniform_ppm == r.n_members * _IVF_K * 1_000_000 // n_total
+
+
+def test_s66_pair_count_and_symmetric_range(spark):
+    """Exactly K*(K-1)/2 = 120 ordered pairs, every cosine within
+    [-1, 1] (after the 6dp display rounding), and each pair appears
+    once with c_a < c_b."""
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        _IVF_K,
+        s66_centroid_separation,
+    )
+
+    rows = s66_centroid_separation(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == _IVF_K * (_IVF_K - 1) // 2
+    assert all(r.c_a < r.c_b for r in rows)
+    assert all(-1.000001 <= r.cosine_r <= 1.000001 for r in rows)
+    assert len({(r.c_a, r.c_b) for r in rows}) == len(rows)
