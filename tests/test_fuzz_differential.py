@@ -1371,3 +1371,123 @@ def test_fuzz_hamilton_allocation_properties(seed, spark, tmp_path):
         )
         assert abs(r.alloc - exact) < 1, (seed, r, exact)
     assert all(v == 1000 for v in per_lang.values()), (seed, per_lang)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_interval_sweep_vs_python(seed, spark, tmp_path):
+    """q180's segmented-prefix sweep vs a sequential pure-Python sweep
+    on random half-open intervals (random multi-line orders, zero-
+    length intervals included): per-bucket peak and earliest attaining
+    instant must match exactly."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q180_max_concurrency,
+    )
+
+    rng = random.Random(4200 + seed)
+    DAY = 86_400_000_000
+    base = dt.datetime(1970, 1, 1)
+    orders, lines, iv = [], [], {}
+    for k in range(1, rng.randint(15, 40)):
+        s_day = rng.randint(0, 70)
+        orders.append((k, base + dt.timedelta(days=s_day)))
+        ships = [s_day + rng.randint(0, 25) for _ in range(rng.randint(1, 4))]
+        for sd in ships:
+            lines.append((k, base + dt.timedelta(days=sd)))
+        iv[k] = (s_day * DAY, max(ships) * DAY)
+
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate timestamp"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    # sequential reference: sort (+1 at s, -1 at e) by (ts, delta, okey)
+    evs = []
+    for k, (s, e) in iv.items():
+        if e > s:
+            evs.append((s, 1, k))
+            evs.append((e, -1, k))
+    evs.sort()
+    want = {}
+    conc = 0
+    for ts, delta, _k in evs:
+        conc += delta
+        mb = ts // DAY // 30
+        best = want.get(mb)
+        if best is None or conc > best[0]:
+            want[mb] = (conc, ts)
+    got = {
+        r.month_bucket: (r.max_open, r.at_ts_us)
+        for r in q180_max_concurrency(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_rake_vs_python(seed, spark, tmp_path):
+    """t81's windowed segmentation + floored ppm scoring vs a
+    sequential pure-Python RAKE on random token streams (stopwords
+    interleaved, repeated words, over-long phrases)."""
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        _T81_MAX_LEN,
+        t81_rake_keyphrases,
+    )
+
+    rng = random.Random(6100 + seed)
+    stops = ["the", "a", "is", "of", "and", "to", "in"]
+    words = ["w%d" % i for i in range(12)]
+    docs = []
+    for doc_id in range(rng.randint(4, 9)):
+        n = rng.randint(3, 40)
+        toks = [
+            rng.choice(stops) if rng.random() < 0.3 else rng.choice(words)
+            for _ in range(n)
+        ]
+        docs.append((doc_id, " ".join(toks)))
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    want = {}
+    for doc_id, text in docs:
+        toks = text.lower().split(" ")
+        phrases, cur, pnum_of = [], [], []
+        pnum = 0
+        for tk in toks:
+            if tk in stops:
+                pnum += 1
+                if cur:
+                    phrases.append((pnum_of[-1], cur))
+                cur = []
+            else:
+                if not cur:
+                    pnum_of.append(pnum)
+                cur.append(tk)
+        if cur:
+            phrases.append((pnum_of[-1], cur))
+        kept = [(pn, ph) for pn, ph in phrases if 1 <= len(ph) <= _T81_MAX_LEN]
+        if not kept:
+            continue
+        freq, deg = {}, {}
+        for _pn, ph in kept:
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ph)
+        score = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+        cands = [
+            (sum(score[w] for w in ph), " ".join(ph), pn, len(ph))
+            for pn, ph in kept
+        ]
+        # winner: score DESC, phrase ASC, pnum ASC
+        cands.sort(key=lambda c: (-c[0], c[1], c[2]))
+        s, ph, _pn, ln = cands[0]
+        want[doc_id] = (ph, ln, s)
+
+    got = {
+        r.doc_id: (r.phrase, r.len, r.score_fp)
+        for r in t81_rake_keyphrases(spark, str(tmp_path)).collect()
+    }
+    assert got == want
