@@ -1335,3 +1335,103 @@ def q181_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(ratio_ppm) div count(1)").alias("seasonal_ppm"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+# --- q198: seasonality-adjusted daily anomalies ---------------------------
+#
+# q181's indices put to work: a day is anomalous when its ratio to the
+# centered 7-day trend deviates from ITS WEEKDAY'S seasonal norm —
+# flagging "low for a Monday" even when Mondays are always low. The
+# whole chain stays integer: ratio_ppm = cents·7e6 // trend_sum
+# (q181's ratio), seasonal_ppm = the weekday's floored mean ratio, and
+# the deviation score anomaly_ppm = ratio·1e6 // seasonal; days with
+# |anomaly − 1e6| > 100000 (±10% of the weekday norm — tight enough
+# to be non-vacuous on the smooth synthetic corpus) surface. The
+# ratio relation feeds both the index aggregate and the final join —
+# persisted so the daily collapse runs once.
+
+_Q198_DEV = 100_000
+
+_Q198 = f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    trend AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS trend_sum,
+             COUNT(*) OVER w AS n_win
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ratios AS (
+      SELECT event_type, day, (day + 3) % 7 AS weekday, cents,
+             cents * 7000000 // trend_sum AS ratio_ppm
+      FROM trend WHERE n_win = 7 AND trend_sum > 0),
+    idx AS (
+      SELECT event_type, weekday,
+             CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS seasonal_ppm
+      FROM ratios GROUP BY 1, 2)
+    SELECT r.event_type, CAST(r.day AS BIGINT) AS day, r.cents,
+           CAST(r.ratio_ppm AS BIGINT) AS ratio_ppm, i.seasonal_ppm,
+           CAST(r.ratio_ppm * 1000000 // i.seasonal_ppm AS BIGINT)
+             AS anomaly_ppm
+    FROM ratios r JOIN idx i
+      ON i.event_type = r.event_type AND i.weekday = r.weekday
+    WHERE i.seasonal_ppm > 0
+      AND abs(r.ratio_ppm * 1000000 // i.seasonal_ppm - 1000000)
+            > {_Q198_DEV}
+"""
+
+
+@query("q198_seasonal_anomalies", _Q198)
+def q198_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days deviating more than ±10% from their weekday's seasonal
+    ratio norm (see block comment; q181's exact integer chain).
+
+    Scale shape: the event volume collapses once to (type, day); the
+    trend window partitions by type; the index is 7 rows per type and
+    joins back BROADCAST onto the day-grain ratio relation (persisted
+    — it feeds both the index and the final join). Nothing event-grain
+    past the first aggregate."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("trend_sum"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    ratios = trend.filter(
+        (F.col("n_win") == 7) & (F.col("trend_sum") > 0)
+    ).select(
+        "event_type",
+        "day",
+        ((F.col("day") + 3) % 7).alias("weekday"),
+        "cents",
+        F.expr("cents * 7000000 div trend_sum").alias("ratio_ppm"),
+    ).persist()
+    idx = ratios.groupBy("event_type", "weekday").agg(
+        F.expr("sum(ratio_ppm) div count(1)").alias("seasonal_ppm")
+    )
+    joined = ratios.join(F.broadcast(idx), ["event_type", "weekday"]).filter(
+        F.col("seasonal_ppm") > 0
+    )
+    anomaly = F.expr("ratio_ppm * 1000000 div seasonal_ppm")
+    return joined.filter(
+        F.abs(anomaly - 1000000) > _Q198_DEV
+    ).select(
+        "event_type",
+        "day",
+        "cents",
+        "ratio_ppm",
+        "seasonal_ppm",
+        anomaly.alias("anomaly_ppm"),
+    )

@@ -682,3 +682,47 @@ def test_q197_known_correlations(spark, tmp_path):
     assert r.r_qty_price == 1.0 and r.r_qty_disc == -1.0
     assert r.r_price_disc == -1.0
     assert r.r_qty_tax == 0.0 and r.r_price_tax == 0.0 and r.r_disc_tax == 0.0
+
+
+def test_q198_flags_weekday_adjusted_outlier(spark, tmp_path):
+    """A 21-day series of 7.00 with Mondays at 3.50 and ONE Monday
+    spiked 8x (28.00): the spike day must be flagged with the highest
+    anomaly score. (The spike also contaminates its own weekday norm
+    and neighbors' trend windows, so OTHER Mondays may legitimately
+    flag low — the assertion pins the spike, not exclusivity.) A
+    spike-free control run flags nothing: steady weekday seasonality
+    alone is never anomalous."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q198_seasonal_anomalies,
+    )
+
+    base = dt.datetime(1970, 1, 1)  # Thursday, day 0
+    spike_day = 11  # a Monday with a FULL centered window (3..17)
+
+    def build(with_spike):
+        rows = []
+        for d in range(21):
+            is_monday = (d + 3) % 7 == 0
+            v = 3.5 if is_monday else 7.0
+            if with_spike and d == spike_day:
+                v = 28.0
+            rows.append((base + dt.timedelta(days=d), "T", v))
+        return rows
+
+    clean_dir = str(tmp_path / "clean")
+    spark.createDataFrame(
+        build(False), "ts timestamp, event_type string, value double"
+    ).write.parquet(clean_dir + "/events.parquet")
+    assert q198_seasonal_anomalies(spark, clean_dir).count() == 0
+
+    spike_dir = str(tmp_path / "spike")
+    spark.createDataFrame(
+        build(True), "ts timestamp, event_type string, value double"
+    ).write.parquet(spike_dir + "/events.parquet")
+    got = q198_seasonal_anomalies(spark, spike_dir).collect()
+    by_day = {r.day: r.anomaly_ppm for r in got}
+    assert spike_day in by_day
+    assert by_day[spike_day] == max(by_day.values())
+    assert by_day[spike_day] > 1_500_000
