@@ -2022,3 +2022,126 @@ def q191_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(case when not legal then n else 0 end) * 1000000 div sum(n)"
         ).alias("illegal_ppm"),
     )
+
+
+# --- q199: attribution model bake-off ------------------------------------
+#
+# q107 answers last-touch; the bake-off table marketing actually
+# debates needs the SAME conversions credited under THREE models at
+# once: first-touch, last-touch, and linear (equal split across all
+# touches in the window). Each purchase joins its user's click/view
+# touches in the strictly-preceding 3-day window; per purchase the
+# first/last touch are arg_min/arg_max on the globally-unique ts (the
+# q67 invariant), and linear credit is cnt·1e6 // n_touches per touch
+# type (floored per type, so a purchase's credits can undershoot 1e6
+# by < #types ppm — deterministic on both engines). Purchases with no
+# windowed touch are organic and appear in no model.
+
+_Q199_WINDOW_US = 3 * 86400000000
+
+_Q199 = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+      FROM events),
+    tp AS (
+      SELECT p.event_id AS purchase_id, t.event_type AS t_type,
+             t.ts_us AS t_ts
+      FROM ev p JOIN ev t
+        ON t.user_id = p.user_id
+       AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - {_Q199_WINDOW_US}
+      WHERE p.event_type = 'purchase'
+        AND t.event_type IN ('click', 'view')),
+    per_p AS (
+      SELECT purchase_id,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             arg_min(t_type, t_ts) AS first_type,
+             arg_max(t_type, t_ts) AS last_type
+      FROM tp GROUP BY 1),
+    per_pt AS (
+      SELECT purchase_id, t_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tp GROUP BY 1, 2),
+    linear AS (
+      SELECT pt.t_type,
+             CAST(SUM(pt.cnt * 1000000 // pp.n_touches) AS BIGINT)
+               AS linear_fp,
+             CAST(SUM(pt.cnt) AS BIGINT) AS n_touches
+      FROM per_pt pt JOIN per_p pp ON pp.purchase_id = pt.purchase_id
+      GROUP BY 1),
+    firsts AS (
+      SELECT first_type AS t_type, CAST(COUNT(*) AS BIGINT) AS n_first
+      FROM per_p GROUP BY 1),
+    lasts AS (
+      SELECT last_type AS t_type, CAST(COUNT(*) AS BIGINT) AS n_last
+      FROM per_p GROUP BY 1)
+    SELECT l.t_type AS touch_type, l.n_touches,
+           COALESCE(f.n_first, 0) AS n_first_touch,
+           COALESCE(la.n_last, 0) AS n_last_touch,
+           l.linear_fp AS linear_credit_fp
+    FROM linear l
+    LEFT JOIN firsts f ON f.t_type = l.t_type
+    LEFT JOIN lasts la ON la.t_type = l.t_type
+"""
+
+
+@query("q199_attribution_bakeoff", _Q199)
+def q199_attribution_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First / last / linear attribution credits per touch type over
+    the same conversions (see block comment).
+
+    Scale shape: ONE user-keyed self equi-join with the window
+    predicate inside the join's codegen (per-user fan-out bounded by a
+    user's 3-day activity); everything after runs at purchase / 
+    (purchase, type) grain with combinable aggregates and tiny
+    type-keyed joins."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    tch = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts_us").alias("t_ts"),
+    )
+    tp = p.join(
+        tch,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - _Q199_WINDOW_US),
+    ).select("purchase_id", "t_type", "t_ts").persist()
+    per_p = tp.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min_by("t_type", "t_ts").alias("first_type"),
+        F.max_by("t_type", "t_ts").alias("last_type"),
+    )
+    per_pt = tp.groupBy("purchase_id", "t_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    linear = (
+        per_pt.join(per_p.select("purchase_id", "n_touches"), "purchase_id")
+        .groupBy("t_type")
+        .agg(
+            F.sum(F.expr("cnt * 1000000 div n_touches")).alias("linear_fp"),
+            F.sum("cnt").alias("n_touches"),
+        )
+    )
+    firsts = per_p.groupBy(F.col("first_type").alias("ft")).agg(
+        F.count(F.lit(1)).alias("n_first")
+    )
+    lasts = per_p.groupBy(F.col("last_type").alias("lt")).agg(
+        F.count(F.lit(1)).alias("n_last")
+    )
+    return (
+        linear.join(F.broadcast(firsts), F.col("ft") == F.col("t_type"), "left")
+        .join(F.broadcast(lasts), F.col("lt") == F.col("t_type"), "left")
+        .select(
+            F.col("t_type").alias("touch_type"),
+            "n_touches",
+            F.coalesce("n_first", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last", F.lit(0)).alias("n_last_touch"),
+            F.col("linear_fp").alias("linear_credit_fp"),
+        )
+    )

@@ -726,3 +726,38 @@ def test_q198_flags_weekday_adjusted_outlier(spark, tmp_path):
     assert spike_day in by_day
     assert by_day[spike_day] == max(by_day.values())
     assert by_day[spike_day] > 1_500_000
+
+
+def test_q199_three_models_disagree(spark, tmp_path):
+    """One purchase after view->click->click: first credits view,
+    last credits click, linear splits 333333/666666; a second organic
+    purchase (no touch in 3 days) appears in no model."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q199_attribution_bakeoff,
+    )
+
+    t0 = dt.datetime(1995, 1, 10)
+    h = lambda x: t0 + dt.timedelta(hours=x)
+    rows = [
+        (1, 1, "view", h(0)),
+        (2, 1, "click", h(1)),
+        (3, 1, "click", h(2)),
+        (4, 1, "purchase", h(3)),
+        (5, 2, "purchase", h(3)),            # organic
+        (6, 2, "click", h(3 - 100 * 24)),    # far outside window
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.touch_type: (r.n_touches, r.n_first_touch, r.n_last_touch,
+                       r.linear_credit_fp)
+        for r in q199_attribution_bakeoff(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (1, 1, 0, 333333),
+        "click": (2, 0, 1, 666666),
+    }
