@@ -121,10 +121,17 @@ _MODULES = [
 # q186_relational_division, q187_percent_of_parent,
 # q188_duplicate_payments, q189_grid_hotspots,
 # t82_token_dropout_augment, t83_heldout_lm_surprisal,
-# s65_ivf_cell_balance —
+# s65_ivf_cell_balance, q190_bounce_rate, q191_conformance_audit,
+# q192_topk_drift, q193_accumulating_snapshot, q194_tier_migration,
+# q195_abc_xyz_matrix, q196_revenue_gini, q197_correlation_matrix,
+# q198_seasonal_anomalies, q199_attribution_bakeoff, t84_term_burstiness,
+# t85_crosslang_label_noise, d59_dedup_savings,
+# m62_payload_dedup_savings, s66_centroid_separation —
 # have no driver row yet and must LEAD the r7 window (more than 50:
 # split across r7/r8 preserving category coverage); all are
-# parity-green at sf0.001/0.01/0.1 in the local suite.
+# parity-green at sf0.001/0.01/0.1 in the local suite, and the whole
+# registry state as of q199 passed a 268-oracle sf0.1 deep sweep with
+# zero mismatches (2341s, tools_paritysweep).
 _PRIORITY = [
     # --- never driver-scored (locally parity-green at 3 SFs since r5)
     "q111_zorder_layout_audit",
