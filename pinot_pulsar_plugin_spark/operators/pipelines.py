@@ -1482,3 +1482,144 @@ def q182_cheapest_path_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cost").alias("max_cost"),
         F.sum("cost").alias("total_cost"),
     )
+
+
+# --- q200: curation funnel attrition report -------------------------------
+#
+# The stage-by-stage attrition table every data-curation run publishes:
+# how many documents and tokens survive (0) ingest, (1) the t56
+# rule-based quality filter, and (2) exact dedup keeping d43's
+# min-doc_id representative — computed over the SAME corpus in one
+# operator so the stages reconcile exactly (dedup runs WITHIN the
+# quality survivors, as a real pipeline orders it). Reuses t56's
+# predicate and d43's normalization byte-for-byte, so this funnel IS
+# the composition of those audited operators, not a reimplementation.
+
+_Q200 = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents),
+    b AS (
+      SELECT doc_id, tk, h, {{bigram}} AS big FROM toks),
+    sig AS (
+      SELECT doc_id, h,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS diversity,
+             CASE WHEN len(big) > 0
+                  THEN 1.0 - CAST(len(list_distinct(big)) AS DOUBLE) / len(big)
+                  ELSE 0.0 END AS dupb
+      FROM b),
+    keepq AS (
+      SELECT doc_id, h, n_tokens FROM sig
+      WHERE n_tokens >= {{min_tokens}} AND diversity >= {{min_div}}
+        AND dupb <= {{max_dupb}}),
+    keepd AS (
+      SELECT k.doc_id, k.n_tokens
+      FROM keepq k
+      JOIN (SELECT h, MIN(doc_id) AS keeper FROM keepq GROUP BY h) g
+        ON g.h = k.h AND g.keeper = k.doc_id)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM sig
+      UNION ALL
+      SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT) FROM keepq
+      UNION ALL
+      SELECT 2, 'dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT) FROM keepd)
+"""
+
+
+def _q200_sql() -> str:
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        _BIGRAM_SQL,
+        _MAX_DUP_BIGRAM,
+        _MIN_DIVERSITY,
+        _MIN_TOKENS,
+    )
+
+    return _Q200.format(
+        bigram=_BIGRAM_SQL,
+        min_tokens=_MIN_TOKENS,
+        min_div=_MIN_DIVERSITY,
+        max_dupb=_MAX_DUP_BIGRAM,
+    )
+
+
+@query("q200_curation_funnel", _q200_sql())
+def q200_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc/token attrition through ingest → quality → exact dedup
+    (see block comment; t56 predicate and d43 normalization reused
+    verbatim).
+
+    Scale shape: signals are all in-row array expressions over one
+    scan; the quality filter is a predicate; dedup is d43's 16-byte
+    digest aggregate within survivors plus one keeper equi-join. The
+    three stage rows are unioned scalar aggregates of PERSISTED
+    intermediates, so the corpus is scanned once."""
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        _MAX_DUP_BIGRAM,
+        _MIN_DIVERSITY,
+        _MIN_TOKENS,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    tk = F.split(F.lower("text"), " ")
+    big = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', tk[i-1], tk[i])) ELSE array() END"
+    )
+    sig = (
+        d.select("doc_id", F.md5(norm).alias("h"), tk.alias("tk"))
+        .withColumn("big", big)
+        .select(
+            "doc_id",
+            "h",
+            F.size("tk").cast("long").alias("n_tokens"),
+            (
+                F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
+            ).alias("diversity"),
+            F.when(
+                F.size("big") > 0,
+                1.0
+                - F.size(F.array_distinct("big")).cast("double")
+                / F.size("big"),
+            )
+            .otherwise(0.0)
+            .alias("dupb"),
+        )
+        .persist()
+    )
+    keepq = sig.filter(
+        (F.col("n_tokens") >= _MIN_TOKENS)
+        & (F.col("diversity") >= _MIN_DIVERSITY)
+        & (F.col("dupb") <= _MAX_DUP_BIGRAM)
+    ).persist()
+    keepers = (
+        keepq.groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+        .withColumnRenamed("h", "kh")
+    )
+    keepd = keepq.join(
+        keepers,
+        (F.col("kh") == F.col("h")) & (F.col("keeper") == F.col("doc_id")),
+    ).select("doc_id", "n_tokens")
+
+    def stage(df, sid, name):
+        return df.agg(
+            F.lit(sid).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+
+    return (
+        stage(sig, 0, "raw")
+        .unionByName(stage(keepq, 1, "quality"))
+        .unionByName(stage(keepd, 2, "dedup"))
+    )

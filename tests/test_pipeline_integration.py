@@ -368,3 +368,34 @@ def test_q105_pagerank_matches_integer_reference(spark):
 
     got = {r.node: r.rank_micro for r in q105_pagerank_transactions(spark, sf).collect()}
     assert got == rank
+
+
+def test_q200_funnel_reconciles(spark, tmp_path):
+    """Constructed corpus: 3 good unique docs, 1 exact duplicate of a
+    good doc (dies at dedup), 1 too-short doc (dies at quality), 1
+    repetitive doc (dies at quality). Stage rows reconcile: raw 6 ->
+    quality 4 -> dedup 3, tokens tracking each survivor set."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import (
+        q200_curation_funnel,
+    )
+
+    good1 = " ".join(f"w{i}" for i in range(25))            # 25 tokens
+    good2 = " ".join(f"x{i}" for i in range(30))            # 30
+    good3 = " ".join(f"y{i}" for i in range(20))            # 20
+    docs = [
+        (0, good1), (1, good2), (2, good3),
+        (3, good1.upper()),            # normalized duplicate of 0
+        (4, "too short"),              # fails length
+        (5, "r r " * 15),              # 30 tokens, 1 distinct: fails
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.stage_id: (r.stage, r.n_docs, r.n_tokens)
+        for r in q200_curation_funnel(spark, str(tmp_path)).collect()
+    }
+    raw_tokens = 25 + 30 + 20 + 25 + 2 + 31  # trailing split token on doc 5
+    assert got[0] == ("raw", 6, raw_tokens)
+    assert got[1] == ("quality", 4, 25 + 30 + 20 + 25)
+    assert got[2] == ("dedup", 3, 25 + 30 + 20)
