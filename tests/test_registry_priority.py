@@ -107,6 +107,9 @@ def test_round_of_quotient_is_ratcheted():
         # (pair, term) BEFORE the integer sum; final /n_a is pure double
         "t83_heldout_lm_surprisal": "presum",  # ROUND(ln*1e6) per bigram
         # (t63's rule) BEFORE the per-doc integer sum and floor-div mean
+        "s66_centroid_separation": "presum",  # ROUND(cosine, 6) display
+        # rounding on a pure IEEE fold/sqrt/divide chain (the s50/s57
+        # safe class: no decimal-literal multiply anywhere)
     }
     flagged = set()
     for name, sql in all_oracle_sql().items():
