@@ -553,3 +553,66 @@ def q183_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(lag_bd) * 1000 div count(1)").alias("avg_lag_milli"),
         F.max("lag_bd").alias("max_lag_bd"),
     )
+
+
+# --- q202: accounts-receivable aging buckets -------------------------------
+#
+# The AR aging report finance closes every period with: open orders
+# ('O' status) bucketed by age at the reporting date (the corpus's
+# max order date — a broadcast scalar, so the report needs no
+# parameter), with counts and exact open cents per (priority, bucket).
+# Ages are integer epoch-day differences; buckets are the standard
+# 0-30 / 31-60 / 61-90 / 90+.
+
+_Q202 = """
+    WITH base AS (
+      SELECT o_orderpriority,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'O'),
+    ref AS (SELECT MAX(epoch_us(o_orderdate)) // 86400000000 AS today
+            FROM orders)
+    SELECT o_orderpriority,
+           CASE WHEN ref.today - base.day <= 30 THEN '0-30'
+                WHEN ref.today - base.day <= 60 THEN '31-60'
+                WHEN ref.today - base.day <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_cents
+    FROM base CROSS JOIN ref
+    GROUP BY 1, 2
+"""
+
+
+@query("q202_ar_aging", _Q202)
+def q202_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging buckets at the corpus max date (see block
+    comment).
+
+    Scale shape: the status filter pushes to the scan, the reporting
+    date is a one-row broadcast, and the report is one combinable
+    aggregate over scan-time CASE arithmetic — a single pass."""
+    o = t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ref = o.agg(
+        F.expr("max(unix_micros(o_orderdate)) div 86400000000").alias("today")
+    )
+    age = F.col("today") - F.col("day")
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        base.crossJoin(F.broadcast(ref))
+        .groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("open_cents"),
+        )
+    )

@@ -1435,3 +1435,74 @@ def q198_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_ppm",
         anomaly.alias("anomaly_ppm"),
     )
+
+
+# --- q201: overlapping same-customer order intervals ----------------------
+#
+# The interval-OVERLAP join primitive (distinct from q28's as-of,
+# q82's point-in-bucket, and q180's sweep): pairs of the same
+# customer's orders whose open intervals [orderdate, last-ship)
+# genuinely overlap — the "parallel orders" audit that feeds both
+# fraud review and fulfillment capacity planning. Standard overlap
+# predicate s_a < e_b AND s_b < e_a on half-open µs intervals; the
+# join is BLOCKED on the customer key, so the quadratic term is
+# bounded by one customer's order count, and the overlap math is
+# exact integer µs (overlap_us = min(e)−max(s)).
+
+_Q201 = """
+    WITH iv AS (
+      SELECT o.o_custkey AS c, o.o_orderkey AS okey,
+             epoch_us(o.o_orderdate) AS s_us,
+             MAX(epoch_us(l.l_shipdate)) AS e_us
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+      HAVING MAX(epoch_us(l.l_shipdate)) > epoch_us(o.o_orderdate))
+    SELECT a.c AS custkey, a.okey AS order_a, b.okey AS order_b,
+           CAST(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS BIGINT)
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON b.c = a.c AND a.okey < b.okey
+     AND a.s_us < b.e_us AND b.s_us < a.e_us
+"""
+
+
+@query("q201_overlapping_orders", _Q201)
+def q201_overlapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-customer order pairs with overlapping open intervals and
+    their exact overlap duration (see block comment).
+
+    Scale shape: the interval build is one order-keyed combinable
+    aggregate; the pair join is an equi-join on the customer key with
+    the overlap predicate inside the join's codegen — per-key fan-out
+    is a customer's concurrent-order count, never orders²; AQE
+    skew-split covers a pathological bulk buyer."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("okey"),
+        F.expr("unix_micros(o_orderdate)").alias("s_us"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr("unix_micros(l_shipdate)").alias("ship_us")
+    )
+    iv = (
+        li.join(o, li["l_orderkey"] == o["okey"])
+        .groupBy("c", "okey", "s_us")
+        .agg(F.max("ship_us").alias("e_us"))
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return a.join(
+        b,
+        (F.col("b.c") == F.col("a.c"))
+        & (F.col("a.okey") < F.col("b.okey"))
+        & (F.col("a.s_us") < F.col("b.e_us"))
+        & (F.col("b.s_us") < F.col("a.e_us")),
+    ).select(
+        F.col("a.c").alias("custkey"),
+        F.col("a.okey").alias("order_a"),
+        F.col("b.okey").alias("order_b"),
+        (
+            F.least(F.col("a.e_us"), F.col("b.e_us"))
+            - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+        ).alias("overlap_us"),
+    )

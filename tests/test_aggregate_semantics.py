@@ -761,3 +761,62 @@ def test_q199_three_models_disagree(spark, tmp_path):
         "view": (1, 1, 0, 333333),
         "click": (2, 0, 1, 666666),
     }
+
+
+def test_q201_overlap_pairs_and_duration(spark, tmp_path):
+    """Customer 1: orders [d0,d10) and [d5,d8) overlap for 3 days;
+    [d10,d12) is back-to-back with the first (half-open: NO overlap);
+    customer 2's identical interval never pairs across customers."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q201_overlapping_orders,
+    )
+
+    DAY = 86_400_000_000
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    spark.createDataFrame(
+        [(1, 1, d(0)), (2, 1, d(5)), (3, 1, d(10)), (4, 2, d(0))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, d(10)), (2, d(8)), (3, d(12)), (4, d(10))],
+        "l_orderkey long, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = q201_overlapping_orders(spark, str(tmp_path)).collect()
+    assert [(r.custkey, r.order_a, r.order_b, r.overlap_us) for r in rows] == [
+        (1, 1, 2, 3 * DAY)
+    ]
+
+
+def test_q202_aging_buckets(spark, tmp_path):
+    """Reference date = max order date (day 100, even if that order is
+    closed): open orders at ages 10/45/100 land in 0-30 / 31-60 / 90+;
+    the 'F' order is excluded from buckets but sets the clock."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.scalars import q202_ar_aging
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    orders = [
+        (1, "A", "O", 10.0, d(90)),    # age 10
+        (2, "A", "O", 20.0, d(55)),    # age 45
+        (3, "B", "O", 30.0, d(0)),     # age 100
+        (4, "B", "F", 99.0, d(100)),   # closed: clock only
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        (r.o_orderpriority, r.age_bucket): (r.n_orders, r.open_cents)
+        for r in q202_ar_aging(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("A", "0-30"): (1, 1000),
+        ("A", "31-60"): (1, 2000),
+        ("B", "90+"): (1, 3000),
+    }
