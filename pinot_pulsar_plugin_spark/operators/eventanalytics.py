@@ -2145,3 +2145,69 @@ def q199_attribution_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("linear_fp").alias("linear_credit_fp"),
         )
     )
+
+
+# --- q203: inter-purchase interval profile by market segment --------------
+#
+# The inter-arrival analysis behind replenishment/churn models: gaps
+# between a customer's CONSECUTIVE orders (customer-partitioned lag —
+# q29's exchange), profiled per market segment: mean gap in floored
+# milli-days, max gap, and the share of gaps within a 7-day
+# replenishment window. Exact integer epoch-day math throughout;
+# single-order customers contribute no gap (documented: they belong
+# to q61-family retention, not inter-arrival).
+
+_Q203 = """
+    WITH seq AS (
+      SELECT c.c_mktsegment AS segment,
+             o.o_custkey,
+             epoch_us(o.o_orderdate) // 86400000000 AS day,
+             LAG(epoch_us(o.o_orderdate) // 86400000000) OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey) AS prev_day
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    gaps AS (
+      SELECT segment, day - prev_day AS gap
+      FROM seq WHERE prev_day IS NOT NULL)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) * 1000 // COUNT(*) AS BIGINT) AS mean_gap_milli,
+           CAST(MAX(gap) AS BIGINT) AS max_gap,
+           CAST(SUM(CASE WHEN gap <= 7 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS within_7d_ppm
+    FROM gaps GROUP BY segment
+"""
+
+
+@query("q203_interarrival_by_segment", _Q203)
+def q203_interarrival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-order gap profile per market segment (see block
+    comment).
+
+    Scale shape: one customer-keyed lag window (the standard sequence
+    exchange) after a broadcast customer-dim join; the profile is a
+    handful of segment groups, map-side combinable."""
+    from pyspark.sql.window import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.lag(F.expr("unix_micros(o_orderdate) div 86400000000")).over(w).alias(
+            "prev_day"
+        ),
+    )
+    gaps = seq.filter(F.col("prev_day").isNotNull()).select(
+        "segment", (F.col("day") - F.col("prev_day")).alias("gap")
+    )
+    return gaps.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("sum(gap) * 1000 div count(1)").alias("mean_gap_milli"),
+        F.max("gap").alias("max_gap"),
+        F.expr(
+            "sum(case when gap <= 7 then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("within_7d_ppm"),
+    )

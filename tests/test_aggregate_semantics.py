@@ -820,3 +820,34 @@ def test_q202_aging_buckets(spark, tmp_path):
         ("A", "31-60"): (1, 2000),
         ("B", "90+"): (1, 3000),
     }
+
+
+def test_q203_gap_profile(spark, tmp_path):
+    """Customer 1 (seg A) orders on days 0/3/20: gaps 3 and 17 ->
+    mean 10000 milli, one within 7d (500000 ppm); customer 2 (seg A)
+    single order contributes nothing; customer 3 (seg B) days 5/6:
+    gap 1."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q203_interarrival_by_segment,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    orders = [
+        (1, 1, d(0)), (2, 1, d(3)), (3, 1, d(20)),
+        (4, 2, d(9)),
+        (5, 3, d(5)), (6, 3, d(6)),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        r.segment: (r.n_gaps, r.mean_gap_milli, r.max_gap, r.within_7d_ppm)
+        for r in q203_interarrival_by_segment(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (2, 10000, 17, 500000), "B": (1, 1000, 1, 1000000)}
