@@ -1977,3 +1977,164 @@ def s66_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c_id").alias("c_b"),
         F.round(cos, 6).alias("cosine_r"),
     )
+
+
+# --- s67: IVF efficiency audit (work vs agreement) ------------------------
+#
+# The table that justifies shipping an ANN index at all: per query,
+# how many candidates the IVF probe actually touches (selectivity in
+# ppm of the corpus) and whether its top-1 AGREES with the exhaustive
+# top-1 — efficiency and quality in one read (s62 gives the recall
+# curve; this gives the cost axis). Assignment, probing (nprobe=2),
+# and the (cosine DESC, n_id) tie rule are byte-identical to s50, so
+# the audited index is the served index.
+
+_S67 = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS c_id,
+             embedding AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    scored AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+             {fold_dot_sql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS ccos
+      FROM n CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, embedding, nrm, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, c_id) AS rn
+      FROM scored),
+    cell AS (SELECT vec_id, embedding, nrm, c_id FROM ranked WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+      FROM ranked WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    cand AS (
+      SELECT p.q_id, m.vec_id AS n_id,
+             {fold_dot_sql("p.q_emb", "m.embedding")} / (p.q_nrm * m.nrm)
+               AS cosine
+      FROM probe p JOIN cell m ON m.c_id = p.c_id
+      WHERE m.vec_id <> p.q_id),
+    ivf_top AS (
+      SELECT q_id, n_id AS ivf_top1 FROM (
+        SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, n_id) AS rk
+        FROM cand) WHERE rk = 1),
+    counts AS (
+      SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY q_id),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM n),
+    ex AS (
+      SELECT q.vec_id AS q_id, m.vec_id AS n_id,
+             {fold_dot_sql("q.embedding", "m.embedding")} / (q.nrm * m.nrm)
+               AS cosine
+      FROM n q JOIN n m ON m.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    exact_top AS (
+      SELECT q_id, n_id AS exact_top1 FROM (
+        SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, n_id) AS rk
+        FROM ex) WHERE rk = 1)
+    SELECT c.q_id, c.n_candidates, co.n_corpus,
+           CAST(c.n_candidates * 1000000 // co.n_corpus AS BIGINT)
+             AS selectivity_ppm,
+           e.exact_top1, i.ivf_top1,
+           CAST(e.exact_top1 = i.ivf_top1 AS INTEGER) AS agree
+    FROM counts c
+    JOIN ivf_top i ON i.q_id = c.q_id
+    JOIN exact_top e ON e.q_id = c.q_id
+    CROSS JOIN corpus co
+"""
+
+
+@query("s67_ivf_efficiency", _S67)
+def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF candidates touched, selectivity ppm, and top-1
+    agreement with the exhaustive scan (see block comment).
+
+    Scale shape: the IVF side is s50's plan verbatim (broadcast-K
+    assignment, cell equi-join probing). The exhaustive side is the
+    deliberate ground-truth product — bounded by the 10-query probe
+    set like s48, documented as the verification cost, not the
+    serving path."""
+    from pyspark.sql.window import Window
+
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
+    )
+    cent = n.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(wq)).persist()
+    cell = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "nrm", "c_id"
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "c_id",
+    )
+    qcos = fold_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    cand = (
+        probe.join(cell.withColumnRenamed("vec_id", "n_id"), "c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", qcos.alias("cosine"))
+        .persist()
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    ivf_top = (
+        cand.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("n_id").alias("ivf_top1"))
+    )
+    counts = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    corpus = n.agg(F.count(F.lit(1)).alias("n_corpus"))
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ex = (
+        n.withColumnRenamed("vec_id", "n_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", qcos.alias("cosine"))
+    )
+    exact_top = (
+        ex.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("n_id").alias("exact_top1"))
+    )
+    return (
+        counts.join(ivf_top, "q_id")
+        .join(exact_top, "q_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "q_id",
+            "n_candidates",
+            "n_corpus",
+            F.expr("n_candidates * 1000000 div n_corpus").alias(
+                "selectivity_ppm"
+            ),
+            "exact_top1",
+            "ivf_top1",
+            (F.col("exact_top1") == F.col("ivf_top1"))
+            .cast("int")
+            .alias("agree"),
+        )
+    )

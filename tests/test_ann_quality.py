@@ -389,3 +389,25 @@ def test_s66_pair_count_and_symmetric_range(spark):
     assert all(r.c_a < r.c_b for r in rows)
     assert all(-1.000001 <= r.cosine_r <= 1.000001 for r in rows)
     assert len({(r.c_a, r.c_b) for r in rows}) == len(rows)
+
+
+def test_s67_selectivity_and_agreement(spark):
+    """Every query row reports candidates <= nprobe cells' total and a
+    selectivity far below 1e6 (the whole point of the index); top-1
+    ids are valid corpus ids; agreement is consistent with the ids."""
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        _N_QUERIES,
+        s67_ivf_efficiency,
+    )
+
+    rows = s67_ivf_efficiency(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == _N_QUERIES
+    for r in rows:
+        assert 0 < r.n_candidates < r.n_corpus
+        assert r.selectivity_ppm == r.n_candidates * 1_000_000 // r.n_corpus
+        assert r.selectivity_ppm < 1_000_000
+        assert (r.agree == 1) == (r.exact_top1 == r.ivf_top1)
+    # the index must be doing real work: average selectivity well
+    # under half the corpus (nprobe=2 of 16 cells)
+    avg = sum(r.selectivity_ppm for r in rows) / len(rows)
+    assert avg < 500_000
