@@ -1536,3 +1536,71 @@ def q197_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("pt", "sp", "st", "pp", "tt").alias("r_price_tax"),
         r("dt", "sd", "st", "dd", "tt").alias("r_disc_tax"),
     )
+
+
+# --- q204: new-vs-returning acquisition mix per month ---------------------
+#
+# Growth accounting's first split: each month's orders and revenue
+# divided into NEW customers (first-ever order falls in this month)
+# vs RETURNING — q184's bridge tracks dollars across adjacent months,
+# this tracks the acquisition mix the whole history implies. The
+# first-month relation is one customer-keyed MIN; membership is an
+# equi-join back on the customer key; everything is exact int64
+# cents and counts with floor ppm shares.
+
+_Q204 = """
+    WITH om AS (
+      SELECT o_custkey AS c,
+             epoch_us(o_orderdate) // 86400000000 // 30 AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    first_m AS (SELECT c, MIN(m) AS fm FROM om GROUP BY c)
+    SELECT om.m AS month_bucket,
+           CAST(SUM(CASE WHEN om.m = f.fm THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_orders,
+           CAST(SUM(CASE WHEN om.m = f.fm THEN 0 ELSE 1 END) AS BIGINT)
+             AS returning_orders,
+           CAST(SUM(CASE WHEN om.m = f.fm THEN om.cents ELSE 0 END)
+                AS BIGINT) AS new_cents,
+           CAST(SUM(CASE WHEN om.m = f.fm THEN 0 ELSE om.cents END)
+                AS BIGINT) AS returning_cents,
+           CAST(SUM(CASE WHEN om.m = f.fm THEN om.cents ELSE 0 END) * 1000000
+                // SUM(om.cents) AS BIGINT) AS new_revenue_ppm
+    FROM om JOIN first_m f ON f.c = om.c
+    GROUP BY 1
+"""
+
+
+@query("q204_acquisition_mix", _Q204)
+def q204_acquisition_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order/revenue split between first-month (new) and
+    returning customers (see block comment).
+
+    Scale shape: one fact pass to (customer, month, cents) rows, a
+    customer-keyed combinable MIN for the first month, one equi-join
+    on the customer key (both sides hash-partition there), and a
+    #months-row rollup."""
+    o = t(spark, sf_dir, "orders")
+    om = o.select(
+        F.col("o_custkey").alias("c"),
+        F.expr("unix_micros(o_orderdate) div 86400000000 div 30").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).persist()
+    first_m = om.groupBy("c").agg(F.min("m").alias("fm"))
+    is_new = F.col("m") == F.col("fm")
+    return (
+        om.join(first_m, "c")
+        .groupBy(F.col("m").alias("month_bucket"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).alias("new_orders"),
+            F.sum(F.when(is_new, 0).otherwise(1)).alias("returning_orders"),
+            F.sum(F.when(is_new, F.col("cents")).otherwise(0)).alias("new_cents"),
+            F.sum(F.when(is_new, 0).otherwise(F.col("cents"))).alias(
+                "returning_cents"
+            ),
+            F.expr(
+                "sum(case when m = fm then cents else 0 end) * 1000000 "
+                "div sum(cents)"
+            ).alias("new_revenue_ppm"),
+        )
+    )

@@ -851,3 +851,38 @@ def test_q203_gap_profile(spark, tmp_path):
         for r in q203_interarrival_by_segment(spark, str(tmp_path)).collect()
     }
     assert got == {"A": (2, 10000, 17, 500000), "B": (1, 1000, 1, 1000000)}
+
+
+def test_q204_new_vs_returning(spark, tmp_path):
+    """Customer 1 first orders in month 0 (two orders) and returns in
+    month 1; customer 2 is new in month 1. Month 0: all new. Month 1:
+    one new (200c) + one returning (100c) -> new share 666666 ppm."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q204_acquisition_mix,
+    )
+
+    m0, m1 = dt.datetime(1970, 1, 5), dt.datetime(1970, 2, 10)
+    orders = [
+        (1, 1, 0.50, m0), (2, 1, 0.50, m0),
+        (3, 1, 1.00, m1),
+        (4, 2, 2.00, m1),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.month_bucket: (
+            r.new_orders, r.returning_orders,
+            r.new_cents, r.returning_cents, r.new_revenue_ppm,
+        )
+        for r in q204_acquisition_mix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (2, 0, 100, 0, 1000000),
+        1: (1, 1, 200, 100, 666666),
+    }
