@@ -138,6 +138,15 @@ HEADLINE = [
     "q190_bounce_rate",
     "q191_conformance_audit",
     "q192_topk_drift",
+    "q193_accumulating_snapshot",
+    "q194_tier_migration",
+    "q196_revenue_gini",
+    "q197_correlation_matrix",
+    "q199_attribution_bakeoff",
+    "q200_curation_funnel",
+    "q201_overlapping_orders",
+    "t84_term_burstiness",
+    "s67_ivf_efficiency",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for

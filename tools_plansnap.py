@@ -727,6 +727,36 @@ COMMENTARY = {
         "election, top-k cut, and full-outer diff all run on the "
         "~2x#brands-row aggregate."
     ),
+    "q197_correlation_matrix": (
+        "ONE map-side-combinable aggregate carries all 15 integer "
+        "sufficient sums; the matrix arithmetic runs on the single "
+        "result row — no joins, no windows, no second pass."
+    ),
+    "q199_attribution_bakeoff": (
+        "One user-keyed self equi-join with the 3-day window predicate "
+        "inside the join's codegen; first/last/linear all derive from "
+        "the SAME persisted (purchase, touch) relation at purchase "
+        "grain — three models, one fact cost."
+    ),
+    "q200_curation_funnel": (
+        "All quality signals are in-row array expressions over one "
+        "scan; dedup is d43's 16-byte digest aggregate within the "
+        "persisted survivor set; the three stage rows are unioned "
+        "scalar aggregates — the corpus is scanned once for the whole "
+        "funnel."
+    ),
+    "q201_overlapping_orders": (
+        "Interval build is a combinable per-order MAX; the pair join "
+        "is customer-blocked with the overlap predicate in codegen — "
+        "fan-out bounded by per-customer concurrency, AQE covers bulk "
+        "buyers."
+    ),
+    "s67_ivf_efficiency": (
+        "The IVF side is s50's plan verbatim; the exhaustive side is "
+        "the deliberate probe-bounded ground-truth product (10 "
+        "queries), documented as verification cost. Output joins run "
+        "at query grain."
+    ),
 }
 
 
