@@ -1604,3 +1604,78 @@ def q204_acquisition_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_revenue_ppm"),
         )
     )
+
+
+# --- q205: cohort repeat rate within 60 days -------------------------------
+#
+# The forward-quality metric acquisition teams put next to q204's mix:
+# of the customers acquired in each month, what share placed a SECOND
+# order within 60 days of their first? First/second order days come
+# from the min / min-above-min two-phase election (the q153 pattern —
+# no window needed): one customer-keyed MIN, a customer-keyed join
+# back, and a conditional MIN over strictly-later days. Exact integer
+# day math; customers with one order count in the cohort denominator.
+
+_Q205 = """
+    WITH od AS (
+      SELECT DISTINCT o_custkey AS c,
+             epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders),
+    d1 AS (SELECT c, MIN(day) AS first_day FROM od GROUP BY c),
+    d2 AS (
+      SELECT od.c, d1.first_day,
+             MIN(CASE WHEN od.day > d1.first_day THEN od.day END)
+               AS second_day
+      FROM od JOIN d1 ON d1.c = od.c
+      GROUP BY od.c, d1.first_day)
+    SELECT CAST(first_day // 30 AS BIGINT) AS cohort_month,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN second_day IS NOT NULL
+                          AND second_day - first_day <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_60d,
+           CAST(SUM(CASE WHEN second_day IS NOT NULL
+                          AND second_day - first_day <= 60
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS repeat_ppm
+    FROM d2 GROUP BY 1
+"""
+
+
+@query("q205_cohort_repeat_rate", _Q205)
+def q205_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each acquisition cohort placing a second order within
+    60 days (see block comment).
+
+    Scale shape: a distinct to (customer, day) grain, a customer-keyed
+    combinable MIN, one customer-keyed equi-join back, and a
+    conditional MIN — both aggregates map-side combinable, no window,
+    cohort rollup is #months rows."""
+    o = t(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("c"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    ).distinct().persist()
+    d1 = od.groupBy("c").agg(F.min("day").alias("first_day"))
+    d2 = (
+        od.join(d1, "c")
+        .groupBy("c", "first_day")
+        .agg(
+            F.min(
+                F.when(F.col("day") > F.col("first_day"), F.col("day"))
+            ).alias("second_day")
+        )
+    )
+    is_repeat = F.col("second_day").isNotNull() & (
+        F.col("second_day") - F.col("first_day") <= 60
+    )
+    return d2.groupBy(
+        F.expr("first_day div 30").alias("cohort_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(is_repeat, 1).otherwise(0)).alias("n_repeat_60d"),
+        F.expr(
+            "sum(case when second_day is not null and "
+            "second_day - first_day <= 60 then 1 else 0 end) * 1000000 "
+            "div count(1)"
+        ).alias("repeat_ppm"),
+    )

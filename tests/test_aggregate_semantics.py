@@ -886,3 +886,30 @@ def test_q204_new_vs_returning(spark, tmp_path):
         0: (2, 0, 100, 0, 1000000),
         1: (1, 1, 200, 100, 666666),
     }
+
+
+def test_q205_repeat_window_boundary(spark, tmp_path):
+    """Cohort month 0: customer 1 repeats at exactly 60 days (counts),
+    customer 2 repeats at 61 (does not), customer 3 never repeats;
+    two same-day orders are one distinct day (no self-repeat)."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q205_cohort_repeat_rate,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    orders = [
+        (1, 1, d(0)), (2, 1, d(60)),
+        (3, 2, d(1)), (4, 2, d(62)),
+        (5, 3, d(2)), (6, 3, d(2)),   # same-day pair: one distinct day
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.cohort_month: (r.n_customers, r.n_repeat_60d, r.repeat_ppm)
+        for r in q205_cohort_repeat_rate(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (3, 1, 333333)}
