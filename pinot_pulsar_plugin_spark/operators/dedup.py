@@ -1545,3 +1545,130 @@ def d59_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").alias("n_docs"),
         F.sum("saved").alias("chars_saved"),
     )
+
+
+# --- d60: shingle-size sensitivity audit -----------------------------------
+#
+# The k-knob instrument next to d58's banding sweep: over the planted-
+# duplicate probe cohort, how do near-dup pair counts and similarity
+# mass move as the shingle width k goes 2 → 3 → 5? Larger k sharpens
+# specificity (fewer, higher-confidence pairs), and this audit prices
+# that trade exactly — per k: pairs with exact Jaccard ≥ 0.5, their
+# floored-ppm mean Jaccard (per-pair floor BEFORE the mean — ratchet
+# rule), and the distinct-shingle volume the index would carry. All
+# three k values ride ONE plan: k joins in as a 3-row broadcast
+# relation and the shingle slice/sequence take k as a runtime value.
+
+_D60_KS = (2, 3, 5)
+_D60_TAU = 0.5
+
+_D60 = f"""
+    WITH probe AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk
+      FROM documents WHERE text LIKE '%dup%'),
+    ks AS (SELECT * FROM (VALUES (2), (3), (5)) v(k)),
+    sh AS (
+      SELECT DISTINCT ks.k, p.doc_id,
+             array_to_string(p.tk[CAST(i AS INT):CAST(i AS INT) + ks.k - 1],
+                             ' ') AS s
+      FROM probe p CROSS JOIN ks,
+           unnest(generate_series(1, len(p.tk) - ks.k + 1)) t(i)),
+    cnt AS (SELECT k, doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sh GROUP BY 1, 2),
+    inter AS (
+      SELECT a.k, a.doc_id AS da, b.doc_id AS db,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM sh a JOIN sh b
+        ON b.k = a.k AND b.s = a.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT i.k,
+             i.nc * 1000000 // (ca.n + cb.n - i.nc) AS j_ppm
+      FROM inter i
+      JOIN cnt ca ON ca.k = i.k AND ca.doc_id = i.da
+      JOIN cnt cb ON cb.k = i.k AND cb.doc_id = i.db
+      WHERE CAST(i.nc AS DOUBLE)
+              / CAST(ca.n + cb.n - i.nc AS DOUBLE) >= {_D60_TAU}),
+    vol AS (SELECT k, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY k)
+    SELECT v.k, v.n_shingles,
+           CAST(COALESCE(COUNT(p.j_ppm), 0) AS BIGINT) AS n_pairs,
+           CASE WHEN COUNT(p.j_ppm) > 0
+                THEN CAST(SUM(p.j_ppm) // COUNT(p.j_ppm) AS BIGINT) END
+             AS mean_jaccard_ppm
+    FROM vol v LEFT JOIN pairs p ON p.k = v.k
+    GROUP BY v.k, v.n_shingles
+"""
+
+
+@query("d60_shingle_k_sensitivity", _D60)
+def d60_shingle_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts, mean Jaccard, and index volume at shingle
+    widths k = 2/3/5 over the dup-probe cohort (see block comment).
+
+    Scale shape: probe-bounded like d58; the x3 k fan-out is a
+    broadcast product on the CONFIG relation (the q86/q151 bounded-
+    explode budget); the pair join keys on (k, shingle) so widths
+    never cross-collide. On the full corpus the per-k plan is d44's."""
+    d = t(spark, sf_dir, "documents")
+    probe = d.where(F.col("text").contains("dup")).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    )
+    ks = spark.createDataFrame([(k,) for k in _D60_KS], "k int")
+    sh = (
+        probe.crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tk) >= k THEN "
+                    "array_distinct(transform(sequence(1, size(tk) - k + 1), "
+                    "i -> concat_ws(' ', slice(tk, i, k)))) "
+                    "ELSE array() END"
+                )
+            ).alias("s"),
+        )
+        .persist()
+    )
+    cnt = sh.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.k") == F.col("a.k"))
+            & (F.col("b.s") == F.col("a.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.k").alias("k"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    ca = cnt.select(F.col("k").alias("ka"), F.col("doc_id").alias("da"),
+                    F.col("n").alias("na"))
+    cb = cnt.select(F.col("k").alias("kb"), F.col("doc_id").alias("db"),
+                    F.col("n").alias("nb"))
+    pairs = (
+        inter.join(F.broadcast(ca), (F.col("ka") == F.col("k")) & (ca["da"] == inter["da"]))
+        .join(F.broadcast(cb), (F.col("kb") == F.col("k")) & (cb["db"] == inter["db"]))
+        .where(
+            F.col("nc").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("nc")).cast("double")
+            >= _D60_TAU
+        )
+        .select("k", F.expr("nc * 1000000 div (na + nb - nc)").alias("j_ppm"))
+    )
+    vol = sh.groupBy("k").agg(F.countDistinct("s").alias("n_shingles"))
+    agg = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(j_ppm) div count(1)").alias("mean_jaccard_ppm"),
+    )
+    return vol.join(agg, "k", "left").select(
+        "k",
+        "n_shingles",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "mean_jaccard_ppm",
+    )

@@ -512,3 +512,32 @@ def test_d59_savings_histogram(spark, tmp_path):
         2: (1, 2, 21),
         1: (1, 1, 0),
     }
+
+
+def test_d60_k_sensitivity_monotonics(spark, tmp_path):
+    """An exact duplicate pair stays J=1 at every k; a half-
+    overlapping pair decays below tau as k grows (specificity).
+    Shingle volume grows... stays positive and the exact pair is
+    counted at every k."""
+    from pinot_pulsar_plugin_spark.operators.dedup import (
+        d60_shingle_k_sensitivity,
+    )
+
+    base = "dup a b c d e f g h i j"
+    half = "dup a b c d e q r s t u"     # shares a 5-token prefix
+    docs = [(0, base), (1, base), (2, half)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.k: (r.n_shingles, r.n_pairs, r.mean_jaccard_ppm)
+        for r in d60_shingle_k_sensitivity(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {2, 3, 5}
+    for k, (n_sh, n_pairs, mean_j) in got.items():
+        assert n_sh > 0 and n_pairs >= 1      # the exact pair always hits
+    # the exact duplicate keeps the mean high; at k=5 only the exact
+    # pair survives tau, so mean = 1e6 exactly
+    assert got[5][1] == 1 and got[5][2] == 1_000_000
+    # wider shingles are more specific: pair count never increases
+    assert got[2][1] >= got[3][1] >= got[5][1]
