@@ -1679,3 +1679,99 @@ def q205_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(1)"
         ).alias("repeat_ppm"),
     )
+
+
+# --- q206: price/volume revenue bridge per brand ---------------------------
+#
+# FP&A's revenue variance decomposition: each brand's revenue change
+# between the corpus halves splits into a VOLUME effect (quantity
+# change priced at the base period's average realized price) and a
+# PRICE/MIX effect. Exact reconciliation is forced by construction:
+# volume_effect = (q1 − q0)·rev0 // q0 (integer floor at base price),
+# price_mix_effect = Δrev − volume_effect — the two effects sum to the
+# exact cents delta no matter the flooring. Brands present in only
+# one half emit NULL effects (pure entry/exit, all Δ is mix).
+
+_Q206 = """
+    WITH mb AS (
+      SELECT p.p_brand AS brand,
+             epoch_us(l.l_shipdate) // 86400000000 AS day,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    bounds AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM mb),
+    halves AS (
+      SELECT CASE WHEN mb.day < b.mid THEN 1 ELSE 2 END AS half, mb.brand,
+             CAST(SUM(mb.q) AS BIGINT) AS qty,
+             CAST(SUM(mb.cents) AS BIGINT) AS cents
+      FROM mb CROSS JOIN bounds b GROUP BY 1, 2),
+    wide AS (
+      SELECT COALESCE(h1.brand, h2.brand) AS brand,
+             h1.qty AS q0, h1.cents AS rev0, h2.qty AS q1, h2.cents AS rev1
+      FROM (SELECT * FROM halves WHERE half = 1) h1
+      FULL OUTER JOIN (SELECT * FROM halves WHERE half = 2) h2
+        ON h2.brand = h1.brand)
+    SELECT brand,
+           COALESCE(rev1, 0) - COALESCE(rev0, 0) AS delta_cents,
+           CASE WHEN q0 > 0 AND q1 IS NOT NULL
+                THEN (q1 - q0) * rev0 // q0 END AS volume_effect,
+           CASE WHEN q0 > 0 AND q1 IS NOT NULL
+                THEN rev1 - rev0 - ((q1 - q0) * rev0 // q0) END
+             AS price_mix_effect
+    FROM wide
+"""
+
+
+@query("q206_price_volume_bridge", _Q206)
+def q206_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue delta decomposed into volume and price/mix
+    effects with forced exact reconciliation (see block comment).
+
+    Scale shape: ONE fact pass to (half, brand) sums with the date
+    midpoint as a broadcast scalar; the decomposition is a brand-keyed
+    self full-outer join of that ~2x#brands-row aggregate — identical
+    machinery to q192/q194 pointing at a different business read."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mb = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("day"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("cents"),
+    )
+    bounds = mb.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    halves = (
+        mb.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("day") < F.col("mid"), 1).otherwise(2).alias("half"),
+            "brand",
+        )
+        .agg(F.sum("q").alias("qty"), F.sum("cents").alias("cents"))
+        .persist()
+    )
+    h1 = halves.filter(F.col("half") == 1).select(
+        F.col("brand").alias("b1"), F.col("qty").alias("q0"),
+        F.col("cents").alias("rev0"),
+    )
+    h2 = halves.filter(F.col("half") == 2).select(
+        F.col("brand").alias("b2"), F.col("qty").alias("q1"),
+        F.col("cents").alias("rev1"),
+    )
+    wide = h1.join(h2, F.col("b2") == F.col("b1"), "full").select(
+        F.coalesce("b1", "b2").alias("brand"), "q0", "rev0", "q1", "rev1"
+    )
+    decomposable = (F.col("q0") > 0) & F.col("q1").isNotNull()
+    vol = F.expr("(q1 - q0) * rev0 div q0")
+    return wide.select(
+        "brand",
+        (
+            F.coalesce("rev1", F.lit(0)) - F.coalesce("rev0", F.lit(0))
+        ).alias("delta_cents"),
+        F.when(decomposable, vol).alias("volume_effect"),
+        F.when(decomposable, F.col("rev1") - F.col("rev0") - vol).alias(
+            "price_mix_effect"
+        ),
+    )

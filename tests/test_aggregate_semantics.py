@@ -913,3 +913,46 @@ def test_q205_repeat_window_boundary(spark, tmp_path):
         for r in q205_cohort_repeat_rate(spark, str(tmp_path)).collect()
     }
     assert got == {0: (3, 1, 333333)}
+
+
+def test_q206_effects_reconcile(spark, tmp_path):
+    """Brand B1: h1 sells 10 units for 1000c, h2 sells 15 units for
+    1800c -> volume effect (5*1000)//10 = 500, price/mix = 800-500 =
+    300, summing exactly to the 800c delta. A floor case: B2 h1 3
+    units/100c, h2 4 units/150c -> volume (1*100)//3 = 33, price/mix
+    17, delta 50 — reconciles despite the floor. Exit brand B3 has
+    NULL effects."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q206_price_volume_bridge,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    # midpoint of [0, 10] is 5
+    lines = [
+        (1, 10.0, 10.00, 0), (1, 15.0, 18.00, 9),
+        (2, 3.0, 1.00, 1), (2, 4.0, 1.50, 8),
+        (3, 2.0, 5.00, 2),                        # h1 only
+    ]
+    spark.createDataFrame(
+        [(pk, q, pr, 0.0, d(dy)) for pk, q, pr, dy in lines],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, f"B{k}") for k in (1, 2, 3)], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        r.brand: (r.delta_cents, r.volume_effect, r.price_mix_effect)
+        for r in q206_price_volume_bridge(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "B1": (800, 500, 300),
+        "B2": (50, 33, 17),
+        "B3": (-500, None, None),
+    }
+    for b in ("B1", "B2"):
+        delta, vol, pm = got[b]
+        assert vol + pm == delta
