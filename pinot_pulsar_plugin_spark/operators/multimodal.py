@@ -693,3 +693,79 @@ def m62_payload_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sz") - 1).alias("n_redundant"),
         F.sum(F.col("tot_bytes") - F.col("one_copy")).alias("bytes_saved"),
     )
+
+
+# --- m63: decode failure-rate audit (Arrow batch path) ---------------------
+#
+# The error-accounting read every media-ingest pipeline publishes:
+# per modality, how many payloads fail decode and how many bytes they
+# represent. The decode itself runs through the REAL Arrow-batched
+# mapInPandas path (deliberate Python surface #11 — the same batch
+# shape a libvips/ffmpeg codec plugs into), with the stub codec
+# failing DETERMINISTICALLY when octet_length % 97 == 0 — so the
+# Python plumbing's accounting is verifiable against a pure-SQL
+# arithmetic oracle, which is exactly what makes this op a correctness
+# proof of the batch path rather than a trust-me stub.
+
+_M63_SCHEMA = "modality string, n_bytes bigint, failed int"
+
+
+def make_failure_batches():
+    """mapInPandas generator: stub-decode each payload, emitting its
+    modality, size, and deterministic failure flag."""
+
+    def decode_batches(batches):
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            out = pdf[["modality"]].copy()
+            out["n_bytes"] = n_bytes.astype("int64")
+            out["failed"] = (n_bytes % 97 == 0).astype("int32")
+            yield out
+
+    return decode_batches
+
+
+_M63 = """
+    WITH meta AS (
+      SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CASE WHEN octet_length(encode(text)) % 97 = 0
+                  THEN 1 ELSE 0 END AS failed
+      FROM documents)
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(failed) AS BIGINT) AS n_failed,
+           CAST(SUM(failed) * 1000000 // COUNT(*) AS BIGINT) AS fail_ppm,
+           CAST(SUM(CASE WHEN failed = 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+             AS bytes_failed
+    FROM meta GROUP BY 1
+"""
+
+
+@query("m63_decode_failure_audit", _M63)
+def m63_decode_failure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality decode failure accounting through the Arrow batch
+    path (see block comment).
+
+    Scale shape: payloads stream through mapInPandas in Arrow batches
+    (binary never shuffles — the aggregate keys on the 3-value
+    modality after the map); the rollup is 3 rows. A real codec swaps
+    into the SAME batch function with identical accounting."""
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select(
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    decoded = payloads.mapInPandas(make_failure_batches(), schema=_M63_SCHEMA)
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("failed").cast("long").alias("n_failed"),
+        F.expr("sum(failed) * 1000000 div count(1)").alias("fail_ppm"),
+        F.sum(
+            F.when(F.col("failed") == 1, F.col("n_bytes")).otherwise(0)
+        ).alias("bytes_failed"),
+    )

@@ -215,3 +215,33 @@ def test_m62_savings_by_modality(spark, tmp_path):
         "audio": (1, 1, 0, 0),
         "video": (1, 2, 1, len("video bytes")),
     }
+
+
+def test_m63_failure_accounting_through_arrow_path(spark, tmp_path):
+    """Payload lengths constructed to hit the % 97 failure rule:
+    exactly the 97- and 194-byte docs fail; the Arrow-batch accounting
+    (counts, ppm, failed bytes) matches hand arithmetic."""
+    from pinot_pulsar_plugin_spark.operators.multimodal import (
+        m63_decode_failure_audit,
+    )
+
+    docs = [
+        (0, "x" * 97),    # image, fails
+        (3, "x" * 50),    # image, ok
+        (6, "x" * 194),   # image, fails
+        (1, "y" * 97),    # audio, fails
+        (4, "y" * 10),    # audio, ok
+        (2, "z" * 30),    # video, ok
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.modality: (r.n_payloads, r.n_failed, r.fail_ppm, r.bytes_failed)
+        for r in m63_decode_failure_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "image": (3, 2, 666666, 97 + 194),
+        "audio": (2, 1, 500000, 97),
+        "video": (1, 0, 0, 0),
+    }
