@@ -807,3 +807,64 @@ def q193_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(1)"
         ).alias("within_30d_ppm"),
     )
+
+
+# --- q207: split-shipment profile -----------------------------------------
+#
+# The fulfillment-efficiency read behind q193's lifecycle lags: how
+# many distinct shipment WAVES (distinct ship days) does an order
+# take, per priority — multi-wave orders cost extra handling, so the
+# profile reports the wave-count distribution's head (share shipping
+# in one wave) alongside mean lines and waves in floored milli. Pure
+# integer day/count arithmetic, one order-grain aggregate.
+
+_Q207 = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(COUNT(DISTINCT epoch_us(l_shipdate) // 86400000000)
+                  AS BIGINT) AS n_waves
+      FROM lineitem GROUP BY 1)
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p.n_lines) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_lines_milli,
+           CAST(SUM(p.n_waves) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_waves_milli,
+           CAST(SUM(CASE WHEN p.n_waves = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS single_wave_ppm,
+           CAST(MAX(p.n_waves) AS BIGINT) AS max_waves
+    FROM orders o JOIN per_order p ON p.l_orderkey = o.o_orderkey
+    GROUP BY 1
+"""
+
+
+@query("q207_split_shipments", _Q207)
+def q207_split_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment-wave profile per priority (see block comment).
+
+    Scale shape: one order-keyed aggregate (the distinct-day count is
+    per-key bounded by an order's line count), a key-to-key order
+    join, and a priority rollup — two exchanges total."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct(
+            F.expr("unix_micros(l_shipdate) div 86400000000")
+        ).alias("n_waves"),
+    )
+    return (
+        o.join(per_order, per_order["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("sum(n_lines) * 1000 div count(1)").alias("mean_lines_milli"),
+            F.expr("sum(n_waves) * 1000 div count(1)").alias("mean_waves_milli"),
+            F.expr(
+                "sum(case when n_waves = 1 then 1 else 0 end) * 1000000 "
+                "div count(1)"
+            ).alias("single_wave_ppm"),
+            F.max("n_waves").alias("max_waves"),
+        )
+    )

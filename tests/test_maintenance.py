@@ -293,3 +293,31 @@ def test_q193_lifecycle_lags(spark, tmp_path):
     r = rows["A"]
     assert (r.n_orders, r.avg_start_lag_milli, r.avg_span_milli,
             r.max_total_lag, r.within_30d_ppm) == (2, 21000, 4000, 40, 500000)
+
+
+def test_q207_wave_profile(spark, tmp_path):
+    """Order 1 ships 3 lines over 2 distinct days (two on one day);
+    order 2 ships 1 line in 1 wave: priority A profile has mean lines
+    2000 milli, mean waves 1500, single-wave share 500000, max 2."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.tpch_suite import (
+        q207_split_shipments,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    spark.createDataFrame(
+        [(1, "A", d(0)), (2, "A", d(0))],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, d(2)), (1, d(2)), (1, d(5)), (2, d(3))],
+        "l_orderkey long, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    r = {
+        x.o_orderpriority: x
+        for x in q207_split_shipments(spark, str(tmp_path)).collect()
+    }["A"]
+    assert (r.n_orders, r.mean_lines_milli, r.mean_waves_milli,
+            r.single_wave_ppm, r.max_waves) == (2, 2000, 1500, 500000, 2)
