@@ -2626,3 +2626,63 @@ def t85_crosslang_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_docs").alias("n_docs"),
         )
     )
+
+
+# --- t86: vocabulary head concentration per source --------------------------
+#
+# The corpus-diversity read completing t58/t84/t72: per source, what
+# share of all tokens do the top-5 terms absorb? A boilerplate-heavy
+# source concentrates its token mass in a tiny head (share → 1e6) and
+# dilutes training diversity; a healthy source spreads it. The top-5
+# election is a source-partitioned rank window on exact (count DESC,
+# term) order; shares are floor ppm of exact token counts.
+
+_T86 = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, w, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, w) AS rk
+      FROM tf),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM tf GROUP BY source)
+    SELECT t.source, t.n_tokens,
+           CAST(SUM(r.c) AS BIGINT) AS head5_tokens,
+           CAST(SUM(r.c) * 1000000 // t.n_tokens AS BIGINT) AS head5_ppm
+    FROM tot t JOIN ranked r ON r.source = t.source AND r.rk <= 5
+    GROUP BY t.source, t.n_tokens
+"""
+
+
+@query("t86_head_concentration", _T86)
+def t86_head_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 term token share per source (see block comment).
+
+    Scale shape: one explode into a (source, term)-keyed combinable
+    count, a source-partitioned rank window (WindowGroupLimit keeps 5
+    rows per source map-side), and a #sources-row rollup."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    head = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    return (
+        tot.join(head, "source")
+        .groupBy("source", "n_tokens")
+        .agg(
+            F.sum("c").alias("head5_tokens"),
+            F.expr("sum(c) * 1000000 div n_tokens").alias("head5_ppm"),
+        )
+    )

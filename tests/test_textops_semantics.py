@@ -698,3 +698,27 @@ def test_t85_label_conflicts(spark, tmp_path):
         ("en", "fr", 2): (1, 2),
         ("de", "fr", 3): (1, 3),
     }
+
+
+def test_t86_head_share(spark, tmp_path):
+    """Source A: 10 tokens, 7 of them from the top-5 terms (a:3, b:2,
+    c/d/e... exactly computable); source B is one repeated token ->
+    head share 1e6."""
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t86_head_concentration,
+    )
+
+    docs = [
+        # A tokens: a a a b b c d e f g  -> top5 by (c desc, term):
+        # a(3) b(2) c(1) d(1) e(1) = 8 of 10
+        (0, "a a a b b c d e f g", "A"),
+        (1, "z z z z", "B"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: (r.n_tokens, r.head5_tokens, r.head5_ppm)
+        for r in t86_head_concentration(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (10, 8, 800000), "B": (4, 4, 1000000)}
