@@ -868,3 +868,89 @@ def q207_split_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_waves").alias("max_waves"),
         )
     )
+
+
+# --- q208: supplier delivery scorecard --------------------------------------
+#
+# The procurement vendor scorecard: per supplier, on-time share (line
+# shipped within 30 days of order placement), delivered volume share
+# of the corpus, and a fixed-weight composite
+#     score = (7·on_time_ppm + 3·volume_share_ppm) // 10
+# — integer blend of integer ppms (weights are policy literals, so
+# the floor is the same policy on both engines). One fact join, one
+# supplier-keyed aggregate, one corpus-total broadcast.
+
+_Q208 = """
+    WITH lines AS (
+      SELECT l.l_suppkey,
+             CAST(CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+                            - epoch_us(o.o_orderdate) // 86400000000 <= 30
+                       THEN 1 ELSE 0 END AS BIGINT) AS on_time,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    per_s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(on_time) AS BIGINT) AS n_on_time,
+             CAST(SUM(q) AS BIGINT) AS qty
+      FROM lines GROUP BY 1),
+    tot AS (SELECT CAST(SUM(qty) AS BIGINT) AS total_qty FROM per_s)
+    SELECT s.s_suppkey, s.s_name, p.n_lines,
+           CAST(p.n_on_time * 1000000 // p.n_lines AS BIGINT) AS on_time_ppm,
+           CAST(p.qty * 1000000 // t.total_qty AS BIGINT) AS volume_ppm,
+           CAST((7 * (p.n_on_time * 1000000 // p.n_lines)
+                 + 3 * (p.qty * 1000000 // t.total_qty)) // 10 AS BIGINT)
+             AS composite_score
+    FROM per_s p
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    CROSS JOIN tot t
+"""
+
+
+@query("q208_supplier_scorecard", _Q208)
+def q208_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time share, volume share, and the fixed-weight composite per
+    supplier (see block comment).
+
+    Scale shape: the order join is key-to-key; the scorecard is one
+    supplier-keyed combinable aggregate plus a one-row total and a
+    broadcast supplier dim — two exchanges."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = t(spark, sf_dir, "supplier")
+    lines = li.join(o, o["o_orderkey"] == li["l_orderkey"]).select(
+        "l_suppkey",
+        F.when(
+            F.expr(
+                "unix_micros(l_shipdate) div 86400000000 "
+                "- unix_micros(o_orderdate) div 86400000000"
+            )
+            <= 30,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("on_time"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    per_s = lines.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("on_time").alias("n_on_time"),
+        F.sum("q").alias("qty"),
+    )
+    tot = per_s.agg(F.sum("qty").alias("total_qty"))
+    return (
+        per_s.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sup), sup["s_suppkey"] == per_s["l_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            F.expr("n_on_time * 1000000 div n_lines").alias("on_time_ppm"),
+            F.expr("qty * 1000000 div total_qty").alias("volume_ppm"),
+            F.expr(
+                "(7 * (n_on_time * 1000000 div n_lines) "
+                "+ 3 * (qty * 1000000 div total_qty)) div 10"
+            ).alias("composite_score"),
+        )
+    )

@@ -321,3 +321,38 @@ def test_q207_wave_profile(spark, tmp_path):
     }["A"]
     assert (r.n_orders, r.mean_lines_milli, r.mean_waves_milli,
             r.single_wave_ppm, r.max_waves) == (2, 2000, 1500, 500000, 2)
+
+
+def test_q208_scorecard_blend(spark, tmp_path):
+    """Supplier 1: 2 lines, 1 on-time (day 10), 1 late (day 40),
+    qty 30 of corpus 40 -> on_time 500000, volume 750000, composite
+    (7*500000 + 3*750000)//10 = 575000. Supplier 2: all on-time, qty
+    10 -> composite (7*1000000 + 3*250000)//10 = 775000."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.tpch_suite import (
+        q208_supplier_scorecard,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    spark.createDataFrame(
+        [(1, d(0)), (2, d(0))], "o_orderkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 20.0, d(10)), (1, 1, 10.0, d(40)), (2, 2, 10.0, d(5))],
+        "l_orderkey long, l_suppkey long, l_quantity double, "
+        "l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+
+    got = {
+        r.s_suppkey: (r.n_lines, r.on_time_ppm, r.volume_ppm,
+                      r.composite_score)
+        for r in q208_supplier_scorecard(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 500000, 750000, 575000),
+        2: (1, 1000000, 250000, 775000),
+    }
