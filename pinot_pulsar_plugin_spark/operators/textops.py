@@ -2686,3 +2686,132 @@ def t86_head_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(c) * 1000000 div n_tokens").alias("head5_ppm"),
         )
     )
+
+
+# --- t87: cross-source syndication matrix -----------------------------------
+#
+# d44's near-dup machinery pointed at a different question: which
+# SOURCE PAIRS share near-duplicate content (syndication / mirroring /
+# scraped-feed detection)? Same stop-filtered 3-gram shingle equi-join
+# and exact Jaccard >= 0.3, but pairs are kept only when the two docs
+# come from DIFFERENT sources, and the rollup is per unordered source
+# pair: pair count and floored-ppm mean Jaccard (per-pair floor before
+# the mean — ratchet rule). Threshold 0.3 < d44's corpus tuning
+# because syndicated copies get edited; the dup-marker corpus plants
+# enough cross-source copies for non-vacuous results at every SF.
+
+_T87_TAU = 0.3
+
+_T87 = f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+      FROM documents),
+    sh_idx AS (
+      SELECT doc_id, source, tk,
+             unnest(generate_series(1, len(tk) - 2)) AS i
+      FROM toks),
+    shingles AS (
+      SELECT DISTINCT doc_id, source,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+             tk[CAST(i AS INT) + 2] AS s
+      FROM sh_idx),
+    stop AS (
+      SELECT s FROM shingles GROUP BY s
+      HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * 0.10),
+    kept AS (SELECT * FROM shingles WHERE s NOT IN (SELECT s FROM stop)),
+    counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, a.source AS sa, b.doc_id AS db, b.source AS sb,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM kept a JOIN kept b
+        ON b.s = a.s AND a.doc_id < b.doc_id AND a.source <> b.source
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT LEAST(i.sa, i.sb) AS source_lo,
+             GREATEST(i.sa, i.sb) AS source_hi,
+             i.nc * 1000000 // (ca.n + cb.n - i.nc) AS j_ppm
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.da
+      JOIN counts cb ON cb.doc_id = i.db
+      WHERE CAST(i.nc AS DOUBLE)
+              / CAST(ca.n + cb.n - i.nc AS DOUBLE) >= {_T87_TAU})
+    SELECT source_lo, source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_jaccard_ppm
+    FROM pairs GROUP BY 1, 2
+"""
+
+
+@query("t87_syndication_matrix", _T87)
+def t87_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts and mean Jaccard per unordered
+    source pair (see block comment).
+
+    Scale shape: identical to d44 — df-filtered shingle equi-join on
+    8-byte hashes would be the corpus form; here the probe thresholds
+    keep string keys like the oracle. The cross-source predicate
+    filters inside the join; the matrix rollup is #source-pairs rows
+    (≤ 190 at 20 sources)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+    )
+    shingles = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 3 THEN "
+                "array_distinct(transform(sequence(1, size(tk) - 2), "
+                "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))) "
+                "ELSE array() END"
+            )
+        ).alias("s"),
+    ).persist()
+    n_docs = d.agg(F.count(F.lit(1)).alias("nd"))
+    stop = (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("nd") * 0.10)
+        .select("s")
+    )
+    kept = shingles.join(F.broadcast(stop), "s", "left_anti").persist()
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.s") == F.col("a.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("a.source").alias("sa"),
+            F.col("b.doc_id").alias("db"),
+            F.col("b.source").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(F.broadcast(ca), "da")
+        .join(F.broadcast(cb), "db")
+        .where(
+            F.col("nc").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("nc")).cast("double")
+            >= _T87_TAU
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            F.expr("nc * 1000000 div (na + nb - nc)").alias("j_ppm"),
+        )
+    )
+    return pairs.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(j_ppm) div count(1)").alias("mean_jaccard_ppm"),
+    )

@@ -722,3 +722,34 @@ def test_t86_head_share(spark, tmp_path):
         for r in t86_head_concentration(spark, str(tmp_path)).collect()
     }
     assert got == {"A": (10, 8, 800000), "B": (4, 4, 1000000)}
+
+
+def test_t87_cross_source_only(spark, tmp_path):
+    """Identical docs in sources A and B pair up under (A, B); an
+    identical pair WITHIN source A never appears; the unordered pair
+    key always puts the lexicographically smaller source first."""
+    from pinot_pulsar_plugin_spark.operators.textops import (
+        t87_syndication_matrix,
+    )
+
+    body = " ".join(f"w{i}" for i in range(12))
+    docs = [
+        (0, body, "B"), (1, body, "A"),        # cross-source dup
+        (2, body, "B"),                        # same-source dup of 0
+        (3, "totally different text here now", "C"),
+    ]
+    # 36 unique filler docs so the 10% stop-shingle threshold (df > 4)
+    # never fires on the planted trio's shingles (df = 3)
+    docs += [
+        (10 + i, " ".join(f"f{i}x{j}" for j in range(8)), "C")
+        for i in range(36)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.source_lo, r.source_hi): (r.n_pairs, r.mean_jaccard_ppm)
+        for r in t87_syndication_matrix(spark, str(tmp_path)).collect()
+    }
+    # doc1(A) pairs with doc0(B) and doc2(B); doc0-doc2 same source
+    assert got == {("A", "B"): (2, 1_000_000)}
