@@ -2138,3 +2138,177 @@ def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("agree"),
         )
     )
+
+
+# --- s68: nprobe sweep (agreement vs work) -----------------------------------
+#
+# s67's knob sweep: the SAME IVF index probed at nprobe = 1 / 2 / 4,
+# reporting per setting how many of the 10 queries' top-1 results
+# agree with the exhaustive scan and the mean candidate selectivity —
+# the curve an operator reads before picking the latency/recall
+# trade. All three settings ride ONE plan (the d60 trick: nprobe joins
+# in as a broadcast config relation against the per-query centroid
+# ranking). Agreement counts are exact; mean selectivity is a floored
+# ppm mean (per-query floor first — ratchet rule).
+
+_S68_NPROBES = (1, 2, 4)
+
+_S68 = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS c_id,
+             embedding AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    scored AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+             {fold_dot_sql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS ccos
+      FROM n CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, embedding, nrm, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, c_id) AS rn
+      FROM scored),
+    cell AS (SELECT vec_id, embedding, nrm, c_id FROM ranked WHERE rn = 1),
+    nps AS (SELECT * FROM (VALUES (1), (2), (4)) v(np)),
+    probe AS (
+      SELECT nps.np, r.vec_id AS q_id, r.embedding AS q_emb,
+             r.nrm AS q_nrm, r.c_id
+      FROM ranked r CROSS JOIN nps
+      WHERE r.vec_id < {_N_QUERIES} AND r.rn <= nps.np),
+    cand AS (
+      SELECT p.np, p.q_id, m.vec_id AS n_id,
+             {fold_dot_sql("p.q_emb", "m.embedding")} / (p.q_nrm * m.nrm)
+               AS cosine
+      FROM probe p JOIN cell m ON m.c_id = p.c_id
+      WHERE m.vec_id <> p.q_id),
+    ivf_top AS (
+      SELECT np, q_id, n_id AS ivf_top1 FROM (
+        SELECT np, q_id, n_id, ROW_NUMBER() OVER (PARTITION BY np, q_id
+                 ORDER BY cosine DESC, n_id) AS rk
+        FROM cand) WHERE rk = 1),
+    counts AS (
+      SELECT np, q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY 1, 2),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM n),
+    ex AS (
+      SELECT q.vec_id AS q_id, m.vec_id AS n_id,
+             {fold_dot_sql("q.embedding", "m.embedding")} / (q.nrm * m.nrm)
+               AS cosine
+      FROM n q JOIN n m ON m.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    exact_top AS (
+      SELECT q_id, n_id AS exact_top1 FROM (
+        SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, n_id) AS rk
+        FROM ex) WHERE rk = 1)
+    SELECT c.np AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN i.ivf_top1 = e.exact_top1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top1_agree,
+           CAST(SUM(c.n_candidates * 1000000 // co.n_corpus) // COUNT(*)
+                AS BIGINT) AS mean_selectivity_ppm
+    FROM counts c
+    JOIN ivf_top i ON i.np = c.np AND i.q_id = c.q_id
+    JOIN exact_top e ON e.q_id = c.q_id
+    CROSS JOIN corpus co
+    GROUP BY c.np
+"""
+
+
+@query("s68_nprobe_sweep", _S68)
+def s68_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 agreement and mean selectivity at nprobe = 1/2/4 in one
+    plan (see block comment).
+
+    Scale shape: the config fan-out multiplies only the 10-row probe
+    relation; cells assign once; the exhaustive side is the same
+    probe-bounded ground truth as s67."""
+    from pyspark.sql.window import Window
+
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
+    )
+    cent = n.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(wq)).persist()
+    cell = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("n_id"), "embedding", "nrm", "c_id"
+    )
+    nps = spark.createDataFrame([(np,) for np in _S68_NPROBES], "np int")
+    probe = (
+        ranked.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(nps))
+        .filter(F.col("rn") <= F.col("np"))
+        .select(
+            "np",
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "c_id",
+        )
+    )
+    qcos = fold_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    cand = (
+        probe.join(cell, "c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("np", "q_id", "n_id", qcos.alias("cosine"))
+        .persist()
+    )
+    wtop = Window.partitionBy("np", "q_id").orderBy(
+        F.desc("cosine"), F.asc("n_id")
+    )
+    ivf_top = (
+        cand.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select("np", "q_id", F.col("n_id").alias("ivf_top1"))
+    )
+    counts = cand.groupBy("np", "q_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    corpus = n.agg(F.count(F.lit(1)).alias("n_corpus"))
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ex = (
+        n.withColumnRenamed("vec_id", "n_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", qcos.alias("cosine"))
+    )
+    wex = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    exact_top = (
+        ex.withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("n_id").alias("exact_top1"))
+    )
+    return (
+        counts.join(ivf_top, ["np", "q_id"])
+        .join(exact_top, "q_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(F.col("np").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("ivf_top1") == F.col("exact_top1"), 1).otherwise(0)
+            ).alias("n_top1_agree"),
+            F.expr(
+                "sum(n_candidates * 1000000 div n_corpus) div count(1)"
+            ).alias("mean_selectivity_ppm"),
+        )
+    )

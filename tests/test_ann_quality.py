@@ -411,3 +411,28 @@ def test_s67_selectivity_and_agreement(spark):
     # under half the corpus (nprobe=2 of 16 cells)
     avg = sum(r.selectivity_ppm for r in rows) / len(rows)
     assert avg < 500_000
+
+
+def test_s68_monotone_in_nprobe(spark):
+    """More probes never hurt: agreement and selectivity are both
+    monotone non-decreasing in nprobe (nested candidate sets), and
+    every setting scores all 10 queries."""
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        _N_QUERIES,
+        s68_nprobe_sweep,
+    )
+
+    rows = {
+        r.nprobe: r
+        for r in s68_nprobe_sweep(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    for r in rows.values():
+        assert r.n_queries == _N_QUERIES
+        assert 0 <= r.n_top1_agree <= _N_QUERIES
+    assert rows[1].n_top1_agree <= rows[2].n_top1_agree <= rows[4].n_top1_agree
+    assert (
+        rows[1].mean_selectivity_ppm
+        <= rows[2].mean_selectivity_ppm
+        <= rows[4].mean_selectivity_ppm
+    )
