@@ -2211,3 +2211,54 @@ def q203_interarrival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(case when gap <= 7 then 1 else 0 end) * 1000000 div count(1)"
         ).alias("within_7d_ppm"),
     )
+
+
+# --- q209: engagement concentration (activity Gini per event type) ----------
+#
+# q196's machinery pointed at users: how concentrated is each event
+# type's activity across its users? A high Gini means a few whales
+# generate the traffic (rate-limit / abuse / monetization reads all
+# start here). Exact rank-weighted integer form per type-partitioned
+# user activity counts; single-user types emit Gini 0 by the formula.
+
+_Q209 = """
+    WITH ua AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n, user_id) AS i
+      FROM ua)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST((2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n)) * 1000
+                // (COUNT(*) * SUM(n)) AS BIGINT) AS gini_milli
+    FROM ranked GROUP BY event_type
+"""
+
+
+@query("q209_engagement_gini", _Q209)
+def q209_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type user-activity Gini in exact integer milli (see block
+    comment; the q196 form at user grain).
+
+    Scale shape: one (type, user)-keyed combinable count, a
+    type-partitioned rank window, and a per-type rollup."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    ua = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("n", "user_id")
+    ranked = ua.select(
+        "event_type", "n", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.expr(
+            "(2 * sum(i * n) - (count(1) + 1) * sum(n)) * 1000 "
+            "div (count(1) * sum(n))"
+        ).alias("gini_milli"),
+    )

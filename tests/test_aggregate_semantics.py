@@ -956,3 +956,34 @@ def test_q206_effects_reconcile(spark, tmp_path):
     for b in ("B1", "B2"):
         delta, vol, pm = got[b]
         assert vol + pm == delta
+
+
+def test_q209_whale_detection(spark, tmp_path):
+    """Type E: two users with 5 events each -> Gini 0. Type W: user 1
+    has 9 events, user 2 has 1 -> Gini (2*(1*1+2*9) - 3*10)*1000 //
+    (2*10) = 400."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q209_engagement_gini,
+    )
+
+    t0 = dt.datetime(1995, 1, 1)
+    rows = []
+    eid = 0
+    def emit(n, user, typ):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, user, typ, t0 + dt.timedelta(minutes=eid)))
+    emit(5, 1, "E"); emit(5, 2, "E")
+    emit(9, 1, "W"); emit(1, 2, "W")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.event_type: (r.n_users, r.n_events, r.gini_milli)
+        for r in q209_engagement_gini(spark, str(tmp_path)).collect()
+    }
+    assert got == {"E": (2, 10, 0), "W": (2, 10, 400)}
