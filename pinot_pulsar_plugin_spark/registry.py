@@ -126,7 +126,14 @@ _MODULES = [
 # q195_abc_xyz_matrix, q196_revenue_gini, q197_correlation_matrix,
 # q198_seasonal_anomalies, q199_attribution_bakeoff, t84_term_burstiness,
 # t85_crosslang_label_noise, d59_dedup_savings,
-# m62_payload_dedup_savings, s66_centroid_separation —
+# m62_payload_dedup_savings, s66_centroid_separation,
+# q200_curation_funnel, q201_overlapping_orders, q202_ar_aging,
+# q203_interarrival_by_segment, q204_acquisition_mix,
+# q205_cohort_repeat_rate, q206_price_volume_bridge,
+# q207_split_shipments, q208_supplier_scorecard,
+# q209_engagement_gini, t86_head_concentration,
+# t87_syndication_matrix, d60_shingle_k_sensitivity,
+# m63_decode_failure_audit, s67_ivf_efficiency, s68_nprobe_sweep —
 # have no driver row yet and must LEAD the r7 window (more than 50:
 # split across r7/r8 preserving category coverage); all are
 # parity-green at sf0.001/0.01/0.1 in the local suite, and the whole
