@@ -1491,3 +1491,87 @@ def test_fuzz_rake_vs_python(seed, spark, tmp_path):
         for r in t81_rake_keyphrases(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_bridge_identity(seed, spark, tmp_path):
+    """q184's waterfall must reconcile on ANY data: for every month m,
+    total(m-1) + new + churn + expansion + contraction == total(m).
+    Random customers/months/amounts, including gaps and re-entries."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q184_revenue_bridge,
+    )
+
+    rng = random.Random(8800 + seed)
+    base = dt.datetime(1970, 1, 2)
+    orders, ok = [], 0
+    for _ in range(rng.randint(30, 120)):
+        ok += 1
+        orders.append((
+            ok,
+            rng.randint(1, 12),
+            round(rng.uniform(0.01, 99.0), 2),
+            base + dt.timedelta(days=30 * rng.randint(0, 5) + rng.randint(0, 27)),
+        ))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    # month totals in exact cents (tz-safe day arithmetic, not
+    # .timestamp() which is local-tz-dependent on naive datetimes)
+    totals = {}
+    epoch = dt.datetime(1970, 1, 1)
+    for _, _c, price, ts in orders:
+        m = (ts - epoch).days // 30
+        totals[m] = totals.get(m, 0) + round(price * 100)
+    bridge = {
+        r.month_bucket: r
+        for r in q184_revenue_bridge(spark, str(tmp_path)).collect()
+    }
+    for m, r in bridge.items():
+        prev_total = totals.get(m - 1, 0)
+        cur_total = totals.get(m, 0)
+        moved = (r.new_cents + r.churned_cents + r.expansion_cents
+                 + r.contraction_cents)
+        assert prev_total + moved == cur_total, (m, prev_total, moved, cur_total)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_price_volume_reconciles(seed, spark, tmp_path):
+    """q206's forced reconciliation holds on ANY data: volume_effect +
+    price_mix_effect == delta_cents for every decomposable brand."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q206_price_volume_bridge,
+    )
+
+    rng = random.Random(9900 + seed)
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    lines, parts = [], {}
+    for pk in range(1, rng.randint(4, 9)):
+        parts[pk] = f"B{pk % 4}"
+        for _ in range(rng.randint(1, 12)):
+            lines.append((
+                pk,
+                float(rng.randint(1, 40)),
+                round(rng.uniform(0.5, 50.0), 2),
+                round(rng.choice([0.0, 0.05, 0.1]), 2),
+                d(rng.randint(0, 59)),
+            ))
+    spark.createDataFrame(
+        lines,
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        list(parts.items()), "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    for r in q206_price_volume_bridge(spark, str(tmp_path)).collect():
+        if r.volume_effect is not None:
+            assert r.volume_effect + r.price_mix_effect == r.delta_cents
