@@ -1775,3 +1775,70 @@ def q206_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_mix_effect"
         ),
     )
+
+
+# --- q210: Wilson lower-bound ranking of return rates ------------------------
+#
+# The "don't rank by the point estimate" classic (Reddit's comment
+# sort, every A/B readout): brands ranked by the Wilson 95% LOWER
+# bound of their return rate, so a 2/2 brand doesn't outrank a
+# 40/1000 one. The bound is a pure IEEE double chain on the exact
+# int64 (k, n) counts — sqrt/mul/div only. The z constant enters as
+# CAST(1.96 AS DOUBLE) and z² is computed IN-QUERY from that double:
+# a bare 1.96 literal is DECIMAL on both engines (BigDecimal-exact in
+# Spark, decimal-multiply in DuckDB — the known divergence class),
+# and a 3.8416 literal is a DIFFERENT double than (1.96 as double)².
+
+_Q210 = """
+    WITH rr AS (
+      SELECT p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1),
+    wb AS (
+      SELECT brand, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+             CAST(1.96 AS DOUBLE) AS z
+      FROM rr WHERE n > 0)
+    SELECT brand, n, k,
+           (p_hat + z * z / (2.0 * CAST(n AS DOUBLE))
+            - z * sqrt((p_hat * (1.0 - p_hat)
+                        + z * z / (4.0 * CAST(n AS DOUBLE)))
+                       / CAST(n AS DOUBLE)))
+             / (1.0 + z * z / CAST(n AS DOUBLE)) AS wilson_lb
+    FROM wb
+"""
+
+
+@query("q210_wilson_return_ranking", _Q210)
+def q210_wilson_return_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% lower bound of each brand's return rate (see block
+    comment for the double-literal discipline).
+
+    Scale shape: one combinable (brand)-keyed count pair over the
+    broadcast-dim join; the bound is codegen scalar arithmetic on the
+    ~25-row aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rr = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("k"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    nd = F.col("n").cast("double")
+    p_hat = F.col("k").cast("double") / nd
+    z = F.lit(1.96)
+    lb = (
+        p_hat
+        + z * z / (2.0 * nd)
+        - z * F.sqrt((p_hat * (1.0 - p_hat) + z * z / (4.0 * nd)) / nd)
+    ) / (1.0 + z * z / nd)
+    return rr.select("brand", "n", "k", lb.alias("wilson_lb"))

@@ -987,3 +987,47 @@ def test_q209_whale_detection(spark, tmp_path):
         for r in q209_engagement_gini(spark, str(tmp_path)).collect()
     }
     assert got == {"E": (2, 10, 0), "W": (2, 10, 400)}
+
+
+def test_q210_wilson_orders_small_samples_down(spark, tmp_path):
+    """The whole point of Wilson ranking: a 2-sample perfect return
+    rate (p-hat 1.0, LB 0.342) ranks BELOW a solid 400/1000 (LB
+    0.370). Values match the textbook formula computed in Python
+    float arithmetic bit-for-bit."""
+    import math
+
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q210_wilson_return_ranking,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    lines = []
+    # brand B1: 2 lines, both returns; brand B2: 1000 lines, 400 returns
+    for i in range(2):
+        lines.append((1, "R", ts))
+    for i in range(1000):
+        lines.append((2, "R" if i < 400 else "N", ts))
+    spark.createDataFrame(
+        [(pk, rf, 1.0, 0.0, t_) for pk, rf, t_ in lines],
+        "l_partkey long, l_returnflag string, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    def wilson(k, n, z=1.96):
+        ph = k / n
+        return (ph + z * z / (2.0 * n)
+                - z * math.sqrt((ph * (1.0 - ph) + z * z / (4.0 * n)) / n)
+                ) / (1.0 + z * z / n)
+
+    got = {
+        r.brand: (r.n, r.k, r.wilson_lb)
+        for r in q210_wilson_return_ranking(spark, str(tmp_path)).collect()
+    }
+    assert got["B1"] == (2, 2, wilson(2, 2))
+    assert got["B2"] == (1000, 400, wilson(400, 1000))
+    assert got["B2"][2] > got["B1"][2]  # solid sample outranks tiny one
