@@ -2312,3 +2312,148 @@ def s68_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_selectivity_ppm"),
         )
     )
+
+
+# --- s69: mean reciprocal rank of the exhaustive top-1 -----------------------
+#
+# s61 (NDCG) grades graded relevance; MRR grades the single-right-
+# answer retrieval task: at what rank does the IVF candidate list
+# place the EXHAUSTIVE top-1 neighbor? Reciprocal ranks are floored
+# micro units per query (1e6 // rank — ratchet rule) with 0 for a
+# miss (the exact top-1 not in any probed cell), then a floored mean.
+# One row: n_queries, hits, and MRR in micro units.
+
+_S69 = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {fold_norm_sql("embedding")} AS nrm
+      FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS c_id,
+             embedding AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    scored AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+             {fold_dot_sql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS ccos
+      FROM n CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, embedding, nrm, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, c_id) AS rn
+      FROM scored),
+    cell AS (SELECT vec_id, embedding, nrm, c_id FROM ranked WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+      FROM ranked WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    cand AS (
+      SELECT p.q_id, m.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id
+               ORDER BY {fold_dot_sql("p.q_emb", "m.embedding")}
+                        / (p.q_nrm * m.nrm) DESC, m.vec_id) AS rk
+      FROM probe p JOIN cell m ON m.c_id = p.c_id
+      WHERE m.vec_id <> p.q_id),
+    ex AS (
+      SELECT q.vec_id AS q_id, m.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {fold_dot_sql("q.embedding", "m.embedding")}
+                        / (q.nrm * m.nrm) DESC, m.vec_id) AS rk
+      FROM n q JOIN n m ON m.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    truth AS (SELECT q_id, n_id AS true_top1 FROM ex WHERE rk = 1),
+    rr AS (
+      SELECT t.q_id,
+             COALESCE(MAX(CASE WHEN c.n_id = t.true_top1
+                               THEN 1000000 // c.rk END), 0) AS rr_micro
+      FROM truth t LEFT JOIN cand c ON c.q_id = t.q_id
+      GROUP BY t.q_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rr_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(rr_micro) // COUNT(*) AS BIGINT) AS mrr_micro
+    FROM rr
+"""
+
+
+@query("s69_mrr_eval", _S69)
+def s69_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR of the exhaustive top-1 within the IVF candidate ranking
+    (see block comment).
+
+    Scale shape: the IVF side is s50's plan; the exhaustive side the
+    probe-bounded ground truth; the reciprocal-rank election is a
+    per-query MAX over the candidate equi-join — one summary row."""
+    from pyspark.sql.window import Window
+
+    em = t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
+    )
+    cent = n.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(wq)).persist()
+    cell = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("n_id"), "embedding", "nrm", "c_id"
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "c_id",
+    )
+    qcos = fold_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    wrk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    cand = (
+        probe.join(cell, "c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", qcos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wrk))
+    )
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ex = (
+        n.withColumnRenamed("vec_id", "n_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", qcos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wrk))
+    )
+    truth = ex.filter(F.col("rk") == 1).select(
+        "q_id", F.col("n_id").alias("true_top1")
+    )
+    rr = (
+        truth.join(
+            cand.select("q_id", "n_id", "rk"), "q_id", "left"
+        )
+        .groupBy("q_id")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("n_id") == F.col("true_top1"),
+                        F.expr("1000000 div rk"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("rr_micro")
+        )
+    )
+    return rr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("rr_micro") > 0, 1).otherwise(0)).alias("n_hits"),
+        F.expr("sum(rr_micro) div count(1)").alias("mrr_micro"),
+    )

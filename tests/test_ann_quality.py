@@ -436,3 +436,23 @@ def test_s68_monotone_in_nprobe(spark):
         <= rows[2].mean_selectivity_ppm
         <= rows[4].mean_selectivity_ppm
     )
+
+
+def test_s69_mrr_consistency_with_s67(spark):
+    """MRR internal consistency: hits count queries whose exact top-1
+    is reachable; when s67 reports top-1 agreement for a query, s69's
+    reciprocal rank for it is exactly 1e6, so mrr >= agree_share."""
+    from pinot_pulsar_plugin_spark.operators.similarity import (
+        _N_QUERIES,
+        s67_ivf_efficiency,
+        s69_mrr_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = s69_mrr_eval(spark, sf).collect()[0]
+    assert r.n_queries == _N_QUERIES
+    assert 0 <= r.n_hits <= r.n_queries
+    agree = sum(x.agree for x in s67_ivf_efficiency(spark, sf).collect())
+    # every agreeing query contributes the full 1e6 to the MRR sum
+    assert r.mrr_micro >= agree * 1_000_000 // r.n_queries
+    assert r.n_hits >= agree
