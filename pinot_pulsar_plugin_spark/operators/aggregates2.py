@@ -1842,3 +1842,58 @@ def q210_wilson_return_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         - z * F.sqrt((p_hat * (1.0 - p_hat) + z * z / (4.0 * nd)) / nd)
     ) / (1.0 + z * z / nd)
     return rr.select("brand", "n", "k", lb.alias("wilson_lb"))
+
+
+# --- q211: frequency-of-frequencies (Good-Turing input) ----------------------
+#
+# The N_k table: how many customers placed exactly k orders — the
+# frequency-of-frequencies histogram that feeds Good-Turing smoothing
+# (the t63/t83 LMs' missing-mass estimate is N_1/N), long-tail
+# analyses, and loyalty-program sizing. Two stacked combinable
+# aggregates plus an exact cumulative share per k via the triangular
+# join on the tiny k-histogram (no partition-less window).
+
+_Q211 = """
+    WITH per_c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+      FROM orders GROUP BY 1),
+    hist AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+      FROM per_c GROUP BY k),
+    tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n_customers FROM hist)
+    SELECT h.k, h.n_k,
+           CAST(SUM(h2.n_k) AS BIGINT) AS n_le_k,
+           CAST(SUM(h2.n_k) * 1000000 // t.n_customers AS BIGINT)
+             AS cum_share_ppm
+    FROM hist h
+    JOIN hist h2 ON h2.k <= h.k
+    CROSS JOIN tot t
+    GROUP BY h.k, h.n_k, t.n_customers
+"""
+
+
+@query("q211_freq_of_frequencies", _Q211)
+def q211_freq_of_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_k customers-with-exactly-k-orders histogram with exact
+    cumulative shares (see block comment).
+
+    Scale shape: customer-keyed count → k-keyed count (both map-side
+    combinable); the cumulative runs on the ≤ max-k-row histogram via
+    a bounded triangular join and a one-row total broadcast."""
+    o = t(spark, sf_dir, "orders")
+    per_c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    hist = per_c.groupBy("k").agg(F.count(F.lit(1)).alias("n_k")).persist()
+    tot = hist.agg(F.sum("n_k").alias("n_customers"))
+    h2 = hist.select(F.col("k").alias("k2"), F.col("n_k").alias("n_k2"))
+    return (
+        hist.join(F.broadcast(h2), F.col("k2") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_k", "n_customers")
+        .agg(F.sum("n_k2").alias("n_le_k"))
+        .select(
+            "k",
+            "n_k",
+            "n_le_k",
+            F.expr("n_le_k * 1000000 div n_customers").alias("cum_share_ppm"),
+        )
+    )

@@ -1031,3 +1031,33 @@ def test_q210_wilson_orders_small_samples_down(spark, tmp_path):
     assert got["B1"] == (2, 2, wilson(2, 2))
     assert got["B2"] == (1000, 400, wilson(400, 1000))
     assert got["B2"][2] > got["B1"][2]  # solid sample outranks tiny one
+
+
+def test_q211_nk_table(spark, tmp_path):
+    """3 customers with 1 order, 2 with 2, 1 with 4: N_1=3, N_2=2,
+    N_4=1; cumulative shares are exact floors of 6ths."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q211_freq_of_frequencies,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    orders, ok = [], 0
+    for cust, n in [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 4)]:
+        for _ in range(n):
+            ok += 1
+            orders.append((ok, cust, ts))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.k: (r.n_k, r.n_le_k, r.cum_share_ppm)
+        for r in q211_freq_of_frequencies(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, 3, 500000),
+        2: (2, 5, 833333),
+        4: (1, 6, 1000000),
+    }
