@@ -1897,3 +1897,96 @@ def q211_freq_of_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_le_k * 1000000 div n_customers").alias("cum_share_ppm"),
         )
     )
+
+
+# --- q212: share-of-wallet loyalty profile -----------------------------------
+#
+# The CRM concentration read: per customer, the share of their spend
+# captured by their single top brand (ties broken by brand name),
+# rolled up per market segment — mean top-brand share in floored ppm
+# and the LOYALIST share (customers whose top brand takes > 50%).
+# Customer-partitioned windows only; all shares are exact integer
+# ppm floors of int64 cents.
+
+_Q212 = """
+    WITH cb AS (
+      SELECT o.o_custkey AS c, p.p_brand AS brand,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c, cents,
+             SUM(cents) OVER (PARTITION BY c) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY c
+                                ORDER BY cents DESC, brand) AS rk
+      FROM cb),
+    top AS (
+      SELECT c, cents * 1000000 // tot AS top_share_ppm
+      FROM ranked WHERE rk = 1 AND tot > 0)
+    SELECT cu.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(t.top_share_ppm) // COUNT(*) AS BIGINT)
+             AS mean_top_share_ppm,
+           CAST(SUM(CASE WHEN t.top_share_ppm > 500000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS loyalist_ppm
+    FROM top t JOIN customer cu ON cu.c_custkey = t.c
+    GROUP BY 1
+"""
+
+
+@query("q212_share_of_wallet", _Q212)
+def q212_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-brand spend share per customer rolled up per segment (see
+    block comment).
+
+    Scale shape: one fact pass to (customer, brand) cents (broadcast
+    dims), a customer-partitioned window stack (total + rank share one
+    exchange, WindowGroupLimit keeps the top row map-side), and a
+    broadcast customer-dim join for the segment rollup."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cb = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    wtot = Window.partitionBy("c")
+    wrk = Window.partitionBy("c").orderBy(F.desc("cents"), F.asc("brand"))
+    top = (
+        cb.select(
+            "c",
+            "cents",
+            F.sum("cents").over(wtot).alias("tot"),
+            F.row_number().over(wrk).alias("rk"),
+        )
+        .filter((F.col("rk") == 1) & (F.col("tot") > 0))
+        .select("c", F.expr("cents * 1000000 div tot").alias("top_share_ppm"))
+    )
+    return (
+        top.join(F.broadcast(cu), cu["c_custkey"] == top["c"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("sum(top_share_ppm) div count(1)").alias(
+                "mean_top_share_ppm"
+            ),
+            F.expr(
+                "sum(case when top_share_ppm > 500000 then 1 else 0 end) "
+                "* 1000000 div count(1)"
+            ).alias("loyalist_ppm"),
+        )
+    )

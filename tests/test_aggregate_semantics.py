@@ -1061,3 +1061,42 @@ def test_q211_nk_table(spark, tmp_path):
         2: (2, 5, 833333),
         4: (1, 6, 1000000),
     }
+
+
+def test_q212_loyalty_profile(spark, tmp_path):
+    """Customer 1 (seg A): 80/20 split across two brands -> top share
+    800000, loyalist. Customer 2 (seg A): 50/50 -> exactly 500000, NOT
+    a loyalist (strict >). Segment A: mean (800000+500000)//2, 500000
+    loyalist share."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q212_share_of_wallet,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    lines = [
+        (1, 1, 8.00), (1, 2, 2.00),     # cust 1 via order 1
+        (2, 1, 3.00), (2, 2, 3.00),     # cust 2 via order 2
+    ]
+    spark.createDataFrame(
+        [(ok, pk, pr, 0.0, ts) for ok, pk, pr in lines],
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 1, ts), (2, 2, ts)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(1, "A"), (2, "A")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        r.segment: (r.n_customers, r.mean_top_share_ppm, r.loyalist_ppm)
+        for r in q212_share_of_wallet(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (2, 650000, 500000)}
