@@ -1990,3 +1990,85 @@ def q212_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loyalist_ppm"),
         )
     )
+
+
+# --- q213: Pareto crossing point per product type ----------------------------
+#
+# q175's one-number summary: the SMALLEST number of parts whose
+# cumulative revenue reaches 80% of a type's total (the "how many
+# SKUs really matter" figure merchandisers quote), plus that count's
+# share of the type's catalog in ppm. Same exact integer pre-row
+# cumulative rule as q175 under the (cents DESC, partkey) total
+# order: a part whose pre-cum is below the line is INSIDE the
+# crossing set.
+
+_Q213 = """
+    WITH rev AS (
+      SELECT p.p_type, l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT p_type, cents,
+             SUM(cents) OVER (PARTITION BY p_type
+               ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cents) OVER (PARTITION BY p_type) AS tot,
+             COUNT(*) OVER (PARTITION BY p_type) AS n_parts
+      FROM rev)
+    SELECT p_type,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN (cum - cents) * 100 < tot * 80
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_for_80,
+           CAST(SUM(CASE WHEN (cum - cents) * 100 < tot * 80
+                         THEN 1 ELSE 0 END) * 1000000 // n_parts AS BIGINT)
+             AS catalog_share_ppm
+    FROM ranked GROUP BY p_type, n_parts
+"""
+
+
+@query("q213_pareto_crossing", _Q213)
+def q213_pareto_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts needed to reach 80% of each type's revenue, and their
+    catalog share (see block comment; q175's exact cumulative rule).
+
+    Scale shape: q175's plan with the class CASE collapsed into one
+    count — a part-grain aggregate, a type-partitioned window stack,
+    and a per-type rollup."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_type", "l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("p_type")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtyp = Window.partitionBy("p_type")
+    ranked = rev.select(
+        "p_type",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtyp).alias("tot"),
+        F.count(F.lit(1)).over(wtyp).alias("n_parts"),
+    )
+    inside = (F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 80
+    return ranked.groupBy("p_type", "n_parts").agg(
+        F.sum(F.when(inside, 1).otherwise(0)).alias("n_for_80"),
+        F.expr(
+            "sum(case when (cum - cents) * 100 < tot * 80 then 1 else 0 end) "
+            "* 1000000 div n_parts"
+        ).alias("catalog_share_ppm"),
+    )

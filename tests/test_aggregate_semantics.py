@@ -1100,3 +1100,31 @@ def test_q212_loyalty_profile(spark, tmp_path):
         for r in q212_share_of_wallet(spark, str(tmp_path)).collect()
     }
     assert got == {"A": (2, 650000, 500000)}
+
+
+def test_q213_crossing_count(spark, tmp_path):
+    """Type T revenues 50/30/15/5 (pre-cum shares 0/50/80/95): parts
+    with pre-cum strictly below 80% are p1 and p2 (p3's pre-cum sits
+    exactly AT 80% and is excluded), so n_for_80 = 2 of 4 parts
+    (500000 ppm of the catalog)."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q213_pareto_crossing,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    lines = [(1, 0.50), (2, 0.30), (3, 0.15), (4, 0.05)]
+    spark.createDataFrame(
+        [(pk, pr, 0.0, ts) for pk, pr in lines],
+        "l_partkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, "T") for k in (1, 2, 3, 4)], "p_partkey long, p_type string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    r = q213_pareto_crossing(spark, str(tmp_path)).collect()[0]
+    assert (r.p_type, r.n_parts, r.n_for_80, r.catalog_share_ppm) == (
+        "T", 4, 2, 500000,
+    )
