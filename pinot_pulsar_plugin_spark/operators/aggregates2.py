@@ -2072,3 +2072,62 @@ def q213_pareto_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000000 div n_parts"
         ).alias("catalog_share_ppm"),
     )
+
+
+# --- q214: revenue by customer tenure ----------------------------------------
+#
+# The lifecycle revenue curve: every order bucketed by the CUSTOMER'S
+# AGE at purchase (days since their first-ever order — 0-30 / 31-90 /
+# 91-180 / 180+), with exact cents and order counts per bucket. A
+# business living off the 0-30 bucket is acquisition-driven; revenue
+# migrating into late buckets is compounding retention. First-order
+# day is the customer-keyed MIN election (q204/q205's); tenure is
+# integer day arithmetic.
+
+_Q214 = """
+    WITH om AS (
+      SELECT o_custkey AS c,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    f AS (SELECT c, MIN(day) AS first_day FROM om GROUP BY c)
+    SELECT CASE WHEN om.day - f.first_day <= 30 THEN '00-30'
+                WHEN om.day - f.first_day <= 90 THEN '31-90'
+                WHEN om.day - f.first_day <= 180 THEN '91-180'
+                ELSE '180+' END AS tenure_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(om.cents) AS BIGINT) AS cents
+    FROM om JOIN f ON f.c = om.c
+    GROUP BY 1
+"""
+
+
+@query("q214_tenure_revenue_mix", _Q214)
+def q214_tenure_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders and revenue by customer age at purchase (see block
+    comment).
+
+    Scale shape: one fact pass, a customer-keyed combinable MIN, one
+    customer-keyed equi-join, a 4-bucket rollup."""
+    o = t(spark, sf_dir, "orders")
+    om = o.select(
+        F.col("o_custkey").alias("c"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).persist()
+    f = om.groupBy("c").agg(F.min("day").alias("first_day"))
+    age = F.col("day") - F.col("first_day")
+    bucket = (
+        F.when(age <= 30, "00-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return (
+        om.join(f, "c")
+        .groupBy(bucket.alias("tenure_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )

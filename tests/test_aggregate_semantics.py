@@ -1128,3 +1128,36 @@ def test_q213_crossing_count(spark, tmp_path):
     assert (r.p_type, r.n_parts, r.n_for_80, r.catalog_share_ppm) == (
         "T", 4, 2, 500000,
     )
+
+
+def test_q214_tenure_buckets(spark, tmp_path):
+    """Customer 1 orders at tenure 0, 30 (boundary: 00-30), 91
+    (boundary: 91-180), 200 (180+); customer 2 only at tenure 0.
+    Buckets count exactly."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q214_tenure_revenue_mix,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    orders = [
+        (1, 1, 1.00, d(10)), (2, 1, 2.00, d(40)),   # tenure 0, 30
+        (3, 1, 3.00, d(101)), (4, 1, 4.00, d(210)),  # tenure 91, 200
+        (5, 2, 5.00, d(50)),                         # tenure 0
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.tenure_bucket: (r.n_orders, r.cents)
+        for r in q214_tenure_revenue_mix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "00-30": (3, 100 + 200 + 500),
+        "91-180": (1, 300),
+        "180+": (1, 400),
+    }
