@@ -954,3 +954,65 @@ def q208_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("composite_score"),
         )
     )
+
+
+# --- q215: basket width profile ----------------------------------------------
+#
+# The merchandising basket-width read next to q207's shipment waves:
+# how many DISTINCT parts does an order carry, histogrammed per
+# priority (width 1 / 2-3 / 4-6 / 7+), with exact order counts and
+# revenue cents per cell — the input to bundle and cross-sell
+# decisions. One order-keyed aggregate, one key-to-key join, a
+# 4-bucket rollup.
+
+_Q215 = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS width,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1)
+    SELECT o.o_orderpriority,
+           CASE WHEN p.width = 1 THEN '1'
+                WHEN p.width <= 3 THEN '2-3'
+                WHEN p.width <= 6 THEN '4-6'
+                ELSE '7+' END AS width_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p.cents) AS BIGINT) AS cents
+    FROM orders o JOIN per_order p ON p.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+"""
+
+
+@query("q215_basket_width", _Q215)
+def q215_basket_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-part basket width histogram per priority (see block
+    comment).
+
+    Scale shape: the distinct-part count is per-order bounded; the
+    profile is two exchanges (order aggregate, priority rollup) with
+    a key-to-key order join between them."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("width"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("width") == 1, "1")
+        .when(F.col("width") <= 3, "2-3")
+        .when(F.col("width") <= 6, "4-6")
+        .otherwise("7+")
+    )
+    return (
+        o.join(per_order, per_order["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority", bucket.alias("width_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )

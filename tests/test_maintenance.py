@@ -356,3 +356,38 @@ def test_q208_scorecard_blend(spark, tmp_path):
         1: (2, 500000, 750000, 575000),
         2: (1, 1000000, 250000, 775000),
     }
+
+
+def test_q215_width_buckets(spark, tmp_path):
+    """Order 1 repeats one part across 3 lines (width 1); order 2 has
+    3 distinct parts (2-3); order 3 has 7 (7+). Revenue rides the
+    bucket exactly."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.tpch_suite import (
+        q215_basket_width,
+    )
+
+    ts = dt.datetime(1970, 1, 5)
+    lines = []
+    for _ in range(3):
+        lines.append((1, 7, 1.00))
+    for pk in (1, 2, 3):
+        lines.append((2, pk, 2.00))
+    for pk in range(10, 17):
+        lines.append((3, pk, 0.50))
+    spark.createDataFrame(
+        [(ok, pk, pr, 0.0, ts) for ok, pk, pr in lines],
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "A", ts), (2, "A", ts), (3, "A", ts)],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.width_bucket: (r.n_orders, r.cents)
+        for r in q215_basket_width(spark, str(tmp_path)).collect()
+    }
+    assert got == {"1": (1, 300), "2-3": (1, 600), "7+": (1, 350)}
