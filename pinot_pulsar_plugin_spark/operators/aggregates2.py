@@ -2131,3 +2131,67 @@ def q214_tenure_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents"),
         )
     )
+
+
+# --- q216: purchase novelty rate ----------------------------------------------
+#
+# Exploration vs repeat behavior over time: the share of line items
+# each month where the customer buys a part for the FIRST time (their
+# (customer, part) first-day election — all same-day lines of that
+# first day count as first-time, documented tie rule). A falling
+# novelty curve is a maturing, repeat-driven business; flat-high is
+# acquisition-driven. Exact integer day/ppm math; one narrow
+# (customer, part)-keyed MIN plus an equi-join back.
+
+_Q216 = """
+    WITH lines AS (
+      SELECT o.o_custkey AS c, l.l_partkey AS pk,
+             epoch_us(o.o_orderdate) // 86400000000 AS day
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    fst AS (SELECT c, pk, MIN(day) AS first_day
+            FROM lines GROUP BY 1, 2)
+    SELECT CAST(lines.day // 30 AS BIGINT) AS month_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN lines.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first_time,
+           CAST(SUM(CASE WHEN lines.day = f.first_day THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM lines JOIN fst f ON f.c = lines.c AND f.pk = lines.pk
+    GROUP BY 1
+"""
+
+
+@query("q216_purchase_novelty", _Q216)
+def q216_purchase_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-time-part share of line items per month (see block
+    comment).
+
+    Scale shape: the (customer, part) first-day election is a
+    combinable MIN on a narrow pair key; the join back is on the same
+    key (both sides hash-partition there); the rollup is #months
+    rows."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    )
+    lines = li.join(o, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("c"),
+        F.col("l_partkey").alias("pk"),
+        "day",
+    ).persist()
+    fst = lines.groupBy("c", "pk").agg(F.min("day").alias("first_day"))
+    is_first = F.col("day") == F.col("first_day")
+    return (
+        lines.join(fst, ["c", "pk"])
+        .groupBy(F.expr("day div 30").alias("month_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(is_first, 1).otherwise(0)).alias("n_first_time"),
+            F.expr(
+                "sum(case when day = first_day then 1 else 0 end) * 1000000 "
+                "div count(1)"
+            ).alias("novelty_ppm"),
+        )
+    )

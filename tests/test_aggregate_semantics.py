@@ -1161,3 +1161,34 @@ def test_q214_tenure_buckets(spark, tmp_path):
         "91-180": (1, 300),
         "180+": (1, 400),
     }
+
+
+def test_q216_novelty_decay(spark, tmp_path):
+    """Month 0: all 3 lines first-time (1e6). Month 1: customer rebuys
+    part 1 (repeat) and first-buys part 3 -> 500000; same-day repeat
+    lines of a first day BOTH count first-time (documented tie)."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q216_purchase_novelty,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    orders = [(1, 1, d(0)), (2, 1, d(40)), (3, 2, d(1))]
+    lines = [
+        (1, 1), (1, 1),      # cust 1 month 0: part 1 twice SAME day
+        (3, 2),              # cust 2 month 0: part 2
+        (2, 1), (2, 3),      # cust 1 month 1: repeat part 1 + new part 3
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r.month_bucket: (r.n_lines, r.n_first_time, r.novelty_ppm)
+        for r in q216_purchase_novelty(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (3, 3, 1000000), 1: (2, 1, 500000)}
