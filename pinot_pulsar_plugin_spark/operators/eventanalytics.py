@@ -2262,3 +2262,71 @@ def q209_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (count(1) * sum(n))"
         ).alias("gini_milli"),
     )
+
+
+# --- q217: hourly load curve (peak-to-trough) --------------------------------
+#
+# The capacity-planning read: each event type's hour-of-day (UTC)
+# load profile summarized as the peak hour (earliest hour attaining
+# the max count — two-phase election on the 24-row profile, no
+# argmax tie ambiguity), the trough count over OBSERVED hours, and
+# the peak-to-trough ratio in milli. Hour arithmetic is pure integer
+# epoch math; ratios are exact floors.
+
+_Q217 = """
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    prof AS (
+      SELECT event_type,
+             CAST(MAX(n) AS BIGINT) AS peak_n,
+             CAST(MIN(n) AS BIGINT) AS trough_n,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1)
+    SELECT p.event_type,
+           CAST(MIN(h.hour) AS BIGINT) AS peak_hour,
+           p.peak_n, p.trough_n, p.n_hours,
+           CAST(p.peak_n * 1000 // p.trough_n AS BIGINT)
+             AS peak_to_trough_milli
+    FROM prof p JOIN hourly h
+      ON h.event_type = p.event_type AND h.n = p.peak_n
+    GROUP BY p.event_type, p.peak_n, p.trough_n, p.n_hours
+"""
+
+
+@query("q217_load_curve", _Q217)
+def q217_load_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak hour, trough, and peak-to-trough ratio per event type
+    (see block comment).
+
+    Scale shape: events collapse to ≤ 24 rows per type in one
+    combinable aggregate; everything downstream (profile, peak
+    election) runs on that tiny relation."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n")).persist()
+    prof = hourly.groupBy("event_type").agg(
+        F.max("n").alias("peak_n"),
+        F.min("n").alias("trough_n"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    return (
+        prof.join(
+            hourly.withColumnRenamed("event_type", "et2"),
+            (F.col("et2") == F.col("event_type")) & (F.col("n") == F.col("peak_n")),
+        )
+        .groupBy("event_type", "peak_n", "trough_n", "n_hours")
+        .agg(F.min("hour").alias("peak_hour"))
+        .select(
+            "event_type",
+            "peak_hour",
+            "peak_n",
+            "trough_n",
+            "n_hours",
+            F.expr("peak_n * 1000 div trough_n").alias("peak_to_trough_milli"),
+        )
+    )

@@ -1192,3 +1192,31 @@ def test_q216_novelty_decay(spark, tmp_path):
         for r in q216_purchase_novelty(spark, str(tmp_path)).collect()
     }
     assert got == {0: (3, 3, 1000000), 1: (2, 1, 500000)}
+
+
+def test_q217_peak_election(spark, tmp_path):
+    """Type T: hour 3 and hour 20 both have 4 events (tie) -> peak
+    hour is the EARLIEST (3); trough is hour 7's single event; ratio
+    4000 milli."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q217_load_curve,
+    )
+
+    base = dt.datetime(1970, 1, 1)
+    rows, eid = [], 0
+    def emit(hour, k):
+        nonlocal eid
+        for i in range(k):
+            eid += 1
+            rows.append((eid, 1, "T",
+                         base + dt.timedelta(days=i, hours=hour, minutes=eid % 50)))
+    emit(3, 4); emit(20, 4); emit(7, 1)
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = q217_load_curve(spark, str(tmp_path)).collect()[0]
+    assert (r.event_type, r.peak_hour, r.peak_n, r.trough_n, r.n_hours,
+            r.peak_to_trough_milli) == ("T", 3, 4, 1, 3, 4000)
