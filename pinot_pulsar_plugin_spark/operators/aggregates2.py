@@ -2195,3 +2195,99 @@ def q216_purchase_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+# --- q218: first-order value vs retention -------------------------------------
+#
+# The growth question behind onboarding incentives: do customers whose
+# FIRST order is bigger come back more? First order = the q205
+# election (min day; same-day cents summed — the deterministic
+# first-day basket); value bands are fixed integer cents (q194's
+# discipline); retention = a second distinct order day within 60 days.
+# Output per band: cohort size, repeat count, exact ppm.
+
+_Q218 = """
+    WITH od AS (
+      SELECT o_custkey AS c,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    f AS (SELECT c, MIN(day) AS first_day FROM od GROUP BY c),
+    firstval AS (
+      SELECT od.c, f.first_day, CAST(SUM(od.cents) AS BIGINT) AS first_cents
+      FROM od JOIN f ON f.c = od.c AND od.day = f.first_day
+      GROUP BY 1, 2),
+    rep AS (
+      SELECT od.c,
+             MIN(CASE WHEN od.day > f.first_day THEN od.day END) AS second_day
+      FROM od JOIN f ON f.c = od.c
+      GROUP BY od.c)
+    SELECT CASE WHEN fv.first_cents < 10000 THEN 'T1'
+                WHEN fv.first_cents < 100000 THEN 'T2'
+                WHEN fv.first_cents < 1000000 THEN 'T3'
+                ELSE 'T4' END AS first_value_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN r.second_day IS NOT NULL
+                          AND r.second_day - fv.first_day <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_60d,
+           CAST(SUM(CASE WHEN r.second_day IS NOT NULL
+                          AND r.second_day - fv.first_day <= 60
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS repeat_ppm
+    FROM firstval fv JOIN rep r ON r.c = fv.c
+    GROUP BY 1
+"""
+
+
+@query("q218_first_value_retention", _Q218)
+def q218_first_value_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-day repeat rate by first-day basket value tier (see block
+    comment).
+
+    Scale shape: two customer-keyed combinable aggregates (first-day
+    election, conditional second-day MIN) and customer-keyed joins —
+    no window; the report is 4 tiers."""
+    o = t(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("c"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).persist()
+    f = od.groupBy("c").agg(F.min("day").alias("first_day"))
+    firstval = (
+        od.join(f, "c")
+        .filter(F.col("day") == F.col("first_day"))
+        .groupBy("c", "first_day")
+        .agg(F.sum("cents").alias("first_cents"))
+    )
+    rep = (
+        od.join(f, "c")
+        .groupBy("c")
+        .agg(
+            F.min(
+                F.when(F.col("day") > F.col("first_day"), F.col("day"))
+            ).alias("second_day")
+        )
+    )
+    tier = (
+        F.when(F.col("first_cents") < 10000, "T1")
+        .when(F.col("first_cents") < 100000, "T2")
+        .when(F.col("first_cents") < 1000000, "T3")
+        .otherwise("T4")
+    )
+    is_rep = F.col("second_day").isNotNull() & (
+        F.col("second_day") - F.col("first_day") <= 60
+    )
+    return (
+        firstval.join(rep, "c")
+        .groupBy(tier.alias("first_value_tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(is_rep, 1).otherwise(0)).alias("n_repeat_60d"),
+            F.expr(
+                "sum(case when second_day is not null and "
+                "second_day - first_day <= 60 then 1 else 0 end) * 1000000 "
+                "div count(1)"
+            ).alias("repeat_ppm"),
+        )
+    )

@@ -1220,3 +1220,38 @@ def test_q217_peak_election(spark, tmp_path):
     r = q217_load_curve(spark, str(tmp_path)).collect()[0]
     assert (r.event_type, r.peak_hour, r.peak_n, r.trough_n, r.n_hours,
             r.peak_to_trough_milli) == ("T", 3, 4, 1, 3, 4000)
+
+
+def test_q218_tiering_and_repeat(spark, tmp_path):
+    """Customer 1: two same-day first orders (total $150 = 15000c ->
+    T2), repeats day 30 -> counted. Customer 2: first basket $50 =
+    5000c (T1), never repeats. Customer 3: $200 = 20000c (T2),
+    repeats at day 61 -> NOT counted (boundary is <= 60)."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q218_first_value_retention,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    orders = [
+        (1, 1, 100.0, d(0)), (2, 1, 50.0, d(0)), (3, 1, 10.0, d(30)),
+        (4, 2, 50.0, d(5)),
+        (5, 3, 200.0, d(2)), (6, 3, 10.0, d(63)),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.first_value_tier: (r.n_customers, r.n_repeat_60d, r.repeat_ppm)
+        for r in q218_first_value_retention(spark, str(tmp_path)).collect()
+    }
+    # cust1 first cents 15000 -> T2 band? 15000 >= 10000 -> T2;
+    # cust2 5000 -> T1; cust3 20000 -> T2
+    assert got == {
+        "T1": (1, 0, 0),
+        "T2": (2, 1, 500000),
+    }
