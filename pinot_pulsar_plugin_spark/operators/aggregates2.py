@@ -2291,3 +2291,60 @@ def q218_first_value_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_ppm"),
         )
     )
+
+
+# --- q219: buyer repeat ladder --------------------------------------------------
+#
+# q211's N_k table read as a survival curve: of customers who reached
+# k orders, what share went on to a (k+1)th? continue_ppm(k) =
+# N_{>=k+1} · 1e6 // N_{>=k} — the "buyer ladder" loyalty teams chart
+# (the k=1→2 rung IS q205's repeat rate without the time bound).
+# Tail sums come from the bounded triangular join on the tiny k
+# histogram; everything is exact integer counts.
+
+_Q219 = """
+    WITH per_c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+      FROM orders GROUP BY 1),
+    hist AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+             FROM per_c GROUP BY k),
+    tails AS (
+      SELECT h.k,
+             CAST(SUM(h2.n_k) AS BIGINT) AS n_ge_k,
+             CAST(SUM(CASE WHEN h2.k > h.k THEN h2.n_k ELSE 0 END)
+                  AS BIGINT) AS n_gt_k
+      FROM hist h JOIN hist h2 ON h2.k >= h.k
+      GROUP BY h.k)
+    SELECT k, n_ge_k, n_gt_k,
+           CAST(n_gt_k * 1000000 // n_ge_k AS BIGINT) AS continue_ppm
+    FROM tails
+"""
+
+
+@query("q219_repeat_ladder", _Q219)
+def q219_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of k-order customers who went past k orders (see block
+    comment). The deepest rung reports 0 ppm.
+
+    Scale shape: q211's two stacked combinable aggregates; both tail
+    sums come from one triangular join on the ≤ max-k-row histogram."""
+    o = t(spark, sf_dir, "orders")
+    per_c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    hist = per_c.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    h2 = hist.select(F.col("k").alias("k2"), F.col("n_k").alias("n_k2"))
+    return (
+        hist.join(F.broadcast(h2), F.col("k2") >= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("n_k2").alias("n_ge_k"),
+            F.sum(
+                F.when(F.col("k2") > F.col("k"), F.col("n_k2")).otherwise(0)
+            ).alias("n_gt_k"),
+        )
+        .select(
+            "k",
+            "n_ge_k",
+            "n_gt_k",
+            F.expr("n_gt_k * 1000000 div n_ge_k").alias("continue_ppm"),
+        )
+    )

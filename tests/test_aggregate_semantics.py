@@ -1255,3 +1255,35 @@ def test_q218_tiering_and_repeat(spark, tmp_path):
         "T1": (1, 0, 0),
         "T2": (2, 1, 500000),
     }
+
+
+def test_q219_ladder_rungs(spark, tmp_path):
+    """Customers with 1/1/2/4 orders: at k=1, 2 of 4 went past
+    (500000); at k=2, 1 of 2 went past even though k=3 is UNOBSERVED
+    (the 4-order customer counts — the histogram-gap case); at k=4
+    nobody (0)."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q219_repeat_ladder,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    orders, ok = [], 0
+    for cust, n in [(1, 1), (2, 1), (3, 2), (4, 4)]:
+        for _ in range(n):
+            ok += 1
+            orders.append((ok, cust, ts))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.k: (r.n_ge_k, r.n_gt_k, r.continue_ppm)
+        for r in q219_repeat_ladder(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (4, 2, 500000),
+        2: (2, 1, 500000),
+        4: (1, 0, 0),
+    }
