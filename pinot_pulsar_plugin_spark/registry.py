@@ -137,7 +137,8 @@ _MODULES = [
 # q210_wilson_return_ranking, s69_mrr_eval,
 # q211_freq_of_frequencies, q212_share_of_wallet,
 # q213_pareto_crossing, q214_tenure_revenue_mix,
-# q215_basket_width, q216_purchase_novelty, q217_load_curve —
+# q215_basket_width, q216_purchase_novelty, q217_load_curve,
+# q218_first_value_retention, q219_repeat_ladder —
 # have no driver row yet and must LEAD the r7 window (more than 50:
 # split across r7/r8 preserving category coverage); all are
 # parity-green at sf0.001/0.01/0.1 in the local suite, and the whole
