@@ -228,6 +228,24 @@ def _data_fingerprint(sf_dir: str) -> dict[str, str]:
     return out
 
 
+def compact_headline_line(total: float, n_queries: int, sf: float) -> str:
+    """The single stdout line the driver parses. Fixed field set —
+    size is independent of how many headline queries run, so the
+    driver's 2,000-byte tail window can never truncate it (it did in
+    r5 AND r6 when the per-query map rode along). Per-query times,
+    spread, runs and verdicts live in bench_details.json."""
+    return json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": n_queries,
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -264,12 +282,15 @@ def main() -> None:
         runs_used[name] = len(samples)
 
     total = round(sum(times.values()), 3)
-    # Emission contract (VERDICT r5 "what's wrong" #1): the driver's
-    # tail capture truncated the FRONT of the old single 6 KB line, so
-    # BENCH_r05 shipped parsed:null. Full diagnostics now go to a
-    # sidecar file; stdout ends with ONE compact line (total +
-    # per-query times only) kept well under 2 KB so any tail window
-    # holds it intact.
+    # Emission contract (VERDICT r6 "what's wrong" #1, second failure):
+    # the driver captures only the LAST 2,000 bytes of stdout and
+    # parses the final line. r5 kept the per-query map "compact"; at
+    # 106 headline queries it grew to 3,150 bytes and the front of the
+    # line was truncated again. The per-query map is therefore BANNED
+    # from stdout — it lives in bench_details.json — and the final
+    # line carries only the fixed-size summary (~120 bytes, 10x+
+    # headroom under the window regardless of headline count).
+    # test_bench_emission.py asserts the <1 KB invariant.
     details = {
         "metric": "headline_suite_wall",
         "value": total,
@@ -284,16 +305,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_details.json"), "w") as f:
         json.dump(details, f, indent=1)
-    headline = {
-        "metric": "headline_suite_wall",
-        "value": total,
-        "unit": "sec",
-        # 2 decimals (10 ms) keeps 55+ entries compact; full 3-decimal
-        # times + spread/verdicts live in bench_details.json.
-        "queries": {k: round(v, 2) for k, v in times.items()},
-        "sf": sf,
-    }
-    line = json.dumps(headline, separators=(",", ":"))
+    line = compact_headline_line(total, len(times), sf)
     sys.stdout.flush()
     print(line, flush=True)
 

@@ -91,125 +91,93 @@ _MODULES = [
 # (every keeper is multiply driver-green; everything rotated out stays
 # byte-identically covered by tests/test_oracle_parity.py). Remaining
 # slots go to round-6 additions as they land.
-# Round-7 rotation TODO (the established pattern): the oracle-backed
-# entries added AFTER this window filled — t71_boolean_text_match,
-# t72_source_kl_divergence, q140_ks_drift_test, q141_kmv_theta_sketch,
-# q142_negated_sequence_conversion, q143_upsert_with_deletes,
-# q144_order_reconciliation_audit, q145_label_propagation,
-# q146_bitmap_distinct, s60_mmr_diversified_topk,
-# m61_training_batches, q147_twap, q148_snapshot_diff,
-# q149_bfs_reachability, q150_trend_slope, q151_sliding_distinct,
-# q152_theta_sketch_setops, s61_ndcg_eval, t73_chi2_term_assoc,
-# q154_window_funnel, q155_cusum_changepoint, q156_cohort_ltv,
-# q157_activity_streaks, q158_largest_remainder_alloc,
-# q159_arrow_python_udf, q160_conversion_latency, s62_ivf_recall,
-# t75_langid_confusion, d57_minhash_estimate, q161_url_functions,
-# q162_tuple_sketch_sum, q163_pit_enrichment_audit,
-# q164_cohort_retention_curve, q165_quota_sample_execution,
-# q166_weekday_seasonality, s63_matryoshka_recall,
-# t76_charngram_langid, q167_path_trigrams, q168_survivorship_merge,
-# q169_abtest_ztest, q170_json_array_extract,
-# q171_shuffle_skew_report, t77_tokenizer_fertility,
-# q172_decile_lift, q173_rfm_segmentation, q174_lateness_audit,
-# q175_abc_classification, s64_embedding_quality_audit,
-# q176_closing_balance, t78_readability, q177_market_concentration,
-# q178_benford_audit, q179_topn_others_rollup, q180_max_concurrency,
-# q181_seasonal_decomposition, t79_vocab_growth,
-# t80_crosscorpus_ngram_recall, t81_rake_keyphrases,
-# q182_cheapest_path_cost, q183_business_day_lag,
-# q184_revenue_bridge, d58_lsh_band_sweep, q185_forecast_backtest,
-# q186_relational_division, q187_percent_of_parent,
-# q188_duplicate_payments, q189_grid_hotspots,
-# t82_token_dropout_augment, t83_heldout_lm_surprisal,
-# s65_ivf_cell_balance, q190_bounce_rate, q191_conformance_audit,
-# q192_topk_drift, q193_accumulating_snapshot, q194_tier_migration,
-# q195_abc_xyz_matrix, q196_revenue_gini, q197_correlation_matrix,
-# q198_seasonal_anomalies, q199_attribution_bakeoff, t84_term_burstiness,
-# t85_crosslang_label_noise, d59_dedup_savings,
-# m62_payload_dedup_savings, s66_centroid_separation,
+# Round-7 rotation (VERDICT r6 #2, executed verbatim): the window is
+# q01 (smoke anchor) + the OLDEST 49 of the 114 oracle-backed entries
+# that have never had a driver row, in landing order (first-commit
+# timestamp of each name, `git log --reverse -S<name>`). Category
+# keepers are deliberately dropped this round — the cumulative
+# driver-verified union already covers every category, and the judge
+# directed all slots to backlog drain. Everything outside the window
+# stays byte-identically covered by tests/test_oracle_parity.py over
+# all oracle-backed entries. q57's deliberate rows-only slot is
+# retired: its clean rows-only driver row landed in r6 (CORRECTNESS_r06
+# `err: no_oracle`, 3 rows), which was the whole point of the slot.
+# Round-8 rotation TODO: lead with the remaining 65 never-driver-scored
+# oracle-backed entries, landing order:
+# s64_embedding_quality_audit, q176_closing_balance, t78_readability,
+# q177_market_concentration, q178_benford_audit, q179_topn_others_rollup,
+# q180_max_concurrency, t79_vocab_growth, q181_seasonal_decomposition,
+# t80_crosscorpus_ngram_recall, t81_rake_keyphrases, q182_cheapest_path_cost,
+# q183_business_day_lag, d58_lsh_band_sweep, q184_revenue_bridge,
+# q185_forecast_backtest, q186_relational_division, q187_percent_of_parent,
+# q188_duplicate_payments, q189_grid_hotspots, t82_token_dropout_augment,
+# t83_heldout_lm_surprisal, s65_ivf_cell_balance, q190_bounce_rate,
+# q191_conformance_audit, q192_topk_drift, d59_dedup_savings,
+# q193_accumulating_snapshot, q194_tier_migration, t84_term_burstiness,
+# q195_abc_xyz_matrix, m62_payload_dedup_savings, q196_revenue_gini,
+# q197_correlation_matrix, t85_crosslang_label_noise,
+# s66_centroid_separation, q198_seasonal_anomalies, q199_attribution_bakeoff,
 # q200_curation_funnel, q201_overlapping_orders, q202_ar_aging,
-# q203_interarrival_by_segment, q204_acquisition_mix,
-# q205_cohort_repeat_rate, q206_price_volume_bridge,
-# q207_split_shipments, q208_supplier_scorecard,
-# q209_engagement_gini, t86_head_concentration,
-# t87_syndication_matrix, d60_shingle_k_sensitivity,
-# m63_decode_failure_audit, s67_ivf_efficiency, s68_nprobe_sweep,
-# q210_wilson_return_ranking, s69_mrr_eval,
-# q211_freq_of_frequencies, q212_share_of_wallet,
-# q213_pareto_crossing, q214_tenure_revenue_mix,
-# q215_basket_width, q216_purchase_novelty, q217_load_curve,
-# q218_first_value_retention, q219_repeat_ladder —
-# have no driver row yet and must LEAD the r7 window (more than 50:
-# split across r7/r8 preserving category coverage); all are
-# parity-green at sf0.001/0.01/0.1 in the local suite, and the whole
-# registry state as of q199 passed a 268-oracle sf0.1 deep sweep with
-# zero mismatches (2341s, tools_paritysweep).
+# q203_interarrival_by_segment, s67_ivf_efficiency, q204_acquisition_mix,
+# q205_cohort_repeat_rate, d60_shingle_k_sensitivity,
+# q206_price_volume_bridge, m63_decode_failure_audit, q207_split_shipments,
+# t86_head_concentration, q208_supplier_scorecard, t87_syndication_matrix,
+# s68_nprobe_sweep, q209_engagement_gini, q210_wilson_return_ranking,
+# s69_mrr_eval, q211_freq_of_frequencies, q212_share_of_wallet,
+# q213_pareto_crossing, q214_tenure_revenue_mix, q215_basket_width,
+# q216_purchase_novelty, q217_load_curve, q218_first_value_retention,
+# q219_repeat_ladder.
 _PRIORITY = [
-    # --- never driver-scored (locally parity-green at 3 SFs since r5)
-    "q111_zorder_layout_audit",
-    "q112_salted_supplier_revenue",
-    "q113_disjunctive_revenue",      # TPC-H Q19 — joins rep (OR-of-ANDs pushdown)
-    "q114_top_revenue_supplier",     # TPC-H Q15
-    "q115_udtf_installments",        # UDF surface rep (UDTF)
-    "q117_order_count_distribution",  # TPC-H Q13 — aggregations rep
-    "q118_nation_pair_volume",       # TPC-H Q7 — multiway-join rep
-    "q119_column_profile",
-    "q120_pandas_grouped_agg",       # UDF surface rep (grouped-agg pandas)
-    "q121_incremental_rollup_merge",  # rollup_serving rep
-    "q122_exact_corr_by_flag",
-    "q123_supplier_triangles",
-    "q124_min_cost_supplier",        # TPC-H Q2 — correlated-subquery rep
-    "t67_token_entropy",             # text_analysis rep
-    # --- keepers: one multiply-green rep per category the leaders
-    # don't cover (test_registry_priority enforces).
-    "q01_pricing_summary",           # scan + agg + sort (sole rep)
-    "q95_weighted_sample",           # projection_filter + curation
-    "q08_join_broadcast_agg",        # broadcast_join
-    "q107_purchase_attribution",     # windows (IGNORE NULLS carry)
-    "t68_top_keywords",              # sort_topk (+ text)
-    "q30_union_all",                 # set ops (sole rep)
-    "q71_string_funcs_2",            # scalar families
-    "st63_window_topk",              # streaming batch-twin
-    "d53_dup_span_fraction",         # dedup_span (sole rep)
-    "d55_incremental_dedup",         # dedup_exact + dedup_near
-    "q87_bloom_subquery_prune",      # runtime_filter
-    "s55_pq_adc_topk",               # similarity
-    "m60_phash_neardup_candidates",  # multimodal
-    "q100_value_drift",              # event_analytics
-    "q92_gapfill_interpolate",       # timeseries
-    "t64_doc_chunking",              # chunking (sole rep)
-    "s53_kmeans_step",               # clustering
-    # --- deliberate rows-only exception (VERDICT r5 #3): q57's r2
-    # driver row err'd in the canonicalizer on the old array-typed
-    # output; the scalar reshape landed in r3 but the entry never
-    # re-entered the window, so the err is its only driver evidence.
-    # One slot here buys the non-err rows-only row the judge asked
-    # for; accuracy is pinned locally by test_sketches.py (±2% of
-    # exact percentiles). The slot displaces a padding keeper that is
-    # already multiply driver-green, so no union coverage is lost.
-    "q57_approx_quantiles",
-    # --- round-6 additions (driver-unscored; they REPLACE the padding
-    # keepers below as they land, keeping the window at exactly 50
-    # oracle-backed entries — module-order fill would pull in
-    # rows-only q13, which can never hash-green)
-    "q125_late_order_priority",      # TPC-H Q4 (EXISTS)
-    "q126_local_supplier_volume",    # TPC-H Q5
-    "q127_forecast_revenue",         # TPC-H Q6 (pure scan)
-    "q128_national_market_share",    # TPC-H Q8
-    "q129_product_type_profit",      # TPC-H Q9
-    "q130_returned_item_customers",  # TPC-H Q10 (top-20)
-    "q131_important_parts",          # TPC-H Q11 (HAVING vs global)
-    "q132_delay_bucket_priority",    # TPC-H Q12
-    "q133_promo_revenue_share",      # TPC-H Q14 (ppm ratio)
-    "q134_part_supplier_variety",    # TPC-H Q16 (NOT IN)
-    "q135_excess_recent_shippers",   # TPC-H Q20 (nested IN-chain)
-    "q136_sole_late_suppliers",      # TPC-H Q21 (EXISTS+NOT EXISTS)
-    "q137_compaction_binpack",       # storage maintenance: bin-pack plan
-    "q138_zonemap_prune_audit",      # storage maintenance: layout audit
-    "t70_source_vocab_overlap",      # corpus mixing diagnostic
-    "s57_tfidf_similar_docs",        # sparse inverted-index retrieval
-    "s58_int8_quantized_topk",       # scalar-quantized retrieval
-    "q139_incremental_join_view",    # join-delta view maintenance
+    "q01_pricing_summary",  # smoke anchor (sole keeper, VERDICT r6 #2)
+    "t71_boolean_text_match",
+    "s59_mips_norm_augmented",
+    "t72_source_kl_divergence",
+    "q140_ks_drift_test",
+    "q141_kmv_theta_sketch",
+    "q142_negated_sequence_conversion",
+    "q143_upsert_with_deletes",
+    "q144_order_reconciliation_audit",
+    "s60_mmr_diversified_topk",
+    "q145_label_propagation",
+    "m61_training_batches",
+    "q146_bitmap_distinct",
+    "q147_twap",
+    "q148_snapshot_diff",
+    "q149_bfs_reachability",
+    "s61_ndcg_eval",
+    "q150_trend_slope",
+    "t73_chi2_term_assoc",
+    "q151_sliding_distinct",
+    "q152_theta_sketch_setops",
+    "q153_lag_correlation",
+    "d57_minhash_estimate",
+    "t75_langid_confusion",
+    "q154_window_funnel",
+    "q155_cusum_changepoint",
+    "q156_cohort_ltv",
+    "q157_activity_streaks",
+    "q158_largest_remainder_alloc",
+    "q159_arrow_python_udf",
+    "q160_conversion_latency",
+    "s62_ivf_recall",
+    "q161_url_functions",
+    "q162_tuple_sketch_sum",
+    "t76_charngram_langid",
+    "q163_pit_enrichment_audit",
+    "s63_matryoshka_recall",
+    "q164_cohort_retention_curve",
+    "q165_quota_sample_execution",
+    "q166_weekday_seasonality",
+    "q167_path_trigrams",
+    "q168_survivorship_merge",
+    "q169_abtest_ztest",
+    "q170_json_array_extract",
+    "q171_shuffle_skew_report",
+    "t77_tokenizer_fertility",
+    "q172_decile_lift",
+    "q173_rfm_segmentation",
+    "q174_lateness_audit",
+    "q175_abc_classification",
 ]
 
 
