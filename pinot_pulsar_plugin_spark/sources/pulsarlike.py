@@ -249,6 +249,21 @@ def _required_path(options: dict) -> str:
 
 class PulsarLikeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
+        # Ending bounds are a batch-only concept: a stream is unbounded
+        # by definition, and the Kafka source this option surface
+        # mirrors REJECTS endingOffsets/endingTimestamp on streaming
+        # queries rather than silently ignoring them. Accepting-and-
+        # ignoring here would hand a user who asked for a bounded
+        # window an unbounded stream with no warning — the exact
+        # silent-misconfig class ts_option's garbage-raises rule
+        # exists to prevent (ADVICE r6).
+        for bounded_only in ("endingoffsets", "endingtimestamp"):
+            if _lookup(options, bounded_only) is not None:
+                raise ValueError(
+                    f"option {bounded_only!r} is not supported on streaming "
+                    "reads (streams are unbounded); use spark.read (batch) "
+                    "for a bounded range, like the Kafka source"
+                )
         self.root = _required_path(options)
         self.topic = _lookup(options, "topic") or "topic"
         self.max_msgs = int_option(options, "maxmsgs", DEFAULT_MAX_MSGS)
