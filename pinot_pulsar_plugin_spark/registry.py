@@ -7,7 +7,10 @@ differential checks exercise exactly what the driver will score.
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
 
 from pinot_pulsar_plugin_spark.operators.common import QueryFn
 
@@ -102,83 +105,110 @@ _MODULES = [
 # all oracle-backed entries. q57's deliberate rows-only slot is
 # retired: its clean rows-only driver row landed in r6 (CORRECTNESS_r06
 # `err: no_oracle`, 3 rows), which was the whole point of the slot.
-# Round-8 rotation TODO: lead with the remaining 65 never-driver-scored
-# oracle-backed entries, landing order:
-# s64_embedding_quality_audit, q176_closing_balance, t78_readability,
-# q177_market_concentration, q178_benford_audit, q179_topn_others_rollup,
-# q180_max_concurrency, t79_vocab_growth, q181_seasonal_decomposition,
-# t80_crosscorpus_ngram_recall, t81_rake_keyphrases, q182_cheapest_path_cost,
-# q183_business_day_lag, d58_lsh_band_sweep, q184_revenue_bridge,
-# q185_forecast_backtest, q186_relational_division, q187_percent_of_parent,
-# q188_duplicate_payments, q189_grid_hotspots, t82_token_dropout_augment,
-# t83_heldout_lm_surprisal, s65_ivf_cell_balance, q190_bounce_rate,
-# q191_conformance_audit, q192_topk_drift, d59_dedup_savings,
-# q193_accumulating_snapshot, q194_tier_migration, t84_term_burstiness,
-# q195_abc_xyz_matrix, m62_payload_dedup_savings, q196_revenue_gini,
-# q197_correlation_matrix, t85_crosslang_label_noise,
-# s66_centroid_separation, q198_seasonal_anomalies, q199_attribution_bakeoff,
-# q200_curation_funnel, q201_overlapping_orders, q202_ar_aging,
-# q203_interarrival_by_segment, s67_ivf_efficiency, q204_acquisition_mix,
-# q205_cohort_repeat_rate, d60_shingle_k_sensitivity,
-# q206_price_volume_bridge, m63_decode_failure_audit, q207_split_shipments,
-# t86_head_concentration, q208_supplier_scorecard, t87_syndication_matrix,
-# s68_nprobe_sweep, q209_engagement_gini, q210_wilson_return_ranking,
-# s69_mrr_eval, q211_freq_of_frequencies, q212_share_of_wallet,
-# q213_pareto_crossing, q214_tenure_revenue_mix, q215_basket_width,
-# q216_purchase_novelty, q217_load_curve, q218_first_value_retention,
-# q219_repeat_ladder.
-_PRIORITY = [
-    "q01_pricing_summary",  # smoke anchor (sole keeper, VERDICT r6 #2)
-    "t71_boolean_text_match",
-    "s59_mips_norm_augmented",
-    "t72_source_kl_divergence",
-    "q140_ks_drift_test",
-    "q141_kmv_theta_sketch",
-    "q142_negated_sequence_conversion",
-    "q143_upsert_with_deletes",
-    "q144_order_reconciliation_audit",
-    "s60_mmr_diversified_topk",
-    "q145_label_propagation",
-    "m61_training_batches",
-    "q146_bitmap_distinct",
-    "q147_twap",
-    "q148_snapshot_diff",
-    "q149_bfs_reachability",
-    "s61_ndcg_eval",
-    "q150_trend_slope",
-    "t73_chi2_term_assoc",
-    "q151_sliding_distinct",
-    "q152_theta_sketch_setops",
-    "q153_lag_correlation",
-    "d57_minhash_estimate",
-    "t75_langid_confusion",
-    "q154_window_funnel",
-    "q155_cusum_changepoint",
-    "q156_cohort_ltv",
-    "q157_activity_streaks",
-    "q158_largest_remainder_alloc",
-    "q159_arrow_python_udf",
-    "q160_conversion_latency",
-    "s62_ivf_recall",
-    "q161_url_functions",
-    "q162_tuple_sketch_sum",
-    "t76_charngram_langid",
-    "q163_pit_enrichment_audit",
-    "s63_matryoshka_recall",
-    "q164_cohort_retention_curve",
-    "q165_quota_sample_execution",
-    "q166_weekday_seasonality",
-    "q167_path_trigrams",
-    "q168_survivorship_merge",
-    "q169_abtest_ztest",
-    "q170_json_array_extract",
-    "q171_shuffle_skew_report",
-    "t77_tokenizer_fertility",
-    "q172_decile_lift",
-    "q173_rfm_segmentation",
-    "q174_lateness_audit",
-    "q175_abc_classification",
+# Round-8 mechanism change (VERDICT r7 #1): the window is now
+# SELF-DERIVING. A static _PRIORITY list goes stale the moment the
+# driver lands a CORRECTNESS_r*.json scoring it (the r7→r8 boundary
+# left `pytest tests/` red on the drain trip-wire), so the window is
+# computed at load time from the artifacts themselves:
+#
+#   window = q01 (smoke anchor)
+#          + the first 49 never-driver-scored oracle-backed entries in
+#            landing order (_BACKLOG_LANDING_ORDER below = first-commit
+#            order per `git log --reverse -S<name>`, frozen at the r7
+#            registry freeze; any entry added later falls back to
+#            registry module order)
+#          + if fewer than 49 remain, padding with oracle-backed
+#            re-verification anchors in registry order (harmless
+#            re-scoring once the backlog is drained).
+#
+# "Driver-scored" = a CORRECTNESS row with hash_match, OR spark_rows
+# recorded with err in (None, "no_oracle") — the ADVICE r7 #4
+# tightening: a failed run that still logged spark_rows alongside a
+# real err must NOT count as covered. Rows-only-by-design entries
+# (no oracle) never occupy a slot (round-3 rule, VERDICT r2).
+_ANCHOR = "q01_pricing_summary"
+_WINDOW = 50
+
+_BACKLOG_LANDING_ORDER = [
+    "s64_embedding_quality_audit", "q176_closing_balance",
+    "t78_readability", "q177_market_concentration", "q178_benford_audit",
+    "q179_topn_others_rollup", "q180_max_concurrency", "t79_vocab_growth",
+    "q181_seasonal_decomposition", "t80_crosscorpus_ngram_recall",
+    "t81_rake_keyphrases", "q182_cheapest_path_cost",
+    "q183_business_day_lag", "d58_lsh_band_sweep", "q184_revenue_bridge",
+    "q185_forecast_backtest", "q186_relational_division",
+    "q187_percent_of_parent", "q188_duplicate_payments",
+    "q189_grid_hotspots", "t82_token_dropout_augment",
+    "t83_heldout_lm_surprisal", "s65_ivf_cell_balance", "q190_bounce_rate",
+    "q191_conformance_audit", "q192_topk_drift", "d59_dedup_savings",
+    "q193_accumulating_snapshot", "q194_tier_migration",
+    "t84_term_burstiness", "q195_abc_xyz_matrix",
+    "m62_payload_dedup_savings", "q196_revenue_gini",
+    "q197_correlation_matrix", "t85_crosslang_label_noise",
+    "s66_centroid_separation", "q198_seasonal_anomalies",
+    "q199_attribution_bakeoff", "q200_curation_funnel",
+    "q201_overlapping_orders", "q202_ar_aging",
+    "q203_interarrival_by_segment", "s67_ivf_efficiency",
+    "q204_acquisition_mix", "q205_cohort_repeat_rate",
+    "d60_shingle_k_sensitivity", "q206_price_volume_bridge",
+    "m63_decode_failure_audit", "q207_split_shipments",
+    "t86_head_concentration", "q208_supplier_scorecard",
+    "t87_syndication_matrix", "s68_nprobe_sweep", "q209_engagement_gini",
+    "q210_wilson_return_ranking", "s69_mrr_eval",
+    "q211_freq_of_frequencies", "q212_share_of_wallet",
+    "q213_pareto_crossing", "q214_tenure_revenue_mix", "q215_basket_width",
+    "q216_purchase_novelty", "q217_load_curve",
+    "q218_first_value_retention", "q219_repeat_ladder",
 ]
+
+
+def driver_scored_names() -> set[str]:
+    """Names with a driver-verified row in any CORRECTNESS_r*.json at
+    the repo root: hash_match green, or a rows-only row whose err is
+    absent / the deliberate ``no_oracle`` marker."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or (
+                row.get("spark_rows") is not None
+                and row.get("err") in (None, "no_oracle")
+            ):
+                seen.add(name)
+    return seen
+
+
+def derive_priority(
+    queries: dict[str, QueryFn], oracle: dict[str, str]
+) -> list[str]:
+    """The scored window, recomputed from the correctness artifacts —
+    can never go stale (VERDICT r7 #1)."""
+    scored = driver_scored_names()
+    window = [_ANCHOR]
+
+    def _take(candidates) -> None:
+        for n in candidates:
+            if len(window) >= _WINDOW:
+                return
+            if n != _ANCHOR and n not in window and n in queries and n in oracle:
+                window.append(n)
+
+    # Never-scored backlog, oldest-landed first; then any never-scored
+    # entry the frozen landing list predates, in registry order.
+    _take(n for n in _BACKLOG_LANDING_ORDER if n not in scored)
+    _take(n for n in queries if n not in scored)
+    # Backlog drained: pad with oracle-backed re-verification anchors.
+    _take(iter(queries))
+    return window
 
 
 def _load():
@@ -194,12 +224,17 @@ def _load():
                 raise ValueError(f"duplicate query name {name!r} in {modname}")
             queries[name] = fn
         oracle.update(mod.ORACLE)
-    missing = [n for n in _PRIORITY if n not in queries]
-    if missing:
-        raise ValueError(f"_PRIORITY names not in registry: {missing}")
-    ordered = {n: queries[n] for n in _PRIORITY}
+    if _ANCHOR not in queries:
+        raise ValueError(f"anchor {_ANCHOR!r} not in registry")
+    priority = derive_priority(queries, oracle)
+    ordered = {n: queries[n] for n in priority}
     ordered.update({n: fn for n, fn in queries.items() if n not in ordered})
     return ordered, oracle
+
+
+def priority_window() -> list[str]:
+    """The 50 names the driver will score this round, in order."""
+    return list(_load()[0])[:_WINDOW]
 
 
 def all_queries() -> dict[str, QueryFn]:
