@@ -161,6 +161,7 @@ def _load_prior() -> dict | None:
     # Walk newest→oldest and use the first round whose payload the
     # driver actually parsed (BENCH_r05 shipped parsed:null — a broken
     # artifact must not silence round-over-round verdicts forever).
+    parsed = None
     for path in sorted(glob.glob(os.path.join(here, _PRIOR_GLOB)), reverse=True):
         try:
             with open(path) as f:
@@ -168,8 +169,30 @@ def _load_prior() -> dict | None:
         except (OSError, json.JSONDecodeError):
             continue
         if parsed:
-            return parsed
-    return None
+            break
+    if not parsed:
+        return None
+    if parsed.get("queries"):
+        return parsed
+    # Compact-stdout era (r7+): the driver-parsed payload carries only
+    # the fixed summary, so the per-query map must come from the same
+    # run's committed bench_details.json (ADVICE r7 #2 — without this,
+    # _verdicts sees p_times={} and marks every query "new" forever).
+    # Accept it only when it demonstrably IS the same run (sf and total
+    # agree); a locally overwritten details file fails the guard and
+    # verdicts degrade to "new" rather than comparing against noise.
+    try:
+        with open(os.path.join(here, "bench_details.json")) as f:
+            details = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return parsed
+    if (
+        details.get("sf") == parsed.get("sf")
+        and abs(details.get("value", -1.0) - parsed.get("value", -2.0)) < 1e-6
+        and details.get("queries")
+    ):
+        return details
+    return parsed
 
 
 def _verdicts(

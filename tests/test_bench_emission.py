@@ -47,3 +47,31 @@ def test_line_survives_a_2000_byte_tail_window():
     tail = stdout[-2000:]
     last = tail.strip().splitlines()[-1]
     assert json.loads(last)["value"] == 72.345
+
+
+def test_load_prior_recovers_per_query_map_from_details(tmp_path, monkeypatch):
+    """ADVICE r7 #2: compact-era BENCH_r*.json payloads carry no
+    per-query map, so _load_prior must splice it in from the SAME
+    run's bench_details.json (guarded by sf + total equality) — else
+    _verdicts marks every query 'new' forever and the round-over-round
+    regression detector silently dies."""
+    parsed = {"metric": "headline_suite_wall", "value": 10.5, "unit": "sec",
+              "sf": 0.1, "n_queries": 2}
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"parsed": parsed}))
+    details = dict(parsed, queries={"q01": 4.0, "q02": 6.5},
+                   spread={"q01": 0.1, "q02": 0.2})
+    (tmp_path / "bench_details.json").write_text(json.dumps(details))
+    monkeypatch.setattr(bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    prior = bench._load_prior()
+    assert prior["queries"] == {"q01": 4.0, "q02": 6.5}
+    assert prior["spread"] == {"q01": 0.1, "q02": 0.2}
+    # A details file from a DIFFERENT run (total mismatch) must not be
+    # trusted: fall back to the bare parsed payload.
+    (tmp_path / "bench_details.json").write_text(
+        json.dumps(dict(details, value=99.0)))
+    prior = bench._load_prior()
+    assert "queries" not in prior
+    # Legacy payloads that still carry their own map pass through.
+    with_map = dict(parsed, queries={"q01": 1.0})
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps({"parsed": with_map}))
+    assert bench._load_prior()["queries"] == {"q01": 1.0}
