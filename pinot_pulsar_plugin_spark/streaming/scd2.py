@@ -52,10 +52,22 @@ _SCHEMA = (
 
 
 def _read_state(spark: SparkSession, out_dir: str) -> DataFrame:
-    try:
-        return spark.read.schema(_SCHEMA).parquet(out_dir)
-    except Exception:
+    """Load the interval table, or an empty frame ONLY on first-batch
+    bootstrap (no state written yet).
+
+    A bare ``except Exception`` here was a silent-history-loss path
+    (ADVICE r6 #1 / VERDICT r7 #3): a transient read error looked like
+    bootstrap, the merge recomputed touched buckets WITHOUT their
+    closed history, dynamic-partition overwrite replaced them, and the
+    checkpoint advanced — permanent, unreported truncation. Bootstrap
+    is therefore detected by probing the directory itself; any error
+    reading EXISTING state propagates so foreachBatch fails the
+    micro-batch and the engine retries without committing the offset."""
+    if not os.path.isdir(out_dir) or not any(
+        not name.startswith((".", "_")) for name in os.listdir(out_dir)
+    ):
         return spark.createDataFrame([], _SCHEMA)
+    return spark.read.schema(_SCHEMA).parquet(out_dir)
 
 
 def _merge(state: DataFrame, delta: DataFrame, n_buckets: int) -> DataFrame:

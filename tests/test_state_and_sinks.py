@@ -1539,3 +1539,50 @@ def test_stream_interval_sweep_equals_batch_q180(spark, tmp_path):
         for r in q180_max_concurrency(spark, batch_dir).collect()
     }
     assert got == want and len(want) >= 1 and max(m for m, _ in want.values()) > 1
+
+
+def test_scd2_corrupt_state_fails_batch_instead_of_truncating(spark, tmp_path):
+    """ADVICE r6 #1 / VERDICT r7 #3: _read_state's old bare-except made
+    a transient state-read error indistinguishable from first-batch
+    bootstrap — the merge then rebuilt touched buckets WITHOUT their
+    closed history and dynamic-partition overwrite committed the
+    truncation permanently. Pin the fix: bootstrap (missing/empty dir)
+    still yields an empty state, but a corrupt EXISTING state file
+    must raise out of the micro-batch (foreachBatch retry, offset not
+    committed) and leave the on-disk table untouched."""
+    import glob as _glob
+
+    from pinot_pulsar_plugin_spark.streaming.scd2 import read_scd2, scd2_sink
+
+    served = str(tmp_path / "dim")
+
+    def delta(rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string, ts_us bigint"
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros("ts_us").alias("ts"),
+        )
+
+    sink = scd2_sink(served, n_buckets=2)
+    sink(delta([(1, 1, "browse", 1_700_000_000_000_000)]), 0)  # bootstrap
+    sink(delta([(2, 1, "cart", 1_700_000_060_000_000)]), 1)
+    before = {
+        (r.user_id, r.valid_from_us, r.event_type, r.is_current)
+        for r in read_scd2(spark, served).collect()
+    }
+    assert len(before) == 2  # closed browse + open cart
+
+    data_files = _glob.glob(served + "/**/*.parquet", recursive=True)
+    assert data_files
+    for p in data_files:
+        with open(p, "wb") as fh:
+            fh.write(b"definitely not parquet")
+
+    with pytest.raises(Exception):
+        sink(delta([(3, 1, "buy", 1_700_000_120_000_000)]), 2)
+    # The failed batch must not have overwritten anything: the same
+    # corrupt bytes are still in place (no partial commit).
+    assert all(
+        open(p, "rb").read() == b"definitely not parquet" for p in data_files
+    )
