@@ -38,6 +38,7 @@ from dataclasses import dataclass
 
 from pinot_pulsar_plugin_spark.sources.offsets import (
     EARLIEST_OFFSET,
+    decode_offset,
     encode_offset,
 )
 
@@ -155,48 +156,70 @@ class FakePulsarBroker:
                 keys[encode_offset(ledger, entry)] = json.loads(raw)
         return keys
 
-    def _pts_index(self, topic: str, partition: int) -> dict[int, int | None]:
-        """offset → publish timestamp in µs (None when the writer did
-        not stamp / no sidecar). Lives in ``ledger-<L>.pts`` sidecars,
-        one JSON int (or null) per line, aligned with the ledger's
-        entries — the same alignment-or-ignore rule as ``_keys_index``
-        (a truncated sidecar must not silently shift timestamps onto
-        the wrong messages)."""
+    def _pts_index(
+        self, topic: str, partition: int
+    ) -> tuple[dict[int, int | None], set[int]]:
+        """(offset → publish timestamp µs, untrusted offsets).
+
+        Publish times live in ``ledger-<L>.pts`` sidecars, one JSON int
+        (or ``null`` = the writer deliberately did not stamp) per line,
+        aligned with the ledger's entries. A MISSING or MISALIGNED
+        sidecar is different from a null stamp: TopicWriter always
+        writes a .pts line per entry, so misalignment means the sidecar
+        was truncated or tampered with and NOTHING in that ledger has a
+        trustworthy publish time. Those offsets go in the ``untrusted``
+        set instead of being silently treated as unstamped — the old
+        treat-as-unstamped behavior made a timestamp seek position PAST
+        corrupt ledgers and skip their data, the opposite failure
+        direction from the real broker, which always stamps broker-side
+        and whose ms-grain seek only ever lands early (ADVICE r6 #3 /
+        VERDICT r7 #4)."""
         pts: dict[int, int | None] = {}
+        untrusted: set[int] = set()
         entry_counts: dict[str, int] = {}
-        for _, path, _ in self._offsets_index(topic, partition):
+        ledger_offsets: dict[int, list[int]] = {}
+        for off, path, _ in self._offsets_index(topic, partition):
             entry_counts[path] = entry_counts.get(path, 0) + 1
+            ledger_offsets.setdefault(decode_offset(off)[0], []).append(off)
         for ledger in self._ledgers(topic, partition):
             pdir = self._partition_dir(topic, partition)
             tpath = os.path.join(pdir, f"ledger-{ledger:08d}.pts")
+            lpath = os.path.join(pdir, f"ledger-{ledger:08d}.jsonl")
             try:
                 with open(tpath, "rb") as fh:
                     lines = fh.read().split(b"\n")
                     if lines and lines[-1] == b"":
                         lines.pop()
             except OSError:
+                untrusted.update(ledger_offsets.get(ledger, ()))
                 continue
-            lpath = os.path.join(pdir, f"ledger-{ledger:08d}.jsonl")
             if len(lines) != entry_counts.get(lpath, 0):
+                untrusted.update(ledger_offsets.get(ledger, ()))
                 continue
             for entry, raw in enumerate(lines):
                 pts[encode_offset(ledger, entry)] = json.loads(raw)
-        return pts
+        return pts, untrusted
 
     def first_offset_at_or_after(self, topic: str, partition: int, ts_us: int) -> int:
         """Publish-time seek: the offset of the first message with
         publish_ts >= ``ts_us`` — ``Consumer.seek(long timestamp)`` /
-        Kafka ``startingTimestamp`` semantics. Unstamped messages
-        (null / missing sidecar) are treated as published at -inf:
-        they predate every seek target, so a timestamp seek starts
-        after them. If nothing at/after the target exists, returns
+        Kafka ``startingTimestamp`` semantics. Deliberately unstamped
+        messages (explicit ``null`` in an aligned sidecar) are treated
+        as published at -inf: they predate every seek target, so a
+        timestamp seek starts after them. Offsets whose sidecar is
+        missing or misaligned are UNTRUSTED and qualify unconditionally
+        — the seek lands at or before them (at-least-once, the same
+        never-skip direction as the real client's millisecond-floored
+        seek), never past them. If nothing qualifies, returns
         ``latest_offset`` (the position the next published message
         would take — seek-to-future lands at the live edge). Publish
         times are monotonic per partition (the Pulsar broker stamps
         them in append order), so the first qualifying offset in index
         order is THE boundary."""
-        pts = self._pts_index(topic, partition)
+        pts, untrusted = self._pts_index(topic, partition)
         for off, _, _ in self._offsets_index(topic, partition):
+            if off in untrusted:
+                return off
             t = pts.get(off)
             if t is not None and t >= ts_us:
                 return off

@@ -333,3 +333,40 @@ def test_timestamp_seek_parity(brokers):
             b = fake.first_offset_at_or_after("t", part, ts)
             assert a == b, (part, ts, a, b)
     assert real.first_offset_at_or_after("t", 0, _PTS0 + 10**9) == real.latest_offset("t", 0)
+
+
+def test_seek_never_skips_on_sidecar_corruption(brokers, tmp_path):
+    """ADVICE r6 #3 / VERDICT r7 #4: the two brokers must fail in the
+    SAME at-least-once direction. The real client's publish-time seek
+    can only land early (ms-grain floor; the broker always stamps), so
+    the fake must never land LATE either — a truncated/missing .pts
+    sidecar used to read as "unstamped = predates everything", making
+    the seek position PAST the corrupt ledger and skip its data. Pin:
+    with ledger 3's sidecar truncated, every seek target lands at or
+    BEFORE the offset the intact real broker resolves (re-delivery,
+    never loss), and specifically at the corrupt ledger's first offset
+    once the target falls inside or after it."""
+    real, fake = brokers
+    pts_path = tmp_path / "t" / "partition-0" / "ledger-00000003.pts"
+    lines = pts_path.read_bytes().splitlines(keepends=True)
+    pts_path.write_bytes(b"".join(lines[:-2]))  # truncate: misaligned
+
+    ledger3_first = encode_offset(3, 0)
+    for ts in (
+        _PTS0 - 1_000_000,   # before everything
+        _PTS0 + 5 * 1000,    # mid ledger 0 (intact)
+        _PTS0 + 10 * 1000,   # inside the corrupt ledger
+        _PTS0 + 10**9,       # far future — corrupt data still qualifies
+    ):
+        intact = real.first_offset_at_or_after("t", 0, ts)
+        got = fake.first_offset_at_or_after("t", 0, ts)
+        assert got <= intact, (ts, got, intact)
+        if ts >= _PTS0 + 9 * 1000:
+            assert got == ledger3_first
+    # A fully MISSING sidecar is the same corruption class.
+    pts_path.unlink()
+    assert fake.first_offset_at_or_after("t", 0, _PTS0 + 10**9) == ledger3_first
+    # Partition 1 (aligned sidecar, real null stamps elsewhere) keeps
+    # exact parity with the real client.
+    assert fake.first_offset_at_or_after("t", 1, _PTS0 + 2 * 1000) == \
+        real.first_offset_at_or_after("t", 1, _PTS0 + 2 * 1000)
