@@ -845,3 +845,37 @@ def test_timestamp_seek_stream_starts_mid_topic(spark, tmp_path):
     q.stop()
     got = sorted(r.i for r in spark.sql("select i from ts_seek_sink").collect())
     assert got == list(range(8, 16))
+
+
+def test_stream_rejects_ending_bounds_batch_accepts(spark, tmp_path):
+    """ADVICE r7 #3: ending bounds are batch-only. readStream with
+    endingoffsets / endingtimestamp (either bare or via the
+    stream.pulsar.* alias) must raise — Kafka-source parity; accepting
+    and ignoring would hand a bounded-window request an unbounded
+    stream with no warning. The SAME options on spark.read keep
+    working (bounded batch is the supported path)."""
+    import pytest as _pytest
+
+    _write_events_topic(str(tmp_path / "b"), n=10, partitions=1)
+    root = str(tmp_path / "b")
+
+    for opts in (
+        {"endingoffsets": '{"0": 5}'},
+        {"endingtimestamp": "1700000000000005"},
+        {"stream.pulsar.endingtimestamp": "1700000000000005"},
+    ):
+        with _pytest.raises(Exception, match="not supported on streaming"):
+            df = read_stream(spark, root, "events", **opts)
+            # some engine versions defer reader construction to start
+            q = (
+                df.writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / "ck_rej"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    # batch keeps honoring the identical options
+    assert read_batch(
+        spark, root, "events", endingoffsets='{"0": 5}'
+    ).count() == 5
