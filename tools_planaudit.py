@@ -26,7 +26,7 @@ SF = "/root/testdata/sf0.001"
 
 def audit_plan(plan: str) -> dict:
     node_ids = re.findall(r"\(\d+\) (\w+)", plan)
-    return {
+    row = {
         "exchanges": node_ids.count("Exchange"),
         "shuffle_keys": sorted(
             {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
@@ -46,6 +46,21 @@ def audit_plan(plan: str) -> dict:
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]\[]", plan)),
         "scans": node_ids.count("Scan"),
     }
+    # Recursive CTEs (WITH RECURSIVE → UnionLoop) keep their loop body
+    # LOGICAL until runtime: no Exchange/Scan/CartesianProduct physical
+    # nodes exist to count, so the physical fields above are vacuously
+    # zero and the cartesian/python gates cannot see inside (VERDICT
+    # r6 #5 / r7 #5). Mark the row honestly and record the logical
+    # body's node census so the row is non-vacuous: LogicalRelation =
+    # table scans per iteration, Join = per-iteration joins (physical
+    # strategy chosen at runtime per iteration).
+    if "UnionLoop" in node_ids:
+        row["recursive"] = True
+        row["unaudited"] = True
+        row["logical_scans"] = node_ids.count("LogicalRelation")
+        row["logical_joins"] = node_ids.count("Join")
+        row["logical_aggregates"] = node_ids.count("Aggregate")
+    return row
 
 
 def main() -> None:
@@ -69,6 +84,10 @@ def main() -> None:
         "n_oracle_backed": sum(1 for r in out.values() if r["oracle"]),
         "with_cartesian": sorted(n for n, r in out.items() if r["cartesian"]),
         "with_python_eval": sorted(n for n, r in out.items() if r["python_eval"]),
+        # Rows the physical gates can NOT vouch for (recursive loop
+        # bodies planned at runtime) — any reader of the cartesian /
+        # python gates must treat these as out of scope, not clean.
+        "unaudited": sorted(n for n, r in out.items() if r.get("unaudited")),
         "max_exchanges": max((r["exchanges"], n) for n, r in out.items()),
         "plan_failures": failed,
     }
