@@ -210,3 +210,20 @@ def test_round_of_quotient_is_ratcheted():
         f"unaudited ROUND-of-quotient oracles: {sorted(flagged - set(audited))}; "
         f"stale audit entries: {sorted(set(audited) - flagged)}"
     )
+
+
+def test_survey_ledger_is_current():
+    """SURVEY.md §8's generated ledger (VERDICT r7 #6) must contain a
+    row for EVERY registry entry — if this fails, rerun
+    `python tools_ledger.py` after adding operators or landing a
+    driver round."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SURVEY.md")) as fh:
+        text = fh.read()
+    assert "<!-- LEDGER:BEGIN -->" in text and "<!-- LEDGER:END -->" in text
+    ledger = text.split("<!-- LEDGER:BEGIN -->")[1].split("<!-- LEDGER:END -->")[0]
+    missing = [n for n in all_queries() if f"| {n} |" not in ledger]
+    assert not missing, f"ledger rows missing (rerun tools_ledger.py): {missing[:5]}"
+    # and the window column tracks the live derivation
+    for n in priority_window():
+        assert f"| {n} |" in ledger
