@@ -656,23 +656,55 @@ _Q108 = f"""
 @query("q108_journey_paths", _Q108)
 def q108_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey path enumeration with a RECURSIVE CTE (Spark 4's
-    WITH RECURSIVE — the same SQL text runs verbatim on both engines):
-    starting from 'signup', walk the event-transition graph (q89's
-    aggregated Markov edges) up to depth {_JOURNEY_MAX_DEPTH},
+    WITH RECURSIVE; DuckDB runs the single-statement _Q108 text as the
+    oracle): starting from 'signup', walk the event-transition graph
+    (q89's aggregated Markov edges) up to depth {_JOURNEY_MAX_DEPTH},
     emitting every path with an exact integer popularity score (sum of
     traversed edge counts) — the "top user journeys" product-analytics
     query that needs path ENUMERATION, which q89's single-step
     transition matrix cannot express.
 
     Scale shape: the event table pays exactly ONE user-keyed exchange
-    to build the lag edges (the per-key sequence budget); the
-    recursion then iterates over the #event_types² aggregated edge
-    table — a tiny relation joined to the growing-but-bounded path
-    frontier (≤ |types|^depth rows), never back to the events. Cycles
-    terminate via the depth bound; integer scores keep every row
-    bit-deterministic."""
-    t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_Q108)
+    to build the lag edges (the per-key sequence budget), and that
+    aggregate is PERSISTED before the recursion — a CTE referenced
+    from inside UnionLoop is re-planned per iteration, so the inlined
+    form re-scanned and re-windowed the fact table every iteration
+    (~depth× the whole event cost; PLAN_AUDIT's logical census showed
+    2 fact scans inside the loop). The recursion then iterates over
+    the cached #event_types² edge relation — a tiny InMemoryTableScan
+    joined to the growing-but-bounded path frontier (≤ |types|^depth
+    rows), never back to the events. Cycles terminate via the depth
+    bound; integer scores keep every row bit-deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(seq_w).alias("prev"),
+            F.col("event_type").alias("curr"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "curr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    edges.count()  # materialize so the loop scans the cache, not the fact
+    edges.createOrReplaceTempView("journey_edges_m")
+    return spark.sql(f"""
+        WITH RECURSIVE paths AS (
+          SELECT CONCAT('signup > ', curr) AS path, curr AS last,
+                 2 AS depth, n AS score
+          FROM journey_edges_m WHERE prev = 'signup'
+          UNION ALL
+          SELECT CONCAT(p.path, ' > ', e.curr), e.curr, p.depth + 1,
+                 p.score + e.n
+          FROM paths p JOIN journey_edges_m e ON e.prev = p.last
+          WHERE p.depth < {_JOURNEY_MAX_DEPTH})
+        SELECT path, CAST(depth AS INTEGER) AS depth,
+               CAST(score AS BIGINT) AS score
+        FROM paths
+    """)
 
 
 # --- q121: incremental aggregate maintenance ------------------------
