@@ -663,20 +663,24 @@ def q105_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units (see module comment — bit-identical across engines and
     shuffle schedules, unlike float PageRank).
 
-    Scale shape: the edge list is built once with one distinct on the
-    (custkey, suppkey) projection of the order⋈lineitem join, then
-    PERSISTED — every iteration reuses it. Each iteration is one hash
-    join of the rank table onto edges.src followed by one combinable
-    SUM keyed on edges.dst; both sides hash-partition on the node key,
-    so AQE reuses the edge exchange across iterations instead of
-    re-shuffling the graph. Degree is folded into the edge table up
-    front (deg rides next to src) so the per-iteration join touches ONE
-    narrow (src, dst, d) relation — the standard Pregel-on-SQL layout.
-    Rank-table size = #nodes, edges = #relationships; nothing quadratic
-    anywhere, and a hub node is an AQE skew-split case, not a plan
-    change. Fixed iteration count keeps the whole computation one
-    declarative plan (iterate-to-convergence is the same loop with a
-    driver-side delta check between materialized iterations)."""
+    Scale shape: the edge list is built once — the symmetric doubling
+    is an IN-ROW explode of a 2-struct array, not a self-union (a
+    union of an unpersisted relation recomputes the order⋈lineitem
+    distinct per leg — the q182 lesson; the union form cost 12 fact
+    scans here, the explode form costs 2) — then the (src, dst, d)
+    adjacency is persisted AND materialized so the rank seed and both
+    iterations read the cache, never the fact tables. Each iteration
+    is one hash join of the rank table onto adj.src followed by one
+    combinable SUM keyed on adj.dst; both sides hash-partition on the
+    node key, so AQE reuses the edge exchange across iterations
+    instead of re-shuffling the graph. Degree rides next to src so the
+    per-iteration join touches ONE narrow relation — the standard
+    Pregel-on-SQL layout. Rank-table size = #nodes, edges =
+    #relationships; nothing quadratic anywhere, and a hub node is an
+    AQE skew-split case, not a plan change. Fixed iteration count
+    keeps the whole computation one declarative plan
+    (iterate-to-convergence is the same loop with a driver-side delta
+    check between materialized iterations)."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -684,19 +688,23 @@ def q105_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    c_side = e0.select(
-        F.concat(F.lit("c:"), F.col("c")).alias("src"),
-        F.concat(F.lit("s:"), F.col("s")).alias("dst"),
-    )
-    s_side = e0.select(
-        F.concat(F.lit("s:"), F.col("s")).alias("src"),
-        F.concat(F.lit("c:"), F.col("c")).alias("dst"),
-    )
-    edges = c_side.unionAll(s_side)
+    cnode = F.concat(F.lit("c:"), F.col("c"))
+    snode = F.concat(F.lit("s:"), F.col("s"))
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(cnode.alias("src"), snode.alias("dst")),
+                F.struct(snode.alias("src"), cnode.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     adj = edges.join(deg, "src").persist()  # (src, dst, d) — reused per iter
-    rank = deg.select("src", F.lit(_PR_R0).cast("long").alias("r")).withColumnRenamed(
-        "src", "node"
+    adj.count()  # materialize: seed + iterations read the cache only
+    rank = (
+        adj.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(_PR_R0).cast("long").alias("r"))
     )
     for _ in range(_PR_ITERS):
         contrib = (

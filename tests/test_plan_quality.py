@@ -1349,3 +1349,38 @@ def test_q159_plans_as_arrow_eval_python(spark):
     plan = formatted_plan(udfs.q159_arrow_python_udf(spark, SF))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q105_iterations_read_cache_not_parquet(spark):
+    """r8 regression gate: q105's rank seed and both iterations read
+    the materialized adjacency cache, so the only parquet scans in the
+    explain are the TWO inside the InMemoryRelation's cached build
+    lineage (orders + lineitem, rendered but not re-executed). The
+    old form showed 12: the symmetric edge doubling was a self-union
+    of the unpersisted pair relation (recomputed per leg — the q182
+    lesson) and the seed re-derived the degree table from parquet."""
+    from pinot_pulsar_plugin_spark.operators import pipelines
+
+    plan = formatted_plan(pipelines.q105_pagerank_transactions(spark, SF))
+    # seed + two iterations all read the cache
+    assert plan.count("InMemoryTableScan") >= 3
+    # The explain renders the cached build lineage (orders + lineitem)
+    # once per cache-use subtree, so up to 4 "Scan parquet" LINES are
+    # rendering artifacts, not runtime scans. The regression target is
+    # the old union-form's 12.
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 4, f"fact re-scan leaked back: {n_scans} parquet scans"
+
+
+def test_q108_recursion_body_reads_cache_not_parquet(spark):
+    """r8 regression gate: a CTE referenced inside WITH RECURSIVE's
+    UnionLoop is re-planned per iteration, so an inlined fact-derived
+    edges CTE re-scans the events table every recursion step. q108
+    must build the edge aggregate once (exactly one parquet scan, paid
+    at materialization) and recurse over the cached view — the loop
+    body may reference no LogicalRelation."""
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    plan = formatted_plan(eventanalytics.q108_journey_paths(spark, SF))
+    assert "UnionLoop" in plan
+    assert "LogicalRelation" not in plan, "recursion body re-reads the fact table"
