@@ -371,14 +371,35 @@ def max_concurrency_sweep(iv: DataFrame) -> DataFrame:
     prefix sum): per-30-day-bucket peak concurrency with the earliest
     attaining instant. ``iv`` must carry (okey, s_us, e_us) with
     e_us > s_us. Batch q180 and the streaming serve path both call
-    this, so their semantics cannot drift."""
+    this, so their semantics cannot drift.
+
+    Scan economics (r8): the start/end doubling is an IN-ROW explode —
+    the earlier self-union recomputed the unpersisted interval
+    aggregate per leg, and its three consumers (within-bucket prefix
+    sum, bucket totals × 2 triangular legs) multiplied that to 12 fact
+    scans (PLAN_AUDIT). ``ev`` is persisted and MATERIALIZED (a
+    persisted-but-unmaterialized relation races its own cache when two
+    consumers run in one job — the q182 lesson), so the fact pays one
+    read; ``run`` is event-sized but 3 narrow int64 columns and is
+    likewise materialized before its two consumers (max election +
+    argmin resolution)."""
     from pyspark.sql.window import Window
 
-    ev = iv.select(
-        "okey", F.col("s_us").alias("ts_us"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select("okey", F.col("e_us").alias("ts_us"), F.lit(-1).alias("delta"))
-    ).withColumn("month_bucket", F.expr("ts_us div 86400000000 div 30"))
+    ev = (
+        iv.select(
+            "okey",
+            F.explode(
+                F.array(
+                    F.struct(F.col("s_us").alias("ts_us"), F.lit(1).alias("delta")),
+                    F.struct(F.col("e_us").alias("ts_us"), F.lit(-1).alias("delta")),
+                )
+            ).alias("e"),
+        )
+        .select("okey", "e.ts_us", "e.delta")
+        .withColumn("month_bucket", F.expr("ts_us div 86400000000 div 30"))
+        .persist()
+    )
+    ev.count()  # one fact read; all three consumers scan the cache
     w = Window.partitionBy("month_bucket").orderBy("ts_us", "delta", "okey")
     within = ev.select(
         "month_bucket", "ts_us", F.sum("delta").over(w).alias("within_sum")
@@ -399,6 +420,7 @@ def max_concurrency_sweep(iv: DataFrame) -> DataFrame:
         )
         .persist()
     )
+    run.count()  # materialize before the max/argmin double consumption
     mm = run.groupBy("month_bucket").agg(F.max("conc").alias("max_open"))
     return (
         run.join(

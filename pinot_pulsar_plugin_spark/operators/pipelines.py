@@ -865,12 +865,16 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transaction graph (see block comment), with each node's final
     community size attached.
 
-    Scale shape: the persisted (src, dst) edge relation is reused by
-    both rounds (q105's layout); each round is one node-keyed join,
-    one combinable (node, label) count, and an argmax that Spark
-    lowers to WindowGroupLimit (map-side partial top-1 per node — the
-    reducer sees #nodes rows, not #(node,label) pairs). Label payloads
-    are node-id strings (bounded width); a celebrity hub is an AQE
+    Scale shape: the (src, dst) edge relation is reused by both rounds
+    (q105's layout) — the symmetric doubling is an IN-ROW explode and
+    the relation is persisted AND MATERIALIZED (r8: the self-union
+    form recomputed the order⋈lineitem distinct per leg and the
+    unmaterialized cache raced its three consumers — 8 fact scans for
+    a 2-table graph build); each round is one node-keyed join, one
+    combinable (node, label) count, and an argmax that Spark lowers to
+    WindowGroupLimit (map-side partial top-1 per node — the reducer
+    sees #nodes rows, not #(node,label) pairs). Label payloads are
+    node-id strings (bounded width); a celebrity hub is an AQE
     skew-split case, not a plan change."""
     from pyspark.sql.window import Window
 
@@ -881,19 +885,21 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    cnode = F.concat(F.lit("c:"), F.col("c"))
+    snode = F.concat(F.lit("s:"), F.col("s"))
     edges = (
         e0.select(
-            F.concat(F.lit("c:"), F.col("c")).alias("src"),
-            F.concat(F.lit("s:"), F.col("s")).alias("dst"),
+            F.explode(
+                F.array(
+                    F.struct(cnode.alias("src"), snode.alias("dst")),
+                    F.struct(snode.alias("src"), cnode.alias("dst")),
+                )
+            ).alias("e")
         )
-        .unionAll(
-            e0.select(
-                F.concat(F.lit("s:"), F.col("s")).alias("src"),
-                F.concat(F.lit("c:"), F.col("c")).alias("dst"),
-            )
-        )
+        .select("e.src", "e.dst")
         .persist()
     )
+    edges.count()  # one fact read; nodes + self-loop union read the cache
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lab"))
     # self-contribution: augment the edge relation with self-loops so
@@ -902,6 +908,7 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).persist()
+    aug.count()  # materialize before the two propagation rounds
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
     for _ in range(_LPA_ROUNDS):
         counts = (
