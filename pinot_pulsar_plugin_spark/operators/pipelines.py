@@ -991,8 +991,10 @@ def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's recursive CTE).
 
     Scale shape: the symmetric edge list is built once (one distinct
-    over the order⋈lineitem key projection) and PERSISTED — every
-    round reuses it, hash-partitioned on src, so AQE reuses the edge
+    over the order⋈lineitem key projection, doubled with an IN-ROW
+    explode — the r8 rule: a self-union of an unpersisted relation
+    recomputes it per leg), PERSISTED and MATERIALIZED — every round
+    reuses the cache, hash-partitioned on src, so AQE reuses the edge
     exchange across rounds (the q105 layout). Each round is one
     equi-join frontier⋈edges plus one anti-join against the visited
     set; frontier and visited are node-grain relations (≪ edges).
@@ -1007,19 +1009,21 @@ def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    cnode = F.concat(F.lit("c:"), F.col("c"))
+    snode = F.concat(F.lit("s:"), F.col("s"))
     edges = (
         e0.select(
-            F.concat(F.lit("c:"), F.col("c")).alias("src"),
-            F.concat(F.lit("s:"), F.col("s")).alias("dst"),
+            F.explode(
+                F.array(
+                    F.struct(cnode.alias("src"), snode.alias("dst")),
+                    F.struct(snode.alias("src"), cnode.alias("dst")),
+                )
+            ).alias("e")
         )
-        .unionAll(
-            e0.select(
-                F.concat(F.lit("s:"), F.col("s")).alias("src"),
-                F.concat(F.lit("c:"), F.col("c")).alias("dst"),
-            )
-        )
+        .select("e.src", "e.dst")
         .persist()
     )
+    edges.count()  # one fact read; every BFS round scans the cache
     seeds = (
         sup.where(F.expr("s_suppkey % 5 = 0"))
         .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
