@@ -2049,22 +2049,24 @@ _S67 = f"""
 """
 
 
-@query("s67_ivf_efficiency", _S67)
-def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query IVF candidates touched, selectivity ppm, and top-1
-    agreement with the exhaustive scan (see block comment).
-
-    Scale shape: the IVF side is s50's plan verbatim (broadcast-K
-    assignment, cell equi-join probing). The exhaustive side is the
-    deliberate ground-truth product — bounded by the 10-query probe
-    set like s48, documented as the verification cost, not the
-    serving path."""
+def _ivf_ranked(spark: SparkSession, sf_dir: str):
+    """Shared IVF instrumentation prologue for s67/s68/s69: the normed
+    embedding relation ``n`` and the per-vector centroid ranking
+    ``ranked`` (rn = 1 is the assigned cell; rn ≤ nprobe are probe
+    cells). BOTH are persisted and MATERIALIZED before return: each
+    feeds several downstream consumers in one job, and an
+    unmaterialized cache is raced by concurrent stage chains (the q182
+    lesson) — before r8, every recompute re-read embeddings and
+    re-evaluated the interpreted fold_dot centroid cross-join (the
+    dynamic scan audit counted up to 70 embeddings reads in one
+    executed s68 plan)."""
     from pyspark.sql.window import Window
 
     em = t(spark, sf_dir, "embeddings")
     n = em.select(
         "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
-    )
+    ).persist()
+    n.count()
     cent = n.filter(
         (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
     ).select(
@@ -2078,6 +2080,23 @@ def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
     ranked = scored.withColumn("rn", F.row_number().over(wq)).persist()
+    ranked.count()
+    return n, ranked
+
+
+@query("s67_ivf_efficiency", _S67)
+def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF candidates touched, selectivity ppm, and top-1
+    agreement with the exhaustive scan (see block comment).
+
+    Scale shape: the IVF side is s50's plan verbatim (broadcast-K
+    assignment, cell equi-join probing). The exhaustive side is the
+    deliberate ground-truth product — bounded by the 10-query probe
+    set like s48, documented as the verification cost, not the
+    serving path."""
+    from pyspark.sql.window import Window
+
+    n, ranked = _ivf_ranked(spark, sf_dir)
     cell = ranked.filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "nrm", "c_id"
     )
@@ -2096,6 +2115,7 @@ def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", qcos.alias("cosine"))
         .persist()
     )
+    cand.count()  # materialize before the top-1 + count double consumption
     wtop = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     ivf_top = (
         cand.withColumn("rk", F.row_number().over(wtop))
@@ -2228,23 +2248,7 @@ def s68_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-bounded ground truth as s67."""
     from pyspark.sql.window import Window
 
-    em = t(spark, sf_dir, "embeddings")
-    n = em.select(
-        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
-    )
-    cent = n.filter(
-        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
-    ).select(
-        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    scored = n.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
-    )
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(wq)).persist()
+    n, ranked = _ivf_ranked(spark, sf_dir)
     cell = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("n_id"), "embedding", "nrm", "c_id"
     )
@@ -2268,6 +2272,7 @@ def s68_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("np", "q_id", "n_id", qcos.alias("cosine"))
         .persist()
     )
+    cand.count()  # materialize before the top-1 + count double consumption
     wtop = Window.partitionBy("np", "q_id").orderBy(
         F.desc("cosine"), F.asc("n_id")
     )
@@ -2384,23 +2389,7 @@ def s69_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query MAX over the candidate equi-join — one summary row."""
     from pyspark.sql.window import Window
 
-    em = t(spark, sf_dir, "embeddings")
-    n = em.select(
-        "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
-    )
-    cent = n.filter(
-        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
-    ).select(
-        (F.col("vec_id") - _N_QUERIES).cast("int").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    ccos = fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    scored = n.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
-    )
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(wq)).persist()
+    n, ranked = _ivf_ranked(spark, sf_dir)
     cell = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("n_id"), "embedding", "nrm", "c_id"
     )
