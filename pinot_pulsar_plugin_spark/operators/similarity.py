@@ -920,6 +920,7 @@ def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", (F.col("tf") * idf_micro).alias("wt"))
         .persist()
     )
+    w.count()  # materialize: norms + probes + posting join read the cache
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("norm2"))
     probes = (
         w.filter(F.col("doc_id") < _S57_PROBES)
