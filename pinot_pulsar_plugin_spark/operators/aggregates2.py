@@ -328,7 +328,10 @@ def q93_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("d")
-    )
+    ).persist()
+    dev.count()  # the MAD aggregate and the outlier count both consume
+    # dev; materializing keeps the fact at exactly the documented two
+    # scans (median pass + deviation pass) instead of three (r8)
     mad = dev.groupBy("event_type").agg(
         F.round(F.expr("percentile(d, 0.5)"), 6).alias("mad")
     )

@@ -1912,7 +1912,11 @@ def s65_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cell, "c_id", "left")
         .groupBy("c_id")
         .agg(F.count(F.col("vec_id")).alias("n_members"))
+        .persist()
     )
+    sizes.count()  # K rows, but its lineage is the full fold_dot
+    # assignment — the total and the final projection both consume it,
+    # so without materialization the assignment executes twice (r8).
     tot = sizes.agg(F.sum("n_members").alias("n_total"))
     return sizes.crossJoin(F.broadcast(tot)).select(
         F.col("c_id").cast("long").alias("c_id"),
