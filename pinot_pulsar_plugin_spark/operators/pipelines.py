@@ -80,9 +80,24 @@ def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE."""
     pairs = d44_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    # symmetric doubling as an in-row explode: a self-union of the
+    # unpersisted pair relation re-ran the whole d44 jaccard join per
+    # leg inside the cache-fill job (the r8 rule, q105/q145/q149)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+        .persist()
+    )
+    edges.count()  # materialize before the propagation rounds
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(_MAX_CC_ITERS):
         prop = edges.join(labels, edges.doc_a == labels.doc_id).select(
