@@ -146,6 +146,9 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    shingles.count()  # materialize: the stop-list aggregate, the
+    # per-doc counts and both join sides otherwise race the cache fill
+    # and re-run the tokenize+xxhash explode (the r8 rule)
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     stop = (
         shingles.groupBy("h")
@@ -914,6 +917,9 @@ def d55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    shingles.count()  # materialize: the stop-list aggregate, the
+    # per-doc counts and both join sides otherwise race the cache fill
+    # and re-run the tokenize+xxhash explode (the r8 rule)
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     stop = (
         shingles.groupBy("h")
