@@ -175,3 +175,54 @@ def test_truncated_keys_sidecar_treated_as_unkeyed(tmp_path):
     msgs = b.fetch("kv", 0, EARLIEST_OFFSET, compacted=True)
     # unkeyed fallback: nothing compacted away, all 6 delivered
     assert [json.loads(m.payload)["i"] for m in msgs] == list(range(6))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_seek_at_least_once_under_random_pts_corruption(seed, tmp_path):
+    """Property (r8 seek-direction fix): for ANY sidecar corruption —
+    random truncation, deletion, or none — and any target timestamp,
+    `first_offset_at_or_after` must position AT OR BEFORE every message
+    whose true publish time is >= the target (at-least-once: re-delivery
+    allowed, loss never). Deliberate null stamps (aligned sidecars)
+    still predate every target."""
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import (
+        FakePulsarBroker,
+        TopicWriter,
+    )
+
+    rng = _r.Random(61000 + seed)
+    T0 = 1_700_000_000_000_000
+    w = TopicWriter(str(tmp_path), "t", partitions=1,
+                    rollover_every=rng.randint(3, 6))
+    truth = []  # (offset-order index, publish_ts or None)
+    for i in range(rng.randint(8, 24)):
+        ts = None if rng.random() < 0.2 else T0 + i * 1_000_000
+        off = w.append(0, b'{"i":%d}' % i, publish_ts=ts)
+        truth.append((off, ts))
+
+    import glob as _glob
+
+    pts_files = sorted(_glob.glob(str(tmp_path) + "/t/partition-0/*.pts"))
+    corrupted_ledgers = set()
+    for p in pts_files:
+        r = rng.random()
+        if r < 0.25:  # truncate
+            data = open(p, "rb").read().splitlines(keepends=True)
+            open(p, "wb").write(b"".join(data[: rng.randrange(0, len(data))]))
+            corrupted_ledgers.add(p)
+        elif r < 0.4:  # delete
+            import os as _os
+
+            _os.unlink(p)
+            corrupted_ledgers.add(p)
+
+    b = FakePulsarBroker(str(tmp_path))
+    for k in range(-1, 30, 3):
+        target = T0 + k * 1_000_000
+        got = b.first_offset_at_or_after("t", 0, target)
+        # no message with a TRUE publish time >= target may be skipped
+        must_include = [off for off, ts in truth if ts is not None and ts >= target]
+        for off in must_include:
+            assert got <= off, (seed, target, got, off)

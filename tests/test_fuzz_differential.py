@@ -1575,3 +1575,53 @@ def test_fuzz_price_volume_reconciles(seed, spark, tmp_path):
     for r in q206_price_volume_bridge(spark, str(tmp_path)).collect():
         if r.volume_effect is not None:
             assert r.volume_effect + r.price_mix_effect == r.delta_cents
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_asof_ties_differential(seed, spark, tmp_path):
+    """q28's union-merge as-of composition vs DuckDB's native ASOF
+    JOIN on tie-heavy random event sets. The hazard this family pins:
+    at EQUAL timestamps the semantics are `v.ts <= p.ts` (a view tying
+    a purchase matches), which the union-merge encodes purely through
+    the (ts, kind) sort order — kind 0 (view) before kind 1 (purchase)
+    — so any ordering regression flips tie rows. A coarse 40-slot time
+    grid makes same-µs collisions common within and across types."""
+    import datetime
+    import random as _r
+
+    import duckdb
+
+    from pinot_pulsar_plugin_spark.registry import all_oracle_sql, all_queries
+
+    rng = _r.Random(52000 + seed)
+    rows, eid = [], 0
+    for uid in range(rng.randint(2, 6)):
+        for _ in range(rng.randint(1, 25)):
+            etype = rng.choice(["view", "purchase", "click"])
+            us = rng.randrange(0, 40) * 1_000_000
+            rows.append(
+                (eid,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(microseconds=us),
+                 uid, etype, 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    expected = (
+        con.sql(all_oracle_sql()["q28_asof_join"])
+        .arrow()
+        .to_pandas(date_as_object=True)
+    )
+    got = all_queries()["q28_asof_join"](spark, str(tmp_path))
+    problems = compare(f"asof{seed}", got, expected)
+    assert not problems, "\n".join(problems)
