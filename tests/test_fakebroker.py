@@ -226,3 +226,49 @@ def test_seek_at_least_once_under_random_pts_corruption(seed, tmp_path):
         must_include = [off for off, ts in truth if ts is not None and ts >= target]
         for off in must_include:
             assert got <= off, (seed, target, got, off)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_compaction_random_differential_vs_dict(seed, tmp_path):
+    """Property: for ANY interleaving of keyed / unkeyed / overwritten
+    messages across ledger rollovers, a compacted fetch returns exactly
+    the dict-semantics survivors — the latest offset per key, plus every
+    unkeyed message — in offset order, and a bounded compacted fetch is
+    the same set restricted to [start, end). Pinot's compacted consume
+    (consumer:68) is the reference semantics."""
+    import json as _json
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import (
+        EARLIEST_OFFSET,
+        FakePulsarBroker,
+        TopicWriter,
+    )
+
+    rng = _r.Random(71000 + seed)
+    w = TopicWriter(str(tmp_path), "t", partitions=1,
+                    rollover_every=rng.randint(2, 7))
+    latest_by_key: dict = {}
+    all_msgs = []  # (offset, key, payload)
+    for i in range(rng.randint(5, 40)):
+        key = rng.choice([None, "a", "b", "c", "d"])
+        payload = _json.dumps({"i": i}).encode()
+        off = w.append(0, payload, key=key)
+        all_msgs.append((off, key, payload))
+        if key is not None:
+            latest_by_key[key] = off
+
+    survivors = sorted(
+        off for off, key, _ in all_msgs
+        if key is None or latest_by_key[key] == off
+    )
+    b = FakePulsarBroker(str(tmp_path))
+    got = [m.offset for m in b.fetch("t", 0, EARLIEST_OFFSET,
+                                     compacted=True, max_msgs=10_000)]
+    assert got == survivors, (seed, got, survivors)
+
+    if len(all_msgs) >= 3:
+        lo, hi = sorted(rng.sample([m[0] for m in all_msgs], 2))
+        got_b = [m.offset for m in b.fetch("t", 0, lo, end_offset=hi,
+                                           compacted=True, max_msgs=10_000)]
+        assert got_b == [o for o in survivors if lo <= o < hi], (seed, lo, hi)
