@@ -1586,3 +1586,58 @@ def test_scd2_corrupt_state_fails_batch_instead_of_truncating(spark, tmp_path):
     assert all(
         open(p, "rb").read() == b"definitely not parquet" for p in data_files
     )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_keyed_upsert_random_restart_cuts(seed, spark, tmp_path):
+    """Property: the keyed upsert serving table equals the one-shot
+    batch truth for ANY partitioning of the message log into ingest
+    rounds (query restarts on the same checkpoint), with maxmsgs forcing
+    multiple micro-batches inside each round. Pins the restart cursor,
+    update-mode emission, and dynamic-partition overwrite against the
+    off-by-one class that fixed cut points can miss."""
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.streaming.sinks import keyed_upsert_sink
+
+    rng = _r.Random(81000 + seed)
+    rows = [
+        {"event_id": i, "user_id": rng.randrange(4),
+         "value": rng.randrange(1, 500) / 100}
+        for i in range(rng.randint(10, 30))
+    ]
+    # random round cuts covering the whole log
+    cuts = sorted(rng.sample(range(1, len(rows)), rng.randint(1, 3)))
+    rounds, prev = [], 0
+    for c in cuts + [len(rows)]:
+        rounds.append(rows[prev:c]); prev = c
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=1)
+    served, ck = str(tmp_path / "served"), str(tmp_path / "ck")
+    for batch in rounds:
+        for r in batch:
+            w.append(0, json.dumps(r))
+        decoded = decode_json(
+            read_stream(spark, root, "ev", maxmsgs=rng.randint(2, 7)),
+            "event_id bigint, user_id bigint, value double",
+        )
+        totals = decoded.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(keyed_upsert_sink(served, "user_id"))
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    want = {}
+    for r in rows:
+        n, cents = want.get(r["user_id"], (0, 0))
+        want[r["user_id"]] = (n + 1, cents + round(r["value"] * 100))
+    got = {r.user_id: (r.n, r.cents) for r in spark.read.parquet(served).collect()}
+    assert got == want, (seed, cuts, got, want)
