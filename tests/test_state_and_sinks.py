@@ -1641,3 +1641,73 @@ def test_keyed_upsert_random_restart_cuts(seed, spark, tmp_path):
         want[r["user_id"]] = (n + 1, cents + round(r["value"] * 100))
     got = {r.user_id: (r.n, r.cents) for r in spark.read.parquet(served).collect()}
     assert got == want, (seed, cuts, got, want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_scd2_random_restart_cuts_match_batch(seed, spark, tmp_path):
+    """Property: the streaming SCD2 interval table equals batch q90 on
+    the same events for ANY partitioning of the CDC log into ingest
+    rounds — the seed-replay merge (open intervals re-entering as
+    pseudo-events) must be cut-point invariant."""
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q90_scd2_intervals,
+    )
+    from pinot_pulsar_plugin_spark.streaming.scd2 import read_scd2, scd2_sink
+
+    rng = _r.Random(91000 + seed)
+    types = ["browse", "cart", "buy"]
+    rows = [
+        {
+            "event_id": i,
+            "user_id": rng.randrange(4),
+            "type": rng.choice(types),
+            "ts_us": 1_700_000_000_000_000 + i * 1_000_000,
+        }
+        for i in range(rng.randint(12, 30))
+    ]
+    cuts = sorted(rng.sample(range(1, len(rows)), 2))
+    rounds = [rows[: cuts[0]], rows[cuts[0]: cuts[1]], rows[cuts[1]:]]
+
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "cdc", partitions=2)
+    served, ck = str(tmp_path / "dim"), str(tmp_path / "ck")
+    for batch in rounds:
+        for r in batch:  # user-keyed partitioning preserves per-user order
+            w.append(r["user_id"] % 2, json.dumps(r))
+        decoded = decode_json(
+            read_stream(spark, root, "cdc", maxmsgs=rng.randint(3, 9)),
+            "event_id bigint, user_id bigint, type string, ts_us bigint",
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("type").alias("event_type"),
+            F.timestamp_micros("ts_us").alias("ts"),
+        )
+        q = (
+            decoded.writeStream.foreachBatch(scd2_sink(served, n_buckets=4))
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["type"], r["ts_us"]) for r in rows],
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.user_id, r.valid_from_us): (r.event_type, r.valid_to_us, r.is_current)
+        for r in read_scd2(spark, served).collect()
+    }
+    want = {
+        (r.user_id, r.valid_from_us): (r.event_type, r.valid_to_us, r.is_current)
+        for r in q90_scd2_intervals(spark, str(tmp_path)).collect()
+    }
+    assert got == want and got, (seed, cuts)
