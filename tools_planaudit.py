@@ -60,6 +60,20 @@ def audit_plan(plan: str) -> dict:
         row["logical_scans"] = node_ids.count("LogicalRelation")
         row["logical_joins"] = node_ids.count("Join")
         row["logical_aggregates"] = node_ids.count("Aggregate")
+    # Re-derivation telltale (r8 scan-economics program): the same
+    # table scanned >= 3 times in one plan WITHOUT any cache present
+    # usually means a shared relation is recomputed per consumer
+    # (self-union legs, unmaterialized persist races). With a cache in
+    # the plan the count is inflated by rendered build lineage, so the
+    # heuristic only fires on cache-free plans. Informational, not a
+    # gate — multi-pass designs (q69 blocking, q85 pruned-column
+    # audits) legitimately re-scan.
+    tables = re.findall(r"Location:.*?(\w+)\.parquet", plan)
+    counts: dict[str, int] = {}
+    for t in tables:
+        counts[t] = counts.get(t, 0) + 1
+    row["max_same_table_scans"] = max(counts.values(), default=0)
+    row["has_cache"] = "InMemoryRelation" in plan
     return row
 
 
@@ -88,6 +102,11 @@ def main() -> None:
         # bodies planned at runtime) — any reader of the cartesian /
         # python gates must treat these as out of scope, not clean.
         "unaudited": sorted(n for n, r in out.items() if r.get("unaudited")),
+        "repeated_scan_suspects": sorted(
+            n
+            for n, r in out.items()
+            if r.get("max_same_table_scans", 0) >= 3 and not r.get("has_cache")
+        ),
         "max_exchanges": max((r["exchanges"], n) for n, r in out.items()),
         "plan_failures": failed,
     }
