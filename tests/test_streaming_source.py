@@ -879,3 +879,78 @@ def test_stream_rejects_ending_bounds_batch_accepts(spark, tmp_path):
     assert read_batch(
         spark, root, "events", endingoffsets='{"0": 5}'
     ).count() == 5
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_writer_round_trip(seed, spark, tmp_path):
+    """Property: for random binary payloads (any byte except the
+    documented line-boundary set), random key mixes (None included),
+    and random partition counts, write→read returns exactly the
+    written multiset, per-partition offsets are strictly increasing,
+    and a compacted read equals dict semantics (latest per
+    (partition, key), all unkeyed rows survive)."""
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import read_batch, register
+
+    rng = _r.Random(101_000 + seed)
+    register(spark)
+    root = str(tmp_path / "b")
+    forbidden = {0x0A, 0x0D, 0x0B, 0x0C, 0x1C, 0x1D, 0x1E}
+    ok_bytes = [b for b in range(256) if b not in forbidden]
+
+    n_parts = rng.randint(1, 4)
+    rows = []
+    for i in range(rng.randint(10, 80)):
+        payload = bytes(rng.choices(ok_bytes, k=rng.randint(0, 40)))
+        key = rng.choice([None, "a", "b", "c"])
+        rows.append((payload, rng.randrange(n_parts), key, i))
+    df = spark.createDataFrame(
+        [(p, part, k) for p, part, k, _ in rows],
+        "value binary, partition int, key string",
+    )
+    (
+        df.repartition(rng.randint(1, 4))
+        .write.format("pulsarlike")
+        .option("path", root)
+        .option("topic", "out")
+        .option("partitions", str(n_parts))
+        .mode("append")
+        .save()
+    )
+
+    back = read_batch(spark, root, "out").collect()
+    import collections
+
+    assert collections.Counter(
+        (bytes(r.value), r.partition) for r in back
+    ) == collections.Counter((p, part) for p, part, _, _ in rows), seed
+    per_part = {}
+    for r in back:
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for offs in per_part.values():
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+    # compacted view vs dict semantics — keyed rows collapse to the
+    # HIGHEST-offset payload per (partition, key); the writer assigns
+    # offsets in its own task order, so derive truth from the read-back
+    # (offset, key) stream rather than input order
+    keys = {
+        (r.partition, r.offset): None for r in back
+    }  # offset->key needs the sidecar; recompute via broker
+    from pinot_pulsar_plugin_spark.sources.fakebroker import FakePulsarBroker
+
+    b = FakePulsarBroker(root)
+    survivors = set()
+    for part in range(n_parts):
+        latest = {}
+        unkeyed = []
+        for off, key in sorted(b._keys_index("out", part).items()):
+            if key is None:
+                unkeyed.append(off)
+            else:
+                latest[key] = off
+        survivors |= {(part, off) for off in unkeyed}
+        survivors |= {(part, off) for off in latest.values()}
+    comp = read_batch(spark, root, "out", compacted=True).collect()
+    assert {(r.partition, r.offset) for r in comp} == survivors, seed
