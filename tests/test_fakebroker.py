@@ -272,3 +272,49 @@ def test_compaction_random_differential_vs_dict(seed, tmp_path):
         got_b = [m.offset for m in b.fetch("t", 0, lo, end_offset=hi,
                                            compacted=True, max_msgs=10_000)]
         assert got_b == [o for o in survivors if lo <= o < hi], (seed, lo, hi)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fetch_admission_caps_random(seed, tmp_path):
+    """Property: for random payload sizes and random (max_msgs,
+    max_bytes) caps, every fetch admits at most max_msgs messages and —
+    beyond the first message, which is always admitted so progress
+    is guaranteed — never exceeds max_bytes cumulative payload; chained
+    fetches (resume at last offset + 1) cover the whole topic exactly
+    once, in order. The BatchReceivePolicy semantics of
+    PulsarPartitionLevelStreamConfig.java:36-40."""
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import (
+        EARLIEST_OFFSET,
+        FakePulsarBroker,
+        TopicWriter,
+    )
+
+    rng = _r.Random(111_000 + seed)
+    w = TopicWriter(str(tmp_path), "t", partitions=1,
+                    rollover_every=rng.randint(3, 9))
+    payloads = []
+    for i in range(rng.randint(5, 60)):
+        p = bytes([65 + (i % 26)]) * rng.randint(0, 120)
+        w.append(0, p)
+        payloads.append(p)
+
+    max_msgs = rng.randint(1, 12)
+    max_bytes = rng.randint(1, 300)
+    b = FakePulsarBroker(str(tmp_path))
+    got, start, rounds = [], EARLIEST_OFFSET, 0
+    while rounds < 10_000:
+        rounds += 1
+        batch = b.fetch("t", 0, start, max_msgs=max_msgs, max_bytes=max_bytes)
+        if not batch:
+            break
+        assert len(batch) <= max_msgs, seed
+        sizes = [len(m.payload) for m in batch]
+        # every message beyond the first must fit under the byte cap
+        assert all(
+            sum(sizes[: i + 1]) <= max_bytes for i in range(1, len(sizes))
+        ) or len(batch) == 1, (seed, sizes, max_bytes)
+        got.extend(m.payload for m in batch)
+        start = batch[-1].offset + 1
+    assert got == payloads, seed
