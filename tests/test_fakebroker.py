@@ -318,3 +318,42 @@ def test_fetch_admission_caps_random(seed, tmp_path):
         got.extend(m.payload for m in batch)
         start = batch[-1].offset + 1
     assert got == payloads, seed
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_timestamp_range_resolution_random(seed, tmp_path):
+    """Property: with intact sidecars and monotonic publish times, the
+    [start_ts, end_ts) offset resolution (first_offset_at_or_after on
+    both bounds) yields exactly the messages whose publish time falls
+    in the range — any grid of random targets, including targets
+    before, between, and past every stamp."""
+    import json as _json
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.sources.fakebroker import (
+        FakePulsarBroker,
+        TopicWriter,
+    )
+
+    rng = _r.Random(121_000 + seed)
+    T0 = 1_700_000_000_000_000
+    w = TopicWriter(str(tmp_path), "t", partitions=1,
+                    rollover_every=rng.randint(2, 8))
+    truth = []
+    ts = T0
+    for i in range(rng.randint(4, 40)):
+        ts += rng.randint(0, 3) * 1_000_000  # repeats allowed (monotonic)
+        off = w.append(0, _json.dumps({"i": i}), publish_ts=ts)
+        truth.append((off, ts, i))
+
+    b = FakePulsarBroker(str(tmp_path))
+    lo_ts, hi_ts = T0 - 2_000_000, ts + 2_000_000
+    for _ in range(8):
+        s = rng.randrange(lo_ts, hi_ts)
+        e = rng.randrange(s, hi_ts + 1)
+        so = b.first_offset_at_or_after("t", 0, s)
+        eo = b.first_offset_at_or_after("t", 0, e)
+        got = [m.offset for m in b.fetch("t", 0, so, end_offset=eo,
+                                         max_msgs=10_000)]
+        want = [off for off, pts, _ in truth if s <= pts < e]
+        assert got == want, (seed, s - T0, e - T0, got, want)
