@@ -114,8 +114,11 @@ COMMENTARY = {
     "q85_referential_audit": (
         "Seven anti-join branches unioned into one summary: each "
         "branch broadcasts the smaller distinct-key side where "
-        "possible and reduces to a partial-aggregated scalar — the "
-        "whole audit costs one scan per table at any scale."
+        "possible and reduces to a partial-aggregated scalar. One "
+        "column-pruned single-key scan per BRANCH (lineitem 5x) — "
+        "deliberately kept over a fused single pass, which would ship "
+        "the full fact through three differently-keyed exchanges; "
+        "pruned re-reads beat wide re-shuffles at 100 TB."
     ),
     "d52_prefix_filter_jaccard": (
         "Exactly three narrow shuffles (gated): document frequency "
@@ -289,9 +292,14 @@ COMMENTARY = {
         "any rewrite."
     ),
     "q105_pagerank_transactions": (
-        "Pregel-on-SQL: the (src, dst, deg) adjacency is built once and "
-        "persisted; each iteration is one hash join of the #nodes-sized "
-        "rank table onto it plus one combinable dst-keyed sum. Integer "
+        "Pregel-on-SQL: the (src, dst, deg) adjacency is built once — "
+        "symmetric doubling is an in-row explode, not a self-union (a "
+        "union of the unpersisted pair relation recomputed the "
+        "order⋈lineitem distinct per leg: 12 fact scans before r8) — "
+        "then persisted AND materialized, so the rank seed and both "
+        "iterations read InMemoryTableScan and each fact is scanned "
+        "once. Each iteration is one hash join of the #nodes-sized "
+        "rank table plus one combinable dst-keyed sum. Integer "
         "micro-unit ranks (r div deg, damping in integer arithmetic) "
         "make the output independent of shuffle schedule — the "
         "determinism float PageRank lacks. Hubs are AQE skew-split "
@@ -345,8 +353,12 @@ COMMENTARY = {
     ),
     "q108_journey_paths": (
         "WITH RECURSIVE over the aggregated transition graph: events pay "
-        "one user-keyed exchange for the lag edges, then the recursion "
-        "iterates joins against the #event_types²-row edge relation — "
+        "one user-keyed exchange for the lag edges, and the edge "
+        "aggregate is persisted+materialized BEFORE the recursion — a "
+        "CTE referenced inside UnionLoop is re-planned per iteration, "
+        "so the inlined form re-scanned and re-windowed the fact every "
+        "step (r8 fix: 2.26s → 0.87s at sf0.1). The recursion then "
+        "iterates joins against the cached #event_types²-row relation — "
         "the frontier grows with path count, never with event volume; "
         "depth bound terminates cycles; integer path scores are "
         "schedule-independent."
@@ -540,7 +552,8 @@ COMMENTARY = {
         "combinable."
     ),
     "q145_label_propagation": (
-        "The persisted (src, dst) edge relation (with self-loops — the "
+        "The (src, dst) edge relation (in-row explode doubling, "
+        "persisted AND materialized — r8; with self-loops, the "
         "bipartite-oscillation damper) is reused by both LPA rounds; "
         "each round is one node-keyed join, one combinable (node, "
         "label) count, and a WindowGroupLimit argmax (map-side top-1 "
@@ -567,7 +580,8 @@ COMMENTARY = {
     ),
     "q149_bfs_reachability": (
         "The symmetric edge list is built once (distinct over the "
-        "order⋈lineitem key projection) and persisted; each of the K "
+        "order⋈lineitem key projection, in-row explode doubling) and "
+        "persisted+materialized (r8); each of the K "
         "rounds is one equi-join frontier⋈edges plus one anti-join "
         "against the visited set — all hash-partitioned on the node "
         "key, so AQE reuses the edge exchange across rounds. Frontier "
@@ -643,9 +657,11 @@ COMMENTARY = {
         "order) gets bucket-partitioned running sums, and cross-bucket "
         "carry-ins come from a #buckets-row triangular join broadcast "
         "back — a global cumulative with NO partition-less sort, the "
-        "shape a 100 TB running total must take. Peak resolution "
-        "re-probes the persisted narrow projection against broadcast "
-        "per-bucket maxima."
+        "shape a 100 TB running total must take. The sweep relation is "
+        "an in-row explode of the materialized interval aggregate (r8: "
+        "the self-union form re-derived it per leg and consumer); peak "
+        "resolution re-probes the materialized narrow run relation "
+        "against broadcast per-bucket maxima."
     ),
     "q181_seasonal_decomposition": (
         "Event grain collapses to (type, day) in one combinable "
