@@ -421,6 +421,8 @@ def max_concurrency_sweep(iv: DataFrame) -> DataFrame:
         .persist()
     )
     run.count()  # materialize before the max/argmin double consumption
+    ev.unpersist()  # run's cache subsumes it; the serve path calls this
+    # helper repeatedly, so dropped intermediates matter in long sessions
     mm = run.groupBy("month_bucket").agg(F.max("conc").alias("max_open"))
     return (
         run.join(
