@@ -42,11 +42,27 @@ def _decoded_col(
     raw = F.col(payload_col).cast("string")
     if pre_decode is not None:
         raw = pre_decode(raw)
-    return F.from_json(
+    full = _with_corrupt_field(schema)
+    parsed = F.from_json(
         raw,
-        _with_corrupt_field(schema),
+        full,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
     )
+    # Jackson-object parity (found by the r8 decode-corruption fuzz):
+    # a VALID-JSON non-object payload — bare scalar, array, quoted
+    # string — parses "successfully" to an all-null struct with a NULL
+    # corrupt marker, so it would slip past drop_malformed as a ghost
+    # all-NULL row. The reference's decoder treats the payload as an
+    # object and throws on anything else (decoder:69-72 catches → row
+    # dropped), so force non-object payloads malformed. An object
+    # payload starts with '{' after whitespace; '{}'-style empty
+    # objects still decode to all-NULL KEPT rows, same as Jackson.
+    non_object = raw.isNull() | ~F.ltrim(raw).startswith("{")
+    forced = F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in full.fields[:-1]],
+        F.coalesce(raw, F.lit("")).alias(_CORRUPT),
+    )
+    return F.when(non_object, forced).otherwise(parsed)
 
 
 def decode_json(

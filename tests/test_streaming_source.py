@@ -954,3 +954,53 @@ def test_fuzz_writer_round_trip(seed, spark, tmp_path):
         survivors |= {(part, off) for off in latest.values()}
     comp = read_batch(spark, root, "out", compacted=True).collect()
     assert {(r.partition, r.offset) for r in comp} == survivors, seed
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_decode_corruption_shapes(seed, spark, tmp_path):
+    """Property: for random corruption shapes — truncated JSON, binary
+    garbage, empty payloads, bare scalars, arrays — decode-or-drop
+    keeps exactly the well-formed object rows (missing fields → NULL,
+    extras ignored) and malformed_count equals the planted corruption
+    count. Generalizes the static every-10th-malformed test to
+    arbitrary corruption mixes (PulsarJSONMessageDecoder.java:62-73)."""
+    import json as _json
+    import random as _r
+
+    from pinot_pulsar_plugin_spark.sources.decode import decode_json, malformed_count
+    from pinot_pulsar_plugin_spark.sources.fakebroker import TopicWriter
+    from pinot_pulsar_plugin_spark.sources.pulsarlike import read_batch
+
+    rng = _r.Random(131_000 + seed)
+    root = str(tmp_path / "b")
+    w = TopicWriter(root, "ev", partitions=2)
+    good_ids = []
+    n_bad = 0
+    for i in range(rng.randint(15, 60)):
+        shape = rng.random()
+        if shape < 0.5:  # well-formed; sometimes missing/extra fields
+            row = {"event_id": i}
+            if rng.random() < 0.8:
+                row["user_id"] = i % 7
+            if rng.random() < 0.3:
+                row["surprise"] = "x"
+            w.append(i % 2, _json.dumps(row))
+            good_ids.append(i)
+        else:
+            n_bad += 1
+            bad = rng.choice([
+                b"",                              # empty payload
+                b"{truncated",                    # cut-off JSON
+                bytes([seed % 200 + 1, 2, 3]),    # binary garbage
+                b"42",                            # bare scalar
+                b"[1, 2, 3]",                     # array, not object
+                b'"just a string"',
+            ])
+            w.append(i % 2, bad)
+
+    raw = read_batch(spark, root, "ev")
+    decoded = decode_json(raw, "event_id bigint, user_id bigint")
+    got = {r.event_id for r in decoded.collect()}
+    assert got == set(good_ids), seed
+    mc = malformed_count(raw, schema="event_id bigint, user_id bigint").first()
+    assert (mc.n_total, mc.n_malformed) == (len(good_ids) + n_bad, n_bad), seed
