@@ -55,9 +55,12 @@ def _decoded_col(
     # all-NULL row. The reference's decoder treats the payload as an
     # object and throws on anything else (decoder:69-72 catches → row
     # dropped), so force non-object payloads malformed. An object
-    # payload starts with '{' after whitespace; '{}'-style empty
-    # objects still decode to all-NULL KEPT rows, same as Jackson.
-    non_object = raw.isNull() | ~F.ltrim(raw).startswith("{")
+    # payload starts with '{' after JSON whitespace (space, tab, LF,
+    # CR — RFC 8259 §2; Spark's ltrim strips ONLY ' ', so it would
+    # misclassify b'\n{...}' as non-object and drop a valid row);
+    # '{}'-style empty objects still decode to all-NULL KEPT rows,
+    # same as Jackson.
+    non_object = raw.isNull() | ~raw.rlike(r"^[ \t\r\n]*\{")
     forced = F.struct(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in full.fields[:-1]],
         F.coalesce(raw, F.lit("")).alias(_CORRUPT),

@@ -984,7 +984,13 @@ def test_fuzz_decode_corruption_shapes(seed, spark, tmp_path):
                 row["user_id"] = i % 7
             if rng.random() < 0.3:
                 row["surprise"] = "x"
-            w.append(i % 2, _json.dumps(row))
+            # JSON-legal leading whitespace (RFC 8259 §2) must be kept:
+            # Jackson parses b'\t{...}' fine (the r8 ltrim-only guard
+            # dropped these — ADVICE r8 #1). The jsonl fake broker
+            # can't frame LF/CR payloads; those are covered directly in
+            # test_decode_keeps_json_whitespace_prefixes below.
+            ws = rng.choice(["", " ", "\t", " \t "])
+            w.append(i % 2, ws + _json.dumps(row))
             good_ids.append(i)
         else:
             n_bad += 1
@@ -995,6 +1001,8 @@ def test_fuzz_decode_corruption_shapes(seed, spark, tmp_path):
                 b"42",                            # bare scalar
                 b"[1, 2, 3]",                     # array, not object
                 b'"just a string"',
+                b"\t[1, 2]",                      # ws-prefixed non-object
+                b"\t42",
             ])
             w.append(i % 2, bad)
 
@@ -1004,3 +1012,22 @@ def test_fuzz_decode_corruption_shapes(seed, spark, tmp_path):
     assert got == set(good_ids), seed
     mc = malformed_count(raw, schema="event_id bigint, user_id bigint").first()
     assert (mc.n_total, mc.n_malformed) == (len(good_ids) + n_bad, n_bad), seed
+
+
+def test_decode_keeps_json_whitespace_prefixes(spark):
+    """ADVICE r8 #1: payloads with ANY JSON-legal leading whitespace
+    (space, tab, LF, CR — RFC 8259 §2) are valid objects Jackson keeps;
+    the ltrim-only guard (strips just ' ') silently dropped tab/LF/CR
+    prefixes. Ws-prefixed NON-objects must still drop. Built as a
+    direct DataFrame (the jsonl fake broker can't frame LF/CR bytes)."""
+    from pinot_pulsar_plugin_spark.sources.decode import decode_json, malformed_count
+
+    keep = ['{"event_id":1}', ' {"event_id":2}', '\t{"event_id":3}',
+            '\n{"event_id":4}', '\r\n{"event_id":5}', ' \t\r\n {"event_id":6}']
+    drop = ["\n[1,2]", "\t42", '\r"s"', "\n\ntrue", "\t", ""]
+    rows = [(p.encode(), i, 0) for i, p in enumerate(keep + drop)]
+    raw = spark.createDataFrame(rows, "value binary, offset long, partition int")
+    decoded = decode_json(raw, "event_id bigint")
+    assert {r.event_id for r in decoded.collect()} == {1, 2, 3, 4, 5, 6}
+    mc = malformed_count(raw, schema="event_id bigint").first()
+    assert (mc.n_total, mc.n_malformed) == (len(keep) + len(drop), len(drop))
