@@ -11,6 +11,7 @@ import glob
 import importlib
 import json
 import os
+import re
 
 from pinot_pulsar_plugin_spark.operators.common import QueryFn
 
@@ -162,13 +163,19 @@ _BACKLOG_LANDING_ORDER = [
 ]
 
 
-def driver_scored_names() -> set[str]:
-    """Names with a driver-verified row in any CORRECTNESS_r*.json at
-    the repo root: hash_match green, or a rows-only row whose err is
-    absent / the deliberate ``no_oracle`` marker."""
+def driver_green_rounds() -> dict[str, int]:
+    """name → LATEST round with a driver-verified green row in
+    CORRECTNESS_r*.json at the repo root: hash_match green, or a
+    rows-only row whose err is absent / the deliberate ``no_oracle``
+    marker. A row carrying an explicit ``hash_match: false`` NEVER
+    counts, even with err null and spark_rows recorded — otherwise a
+    driver-logged oracle MISMATCH would rotate out of the scored
+    window and never be re-scored (ADVICE r8 #2)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -179,12 +186,19 @@ def driver_scored_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
+            if row.get("hash_match") is False:
+                continue
             if row.get("hash_match") or (
                 row.get("spark_rows") is not None
                 and row.get("err") in (None, "no_oracle")
             ):
-                seen.add(name)
-    return seen
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def driver_scored_names() -> set[str]:
+    """Names with at least one driver-verified green row on disk."""
+    return set(driver_green_rounds())
 
 
 def derive_priority(
@@ -192,22 +206,40 @@ def derive_priority(
 ) -> list[str]:
     """The scored window, recomputed from the correctness artifacts —
     can never go stale (VERDICT r7 #1)."""
-    scored = driver_scored_names()
+    green = driver_green_rounds()
+    scored = set(green)
     window = [_ANCHOR]
 
-    def _take(candidates) -> None:
+    def _take(candidates, *, need_oracle: bool = True) -> None:
         for n in candidates:
             if len(window) >= _WINDOW:
                 return
-            if n != _ANCHOR and n not in window and n in queries and n in oracle:
-                window.append(n)
+            if n == _ANCHOR or n in window or n not in queries:
+                continue
+            if need_oracle and n not in oracle:
+                continue
+            window.append(n)
 
     # Never-scored backlog, oldest-landed first; then any never-scored
     # entry the frozen landing list predates, in registry order.
     _take(n for n in _BACKLOG_LANDING_ORDER if n not in scored)
     _take(n for n in queries if n not in scored)
-    # Backlog drained: pad with oracle-backed re-verification anchors.
-    _take(iter(queries))
+    # Never-scored rows-only entries (the q116 class) enter the padding
+    # phase: a clean rows-only ``no_oracle`` driver row is the strongest
+    # driver check such an entry can ever earn, and leaving it out keeps
+    # the registry permanently under-recorded (VERDICT r8 #2). Once the
+    # row lands the entry is scored and yields its slot forever.
+    _take(
+        (n for n in queries if n not in scored and n not in oracle),
+        need_oracle=False,
+    )
+    # Backlog drained: pad with oracle-backed re-verification anchors,
+    # STALEST first — the entry whose last driver-green round is oldest
+    # gets re-checked before anything fresher, so the full registry
+    # cycles through driver re-verification on a ~6-round period
+    # instead of re-scoring the same early-registry names every round
+    # (VERDICT r8 #3). sorted() is stable: ties stay in registry order.
+    _take(sorted((n for n in queries if n in oracle), key=lambda n: green.get(n, 0)))
     return window
 
 

@@ -58,23 +58,35 @@ _CATEGORY_REPS = {
 }
 
 
-def _driver_green_names() -> set[str]:
-    """Independent reimplementation of registry.driver_scored_names
+def _driver_green_rounds() -> dict[str, int]:
+    """Independent reimplementation of registry.driver_green_rounds
     (so a predicate bug there can't hide): hash-green rows, plus
     rows-only rows whose err is absent or the deliberate "no_oracle"
     marker. A failed run that still recorded spark_rows alongside a
-    real err does NOT count (ADVICE r7 #4)."""
+    real err does NOT count (ADVICE r7 #4), and neither does a row
+    with an explicit hash_match: false — a driver-recorded MISMATCH
+    must stay in the scored window until it turns green (ADVICE r8 #2)."""
+    import re as _re
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         with open(path) as fh:
             for name, row in json.load(fh).items():
+                if row.get("hash_match") is False:
+                    continue
                 if row.get("hash_match") or (
                     row.get("spark_rows") is not None
                     and row.get("err") in (None, "no_oracle")
                 ):
-                    seen.add(name)
-    return seen
+                    latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_green_names() -> set[str]:
+    return set(_driver_green_rounds())
 
 
 def test_driver_scored_predicate_matches_registry():
@@ -86,20 +98,17 @@ def test_driver_scored_predicate_matches_registry():
 def test_window_self_rotates_and_wastes_no_slot():
     """VERDICT r7 #1: the window is derived at load time from the
     CORRECTNESS_r*.json artifacts, so it can never go stale. While any
-    never-driver-scored oracle-backed entry exists OUTSIDE the window,
-    no slot after the q01 anchor may re-score an already-scored entry;
-    once the backlog is drained, padding with re-verification anchors
-    is legitimate. Backlog entries must enter in landing order."""
+    never-driver-scored entry exists OUTSIDE the window, no slot after
+    the q01 anchor may re-score an already-scored entry; once the
+    backlog is drained, padding with re-verification anchors is
+    legitimate. Backlog entries must enter in landing order."""
     names = priority_window()
     assert len(set(names)) == _WINDOW
     assert names[0] == "q01_pricing_summary"
     assert names == list(all_queries())[:_WINDOW]
     scored = _driver_green_names()
-    oracle = all_oracle_sql()
     backlog_outside = [
-        n
-        for n in all_queries()
-        if n in oracle and n not in scored and n not in names
+        n for n in all_queries() if n not in scored and n not in names
     ]
     wasted = [n for n in names[1:] if n in scored]
     if backlog_outside:
@@ -107,11 +116,37 @@ def test_window_self_rotates_and_wastes_no_slot():
             f"window slots wasted on already-driver-scored entries {wasted} "
             f"while backlog remains: {backlog_outside[:5]}..."
         )
-    # Landing order is preserved: the window's backlog members appear
-    # in the same relative order as _BACKLOG_LANDING_ORDER.
-    in_window = [n for n in _BACKLOG_LANDING_ORDER if n in names]
+    # Landing order is preserved among never-scored backlog members
+    # (pads are ordered by staleness instead, so scored landing-list
+    # names are exempt).
+    in_window = [n for n in _BACKLOG_LANDING_ORDER if n in names and n not in scored]
     positions = [names.index(n) for n in in_window]
     assert positions == sorted(positions)
+
+
+def test_padding_is_stalest_first():
+    """VERDICT r8 #3: re-verification pad slots go to the entries whose
+    last driver-green round is OLDEST, so the whole registry cycles
+    through driver re-checking instead of the same early-registry names
+    re-scoring every round. Every pad must be at least as stale as
+    every oracle-backed scored entry left outside the window, and pads
+    must appear in non-decreasing last-green-round order."""
+    names = priority_window()
+    green = _driver_green_rounds()
+    oracle = all_oracle_sql()
+    pad_rounds = [green[n] for n in names[1:] if n in green]
+    if not pad_rounds:
+        return  # backlog fills the whole window — nothing padded
+    assert pad_rounds == sorted(pad_rounds), "pads not in staleness order"
+    outside = [
+        green[n]
+        for n in all_queries()
+        if n in oracle and n in green and n not in names
+    ]
+    if outside:
+        assert max(pad_rounds) <= min(outside), (
+            "a fresher entry padded the window while a staler one waited"
+        )
 
 
 def test_categories_missing_from_window_are_already_driver_green():
@@ -133,20 +168,18 @@ def test_priority_names_resolve_and_lead():
 
 
 def test_scored_window_is_fully_oracle_checked():
-    """Every scored-window entry must have a DuckDB oracle: a rows-only
-    row can never turn hash-green, so it wastes a scored slot (VERDICT
-    r2 — s49 sat in the window as a permanent err). Rows-only ops
-    (sketches, seeded-random ANN) live outside the first 50 and are
-    covered by local tolerance / recall-floor tests instead.
-
-    The q57 exception (VERDICT r5 #3) is retired: its clean rows-only
-    driver row landed in CORRECTNESS_r06 (3 rows, ``err: no_oracle``
-    by design), so the slot returned to the oracle-backed pool and the
-    r7 window is 50/50 hash-checkable."""
+    """A rows-only entry may hold a scored slot ONLY while it has never
+    been driver-recorded: its one clean ``no_oracle`` row is the
+    strongest driver check it can ever earn (VERDICT r8 #2 — q116),
+    after which it yields the slot forever (the round-3 rule, VERDICT
+    r2 — s49 sat in the window as a permanent err). All other window
+    entries must have a DuckDB oracle so their slots can turn
+    hash-green."""
     names = list(all_queries())[:50]
     oracle = all_oracle_sql()
-    rows_only = [n for n in names if n not in oracle]
-    assert rows_only == [], rows_only
+    scored = _driver_green_names()
+    rows_only_rescore = [n for n in names if n not in oracle and n in scored]
+    assert rows_only_rescore == [], rows_only_rescore
 
 
 def test_round_of_quotient_is_ratcheted():
