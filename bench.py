@@ -186,11 +186,18 @@ def _load_prior() -> dict | None:
             details = json.load(f)
     except (OSError, json.JSONDecodeError):
         return parsed
-    if (
-        details.get("sf") == parsed.get("sf")
-        and abs(details.get("value", -1.0) - parsed.get("value", -2.0)) < 1e-6
-        and details.get("queries")
-    ):
+    try:
+        same_run = (
+            details.get("sf") == parsed.get("sf")
+            and abs(details.get("value", -1.0) - parsed.get("value", -2.0)) < 1e-6
+            and details.get("queries")
+        )
+    except TypeError:
+        # value: null (the BENCH_r05 broken-artifact class) — the
+        # subtraction must degrade to the bare parsed payload, not
+        # crash the whole bench run (ADVICE r8 #4).
+        same_run = False
+    if same_run:
         return details
     return parsed
 

@@ -1,0 +1,32 @@
+"""Idempotent persist — the WARN-free cache entry point.
+
+``DataFrame.persist()`` on a plan the CacheManager already holds logs
+``WARN CacheManager: Asked to cache already cached data`` and does
+nothing. Every bench run samples a query 3-5 times in one session and
+the driver's 50-query window re-invokes shared helpers (the IVF
+prologue, q108's edge build), so those WARNs repeated until they buried
+real cache anomalies (VERDICT r8 #5). ``persist_once`` consults the
+CacheManager first (``df.storageLevel`` is a plan-keyed lookup, not an
+object attribute), so a second invocation silently reuses the existing
+entry.
+
+Used via ``.transform(persist_once)`` to keep chained builder syntax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def persist_once(df: DataFrame) -> DataFrame:
+    """persist() only if this plan isn't already cached; returns df.
+
+    Callers that need the cache POPULATED before fan-out (the q182
+    unmaterialized-cache race) still follow with ``.count()`` — a
+    count against an already-populated entry is a cheap cache scan,
+    and skipping it would reintroduce the race when a sibling call
+    site persisted the same plan without counting."""
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df.persist()
+    return df

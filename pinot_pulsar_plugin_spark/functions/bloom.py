@@ -35,6 +35,8 @@ BIGINT arithmetic — deterministic and engine-portable.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 import itertools
 
 from pyspark.sql import Column, DataFrame
@@ -195,6 +197,6 @@ def might_contain_subquery(
                 f"temp view {view_name!r} already exists; reusing it would "
                 "rebind earlier bloom probes to the wrong bitset"
             )
-    bloom_df.persist()
+    bloom_df.transform(persist_once)
     bloom_df.createOrReplaceTempView(view_name)
     return _probe_expr(f"(SELECT bits FROM {view_name})", key_sql, m_bits)

@@ -5,6 +5,8 @@ quantified subqueries, FILTER-clause aggregates, ordered string_agg.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -436,7 +438,7 @@ def q109_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     n = basket.agg(F.countDistinct("okey").alias("n_orders"))
     item = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("n_item"))
@@ -516,7 +518,7 @@ def q110_pmi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
         )
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .persist()
+        .transform(persist_once)
     )
     mx = cell.groupBy("seg").agg(F.sum("n_xy").alias("n_x"))
     my = cell.groupBy("nat").agg(F.sum("n_xy").alias("n_y"))

@@ -4,6 +4,8 @@ aggregates, extended string family, percent_rank/cume_dist.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -328,10 +330,16 @@ def q93_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("d")
-    ).persist()
+    ).transform(persist_once)
     dev.count()  # the MAD aggregate and the outlier count both consume
     # dev; materializing keeps the fact at exactly the documented two
-    # scans (median pass + deviation pass) instead of three (r8)
+    # scans (median pass + deviation pass) instead of three (r8).
+    # Session-scoped by design (ADVICE r8 #3): dev feeds the returned
+    # lazy result, so it cannot unpersist here; persist_once bounds the
+    # footprint at one narrow event-sized entry per distinct sf_dir,
+    # reused silently across repeat runs. Unlike s65/q180 the fan-out
+    # is NOT foldable into one aggregation — the second percentile
+    # pass must complete before the outlier comparison can begin.
     mad = dev.groupBy("event_type").agg(
         F.round(F.expr("percentile(d, 0.5)"), 6).alias("mad")
     )
@@ -643,7 +651,7 @@ def q177_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("cents")
         )
-        .persist()
+        .transform(persist_once)
     )
     tot = rev.groupBy("p_type").agg(
         F.sum("cents").alias("t_cents"), F.count(F.lit(1)).alias("n_suppliers")
@@ -743,7 +751,7 @@ def q179_topn_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("brand", "month_bucket")
         .agg(F.sum("fp").alias("rev_fp"))
-        .persist()
+        .transform(persist_once)
     )
     btot = agg1.groupBy("brand").agg(F.sum("rev_fp").alias("tot_fp"))
     a, b = btot.alias("a"), btot.alias("b")
@@ -839,7 +847,7 @@ def q184_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(o_orderdate) div 86400000000 div 30").alias("m"),
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
-        .persist()
+        .transform(persist_once)
     )
     mx = mrev.agg(F.max("m").alias("max_m"))
     p = mrev.select(
@@ -938,7 +946,7 @@ def q185_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(o_orderdate) div 86400000000 div 30").alias("m")
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
-        .persist()
+        .transform(persist_once)
     )
     a, p = mrev.alias("a"), mrev.alias("p")
     naive = a.join(p, F.col("p.m") == F.col("a.m") - 1).select(
@@ -1101,7 +1109,7 @@ def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = (
         leaf.groupBy("n_regionkey", "n_name", "r_name")
         .agg(F.sum("cents").alias("n_cents"))
-        .persist()
+        .transform(persist_once)
     )
     reg = nat.groupBy("n_regionkey").agg(F.sum("n_cents").alias("r_cents"))
     tot = reg.agg(F.sum("r_cents").alias("t_cents"))
@@ -1260,7 +1268,7 @@ def q192_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand",
         )
         .agg(F.sum("fp").alias("rev_fp"))
-        .persist()
+        .transform(persist_once)
     )
     a, b = halves.alias("a"), halves.alias("b")
     better = (F.col("b.half") == F.col("a.half")) & (
@@ -1357,7 +1365,7 @@ def q194_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("fp").alias("cents"))
         .withColumn("tier", F.expr(_Q194_BANDS))
-        .persist()
+        .transform(persist_once)
     )
     h1 = halves.filter(F.col("half") == 1).select(
         F.col("c").alias("c1"), F.col("tier").alias("t1")
@@ -1588,7 +1596,7 @@ def q204_acquisition_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
         F.expr("unix_micros(o_orderdate) div 86400000000 div 30").alias("m"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    ).persist()
+    ).transform(persist_once)
     first_m = om.groupBy("c").agg(F.min("m").alias("fm"))
     is_new = F.col("m") == F.col("fm")
     return (
@@ -1657,7 +1665,7 @@ def q205_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = o.select(
         F.col("o_custkey").alias("c"),
         F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
-    ).distinct().persist()
+    ).distinct().transform(persist_once)
     d1 = od.groupBy("c").agg(F.min("day").alias("first_day"))
     d2 = (
         od.join(d1, "c")
@@ -1753,7 +1761,7 @@ def q206_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand",
         )
         .agg(F.sum("q").alias("qty"), F.sum("cents").alias("cents"))
-        .persist()
+        .transform(persist_once)
     )
     h1 = halves.filter(F.col("half") == 1).select(
         F.col("brand").alias("b1"), F.col("qty").alias("q0"),
@@ -1885,7 +1893,7 @@ def q211_freq_of_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded triangular join and a one-row total broadcast."""
     o = t(spark, sf_dir, "orders")
     per_c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
-    hist = per_c.groupBy("k").agg(F.count(F.lit(1)).alias("n_k")).persist()
+    hist = per_c.groupBy("k").agg(F.count(F.lit(1)).alias("n_k")).transform(persist_once)
     tot = hist.agg(F.sum("n_k").alias("n_customers"))
     h2 = hist.select(F.col("k").alias("k2"), F.col("n_k").alias("n_k2"))
     return (
@@ -2117,7 +2125,7 @@ def q214_tenure_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
         F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    ).persist()
+    ).transform(persist_once)
     f = om.groupBy("c").agg(F.min("day").alias("first_day"))
     age = F.col("day") - F.col("first_day")
     bucket = (
@@ -2183,7 +2191,7 @@ def q216_purchase_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
         F.col("l_partkey").alias("pk"),
         "day",
-    ).persist()
+    ).transform(persist_once)
     fst = lines.groupBy("c", "pk").agg(F.min("day").alias("first_day"))
     is_first = F.col("day") == F.col("first_day")
     return (
@@ -2255,7 +2263,7 @@ def q218_first_value_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
         F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    ).persist()
+    ).transform(persist_once)
     f = od.groupBy("c").agg(F.min("day").alias("first_day"))
     firstval = (
         od.join(f, "c")

@@ -16,6 +16,8 @@ oracle-checked against DuckDB.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -711,7 +713,7 @@ def q195_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
         ).cast("long").alias("cents"),
-    ).persist()
+    ).transform(persist_once)
     months = base.agg(F.countDistinct("m").alias("mm"))
     pm = base.groupBy("p_type", "l_partkey", "m").agg(
         F.sum("q").alias("q"), F.sum("cents").alias("cents")

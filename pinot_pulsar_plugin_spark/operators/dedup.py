@@ -26,6 +26,8 @@ and jaccard ≥ 0.8.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,7 +146,7 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
-        .persist()
+        .transform(persist_once)
     )
     shingles.count()  # materialize: the stop-list aggregate, the
     # per-doc counts and both join sides otherwise race the cache fill
@@ -235,7 +237,7 @@ def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table, which is what a 100 TB pipeline does between stages.
     sig = mins.select(
         "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_PERMS)]).alias("mh")
-    ).persist()
+    ).transform(persist_once)
     n_bands = _MINHASH_PERMS // _BAND_ROWS
     # band join carries only (doc_id, band, sig) — the 64-wide signature
     # arrays rejoin AFTER pair dedup, so the shuffle stays narrow and
@@ -599,7 +601,7 @@ def d52_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "p", (F.col("n") - F.ceil(F.col("n") * F.lit(_D52_TAU)) + 1).cast("int")
         )
-        .persist()
+        .transform(persist_once)
     )
     pref = docs.select("doc_id", F.explode(F.expr("slice(hs, 1, p)")).alias("h"))
     cand = (
@@ -700,7 +702,7 @@ def span_dup_fractions(d: DataFrame, k: int) -> DataFrame:
                 f"ELSE array() END"
             )
         ).alias("h"),
-    ).persist()
+    ).transform(persist_once)
     tot = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup = (
         spans.join(tot.where(F.col("c") >= 2), "h")
@@ -806,7 +808,7 @@ def winnow_pairs(d: DataFrame, jaccard_min: float) -> DataFrame:
     from pinot_pulsar_plugin_spark.operators.textops import winnow_selection
 
     _, m = winnow_selection(F.split(F.lower("text"), " "))
-    fp = d.select("doc_id", F.explode(F.array_distinct(m)).alias("f")).persist()
+    fp = d.select("doc_id", F.explode(F.array_distinct(m)).alias("f")).transform(persist_once)
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = fp.alias("a")
     b = fp.alias("b")
@@ -915,7 +917,7 @@ def d55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
-        .persist()
+        .transform(persist_once)
     )
     shingles.count()  # materialize: the stop-list aggregate, the
     # per-doc counts and both join sides otherwise race the cache fill
@@ -1186,7 +1188,7 @@ def d57_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("s"),
-    ).persist()
+    ).transform(persist_once)
     hs = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_D57_H - 1))).alias("hi"),
@@ -1206,7 +1208,7 @@ def d57_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    sig = hs.groupBy("doc_id", "hi").agg(F.min("h").alias("m")).persist()
+    sig = hs.groupBy("doc_id", "hi").agg(F.min("h").alias("m")).transform(persist_once)
     sa, sb = sig.alias("a"), sig.alias("b")
     est = (
         sa.join(
@@ -1379,7 +1381,7 @@ def d58_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("s"),
-    ).persist()
+    ).transform(persist_once)
     hs = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_D58_H - 1))).alias("hi"),
@@ -1460,7 +1462,7 @@ def d58_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _D58_TAU
         )
         .select("doc_a", "doc_b")
-        .persist()
+        .transform(persist_once)
     )
     nrel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
     cagg = (
@@ -1535,7 +1537,7 @@ def d59_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchanges."""
     d = t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    g = d.select(F.md5(norm).alias("h"), "doc_id", "n_chars").persist()
+    g = d.select(F.md5(norm).alias("h"), "doc_id", "n_chars").transform(persist_once)
     grp = g.groupBy("h").agg(
         F.count(F.lit(1)).alias("sz"),
         F.sum("n_chars").alias("tot_chars"),
@@ -1635,7 +1637,7 @@ def d60_shingle_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .persist()
+        .transform(persist_once)
     )
     cnt = sh.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

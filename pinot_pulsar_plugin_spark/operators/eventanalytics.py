@@ -9,6 +9,10 @@ and shuffle-bounded by #users / #buckets, not #events.
 
 from __future__ import annotations
 
+import hashlib
+
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -687,19 +691,27 @@ def q108_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev").isNotNull())
         .groupBy("prev", "curr")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(persist_once)
     )
     edges.count()  # materialize so the loop scans the cache, not the fact
-    edges.createOrReplaceTempView("journey_edges_m")
+    # The view must outlive this call (the returned DataFrame resolves
+    # it lazily at collect time), so it cannot be dropped here. Key the
+    # name by sf_dir instead: concurrent/interleaved callers on
+    # different datasets can't clobber each other, repeat calls on the
+    # same dataset reuse the one entry, and the session-lifetime
+    # footprint is bounded at one #event_types²-row cached aggregate +
+    # one view per distinct sf_dir (ADVICE r8 #3 — documented, bounded).
+    view = f"journey_edges_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    edges.createOrReplaceTempView(view)
     return spark.sql(f"""
         WITH RECURSIVE paths AS (
           SELECT CONCAT('signup > ', curr) AS path, curr AS last,
                  2 AS depth, n AS score
-          FROM journey_edges_m WHERE prev = 'signup'
+          FROM {view} WHERE prev = 'signup'
           UNION ALL
           SELECT CONCAT(p.path, ' > ', e.curr), e.curr, p.depth + 1,
                  p.score + e.n
-          FROM paths p JOIN journey_edges_m e ON e.prev = p.last
+          FROM paths p JOIN {view} e ON e.prev = p.last
           WHERE p.depth < {_JOURNEY_MAX_DEPTH})
         SELECT path, CAST(depth AS INTEGER) AS depth,
                CAST(score AS BIGINT) AS score
@@ -885,7 +897,7 @@ def q140_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = x.groupBy("event_type", "y").agg(
         F.sum(1 - F.col("late")).alias("c_early"),
         F.sum("late").alias("c_late"),
-    ).persist()
+    ).transform(persist_once)
     tot = h.groupBy("event_type").agg(
         F.sum("c_early").alias("n_early"),
         F.sum("c_late").alias("n_late"),
@@ -1488,7 +1500,7 @@ def q163_pit_enrichment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         F.col("ts_us").alias("vf"),
         F.lead("ts_us").over(wiv).alias("vt"),
-    ).persist()
+    ).transform(persist_once)
     cur = iv.where(F.col("vt").isNull()).select(
         "user_id", F.col("state").alias("current_state")
     )
@@ -2143,7 +2155,7 @@ def q199_attribution_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t_user") == F.col("p_user"))
         & (F.col("t_ts") < F.col("p_ts"))
         & (F.col("t_ts") >= F.col("p_ts") - _Q199_WINDOW_US),
-    ).select("purchase_id", "t_type", "t_ts").persist()
+    ).select("purchase_id", "t_type", "t_ts").transform(persist_once)
     per_p = tp.groupBy("purchase_id").agg(
         F.count(F.lit(1)).alias("n_touches"),
         F.min_by("t_type", "t_ts").alias("first_type"),
@@ -2340,7 +2352,7 @@ def q217_load_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type",
         F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"),
-    ).agg(F.count(F.lit(1)).alias("n")).persist()
+    ).agg(F.count(F.lit(1)).alias("n")).transform(persist_once)
     prof = hourly.groupBy("event_type").agg(
         F.max("n").alias("peak_n"),
         F.min("n").alias("trough_n"),

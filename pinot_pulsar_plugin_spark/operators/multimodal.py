@@ -20,6 +20,8 @@ bytes (e.g. ``WHERE meta.n_bytes < 1e6`` never deserializes media).
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -481,7 +483,7 @@ def m60_phash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         withpix.withColumn("tot", tot)
         .select("doc_id", ahash.alias("ahash"))
-        .persist()
+        .transform(persist_once)
     )
     bands = h.select(
         "doc_id",

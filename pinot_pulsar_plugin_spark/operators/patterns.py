@@ -4,6 +4,8 @@ densification, approximate quantiles.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -277,7 +279,7 @@ def q141_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= _KMV_K)
         .drop("r")
-        .persist()
+        .transform(persist_once)
     )
     k1 = float(_KMV_K - 1)
     per_type = kept.groupBy("event_type").agg(
@@ -468,7 +470,7 @@ def q152_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "events")
-    dv = e.select("event_type", "user_id").distinct().persist()
+    dv = e.select("event_type", "user_id").distinct().transform(persist_once)
     h = dv.select(
         "event_type",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
@@ -490,7 +492,7 @@ def q152_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(F.broadcast(theta), "event_type")
         .where(F.col("h") < F.col("theta"))
         .select("event_type", "h")
-        .persist()
+        .transform(persist_once)
     )
     ta = theta.alias("a")
     tb = theta.alias("b")
@@ -659,7 +661,7 @@ def q162_tuple_sketch_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= _KMV_K)
         .drop("r")
-        .persist()
+        .transform(persist_once)
     )
     st = kept.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_kept"),

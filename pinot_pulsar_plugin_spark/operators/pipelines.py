@@ -24,6 +24,8 @@ iterative min-label propagation).
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -95,7 +97,7 @@ def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.doc_a", "e.doc_b")
-        .persist()
+        .transform(persist_once)
     )
     edges.count()  # materialize before the propagation rounds
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
@@ -714,7 +716,7 @@ def q105_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    adj = edges.join(deg, "src").persist()  # (src, dst, d) — reused per iter
+    adj = edges.join(deg, "src").transform(persist_once)  # (src, dst, d) — reused per iter
     adj.count()  # materialize: seed + iterations read the cache only
     rank = (
         adj.select("src")
@@ -796,7 +798,7 @@ def q123_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.crossJoin(F.broadcast(thr))
         .filter(F.col("shared") > F.col("med"))
         .select("u", "v")
-        .persist()
+        .transform(persist_once)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = e1.join(e2, F.col("e2.u") == F.col("e1.v")).join(
@@ -912,7 +914,7 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .persist()
+        .transform(persist_once)
     )
     edges.count()  # one fact read; nodes + self-loop union read the cache
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -922,7 +924,7 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comment — the bipartite-oscillation fix)
     aug = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).persist()
+    ).transform(persist_once)
     aug.count()  # materialize before the two propagation rounds
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
     for _ in range(_LPA_ROUNDS):
@@ -1036,7 +1038,7 @@ def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .persist()
+        .transform(persist_once)
     )
     edges.count()  # one fact read; every BFS round scans the cache
     seeds = (
@@ -1044,7 +1046,7 @@ def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
         .distinct()
     )
-    visited = seeds.select("node", F.lit(0).cast("long").alias("hops")).persist()
+    visited = seeds.select("node", F.lit(0).cast("long").alias("hops")).transform(persist_once)
     frontier = visited.select("node")
     for hop in range(1, _BFS_HOPS + 1):
         nxt = (
@@ -1052,11 +1054,11 @@ def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .persist()
+            .transform(persist_once)
         )
         visited = visited.unionByName(
             nxt.select("node", F.lit(hop).cast("long").alias("hops"))
-        ).persist()
+        ).transform(persist_once)
         frontier = nxt
     return visited.groupBy("hops").agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1489,7 +1491,7 @@ def q182_cheapest_path_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("e")
-    ).select("e.src", "e.dst", "e.w").repartition("src").persist()
+    ).select("e.src", "e.dst", "e.w").repartition("src").transform(persist_once)
     dist = (
         sup.where(F.expr("s_suppkey % 7 = 0"))
         .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
@@ -1504,7 +1506,7 @@ def q182_cheapest_path_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .persist()
+            .transform(persist_once)
         )
     return dist.groupBy(
         F.when(F.col("node").startswith("c:"), "customer")
@@ -1627,13 +1629,13 @@ def q200_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
             .alias("dupb"),
         )
-        .persist()
+        .transform(persist_once)
     )
     keepq = sig.filter(
         (F.col("n_tokens") >= _MIN_TOKENS)
         & (F.col("diversity") >= _MIN_DIVERSITY)
         & (F.col("dupb") <= _MAX_DUP_BIGRAM)
-    ).persist()
+    ).transform(persist_once)
     keepers = (
         keepq.groupBy("h")
         .agg(F.min("doc_id").alias("keeper"))

@@ -13,6 +13,8 @@ data-derived and fully deterministic, so it is exact-oracle-checkable.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -918,7 +920,7 @@ def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(stats), "term")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", (F.col("tf") * idf_micro).alias("wt"))
-        .persist()
+        .transform(persist_once)
     )
     w.count()  # materialize: norms + probes + posting join read the cache
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("norm2"))
@@ -1264,7 +1266,7 @@ def s60_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_M)
         .drop("rk")
-        .persist()
+        .transform(persist_once)
     )
     short = short_full.select("q_id", "n_id", "rel")
     sa, sb = short_full.alias("sa"), short_full.alias("sb")
@@ -1549,7 +1551,7 @@ def s62_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = t(spark, sf_dir, "embeddings")
     n = em.select(
         "vec_id", "embedding", fold_norm("embedding").alias("nrm")
-    ).persist()
+    ).transform(persist_once)
     cent = n.filter(
         (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
     ).select(
@@ -1702,7 +1704,7 @@ def s63_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         fold_norm("embedding").alias("nrm"),
         F.sqrt(fold_dot(trunc_col, trunc_col)).alias("tnrm"),
-    ).persist()
+    ).transform(persist_once)
     q = n.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -1882,9 +1884,8 @@ def s65_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to s50's assignment — a broadcast product
     bounded by the K-row centroid table folded into a per-vector
     argmax, then ONE combinable count keyed on the 16-value cell id
-    and a one-row total broadcast. The audit costs one corpus scan."""
-    from pyspark.sql.window import Window
-
+    and the total as a metadata-only corpus count broadcast as one
+    row. The audit costs one corpus scan, unpersisted."""
     em = t(spark, sf_dir, "embeddings")
     n = em.select(
         "vec_id",
@@ -1907,17 +1908,31 @@ def s65_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = scored.groupBy("vec_id").agg(
         F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("neg"))).alias("best")
     ).select("vec_id", (-F.col("best.neg")).cast("int").alias("c_id"))
+    # Aggregate BEFORE joining the centroid spine: join-then-group
+    # planned as a sort-merge join that shuffled the corpus-sized
+    # assignment on 16 skewed cell ids (caught by the r9 PLAN_AUDIT
+    # regen). group-then-join sends only map-side count partials
+    # through the 16-key exchange, and the spine join becomes 16 × 16
+    # broadcast rows; empty cells come back via the left join + 0.
+    counts = cell.groupBy("c_id").agg(F.count(F.lit(1)).alias("cnt"))
     sizes = (
         cent.select("c_id")
-        .join(cell, "c_id", "left")
-        .groupBy("c_id")
-        .agg(F.count(F.col("vec_id")).alias("n_members"))
-        .persist()
+        .join(F.broadcast(counts), "c_id", "left")
+        .select(
+            "c_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_members")
+        )
     )
-    sizes.count()  # K rows, but its lineage is the full fold_dot
-    # assignment — the total and the final projection both consume it,
-    # so without materialization the assignment executes twice (r8).
-    tot = sizes.agg(F.sum("n_members").alias("n_total"))
+    # The total needs no second pass over the expensive fold_dot
+    # assignment (the reason r8 persisted sizes): every vector gets
+    # exactly ONE rn=1 cell whenever centroids exist, so
+    # SUM(n_members) ≡ COUNT(embeddings) — a parquet METADATA count
+    # (no column read), crossJoined as a one-row broadcast. When the
+    # centroid slice is empty the result relation is empty from the
+    # cent-side left join, so the total is never read and the
+    # equivalence cannot be violated. Same fold-the-second-consumer
+    # move as q180's sweep (SCALING.md r9 addendum), one step further:
+    # the second consumer became free.
+    tot = em.agg(F.count(F.lit(1)).alias("n_total"))
     return sizes.crossJoin(F.broadcast(tot)).select(
         F.col("c_id").cast("long").alias("c_id"),
         "n_members",
@@ -2064,13 +2079,21 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str):
     lesson) — before r8, every recompute re-read embeddings and
     re-evaluated the interpreted fold_dot centroid cross-join (the
     dynamic scan audit counted up to 70 embeddings reads in one
-    executed s68 plan)."""
+    executed s68 plan).
+
+    The caches are DELIBERATELY session-scoped (ADVICE r8 #3,
+    documented): the returned relations feed s67/s68/s69's lazy
+    results, so they cannot be unpersisted here, and across those
+    three queries the shared entry is the point — persist_once makes
+    repeat invocations reuse it silently instead of WARN-spamming.
+    Footprint bound: one normed-embeddings + one 5-int-column ranking
+    relation per distinct sf_dir."""
     from pyspark.sql.window import Window
 
     em = t(spark, sf_dir, "embeddings")
     n = em.select(
         "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
-    ).persist()
+    ).transform(persist_once)
     n.count()
     cent = n.filter(
         (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
@@ -2084,7 +2107,7 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str):
         "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
     )
     wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(wq)).persist()
+    ranked = scored.withColumn("rn", F.row_number().over(wq)).transform(persist_once)
     ranked.count()
     return n, ranked
 
@@ -2118,7 +2141,7 @@ def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(cell.withColumnRenamed("vec_id", "n_id"), "c_id")
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", qcos.alias("cosine"))
-        .persist()
+        .transform(persist_once)
     )
     cand.count()  # materialize before the top-1 + count double consumption
     wtop = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -2275,7 +2298,7 @@ def s68_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(cell, "c_id")
         .filter(F.col("n_id") != F.col("q_id"))
         .select("np", "q_id", "n_id", qcos.alias("cosine"))
-        .persist()
+        .transform(persist_once)
     )
     cand.count()  # materialize before the top-1 + count double consumption
     wtop = Window.partitionBy("np", "q_id").orderBy(

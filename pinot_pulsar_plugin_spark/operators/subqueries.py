@@ -5,6 +5,8 @@ expand nodes; no iterative per-row execution anywhere).
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
@@ -109,7 +111,7 @@ def q97_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .persist()
+        .transform(persist_once)
     )
     li.createOrReplaceTempView("lineitem_q97proj")
     for name in ("supplier", "orders"):
@@ -325,7 +327,7 @@ def q114_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
             ).cast("long")
         ).alias("rev_fp")
-    ).persist()
+    ).transform(persist_once)
     best = rev.agg(F.max("rev_fp").alias("max_fp"))
     top = rev.crossJoin(F.broadcast(best)).filter(
         F.col("rev_fp") == F.col("max_fp")
@@ -393,7 +395,7 @@ def q124_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uc"),
     ).groupBy(
         F.col("l_partkey"), F.col("l_suppkey")
-    ).agg(F.min("uc").alias("unit_cents")).persist()
+    ).agg(F.min("uc").alias("unit_cents")).transform(persist_once)
     best = cost.groupBy(F.col("l_partkey").alias("bp")).agg(
         F.min("unit_cents").alias("best_cents")
     )

@@ -5,6 +5,8 @@ they run at scan speed inside whole-stage codegen at any scale.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1289,7 +1291,7 @@ def t70_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = vocab.select(F.col("source").alias("source_a"), "term")
@@ -1461,7 +1463,7 @@ def t72_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .transform(persist_once)
     )
     tot = c.groupBy("source").agg(F.sum("c").alias("n"))
     vocab = c.agg(F.countDistinct("term").alias("v"))
@@ -1688,7 +1690,7 @@ def t75_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", pred.alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(persist_once)
     )
     row_m = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
     col_m = cells.groupBy("lang_pred").agg(F.sum("n").alias("n_pred"))
@@ -1788,7 +1790,7 @@ def t76_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> substr(lower(text), i, 3))"
             )
         ).alias("g"),
-    ).persist()
+    ).transform(persist_once)
     wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
     prof = (
         tri.groupBy("lang", "g")
@@ -2266,7 +2268,7 @@ def t81_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("len"))
         .filter(F.col("len").between(1, _T81_MAX_LEN))
     )
-    occ = words.join(plen, ["doc_id", "pnum"]).persist()
+    occ = words.join(plen, ["doc_id", "pnum"]).transform(persist_once)
     wstat = occ.groupBy("doc_id", "token").agg(
         F.expr("sum(len) * 1000000 div count(1)").alias("score_ppm")
     )
@@ -2453,7 +2455,7 @@ def t83_heldout_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE array() END"
             )
         ).alias("b"),
-    ).persist()
+    ).transform(persist_once)
     train_tok = toks.filter(F.col("doc_id") % 2 == 0).select(
         F.explode("tk").alias("w")
     )
@@ -2673,7 +2675,7 @@ def t86_head_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .transform(persist_once)
     )
     w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
     head = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
@@ -2768,7 +2770,7 @@ def t87_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE array() END"
             )
         ).alias("s"),
-    ).persist()
+    ).transform(persist_once)
     n_docs = d.agg(F.count(F.lit(1)).alias("nd"))
     stop = (
         shingles.groupBy("s")
@@ -2777,7 +2779,7 @@ def t87_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > F.col("nd") * 0.10)
         .select("s")
     )
-    kept = shingles.join(F.broadcast(stop), "s", "left_anti").persist()
+    kept = shingles.join(F.broadcast(stop), "s", "left_anti").transform(persist_once)
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (

@@ -17,6 +17,8 @@ q77: gap-fill with forward interpolation (LOCF) over a date spine.
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -854,7 +856,7 @@ def q153_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(ts) div 86400000000").alias("day"),
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-        .persist()
+        .transform(persist_once)
     )
     a = daily.where(F.col("tr") == 1).select(
         F.col("day").alias("a_day"), F.col("cents").alias("x")
@@ -1417,7 +1419,7 @@ def q198_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("day") + 3) % 7).alias("weekday"),
         "cents",
         F.expr("cents * 7000000 div trend_sum").alias("ratio_ppm"),
-    ).persist()
+    ).transform(persist_once)
     idx = ratios.groupBy("event_type", "weekday").agg(
         F.expr("sum(ratio_ppm) div count(1)").alias("seasonal_ppm")
     )

@@ -21,6 +21,8 @@ serving).
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -420,7 +422,7 @@ def q131_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_fp"
             )
         )
-        .persist()
+        .transform(persist_once)
     )
     thr = pv.agg(F.expr("sum(value_fp) div 1000").alias("thr"))
     return (
@@ -703,13 +705,13 @@ def q136_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (
         li.join(o, o["o_orderkey"] == li["l_orderkey"])
         .select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
-        .persist()
+        .transform(persist_once)
     )
     late = (
         flagged.filter(F.col("is_late") == 1)
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     l1 = late.alias("l1")
     l2 = flagged.alias("l2")

@@ -39,6 +39,8 @@ memory, or swaps in a table-format MERGE with the same logical plan).
 
 from __future__ import annotations
 
+from pinot_pulsar_plugin_spark.caching import persist_once
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,11 +132,11 @@ def scd2_sink(out_dir: str, n_buckets: int = 16):
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        delta = df.persist()
+        delta = df.transform(persist_once)
         if delta.limit(1).count() == 0:
             delta.unpersist()
             return
-        out = _merge(_read_state(spark, out_dir), delta, n_buckets).persist()
+        out = _merge(_read_state(spark, out_dir), delta, n_buckets).transform(persist_once)
         out.count()  # materialize BEFORE overwriting what it reads
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -75,3 +75,18 @@ def test_load_prior_recovers_per_query_map_from_details(tmp_path, monkeypatch):
     with_map = dict(parsed, queries={"q01": 1.0})
     (tmp_path / "BENCH_r10.json").write_text(json.dumps({"parsed": with_map}))
     assert bench._load_prior()["queries"] == {"q01": 1.0}
+
+
+def test_load_prior_survives_null_value_details(tmp_path, monkeypatch):
+    """ADVICE r8 #4: a bench_details.json carrying value: null (the
+    BENCH_r05 broken-artifact class) made the same-run subtraction
+    raise TypeError and crash the whole bench run; it must degrade to
+    the bare parsed payload instead."""
+    parsed = {"metric": "headline_suite_wall", "value": 10.5, "unit": "sec",
+              "sf": 0.1, "n_queries": 2}
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"parsed": parsed}))
+    details = dict(parsed, value=None, queries={"q01": 4.0})
+    (tmp_path / "bench_details.json").write_text(json.dumps(details))
+    monkeypatch.setattr(bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    prior = bench._load_prior()
+    assert prior == parsed  # no crash, no splice from the broken file

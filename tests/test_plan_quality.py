@@ -1384,3 +1384,26 @@ def test_q108_recursion_body_reads_cache_not_parquet(spark):
     plan = formatted_plan(eventanalytics.q108_journey_paths(spark, SF))
     assert "UnionLoop" in plan
     assert "LogicalRelation" not in plan, "recursion body re-reads the fact table"
+
+
+def test_q108_executed_loop_body_physical_audit(spark):
+    """VERDICT r8 #6: the static gate above can only see the LOGICAL
+    loop body. Execute q108 and pin the PHYSICAL facts from the
+    executed plan: the recursion joins the UnionLoopRef frontier
+    against the cached edge relation (InMemoryRelation), and zero
+    FileScans execute outside cache-build subtrees — no per-iteration
+    fact re-scan at runtime either."""
+    import tools_planaudit
+    from pinot_pulsar_plugin_spark.operators import eventanalytics
+
+    row = tools_planaudit.audit_recursive_execution(
+        eventanalytics.q108_journey_paths(spark, SF)
+    )
+    assert row == {
+        "unaudited": False,
+        "executed": True,
+        "loop_refs": 1,
+        "loop_body_joins": 1,
+        "body_reads_cache": True,
+        "scans_outside_cache": 0,
+    }, row
