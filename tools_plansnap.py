@@ -653,15 +653,18 @@ COMMENTARY = {
         "exactly once and nothing fact-sized shuffles twice."
     ),
     "q180_max_concurrency": (
-        "Segmented prefix sum: the sweep relation (2 narrow rows per "
-        "order) gets bucket-partitioned running sums, and cross-bucket "
-        "carry-ins come from a #buckets-row triangular join broadcast "
-        "back — a global cumulative with NO partition-less sort, the "
-        "shape a 100 TB running total must take. The sweep relation is "
-        "an in-row explode of the materialized interval aggregate (r8: "
-        "the self-union form re-derived it per leg and consumer); peak "
-        "resolution re-probes the materialized narrow run relation "
-        "against broadcast per-bucket maxima."
+        "Segmented prefix sum, one pass (r9): the sweep relation (an "
+        "in-row explode, 2 narrow rows per order) gets its "
+        "bucket-partitioned running sum, and the SAME groupBy elects "
+        "the per-bucket peak+instant via max(struct(within_sum, -ts)) "
+        "AND folds the bucket total — conc = carry_in + within_sum "
+        "with carry_in bucket-constant, so no join back to the "
+        "event-sized relation exists at all. Cross-bucket carry-ins "
+        "are a running sum over the #buckets-row aggregate. One fact "
+        "pass, one event-sized exchange, zero persists (the r8 "
+        "materialized form cost ~2x cold; the naive form re-derived "
+        "the interval aggregate 6x) — the shape a 100 TB running "
+        "total must take."
     ),
     "q181_seasonal_decomposition": (
         "Event grain collapses to (type, day) in one combinable "
