@@ -163,15 +163,17 @@ _BACKLOG_LANDING_ORDER = [
 ]
 
 
-def driver_green_rounds() -> dict[str, int]:
+def driver_green_rounds(root: str | None = None) -> dict[str, int]:
     """name → LATEST round with a driver-verified green row in
-    CORRECTNESS_r*.json at the repo root: hash_match green, or a
-    rows-only row whose err is absent / the deliberate ``no_oracle``
-    marker. A row carrying an explicit ``hash_match: false`` NEVER
-    counts, even with err null and spark_rows recorded — otherwise a
-    driver-logged oracle MISMATCH would rotate out of the scored
-    window and never be re-scored (ADVICE r8 #2)."""
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    CORRECTNESS_r*.json at ``root`` (default: the repo root):
+    hash_match green, or a rows-only row whose err is absent / the
+    deliberate ``no_oracle`` marker. A row carrying an explicit
+    ``hash_match: false`` NEVER counts, even with err null and
+    spark_rows recorded — otherwise a driver-logged oracle MISMATCH
+    would rotate out of the scored window and never be re-scored
+    (ADVICE r8 #2)."""
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
@@ -202,11 +204,15 @@ def driver_scored_names() -> set[str]:
 
 
 def derive_priority(
-    queries: dict[str, QueryFn], oracle: dict[str, str]
+    queries: dict[str, QueryFn],
+    oracle: dict[str, str],
+    green: dict[str, int] | None = None,
 ) -> list[str]:
     """The scored window, recomputed from the correctness artifacts —
-    can never go stale (VERDICT r7 #1)."""
-    green = driver_green_rounds()
+    can never go stale (VERDICT r7 #1). ``green`` (name → latest green
+    round) is injectable for tests; defaults to the on-disk artifacts."""
+    if green is None:
+        green = driver_green_rounds()
     scored = set(green)
     window = [_ANCHOR]
 

@@ -260,3 +260,41 @@ def test_survey_ledger_is_current():
     # and the window column tracks the live derivation
     for n in priority_window():
         assert f"| {n} |" in ledger
+
+
+def test_derive_priority_synthetic_rules(tmp_path):
+    """Unit-level pin of the r9 derivation rules against SYNTHETIC
+    artifacts (the other tests only exercise the on-disk state, which
+    drifts every round): explicit hash_match:false never counts as
+    scored, never-scored rows-only entries pad after the oracle-backed
+    backlog, and re-verification pads order stalest-first with
+    registry-order ties."""
+    from pinot_pulsar_plugin_spark import registry as R
+
+    # synthetic artifacts: r1 scores a+b green; r2 re-scores b green,
+    # records c as an explicit MISMATCH, and d as a failed run that
+    # still logged spark_rows with a real err
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"hash_match": True},
+        "b": {"hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "b": {"hash_match": True},
+        "c": {"hash_match": False, "err": None, "spark_rows": 7},
+        "d": {"spark_rows": 3, "err": "boom"},
+        "r": {"spark_rows": 1, "err": "no_oracle"},
+    }))
+    green = R.driver_green_rounds(root=str(tmp_path))
+    assert green == {"a": 1, "b": 2, "r": 2}
+
+    queries = {n: (lambda s, d: None) for n in
+               ["q01_pricing_summary", "a", "b", "c", "d", "r", "s"]}
+    oracle = {n: "SELECT 1" for n in
+              ["q01_pricing_summary", "a", "b", "c", "d"]}
+    window = R.derive_priority(queries, oracle, green=green)
+    # c (mismatch) and d (failed run) are NOT scored -> lead in
+    # registry order; s (rows-only, never scored) pads next; r
+    # (rows-only, already recorded) never re-enters; then stalest
+    # pads: a (r1) before b (r2).
+    assert window[:6] == ["q01_pricing_summary", "c", "d", "s", "a", "b"]
+    assert "r" not in window[: window.index("a")]  # no rows-only re-score
