@@ -188,14 +188,17 @@ def _load_prior() -> dict | None:
         return parsed
     try:
         same_run = (
-            details.get("sf") == parsed.get("sf")
+            isinstance(details, dict)
+            and details.get("sf") == parsed.get("sf")
             and abs(details.get("value", -1.0) - parsed.get("value", -2.0)) < 1e-6
             and details.get("queries")
         )
     except TypeError:
         # value: null (the BENCH_r05 broken-artifact class) — the
         # subtraction must degrade to the bare parsed payload, not
-        # crash the whole bench run (ADVICE r8 #4).
+        # crash the whole bench run (ADVICE r8 #4). The isinstance
+        # guard covers the sibling class: valid-JSON non-object
+        # content, where .get would raise AttributeError.
         same_run = False
     if same_run:
         return details

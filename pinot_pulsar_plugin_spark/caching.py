@@ -25,7 +25,12 @@ def persist_once(df: DataFrame) -> DataFrame:
     unmaterialized-cache race) still follow with ``.count()`` — a
     count against an already-populated entry is a cheap cache scan,
     and skipping it would reintroduce the race when a sibling call
-    site persisted the same plan without counting."""
+    site persisted the same plan without counting.
+
+    The check-then-persist is advisory, not atomic: two threads
+    building the same plan concurrently can both see it uncached and
+    both persist (second one WARNs, results stay correct). All current
+    callers run queries serially."""
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         df.persist()

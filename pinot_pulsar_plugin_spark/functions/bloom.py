@@ -197,6 +197,6 @@ def might_contain_subquery(
                 f"temp view {view_name!r} already exists; reusing it would "
                 "rebind earlier bloom probes to the wrong bitset"
             )
-    bloom_df.transform(persist_once)
+    persist_once(bloom_df)  # plain call: the side effect is the point
     bloom_df.createOrReplaceTempView(view_name)
     return _probe_expr(f"(SELECT bits FROM {view_name})", key_sql, m_bits)

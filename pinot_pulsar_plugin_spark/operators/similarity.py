@@ -1923,16 +1923,18 @@ def s65_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # The total needs no second pass over the expensive fold_dot
-    # assignment (the reason r8 persisted sizes): every vector gets
-    # exactly ONE rn=1 cell whenever centroids exist, so
-    # SUM(n_members) ≡ COUNT(embeddings) — a parquet METADATA count
-    # (no column read), crossJoined as a one-row broadcast. When the
-    # centroid slice is empty the result relation is empty from the
-    # cent-side left join, so the total is never read and the
-    # equivalence cannot be violated. Same fold-the-second-consumer
-    # move as q180's sweep (SCALING.md r9 addendum), one step further:
-    # the second consumer became free.
-    tot = em.agg(F.count(F.lit(1)).alias("n_total"))
+    # assignment (the reason r8 persisted sizes): every DISTINCT
+    # vec_id gets exactly ONE rn=1 cell whenever centroids exist, so
+    # SUM(n_members) ≡ COUNT(DISTINCT vec_id) — a one-column two-stage
+    # aggregate over the raw table (no fold_dot, no cross join),
+    # crossJoined back as a one-row broadcast. DISTINCT (not COUNT(*))
+    # keeps the oracle equivalence independent of the vec_id-unique
+    # fixture invariant (review r9). When the centroid slice is empty
+    # the result relation is empty from the cent-side left join, so
+    # the total is never read. Same fold-the-second-consumer move as
+    # q180's sweep (SCALING.md r9 addendum), one step further: the
+    # second consumer became nearly free.
+    tot = em.agg(F.countDistinct("vec_id").alias("n_total"))
     return sizes.crossJoin(F.broadcast(tot)).select(
         F.col("c_id").cast("long").alias("c_id"),
         "n_members",
