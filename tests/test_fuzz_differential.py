@@ -1625,3 +1625,43 @@ def test_fuzz_asof_ties_differential(seed, spark, tmp_path):
     got = all_queries()["q28_asof_join"](spark, str(tmp_path))
     problems = compare(f"asof{seed}", got, expected)
     assert not problems, "\n".join(problems)
+
+
+def test_q108_interleaved_datasets_no_view_clobber(spark, tmp_path):
+    """r9 regression gate for the per-sf_dir view naming (ADVICE r8
+    #3): with the old fixed view name, building q108 on dataset B
+    between dataset A's BUILD and its COLLECT re-pointed A's lazy
+    recursion at B's edges. Interleave two datasets with disjoint
+    transition graphs and collect in reverse order — each result must
+    see only its own paths."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q108_journey_paths,
+    )
+
+    def write(dirname, chain):
+        rows = []
+        t0 = datetime.datetime(2024, 1, 1)
+        for uid in range(3):
+            for i, etype in enumerate(chain):
+                rows.append(
+                    (uid * 10 + i, t0 + datetime.timedelta(minutes=i),
+                     uid, etype, 1.0, "{}")
+                )
+        d = tmp_path / dirname
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(str(d / "events.parquet"))
+        return str(d)
+
+    dir_a = write("a", ["signup", "view", "click"])
+    dir_b = write("b", ["signup", "purchase"])
+    df_a = q108_journey_paths(spark, dir_a)   # build A (lazy)
+    df_b = q108_journey_paths(spark, dir_b)   # build B before A collects
+    paths_b = {r.path for r in df_b.collect()}
+    paths_a = {r.path for r in df_a.collect()}
+    assert paths_a == {"signup > view", "signup > view > click"}
+    assert paths_b == {"signup > purchase"}
