@@ -35,3 +35,21 @@ def persist_once(df: DataFrame) -> DataFrame:
     if not (lvl.useMemory or lvl.useDisk):
         df.persist()
     return df
+
+
+def persist_scoped(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Like :func:`persist_once`, but returns ``(df, owned)`` where
+    ``owned`` is True only if THIS call created the cache entry.
+
+    For call sites that unpersist when done (ADVICE r9 #2): an
+    unconditional ``unpersist()`` after ``persist_once`` can evict a
+    cache entry some OTHER owner created for an equivalent plan (the
+    CacheManager is plan-keyed, not handle-keyed). Such sites must
+    skip the unpersist when ``owned`` is False — the entry wasn't
+    theirs to release. Same advisory (non-atomic) caveat as
+    ``persist_once``; all current callers run serially."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df, False
+    df.persist()
+    return df, True

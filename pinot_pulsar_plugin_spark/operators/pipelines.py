@@ -24,7 +24,7 @@ iterative min-label propagation).
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import persist_once, persist_scoped
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -97,8 +97,11 @@ def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.doc_a", "e.doc_b")
-        .transform(persist_once)
     )
+    # persist_scoped: released after convergence below; skip the
+    # unpersist if a plan-equivalent cache entry already existed
+    # (not ours to evict — ADVICE r9 #2)
+    edges, edges_owned = persist_scoped(edges)
     edges.count()  # materialize before the propagation rounds
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(_MAX_CC_ITERS):
@@ -130,7 +133,8 @@ def d49_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:  # pragma: no cover - defensive: diameter exceeded the cap
         raise RuntimeError(f"components did not converge in {_MAX_CC_ITERS} rounds")
-    edges.unpersist()
+    if edges_owned:
+        edges.unpersist()
     return labels.select(
         "doc_id",
         F.col("label").alias("component"),

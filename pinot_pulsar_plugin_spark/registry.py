@@ -171,10 +171,16 @@ def driver_green_rounds(root: str | None = None) -> dict[str, int]:
     ``hash_match: false`` NEVER counts, even with err null and
     spark_rows recorded — otherwise a driver-logged oracle MISMATCH
     would rotate out of the scored window and never be re-scored
-    (ADVICE r8 #2)."""
+    (ADVICE r8 #2). And when the LATEST row for a name is such a
+    MISMATCH, the name's green round resets to 0: a known-currently-
+    broken entry must sort to the FRONT of the stalest-first padding,
+    not wait several rounds behind entries that are merely unverified-
+    recently (ADVICE r9 #4). It stays scored (round 0), so it re-enters
+    via padding, not the never-scored backlog."""
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
+    mismatch: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
@@ -189,12 +195,16 @@ def driver_green_rounds(root: str | None = None) -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is False:
+                mismatch[name] = max(mismatch.get(name, 0), rnd)
                 continue
             if row.get("hash_match") or (
                 row.get("spark_rows") is not None
                 and row.get("err") in (None, "no_oracle")
             ):
                 latest[name] = max(latest.get(name, 0), rnd)
+    for name, bad_rnd in mismatch.items():
+        if name in latest and bad_rnd > latest[name]:
+            latest[name] = 0
     return latest
 
 

@@ -42,6 +42,15 @@ def _decoded_col(
     raw = F.col(payload_col).cast("string")
     if pre_decode is not None:
         raw = pre_decode(raw)
+    # Jackson-BOM parity (ADVICE r9): the reference decodes bytes via
+    # Jackson's byte-source bootstrapper, which strips a UTF-8 BOM
+    # before parsing — a BOM-prefixed object payload is KEPT there.
+    # Spark's from_json parses a String, where a leading U+FEFF is a
+    # parse error, so strip one here (and the '{' guard below then
+    # sees the real first character). UTF-16/32 BOM payloads would
+    # need a charset-aware binary decode — the binary→string cast is
+    # UTF-8-only, so those stay divergent by design.
+    raw = F.regexp_replace(raw, "^\uFEFF", "")
     full = _with_corrupt_field(schema)
     parsed = F.from_json(
         raw,

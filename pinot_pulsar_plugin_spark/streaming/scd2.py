@@ -39,7 +39,7 @@ memory, or swaps in a table-format MERGE with the same logical plan).
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import persist_scoped
 
 import os
 
@@ -132,11 +132,15 @@ def scd2_sink(out_dir: str, n_buckets: int = 16):
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        delta = df.transform(persist_once)
+        # persist_scoped, not persist_once: these caches are released
+        # below, and an unconditional unpersist would evict a
+        # plan-equivalent entry some other owner created (ADVICE r9 #2)
+        delta, delta_owned = persist_scoped(df)
         if delta.limit(1).count() == 0:
-            delta.unpersist()
+            if delta_owned:
+                delta.unpersist()
             return
-        out = _merge(_read_state(spark, out_dir), delta, n_buckets).transform(persist_once)
+        out, out_owned = persist_scoped(_merge(_read_state(spark, out_dir), delta, n_buckets))
         out.count()  # materialize BEFORE overwriting what it reads
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -144,8 +148,10 @@ def scd2_sink(out_dir: str, n_buckets: int = 16):
             out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            out.unpersist()
-            delta.unpersist()
+            if out_owned:
+                out.unpersist()
+            if delta_owned:
+                delta.unpersist()
 
     return write_batch
 

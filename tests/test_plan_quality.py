@@ -258,6 +258,27 @@ def test_m57_frame_sample_no_shuffle(spark):
     assert n_shuffles(multimodal.m57_frame_sample(spark, SF)) == 0
 
 
+def test_q180_bucket_window_spec_survives_optimization(spark):
+    """ADVICE r9 #3: q180's final carry-in window partitions by
+    ``month_bucket % 1`` — always 0, deliberately non-foldable, so the
+    WindowExec keeps a non-empty partition spec (an empty spec logs the
+    single-partition degradation WARN on every materialization). This
+    relies on Catalyst never simplifying ``x % 1``; if a future
+    optimizer rule folds it, the projected ``_w`` partition key becomes
+    a literal, gets pruned from the spec, and this gate fails before
+    the WARN quietly returns to the bench tail (results stay correct
+    either way — all rows land in one partition regardless)."""
+    from pinot_pulsar_plugin_spark.registry import all_queries
+
+    plan = formatted_plan(all_queries()["q180_max_concurrency"](spark, SF))
+    assert re.search(r"% 1\) AS _w\d+", plan), "the %1 partition key was optimized away"
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            "partition-less window spec in q180: " + m.group(1)[:100]
+        )
+
+
 def test_no_partitionless_windows_in_registry(spark):
     """No registry operator may use a partition-less window (single-
     partition execution — the global-window scale killer). Every Window

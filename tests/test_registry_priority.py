@@ -277,24 +277,31 @@ def test_derive_priority_synthetic_rules(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
         "a": {"hash_match": True},
         "b": {"hash_match": True},
+        "e": {"hash_match": True},
+        "f": {"hash_match": False, "err": None, "spark_rows": 2},
     }))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
         "b": {"hash_match": True},
         "c": {"hash_match": False, "err": None, "spark_rows": 7},
         "d": {"spark_rows": 3, "err": "boom"},
         "r": {"spark_rows": 1, "err": "no_oracle"},
+        "e": {"hash_match": False, "err": None, "spark_rows": 5},
+        "f": {"hash_match": True},
     }))
     green = R.driver_green_rounds(root=str(tmp_path))
-    assert green == {"a": 1, "b": 2, "r": 2}
+    # ADVICE r9 #4: e was green in r1 but its LATEST row is a MISMATCH
+    # -> green round resets to 0 (stays scored, fronts the padding);
+    # f's old mismatch is superseded by the r2 green -> keeps 2.
+    assert green == {"a": 1, "b": 2, "r": 2, "e": 0, "f": 2}
 
     queries = {n: (lambda s, d: None) for n in
-               ["q01_pricing_summary", "a", "b", "c", "d", "r", "s"]}
+               ["q01_pricing_summary", "a", "b", "c", "d", "r", "s", "e", "f"]}
     oracle = {n: "SELECT 1" for n in
-              ["q01_pricing_summary", "a", "b", "c", "d"]}
+              ["q01_pricing_summary", "a", "b", "c", "d", "e", "f"]}
     window = R.derive_priority(queries, oracle, green=green)
     # c (mismatch) and d (failed run) are NOT scored -> lead in
     # registry order; s (rows-only, never scored) pads next; r
     # (rows-only, already recorded) never re-enters; then stalest
-    # pads: a (r1) before b (r2).
-    assert window[:6] == ["q01_pricing_summary", "c", "d", "s", "a", "b"]
+    # pads: e (known-broken, round 0) before a (r1) before b/f (r2).
+    assert window[:8] == ["q01_pricing_summary", "c", "d", "s", "e", "a", "b", "f"]
     assert "r" not in window[: window.index("a")]  # no rows-only re-score

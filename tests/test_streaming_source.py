@@ -1031,3 +1031,25 @@ def test_decode_keeps_json_whitespace_prefixes(spark):
     assert {r.event_id for r in decoded.collect()} == {1, 2, 3, 4, 5, 6}
     mc = malformed_count(raw, schema="event_id bigint").first()
     assert (mc.n_total, mc.n_malformed) == (len(keep) + len(drop), len(drop))
+
+
+def test_decode_keeps_utf8_bom_prefix(spark):
+    """ADVICE r9 #1: Jackson's byte-source bootstrapper strips a UTF-8
+    BOM (EF BB BF) before parsing, so a BOM-prefixed object payload is
+    KEPT by the reference decoder. The engine strips one leading
+    U+FEFF before the from_json parse and the '{' object guard.
+    BOM-prefixed NON-objects and bare/duplicated BOMs still drop
+    (Jackson strips exactly one BOM at stream start)."""
+    from pinot_pulsar_plugin_spark.sources.decode import decode_json, malformed_count
+
+    bom = b"\xef\xbb\xbf"
+    keep = [bom + b'{"event_id":1}', bom + b' {"event_id":2}',
+            bom + b'\n{"event_id":3}', b'{"event_id":4}']
+    drop = [bom + b"[1,2]", bom + b"42", bom, bom + bom + b'{"event_id":9}',
+            b" " + bom + b'{"event_id":9}']  # BOM only valid at byte 0
+    rows = [(p, i, 0) for i, p in enumerate(keep + drop)]
+    raw = spark.createDataFrame(rows, "value binary, offset long, partition int")
+    decoded = decode_json(raw, "event_id bigint")
+    assert {r.event_id for r in decoded.collect()} == {1, 2, 3, 4}
+    mc = malformed_count(raw, schema="event_id bigint").first()
+    assert (mc.n_total, mc.n_malformed) == (len(keep) + len(drop), len(drop))
