@@ -407,7 +407,16 @@ def q131_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-part aggregate shuffles once on partkey; the
     global total is a 1-row re-aggregate of the SAME grouped relation
     (persisted, so the lineitem scan isn't paid twice) broadcast into
-    the filter — never a second fact scan."""
+    the filter — never a second fact scan.
+
+    Persist KEPT after the r10 cold A/B (fresh process, min of 3 at
+    sf0.1): persist 2.09s vs no-persist 1.92s. The ~8% local cost is
+    cache-fill overhead against a page-cached sf0.1 scan; at 100 TB
+    the cached relation is a ≤#parts-row aggregate while the
+    no-persist form re-runs the full lineitem scan + join + aggregate
+    for the threshold row — structural fan-out (scalar aggregate of
+    itself) with expensive lineage, so the s67/s57 rule says persist
+    (SCALING.md)."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(
@@ -689,12 +698,24 @@ def q136_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LATE subset, not all lines), which changes the plan too: the
     anti-join probes the small filtered relation, not the full fact.
 
-    Scale shape: the flagged relation (orderkey, suppkey, is_late) is
-    built once — 16 bytes a row — and persisted; both EXISTS probes
-    are left-semi/anti equi-joins ON ORDERKEY against it (the
-    suppkey<> residual evaluates post-match), so the full lineitem
-    never shuffles twice. 'Late' pairs are DISTINCT so a supplier
-    with two late lines in one order counts that order once."""
+    Scale shape (r10 restructure): the EXISTS + NOT-EXISTS pair is
+    FOLDABLE — "S is the only late shipper of a multi-supplier order"
+    is a per-order aggregate fact: |late suppliers| = 1 AND
+    |suppliers| >= 2, with S = that single late supplier. So instead
+    of persisting the flagged relation and probing it with semi/anti
+    self-joins (r9 form: one persist + two probe joins), fold to a
+    (orderkey, suppkey) dedup aggregate then a per-order aggregate —
+    zero persists, zero self-joins, nothing fact-sized held in cache
+    at 100 TB. In the big-fact regime where li⋈o is a shuffle join,
+    hashpartitioning(orderkey) satisfies BOTH grouping distributions
+    (subset rule), so the whole query pays the join's one orderkey
+    exchange; in the broadcast regime (test scale) the pair aggregate
+    pays the only fact-sized shuffle and the per-order aggregate
+    reshuffles already-combined pair rows. Cold A/B at sf0.1 (fresh
+    process, min of 3): persist + self-joins 3.68s, bare no-persist
+    self-joins 2.38s, folded form 2.30s (SCALING.md). The pair dedup
+    keeps a supplier with two late lines in one order counting that
+    order once, as before."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
@@ -702,32 +723,22 @@ def q136_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
         > 60 * _US_PER_DAY
     ).cast("int")
-    flagged = (
+    pair = (
         li.join(o, o["o_orderkey"] == li["l_orderkey"])
         .select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
-        .transform(persist_once)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
     )
-    late = (
-        flagged.filter(F.col("is_late") == 1)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .transform(persist_once)
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
-    l1 = late.alias("l1")
-    l2 = flagged.alias("l2")
-    l3 = late.alias("l3")
-    others = (F.col("l2.l_orderkey") == F.col("l1.l_orderkey")) & (
-        F.col("l2.l_suppkey") != F.col("l1.l_suppkey")
-    )
-    other_late = (F.col("l3.l_orderkey") == F.col("l1.l_orderkey")) & (
-        F.col("l3.l_suppkey") != F.col("l1.l_suppkey")
-    )
-    waiting = (
-        l1.join(l2, others, "left_semi")
-        .join(l3, other_late, "left_anti")
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
     )
     return (
-        waiting.join(F.broadcast(s), s["s_suppkey"] == F.col("l1.l_suppkey"))
+        waiting.join(F.broadcast(s), s["s_suppkey"] == F.col("late_supp"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

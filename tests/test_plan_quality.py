@@ -1317,19 +1317,30 @@ def test_q130_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_q136_narrow_flagged_relation_semi_anti(spark):
-    """TPC-H Q21 shape: the EXISTS and NOT-EXISTS probes execute as
-    left-semi / left-anti EQUI-joins on orderkey over the narrow
-    persisted flagged relation — the full lineitem never shuffles for
-    the correlation probes."""
+def test_q136_folded_to_per_order_aggregates(spark):
+    """TPC-H Q21 shape, r10 folded form: the EXISTS / NOT-EXISTS pair
+    compiles to per-order AGGREGATES (|late| = 1 ∧ |suppliers| ≥ 2),
+    not semi/anti self-joins over a persisted flagged relation — no
+    cache, no probe joins, and the only joins left are the fact⋈orders
+    equi-join and the broadcast supplier-dim join."""
     from pinot_pulsar_plugin_spark.operators import tpch_suite as ts
 
     df = ts.q136_sole_late_suppliers(spark, SF)
     plan = formatted_plan(df)
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" not in plan, plan
+    assert "LeftAnti" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # two equi-joins total: li⋈orders + broadcast supplier (count
+    # distinct node ids — the formatted render names each node twice)
+    joins = set(
+        re.findall(
+            r"\((\d+)\) (?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)",
+            plan,
+        )
+    )
+    assert len(joins) == 2, plan
 
 
 def test_q131_persisted_aggregate_reused_not_rescanned(spark):
