@@ -391,3 +391,49 @@ def test_q215_width_buckets(spark, tmp_path):
         for r in q215_basket_width(spark, str(tmp_path)).collect()
     }
     assert got == {"1": (1, 300), "2-3": (1, 600), "7+": (1, 350)}
+
+
+def test_q136_only_late_shipper_edge_cases(spark, tmp_path):
+    """Constructed Q21 edges pinning the r10 folded form (|late| = 1 ∧
+    |suppliers| ≥ 2) beyond the fixture data: order 100 — supplier 1
+    late on TWO lines + on-time co-supplier → counts ONCE; order 200 —
+    two late suppliers → counts for neither; order 300 — sole-supplier
+    late order → not multi-supplier, no count; order 400 — open status
+    'O' → excluded; order 500 — supplier 2 the only late of two →
+    counts; order 600 — supplier 5 ships at EXACTLY +60 days (the
+    threshold is strict >) → not late, no count. Expect S1:1, S2:1
+    and nothing else."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.tpch_suite import (
+        q136_sole_late_suppliers,
+    )
+
+    d0 = dt.datetime(1997, 1, 1)
+    late, ontime = d0 + dt.timedelta(days=61), d0 + dt.timedelta(days=10)
+    boundary = d0 + dt.timedelta(days=60)
+    lines = [
+        (100, 1, late), (100, 1, late), (100, 2, ontime),
+        (200, 1, late), (200, 2, late), (200, 3, ontime),
+        (300, 3, late),
+        (400, 1, late), (400, 2, ontime),
+        (500, 2, late), (500, 4, ontime),
+        (600, 5, boundary), (600, 4, ontime),
+    ]
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long, l_shipdate timestamp"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(ok, "O" if ok == 400 else "F", d0) for ok in (100, 200, 300, 400, 500, 600)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(k, f"S{k}") for k in (1, 2, 3, 4, 5)],
+        "s_suppkey long, s_name string",
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+
+    got = {
+        r.s_name: r.numwait
+        for r in q136_sole_late_suppliers(spark, str(tmp_path)).collect()
+    }
+    assert got == {"S1": 1, "S2": 1}
