@@ -1483,3 +1483,38 @@ def test_q195_abc_xyz_cells(spark, tmp_path):
         ("B", "Z"): (1, 150),
         ("C", "Y"): (1, 50),
     }
+
+
+def test_q195_orphan_partkey_excluded_from_month_count(spark, tmp_path):
+    """r10 restructure pin: the corpus month count comes from a
+    SEPARATE column-pruned scan semi-joined against the part keys, so
+    an orphan lineitem row (l_partkey absent from part) contributes
+    NEITHER demand NOR months — exactly like the oracle's joined CTE.
+    Part 1 sells in months 0 and 1; an orphan row in month 2 must not
+    inflate mm from 2 to 3 (mm=3 would make CV² = (3·50−100)/100 =
+    0.5 → Y; mm=2 keeps CV² = 0 → X)."""
+    import datetime as dt
+
+    from pinot_pulsar_plugin_spark.operators.curation import (
+        q195_abc_xyz_matrix,
+    )
+
+    d = lambda n: dt.datetime(1970, 1, 1) + dt.timedelta(days=n)
+    lines = [
+        (1, 5.0, 2.00, 0), (1, 5.0, 2.00, 30),   # months 0, 1
+        (999, 7.0, 9.00, 60),                    # orphan, month 2
+    ]
+    spark.createDataFrame(
+        [(pk, q, pr, 0.0, d(dy)) for pk, q, pr, dy in lines],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "T")], "p_partkey long, p_type string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        (r.abc_class, r.xyz_class): (r.n_parts, r.cents)
+        for r in q195_abc_xyz_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {("A", "X"): (1, 400)}
