@@ -23,6 +23,56 @@ from pinot_pulsar_plugin_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
 
+# Triage ledger for repeated_scan_suspects (VERDICT r9 #6: every new
+# suspect gets a triage note THE ROUND IT APPEARS). A suspect is a
+# cache-free plan scanning one table >= 3x in COLD lineage; each entry
+# names why the repeated pruned re-read is the intended 100-TB shape
+# (or points at the recorded measurement that rejected a persist).
+# tests/test_plan_quality.py::test_every_repeated_scan_suspect_triaged
+# fails the suite when a suspect is missing here — a new re-derivation
+# cannot land untriaged. Flags are session-dependent by construction
+# (has_cache reflects plan-keyed entries persisted by ANY earlier
+# query), so regen from a fresh chained session (ROUND10_NOTES §5).
+_SUSPECT_TRIAGE = {
+    # measured-and-reverted cheap-lineage persists (r8 §8 A/Bs): the
+    # re-scan of a page-cached pruned parquet column beat the extra
+    # materialization job locally and a pruned columnar re-read beats
+    # cache memory pressure at scale.
+    "q77_forward_fill": "cheap-lineage re-scan; persist A/B'd and reverted (r8)",
+    "q79_mixture_weights": "cheap-lineage re-scan; persist A/B'd and reverted (r8)",
+    "q80_domain_resample": "doc-side broadcast + cheap pruned re-scan (r8)",
+    "q92_gapfill_interpolate": "cheap-lineage re-scan; persist A/B'd and reverted (r8)",
+    "q101_split_balance_audit": "per-split pruned audit branches; cheap lineage (r8)",
+    "q103_large_volume_customers": "decorrelated subquery re-reads pruned cols (r8)",
+    "q139_incremental_join_view": "delta algebra joins base+delta legs; cheap pruned reads (r8)",
+    "q156_cohort_ltv": "cohort spine + fact legs, each column-pruned (r8)",
+    "q158_largest_remainder_alloc": "cheap-lineage re-scan; persist A/B'd and reverted (r8: 0.83->1.04)",
+    "q164_cohort_retention_curve": "cohort spine + fact legs, each column-pruned (r8)",
+    "q165_quota_sample_execution": "cheap-lineage re-scan; persist A/B'd and reverted (r8: 0.85->1.17)",
+    "q168_survivorship_merge": "source-precedence legs over pruned reads (r8)",
+    "q171_shuffle_skew_report": "cheap-lineage re-scan; persist A/B'd and reverted (r8: 0.46->0.93)",
+    # multi-pass blocking / per-branch audit (documented in docstrings)
+    "q69_levenshtein_pairs": "length-band blocking passes re-read pruned columns (docstring)",
+    "q85_referential_audit": "per-branch pruned re-reads beat a fused wide-shuffle pass (docstring)",
+    # multi-grain token statistics: each grain is a pruned re-scan of
+    # one text column; fusing grains would shuffle wide token relations
+    "t61_token_surprisal": "multi-grain token stats over one pruned text column",
+    "t63_bigram_surprisal": "multi-grain token stats over one pruned text column",
+    "t68_top_keywords": "corpus-df leg + per-doc leg over one pruned text column",
+    "t69_bm25_search": "df/len/tf legs over one pruned text column",
+    "t73_chi2_term_assoc": "per-class term counts over one pruned text column",
+    "t79_vocab_growth": "per-prefix vocab legs over one pruned text column",
+    # similarity/dedup: corpus-wide vector caching is the anti-goal;
+    # legs re-read column-pruned embeddings bounded by broadcast sides
+    "d48_embedding_neardup_lsh": "signature self-join + two POST-dedup vector rejoins (r10 triage)",
+    "d56_chunk_rewrite_dedup": "chunk manifest + rewrite legs over pruned doc columns",
+    "s50_ann_ivf_topk": "centroid/assignment/probe legs over pruned reads, K-row broadcast bound (r10 triage)",
+    "s53_kmeans_step": "assignment + update legs over pruned embedding reads",
+    "s55_pq_adc_topk": "codebook build + ADC legs; codebook broadcast, no corpus shuffle",
+    "s59_mips_norm_augmented": "norm-augment + probe legs over pruned embedding reads",
+    "s61_ndcg_eval": "ranked + ideal legs re-read pruned embeddings (ground-truth comparison)",
+}
+
 
 def audit_plan(plan: str) -> dict:
     node_ids = re.findall(r"\(\d+\) (\w+)", plan)
@@ -155,6 +205,20 @@ def main() -> None:
             for n, r in out.items()
             if r.get("max_same_table_scans", 0) >= 3 and not r.get("has_cache")
         ),
+        "untriaged_suspects": sorted(
+            n
+            for n, r in out.items()
+            if r.get("max_same_table_scans", 0) >= 3
+            and not r.get("has_cache")
+            and n not in _SUSPECT_TRIAGE
+        ),
+        "suspect_triage": {
+            n: _SUSPECT_TRIAGE[n]
+            for n, r in out.items()
+            if r.get("max_same_table_scans", 0) >= 3
+            and not r.get("has_cache")
+            and n in _SUSPECT_TRIAGE
+        },
         "max_exchanges": max((r["exchanges"], n) for n, r in out.items()),
         "plan_failures": failed,
     }
