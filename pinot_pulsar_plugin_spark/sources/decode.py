@@ -52,10 +52,24 @@ def _decoded_col(
     # UTF-8-only, so those stay divergent by design.
     raw = F.regexp_replace(raw, "^\uFEFF", "")
     full = _with_corrupt_field(schema)
+    # Jackson-strictness parity: the reference parses with a DEFAULT
+    # ObjectMapper (PulsarJSONMessageDecoder.java:41), where
+    # ALLOW_SINGLE_QUOTES and ALLOW_NON_NUMERIC_NUMBERS are OFF — a
+    # {'single':'quoted'} or {"v": NaN} payload throws and the row
+    # drops (:69-72). Spark's from_json DEFAULTS both options ON, so
+    # without pinning them such payloads would be silently KEPT here.
+    # Every other Spark JSON option already matches Jackson defaults
+    # (unquoted field names, comments, leading zeros, unquoted control
+    # chars: all off).
     parsed = F.from_json(
         raw,
         full,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": _CORRUPT,
+            "allowSingleQuotes": "false",
+            "allowNonNumericNumbers": "false",
+        },
     )
     # Jackson-object parity (found by the r8 decode-corruption fuzz):
     # a VALID-JSON non-object payload — bare scalar, array, quoted

@@ -1033,6 +1033,31 @@ def test_decode_keeps_json_whitespace_prefixes(spark):
     assert (mc.n_total, mc.n_malformed) == (len(keep) + len(drop), len(drop))
 
 
+def test_decode_jackson_strictness_parity(spark):
+    """The reference parses with a DEFAULT ObjectMapper
+    (PulsarJSONMessageDecoder.java:41): single-quoted strings and
+    non-numeric numbers (NaN/Infinity) are PARSE ERRORS that drop the
+    row (:69-72). Spark's from_json defaults both laxities ON, so the
+    decoder pins allowSingleQuotes/allowNonNumericNumbers off —
+    without that, these payloads would be silently kept."""
+    from pinot_pulsar_plugin_spark.sources.decode import decode_json, malformed_count
+
+    keep = [b'{"event_id":1}', b'{"event_id":2, "value": 0.5}']
+    drop = [
+        b"{'event_id':3}",                        # single-quoted field
+        b'{"event_id":4,"value":NaN}',
+        b'{"event_id":5,"value":Infinity}',
+        b'{"event_id":6,"value":-Infinity}',
+        b'{"event_id":7,"value":\'x\'}',          # single-quoted value
+    ]
+    rows = [(p, i, 0) for i, p in enumerate(keep + drop)]
+    raw = spark.createDataFrame(rows, "value binary, offset long, partition int")
+    decoded = decode_json(raw, "event_id bigint, value double")
+    assert {r.event_id for r in decoded.collect()} == {1, 2}
+    mc = malformed_count(raw, schema="event_id bigint, value double").first()
+    assert (mc.n_total, mc.n_malformed) == (len(keep) + len(drop), len(drop))
+
+
 def test_decode_keeps_utf8_bom_prefix(spark):
     """ADVICE r9 #1: Jackson's byte-source bootstrapper strips a UTF-8
     BOM (EF BB BF) before parsing, so a BOM-prefixed object payload is
