@@ -110,6 +110,19 @@ def decode_json(
     payload parses but misses fields keep nulls for those fields — the
     same leniency Jackson + the extractor give the reference.
 
+    Typing boundary (deliberate divergence): the reference plugin
+    never types fields — its extractor emits raw parsed Java objects
+    and coercion to the table schema happens DOWNSTREAM in Pinot's
+    ingestion transform, outside the plugin. This engine is
+    schema-on-read: the typed ``schema`` binds at decode, so a field
+    that parses but can't bind (quoted number for a bigint, float for
+    an int, bigint overflow) marks the row corrupt and drops it under
+    ``drop_malformed`` — use a string/permissive schema plus explicit
+    casts in the ``extractor`` hook when Pinot-transform-style
+    coercion is wanted. Parse-level strictness (single quotes,
+    NaN/Infinity, BOM, object-only) matches the reference exactly;
+    see ``_decoded_col``.
+
     Pluggable-extractor hooks (the ``RECORD_EXTRACTOR_CONFIG_KEY``
     analog, PulsarJSONMessageDecoder.java:42-43,57 — the reference lets
     a deployment swap the class that turns a parsed payload into row

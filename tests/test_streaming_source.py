@@ -1058,6 +1058,30 @@ def test_decode_jackson_strictness_parity(spark):
     assert (mc.n_total, mc.n_malformed) == (len(keep) + len(drop), len(drop))
 
 
+def test_decode_typing_boundary_pinned(spark):
+    """Schema-on-read boundary (documented divergence): payloads that
+    PARSE under strict Jackson but can't BIND to the typed schema —
+    quoted numbers, float literals for bigint, bigint overflow — drop
+    here, while the reference plugin would pass them through untyped
+    (Pinot coerces downstream, outside the plugin). Jackson-matching
+    leniencies stay kept: trailing tokens after the object
+    (FAIL_ON_TRAILING_TOKENS off), first-of-concatenated-objects,
+    last-wins duplicate keys."""
+    from pinot_pulsar_plugin_spark.sources.decode import decode_json
+
+    rows = [
+        (b'{"event_id":1} trailing junk', 0, 0),
+        (b'{"event_id":2}{"event_id":30}', 1, 0),
+        (b'{"event_id":4,"event_id":5}', 2, 0),
+        (b'{"event_id":"8"}', 3, 0),
+        (b'{"event_id":7.9}', 4, 0),
+        (b'{"event_id":123456789012345678901234567890}', 5, 0),
+    ]
+    raw = spark.createDataFrame(rows, "value binary, offset long, partition int")
+    decoded = decode_json(raw, "event_id bigint")
+    assert {r.event_id for r in decoded.collect()} == {1, 2, 5}
+
+
 def test_decode_keeps_utf8_bom_prefix(spark):
     """ADVICE r9 #1: Jackson's byte-source bootstrapper strips a UTF-8
     BOM (EF BB BF) before parsing, so a BOM-prefixed object payload is
