@@ -541,3 +541,81 @@ def test_d60_k_sensitivity_monotonics(spark, tmp_path):
     assert got[5][1] == 1 and got[5][2] == 1_000_000
     # wider shingles are more specific: pair count never increases
     assert got[2][1] >= got[3][1] >= got[5][1]
+
+
+def _py_shingles(text: str) -> set:
+    """Brute-force k=3 shingle set mirroring d52's tokenization
+    exactly: lower, split on single spaces (Spark split semantics on
+    the single-space-joined fuzz corpus), distinct joined 3-grams."""
+    tk = text.lower().split(" ")
+    return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+
+def _fuzz_d52_corpus(rng):
+    """Random small-vocab corpus with planted near-dup mutations and an
+    exact duplicate — small vocabulary forces shingle collisions so the
+    prefix join is exercised, mutations put pairs AT the Jaccard
+    boundary where the ceil() prefix-length arithmetic must be exact."""
+    vocab = [f"w{i}" for i in range(8)]
+    docs = []
+    for _ in range(12):
+        docs.append(" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 18))))
+    for _ in range(4):
+        base = rng.choice([d for d in docs if d])
+        tk = base.split(" ")
+        op = rng.randrange(3)
+        if op == 0:
+            tk[rng.randrange(len(tk))] = rng.choice(vocab)
+        elif op == 1:
+            tk.insert(rng.randrange(len(tk) + 1), rng.choice(vocab))
+        elif len(tk) > 1:
+            del tk[rng.randrange(len(tk))]
+        docs.append(" ".join(tk))
+    docs.append(rng.choice([d for d in docs if d]))  # exact duplicate
+    return [(i, d) for i, d in enumerate(docs)]
+
+
+def test_fuzz_d52_prefix_filter_exact_recall_across_thresholds(
+    spark, tmp_path, monkeypatch
+):
+    """d52's docstring PROVES full recall for any tau via the
+    rarity-order prefix bound p = n - ceil(tau*n) + 1; the registry
+    entry only ever runs tau=0.5. Sweep the proof across thresholds on
+    random corpora against a brute-force all-pairs Python oracle: every
+    (pair, n_common, jaccard) must match EXACTLY — prefix filtering is
+    pruning, not approximation, so a single missed boundary pair means
+    the ceil arithmetic is wrong."""
+    import random
+
+    from pinot_pulsar_plugin_spark.operators import dedup
+
+    for case, tau in enumerate(
+        [0.3, 0.5, 0.6, 2.0 / 3.0, 0.75, 0.8, 0.9, 0.95, 1.0]
+    ):
+        rng = random.Random(9200 + case)
+        rows = _fuzz_d52_corpus(rng)
+        out = tmp_path / f"c{case}"
+        out.mkdir()
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(out / "documents.parquet")
+        )
+        monkeypatch.setattr(dedup, "_D52_TAU", tau)
+        got = {
+            (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+            for r in dedup.d52_prefix_filter_jaccard(spark, str(out)).collect()
+        }
+        sh = {i: _py_shingles(d) for i, d in rows}
+        exp = {}
+        for a in range(len(rows)):
+            for b in range(a + 1, len(rows)):
+                sa, sb = sh[a], sh[b]
+                if not sa or not sb:
+                    continue
+                c = len(sa & sb)
+                j = c / (len(sa) + len(sb) - c)
+                if j >= tau:
+                    exp[(a, b)] = (c, j)
+        assert set(got) == set(exp), (tau, set(got) ^ set(exp))
+        for k, (c, j) in exp.items():
+            gc, gj = got[k]
+            assert gc == c and abs(gj - j) < 1e-12, (tau, k, got[k], exp[k])

@@ -753,3 +753,33 @@ def test_t87_cross_source_only(spark, tmp_path):
     }
     # doc1(A) pairs with doc0(B) and doc2(B); doc0-doc2 same source
     assert got == {("A", "B"): (2, 1_000_000)}
+
+
+def test_fuzz_winnow_selection_window_min_vs_python(spark):
+    """winnow_selection's m must be the TRUE minimum of every sliding
+    window of 4 rolling hashes (the w=4 MOSS guarantee d54's recall
+    proof rests on) — the offset-pairing here once skipped h[i+2]
+    (ADVICE r2 medium), so pin the array algebra against a direct
+    Python window-min over Spark's own h, across random token arrays
+    of every boundary length (0..10, i.e. h lengths 0..8)."""
+    import random
+
+    rng = random.Random(5900)
+    rows = []
+    rid = 0
+    for n in range(0, 11):          # every h-length boundary 0..8
+        for _ in range(12):
+            toks = [
+                rng.choice("abcdefgh") * rng.randrange(1, 4) for _ in range(n)
+            ]
+            rows.append((rid, toks))
+            rid += 1
+    from pinot_pulsar_plugin_spark.operators.textops import winnow_selection
+
+    df = spark.createDataFrame(rows, "rid long, tk array<string>")
+    h, m = winnow_selection(F.col("tk"))
+    out = df.select("rid", h.alias("h"), m.alias("m")).collect()
+    assert len(out) == rid
+    for r in out:
+        exp = [min(r.h[i : i + 4]) for i in range(max(len(r.h) - 3, 0))]
+        assert list(r.m) == exp, (r.rid, r.h, r.m, exp)
