@@ -57,8 +57,9 @@ STRIDE = 10_000_000
 # Relational headliners whose cost model SCALING.md claims is linear in
 # fact volume: scan+agg, order-key self-join baskets, one-scan
 # multi-DISTINCT profile (o_orderkey NDV grows with N — the Expand's
-# worst case), broadcast star join, per-order bridge, and the
-# interval-sweep concurrency rollup.
+# worst case), broadcast star join, per-order bridge, the
+# interval-sweep concurrency rollup, a partitioned window, and the
+# per-key sequence family (sessionize / decayed rollup / SCD2).
 QUERIES = [
     "q01_pricing_summary",
     "q109_basket_cooccurrence",
@@ -66,6 +67,10 @@ QUERIES = [
     "q126_local_supplier_volume",
     "q184_revenue_bridge",
     "q180_max_concurrency",
+    "q23_window_running_sum",
+    "q29_sessionize",
+    "q88_decayed_engagement",
+    "q90_scd2_intervals",
 ]
 
 
