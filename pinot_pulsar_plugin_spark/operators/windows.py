@@ -303,3 +303,122 @@ def q29_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("session_end_us"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+def sessionize_chunked(
+    events: DataFrame, gap_us: int = 30 * 60 * 1_000_000, chunk_us: int | None = None
+) -> DataFrame:
+    """q29's sessionization with the per-key straggler REMOVED — the
+    scale path for hot keys (SCALING.md §6 measured q29 at 3.75× wall
+    under a single 5M-event user, because a gap-window needs the key's
+    whole ordered sequence in one task and neither salting nor AQE can
+    split a window group).
+
+    Exact same output contract as q29 (user_id, 1-based session_idx in
+    time order, n_events, start/end/duration in epoch micros), proven
+    row-identical by the randomized differential in
+    tests/test_fuzz_differential.py. The trick is three exact
+    decompositions, none of which ever puts more than one TIME CHUNK of
+    one user in a single task:
+
+    1. Sessionize within (user_id, chunk) where chunk = ts_us div
+       chunk_us — the event-volume window keys on (user, chunk), so a
+       hot user spreads over #chunks tasks. Intra-chunk gaps are the
+       same consecutive-(ts, event_id) gaps q29 sees, because chunking
+       by ts preserves the per-user sort order.
+    2. Merge across chunk boundaries using ONLY each chunk's first and
+       last session summaries. Exactness: a session that is neither
+       first nor last in its chunk has same-chunk neighbor sessions on
+       both sides at gap > gap_us, and any cross-chunk session starts
+       after (ends before) those neighbors, so only first/last
+       sessions can merge. The boundary relation holds ≤ 2 rows per
+       (user, active chunk) — INDEPENDENT of event count — and the
+       same lag-gap running-sum grouping chains multi-chunk sessions;
+       same-chunk (first, last) rows never merge because disjoint
+       same-chunk sessions are > gap_us apart by construction.
+    3. Number sessions by a two-level prefix sum: per-(user, chunk)
+       session counts cumulate over a #chunks-row per-user window, and
+       row_number within (user, chunk) adds the intra-chunk rank — so
+       even session NUMBERING (q29's other per-user scan) never sees
+       more than #chunks rows per task.
+
+    chunk_us defaults to 4× the gap (2h for the 30-min gap): wide
+    enough that most sessions are chunk-internal, narrow enough to
+    spread a hot key. Any chunk_us > 0 is EXACT (the merge window
+    handles sessions spanning arbitrarily many empty chunks); it only
+    moves work between phase 1 and phase 2. Assumes non-negative
+    epoch timestamps (`div` truncates toward zero).
+    """
+    if chunk_us is None:
+        chunk_us = 4 * gap_us
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("chunk", F.expr(f"ts_us div {int(chunk_us)}"))
+    wc = W.partitionBy("user_id", "chunk").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(wc)
+    cs = (
+        F.sum(
+            F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1).otherwise(0)
+        )
+        .over(wc.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+    )
+    summaries = (
+        e.withColumn("cs", cs)
+        .groupBy("user_id", "chunk", "cs")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+    n_cs = F.max("cs").over(W.partitionBy("user_id", "chunk"))
+    marked = summaries.withColumn(
+        "is_boundary", (F.col("cs") == 1) | (F.col("cs") == n_cs)
+    )
+    interior = marked.filter(~F.col("is_boundary")).select(
+        "user_id", "n_events", "start_us", "end_us"
+    )
+    wb = W.partitionBy("user_id").orderBy("start_us")
+    prev_end = F.lag("end_us").over(wb)
+    grp = F.sum(
+        F.when(prev_end.isNull() | ((F.col("start_us") - prev_end) > gap_us), 1).otherwise(0)
+    ).over(wb.rowsBetween(W.unboundedPreceding, W.currentRow))
+    merged = (
+        marked.filter(F.col("is_boundary"))
+        .withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+        )
+        .drop("grp")
+    )
+    sessions = interior.unionByName(merged).withColumn(
+        "schunk", F.expr(f"start_us div {int(chunk_us)}")
+    )
+    counts = sessions.groupBy("user_id", "schunk").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = (
+        W.partitionBy("user_id")
+        .orderBy("schunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("off", F.coalesce(F.sum("cnt").over(woff), F.lit(0)))
+    intra = F.row_number().over(
+        W.partitionBy("user_id", "schunk").orderBy("start_us")
+    )
+    return (
+        sessions.join(offsets.select("user_id", "schunk", "off"), ["user_id", "schunk"])
+        .withColumn("session_idx", (F.col("off") + intra).cast("int"))
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            F.col("start_us").alias("session_start_us"),
+            F.col("end_us").alias("session_end_us"),
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )

@@ -1665,3 +1665,65 @@ def test_q108_interleaved_datasets_no_view_clobber(spark, tmp_path):
     paths_a = {r.path for r in df_a.collect()}
     assert paths_a == {"signup > view", "signup > view > click"}
     assert paths_b == {"signup > purchase"}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_sessionize_chunked_equals_q29_logic(seed, spark):
+    """sessionize_chunked (the hot-key scale path, SCALING.md §6) must
+    be row-identical to q29's lag-gap sessionization for ANY chunk
+    size: 1µs chunks route every event through the boundary-merge
+    window (phase 2 does all the work), tiny chunks force sessions
+    spanning many empty chunks, huge chunks reduce to the plain
+    single-window path. Oracle is a direct Python replay of q29's
+    (ts, event_id)-ordered gap split."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.windows import sessionize_chunked
+
+    rng = random.Random(8800 + seed)
+    gap = 100
+    rows = []
+    eid = 0
+    for u in range(6):
+        n = rng.randrange(0, 50)
+        ts = 0
+        for _ in range(n):
+            # mixture of intra-session steps, exact-gap boundaries, and
+            # long jumps; occasional ties (step 0) with distinct event_ids
+            ts += rng.choice([0, 1, 7, gap - 1, gap, gap + 1, 5 * gap, 40 * gap])
+            rows.append((eid, u, ts))
+            eid += 1
+    if not rows:
+        rows = [(0, 0, 0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long"
+    ).select("event_id", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+
+    # Python replay of q29: sort by (ts, event_id), split on gap > G
+    exp = set()
+    byu = {}
+    for e, u, t_ in rows:
+        byu.setdefault(u, []).append((t_, e))
+    for u, evs in byu.items():
+        evs.sort()
+        sessions, cur = [], [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > gap:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for i, s in enumerate(sessions, 1):
+            ts_list = [x[0] for x in s]
+            exp.add(
+                (u, i, len(s), min(ts_list), max(ts_list), max(ts_list) - min(ts_list))
+            )
+
+    for chunk in [1, 37, gap, 4 * gap, 10**12]:
+        got = {
+            tuple(r)
+            for r in sessionize_chunked(df, gap_us=gap, chunk_us=chunk).collect()
+        }
+        assert got == exp, (seed, chunk, got ^ exp)
