@@ -1727,3 +1727,7 @@ def test_fuzz_sessionize_chunked_equals_q29_logic(seed, spark):
             for r in sessionize_chunked(df, gap_us=gap, chunk_us=chunk).collect()
         }
         assert got == exp, (seed, chunk, got ^ exp)
+
+    # empty-input totality (sessionize_chunked is not registry-gated)
+    empty = df.filter(F.lit(False))
+    assert sessionize_chunked(empty, gap_us=gap).count() == 0
