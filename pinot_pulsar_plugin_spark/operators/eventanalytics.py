@@ -2374,3 +2374,93 @@ def q217_load_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("peak_n * 1000 div trough_n").alias("peak_to_trough_milli"),
         )
     )
+
+
+def scd2_chunked(events: DataFrame, chunk_us: int = 86_400_000_000) -> DataFrame:
+    """q90's SCD-2 history build with the per-key straggler removed —
+    the chunked exact twin (same pattern as
+    windows.sessionize_chunked; SCALING.md §6 measured why: a per-key
+    sequence window serializes on the hottest key, and CDC compaction
+    meets exactly such keys — one chatty device, one bot account).
+
+    Output contract identical to q90 (user_id, event_type,
+    valid_from_us, valid_to_us, is_current), proven row-identical by
+    the randomized differential in tests/test_fuzz_differential.py.
+    Three exact decompositions, none holding more than one TIME CHUNK
+    of one key in a task:
+
+    1. Change detection within (user_id, chunk = ts_us div chunk_us):
+       intra-chunk lag(event_type) is q90's, because chunking by ts
+       preserves the (ts, event_id) sort. The only decision that needs
+       cross-chunk context is each chunk's FIRST event, and it depends
+       only on the previous active chunk's LAST EVENT type — an
+       algebraic max_by aggregate, carried by a per-user lag over the
+       #chunks-row chunk summary (no chaining: kept-ness of later rows
+       never feeds back into the carry).
+    2. valid_to: intra-chunk lead covers all but each chunk's last
+       kept row; that one takes the next active chunk's first kept
+       timestamp, computed AFTER the boundary correction, with an
+       ignore-nulls first() over following chunk summaries so
+       change-free chunks (every event equal to the carried state —
+       zero kept rows) are skipped exactly.
+    3. is_current = no later kept row anywhere = the coalesced
+       valid_to is null.
+
+    Default chunk is one day; any chunk_us > 0 is exact and only moves
+    work between the event-volume phase and the #chunks-row merge.
+    Assumes non-negative epoch timestamps and non-null event_type
+    (the events contract). Same regime note as sessionize_chunked:
+    plain q90's single exchange wins on uniform keys; switch when one
+    key's share approaches a core's share of the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    e = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("chunk", F.expr(f"ts_us div {int(chunk_us)}"))
+    wc = W.partitionBy("user_id", "chunk").orderBy("ts_us", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(wc))
+    last_t = e.groupBy("user_id", "chunk").agg(
+        F.max_by("event_type", F.struct("ts_us", "event_id")).alias("last_type")
+    )
+    wprev = W.partitionBy("user_id").orderBy("chunk")
+    carry = last_t.withColumn(
+        "carry_type", F.lag("last_type").over(wprev)
+    ).select("user_id", "chunk", "carry_type")
+    kept = (
+        seq.join(carry, ["user_id", "chunk"])
+        .withColumn("eff_prev", F.coalesce(F.col("prev_type"), F.col("carry_type")))
+        .where(
+            F.col("eff_prev").isNull()
+            | (F.col("eff_prev") != F.col("event_type"))
+        )
+    )
+    kept = kept.withColumn("next_ts", F.lead("ts_us").over(wc))
+    firsts = kept.groupBy("user_id", "chunk").agg(
+        F.min("ts_us").alias("first_kept_ts")
+    )
+    spine = last_t.select("user_id", "chunk").join(
+        firsts, ["user_id", "chunk"], "left"
+    )
+    wnext = (
+        W.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = spine.withColumn(
+        "next_first_ts", F.first("first_kept_ts", ignorenulls=True).over(wnext)
+    ).select("user_id", "chunk", "next_first_ts")
+    valid_to = F.coalesce(F.col("next_ts"), F.col("next_first_ts"))
+    return (
+        kept.join(nxt, ["user_id", "chunk"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            valid_to.alias("valid_to_us"),
+            valid_to.isNull().alias("is_current"),
+        )
+    )

@@ -1731,3 +1731,67 @@ def test_fuzz_sessionize_chunked_equals_q29_logic(seed, spark):
     # empty-input totality (sessionize_chunked is not registry-gated)
     empty = df.filter(F.lit(False))
     assert sessionize_chunked(empty, gap_us=gap).count() == 0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_scd2_chunked_equals_q90_logic(seed, spark):
+    """scd2_chunked (the hot-key scale path for CDC compaction) must be
+    row-identical to q90's lag-filter-lead build for ANY chunk size.
+    The generator plants long same-type runs (so whole chunks have zero
+    kept rows and the ignore-nulls valid_to skip is exercised), ties in
+    ts with distinct event_ids, and type changes exactly at chunk
+    boundaries. Oracle is a direct Python replay of q90."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import scd2_chunked
+
+    rng = random.Random(7700 + seed)
+    types = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    for u in range(6):
+        n = rng.randrange(0, 60)
+        ts, cur = 0, rng.choice(types)
+        for _ in range(n):
+            ts += rng.choice([0, 1, 3, 50, 100, 137, 500])
+            if rng.random() < 0.25:  # sticky types -> long runs
+                cur = rng.choice(types)
+            rows.append((eid, u, ts, cur))
+            eid += 1
+    if not rows:
+        rows = [(0, 0, 0, "a")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+    )
+
+    # Python replay of q90: sort by (ts, event_id); keep changes; lead
+    exp = set()
+    byu = {}
+    for e, u, t_, ty in rows:
+        byu.setdefault(u, []).append((t_, e, ty))
+    for u, evs in byu.items():
+        evs.sort()
+        kept = [
+            (t_, ty)
+            for i, (t_, e, ty) in enumerate(evs)
+            if i == 0 or evs[i - 1][2] != ty
+        ]
+        for i, (t_, ty) in enumerate(kept):
+            nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+            exp.add((u, ty, t_, nxt, nxt is None))
+
+    for chunk in [1, 37, 100, 1000, 10**12]:
+        got = {
+            tuple(r) for r in scd2_chunked(df, chunk_us=chunk).collect()
+        }
+        assert got == exp, (seed, chunk, got ^ exp)
+
+    empty = df.filter(F.lit(False))
+    assert scd2_chunked(empty).count() == 0
