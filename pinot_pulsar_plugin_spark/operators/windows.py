@@ -422,3 +422,61 @@ def sessionize_chunked(
             (F.col("end_us") - F.col("start_us")).alias("duration_us"),
         )
     )
+
+
+def running_sum_chunked(
+    df: DataFrame,
+    keys: list,
+    order_by: list,
+    value,
+    bucket,
+    sum_name: str = "running_sum",
+    seq_name: str = "order_seq",
+) -> DataFrame:
+    """Per-key running sum + row_number with the hot-key straggler
+    removed — the two-level prefix sum underneath q23's shape, and the
+    third instance of the chunked-sequence pattern (SCALING.md §6;
+    sessionize_chunked / scd2_chunked are the gap- and state-shaped
+    siblings).
+
+    ``bucket`` must be a column MONOTONE NON-DECREASING in the leading
+    ``order_by`` column with nulls mapped to null (e.g. ``year(d)``,
+    ``unix_micros(ts) div chunk``): then sorting by (bucket, order) is
+    sorting by (order), intra-bucket running aggregates are exact
+    segments of the global ones, and adding the cumulative sum/count
+    of WHOLE previous buckets (a per-key window over #buckets rows,
+    never #rows) reconstructs the global values exactly. ``value``
+    must be integral/decimal — the repo's fixed-point discipline —
+    because regrouping float addition would not be bit-stable.
+
+    Appends ``sum_name`` (same type as value's sum) and ``seq_name``
+    (int, 1-based) to ``df``'s columns; row-identical to the plain
+    single-window form for any bucket granularity (randomized
+    differential in tests/test_fuzz_differential.py).
+    """
+    d = df.withColumn("__bucket", bucket).withColumn("__v", value)
+    wc = W.partitionBy(*keys, "__bucket").orderBy(*order_by)
+    d2 = d.withColumn(
+        "__isum",
+        F.sum("__v").over(wc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).withColumn("__iseq", F.row_number().over(wc))
+    tots = d.groupBy(*keys, "__bucket").agg(
+        F.sum("__v").alias("__bsum"), F.count(F.lit(1)).alias("__bcnt")
+    )
+    wb = (
+        W.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = tots.select(
+        *keys,
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__osum"),
+        F.coalesce(F.sum("__bcnt").over(wb), F.lit(0)).alias("__ocnt"),
+    )
+    return (
+        d2.join(offs, [*keys, "__bucket"])
+        .withColumn(sum_name, F.col("__isum") + F.col("__osum"))
+        .withColumn(seq_name, (F.col("__iseq") + F.col("__ocnt")).cast("int"))
+        .drop("__bucket", "__v", "__isum", "__iseq", "__osum", "__ocnt")
+    )

@@ -1795,3 +1795,54 @@ def test_fuzz_scd2_chunked_equals_q90_logic(seed, spark):
 
     empty = df.filter(F.lit(False))
     assert scd2_chunked(empty).count() == 0
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_running_sum_chunked_equals_plain_window(seed, spark):
+    """running_sum_chunked must match the plain q23-shaped single
+    window exactly (sum AND 1-based seq) for any bucket granularity,
+    including bucket == order value (every row its own bucket) and one
+    global bucket, with ties on the order column broken by the
+    tiebreak and negative values in the mix."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.windows import running_sum_chunked
+
+    rng = random.Random(6600 + seed)
+    rows = []
+    rid = 0
+    for k in range(5):
+        for _ in range(rng.randrange(0, 40)):
+            rows.append((k, rng.randrange(0, 50), rid, rng.randrange(-500, 500)))
+            rid += 1
+    if not rows:
+        rows = [(0, 0, 0, 1)]
+    df = spark.createDataFrame(rows, "k long, d long, id long, cents long")
+
+    w = W.partitionBy("k").orderBy("d", "id")
+    plain = df.select(
+        "k",
+        "d",
+        "id",
+        "cents",
+        F.sum("cents")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("running_sum"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+    exp = {tuple(r) for r in plain.collect()}
+    for div in [1, 7, 10**9]:
+        got = {
+            tuple(r)
+            for r in running_sum_chunked(
+                df,
+                keys=["k"],
+                order_by=["d", "id"],
+                value=F.col("cents"),
+                bucket=F.expr(f"d div {div}"),
+            ).collect()
+        }
+        assert got == exp, (seed, div, got ^ exp)
