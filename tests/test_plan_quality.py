@@ -1465,3 +1465,28 @@ def test_every_repeated_scan_suspect_triaged():
     )
     # the artifact's triage map mirrors the ledger for every suspect
     assert set(summary.get("suspect_triage", {})) == suspects
+
+
+def test_chunked_twins_window_keys_include_chunk(spark):
+    """The chunked sequence twins exist to spread a hot key over time
+    chunks (SCALING.md §6): their EVENT-VOLUME window must partition on
+    (user_id, chunk/bucket), never user_id alone. Guard against a
+    future simplification silently re-keying the big window on the key
+    alone and reintroducing the per-key straggler. The plain forms'
+    per-key specs remain (they run over #chunks-row summaries); the
+    gate asserts the chunk-keyed spec is present AND hashpartitioning
+    on the composite key appears in the executed exchanges."""
+    from pinot_pulsar_plugin_spark.catalog import load_table
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import scd2_chunked
+    from pinot_pulsar_plugin_spark.operators.windows import sessionize_chunked
+
+    ev = load_table(spark, SF, "events")
+    for df in (sessionize_chunked(ev), scd2_chunked(ev)):
+        plan = formatted_plan(df)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert any(
+            "user_id" in s and "chunk" in s for s in specs
+        ), specs
+        assert re.search(r"hashpartitioning\([^)]*user_id[^)]*chunk", plan), (
+            "no composite (user_id, chunk) exchange in plan"
+        )
