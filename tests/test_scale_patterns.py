@@ -519,3 +519,34 @@ def test_cbo_table_stats_drive_size_estimates(spark, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", "false")
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_fuzz_salted_join_row_identical_all_safe_hows(spark):
+    """salted_join claims row-identity with the plain join for every
+    allowed join type; only inner was compared. Randomized multiset
+    differential across inner/left/semi/anti with NULL keys and
+    duplicate keys on BOTH sides (replication must preserve join
+    multiplicity; null keys must not match anything yet survive a left
+    join exactly once, not once per salt)."""
+    import random
+
+    from pinot_pulsar_plugin_spark.functions.skew import salted_join
+
+    rng = random.Random(4400)
+    for case in range(3):
+        big_rows = [
+            (rng.choice([None, 1, 2, 3, 7, 7, 7]), i)
+            for i in range(rng.randrange(5, 60))
+        ]
+        small_rows = [
+            (rng.choice([None, 1, 2, 7, 7, 9]), 100 + j)
+            for j in range(rng.randrange(1, 12))
+        ]
+        big = spark.createDataFrame(big_rows, "k long, v long")
+        small = spark.createDataFrame(small_rows, "k long, w long")
+        for how in ["inner", "left", "semi", "anti"]:
+            plain = big.join(small, "k", how)
+            salted = salted_join(big, small, "k", n_salts=5, how=how)
+            assert salted.columns == plain.columns, (case, how)
+            diff = plain.exceptAll(salted).count() + salted.exceptAll(plain).count()
+            assert diff == 0, (case, how)
