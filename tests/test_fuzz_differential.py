@@ -1846,3 +1846,55 @@ def test_fuzz_running_sum_chunked_equals_plain_window(seed, spark):
             ).collect()
         }
         assert got == exp, (seed, div, got ^ exp)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_trimmed_mean_hist_equals_q91_rank_trim(seed, spark):
+    """trimmed_mean_hist must equal q91's rank-trim exactly. The
+    generator plants heavy duplicate values (cut lands INSIDE a tie
+    run), raw doubles that differ but round to the same cents (the
+    coarsening the identity argument rests on), negative values, and
+    group sizes around the floor(n*frac) boundaries."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import trimmed_mean_hist
+
+    rng = random.Random(3300 + seed)
+    rows = []
+    eid = 0
+    for g in range(4):
+        n = rng.choice([1, 2, 19, 20, 21, rng.randrange(1, 80)])
+        for _ in range(n):
+            base = rng.choice([-2.0, 0.0, 0.5, 0.5, 0.5, 1.25, 7.31])
+            # sub-cent jitter: distinct raw values, same cents
+            val = base + rng.choice([0.0, 0.001, -0.001, 0.004])
+            rows.append((eid, f"t{g}", val))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    # q91's exact pipeline on the same frame
+    rank_w = W.partitionBy("event_type").orderBy("value", "event_id")
+    cnt_w = W.partitionBy("event_type")
+    r = df.select(
+        "event_type",
+        "value",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("n"),
+    )
+    lo = F.floor(F.col("n") * 0.05).cast("long")
+    k = r.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    plain = k.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
+    exp = {tuple(r_) for r_ in plain.collect()}
+    got = {tuple(r_) for r_ in trimmed_mean_hist(df).collect()}
+    assert got == exp, (seed, got ^ exp)

@@ -551,17 +551,24 @@ def test_q90_scd2_single_exchange(spark):
     assert plan.count("Window") >= 2  # both windows survive in one stage chain
 
 
-def test_q91_trimmed_mean_single_exchange(spark):
-    """q91's scale contract: rank window, per-group count window, and
-    the final aggregate all key on event_type — one exchange total,
-    with the final mean combining map-side (partial_sum of the
-    fixed-point terms)."""
+def test_q91_trimmed_mean_histogram_shape(spark):
+    """q91's scale contract (r10 histogram form): the only
+    event-volume exchange is the map-side-combinable (event_type,
+    cents) histogram build — the old form's per-group sort of raw rows
+    serialized on hot groups (15× on the 100× corpus). Everything
+    downstream (cumulative window, keep-range arithmetic, final mean)
+    runs over the distinct-value relation: ≤2 exchanges total, partial
+    aggregation present, and NO sort of the raw event relation (the
+    only sort is the window's, over the post-histogram relation)."""
     from pinot_pulsar_plugin_spark.operators import aggregates2
 
     df = aggregates2.q91_trimmed_mean(spark, SF)
-    assert n_shuffles(df) == 1
+    assert n_shuffles(df) == 2
     plan = formatted_plan(df)
-    assert "partial_sum" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the first (and only raw-row) aggregate keys on (event_type, v):
+    # a hashpartitioning on both columns must exist
+    assert re.search(r"hashpartitioning\([^)]*event_type[^)]*\bv\b", plan), plan[:500]
 
 
 def test_q89_markov_heavy_exchange_is_user_keyed(spark):
