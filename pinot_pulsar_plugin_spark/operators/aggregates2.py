@@ -2392,3 +2392,70 @@ def trimmed_mean_hist(events: DataFrame, frac: float = 0.05) -> DataFrame:
             / F.sum("kept")
         ).alias("trimmed_mean"),
     )
+
+
+def weighted_median_bucketed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """q99's weighted (lower) median without the per-group raw-row
+    sort — the bucket-carry selection, fourth instance of SCALING.md
+    §6's chunked-sequence family (q99's plain window puts one group's
+    ENTIRE row set in one sort task; lineitem has 3 return flags, so
+    sf0.1 already runs 3-way parallel on a 32-core box).
+
+    Exact decomposition (weights must be non-negative integers, as in
+    q99): (1) per-(group, bucket = floor(value/width)) weight totals —
+    a map-side-combinable aggregate, the only event-volume exchange,
+    keyed fine enough that hot groups spread; (2) cumulative bucket
+    weights per group over the #buckets-row summary pick the WINNING
+    bucket (first with 2·cum ≥ total) plus its carry-in weight;
+    (3) only that bucket's rows (a broadcast semi-filter; ~rows/#buckets
+    per group) get the fine RANGE-cumulative, and the pick is the
+    smallest value with 2·(carry + cum_in) ≥ total — identical
+    arithmetic to the plain form's 2·cumw ≥ totw since carry + cum_in
+    IS cumw restricted to the winning bucket, and RANGE semantics
+    (ties share cum) are preserved inside the bucket. Output matches
+    q99: (group, weighted_median, total_weight). Two column-pruned
+    scans (bucket totals + winning-bucket rows) replace one scan + a
+    full per-group sort — the q93 two-pass trade. Row-identical to the
+    plain window form under the randomized differential (ties, zero
+    weights, negative values, all-weight-zero groups)."""
+    from pyspark.sql import Window as W
+
+    w = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(weight_col).alias("wt") if isinstance(weight_col, str) else weight_col.alias("wt"),
+    ).withColumn("b", F.floor(F.col("v") / F.lit(bucket_width)).cast("long"))
+    btot = w.groupBy("g", "b").agg(F.sum("wt").alias("bw"))
+    wb = W.partitionBy("g").orderBy("b")
+    cum = F.sum("bw").over(wb.rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = F.sum("bw").over(W.partitionBy("g"))
+    marked = btot.withColumn("cum", cum).withColumn("tot", tot)
+    win = (
+        marked.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("g")
+        .agg(
+            F.min_by(F.struct("b", "cum", "bw"), "b").alias("s"),
+            F.min("tot").alias("tot"),
+        )
+        .select(
+            "g",
+            F.col("s.b").alias("b"),
+            (F.col("s.cum") - F.col("s.bw")).alias("carry"),
+            "tot",
+        )
+    )
+    inb = w.join(F.broadcast(win), ["g", "b"])
+    wv = W.partitionBy("g").orderBy("v").rangeBetween(W.unboundedPreceding, 0)
+    fine = inb.withColumn("cum_in", F.sum("wt").over(wv))
+    return fine.groupBy("g").agg(
+        F.min(
+            F.when((F.col("carry") + F.col("cum_in")) * 2 >= F.col("tot"), F.col("v"))
+        ).alias("weighted_median"),
+        F.min("tot").cast("long").alias("total_weight"),
+    )

@@ -1898,3 +1898,54 @@ def test_fuzz_trimmed_mean_hist_equals_q91_rank_trim(seed, spark):
     exp = {tuple(r_) for r_ in plain.collect()}
     got = {tuple(r_) for r_ in trimmed_mean_hist(df).collect()}
     assert got == exp, (seed, got ^ exp)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_weighted_median_bucketed_equals_plain_window(seed, spark):
+    """weighted_median_bucketed must equal q99's plain cumw-window
+    pick exactly for any bucket width. Ties on value (RANGE-shared
+    cum), zero weights, negative values (floor-bucket sign handling),
+    all-weights-zero groups, and widths from sub-tie to one-global-
+    bucket are all planted."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        weighted_median_bucketed,
+    )
+
+    rng = random.Random(2200 + seed)
+    rows = []
+    for g in range(5):
+        n = rng.randrange(1, 40)
+        allzero = g == 3
+        for _ in range(n):
+            v = rng.choice([-7.5, -1.25, 0.0, 0.5, 0.5, 0.5, 2.25, 9.75, 13.5])
+            wt = 0 if allzero else rng.choice([0, 1, 1, 2, 5])
+            rows.append((f"g{g}", v, wt))
+    df = spark.createDataFrame(rows, "g string, v double, wt long")
+
+    part = W.partitionBy("g")
+    c = df.select(
+        "g",
+        "v",
+        F.sum("wt").over(part.orderBy("v")).alias("cumw"),
+        F.sum("wt").over(part).alias("totw"),
+    )
+    plain = c.groupBy("g").agg(
+        F.min(F.when(F.col("cumw") * 2 >= F.col("totw"), F.col("v"))).alias(
+            "weighted_median"
+        ),
+        F.min("totw").cast("long").alias("total_weight"),
+    )
+    exp = {tuple(r) for r in plain.collect()}
+    for width in [0.25, 1.0, 4.0, 1000.0]:
+        got = {
+            tuple(r)
+            for r in weighted_median_bucketed(
+                df, "g", "v", "wt", bucket_width=width
+            ).collect()
+        }
+        assert got == exp, (seed, width, got ^ exp)
