@@ -1949,3 +1949,55 @@ def test_fuzz_weighted_median_bucketed_equals_plain_window(seed, spark):
             ).collect()
         }
         assert got == exp, (seed, width, got ^ exp)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_equidepth_hist_equals_rank_form(seed, spark):
+    """equidepth_bins_hist must reproduce q106's rank-assigned bins
+    exactly: tie runs straddling bin edges (the invariance argument's
+    stress case), group sizes below/at/above the bin count, and
+    remainder-heavy n div B splits."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        equidepth_bins_hist,
+    )
+
+    rng = random.Random(1100 + seed)
+    B = 8
+    rows = []
+    eid = 0
+    for g in range(5):
+        n = rng.choice([1, 3, 7, 8, 9, rng.randrange(10, 90)])
+        for _ in range(n):
+            # tiny value pool -> long tie runs crossing bin boundaries
+            rows.append((eid, f"t{g}", rng.choice([0.5, 0.5, 1.25, 2.0, 7.75])))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    part = W.partitionBy("event_type")
+    r = df.select(
+        "event_type",
+        "value",
+        F.row_number().over(part.orderBy("value", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    plain = (
+        r.select(
+            "event_type",
+            "value",
+            F.expr(f"CAST(((rk - 1) * {B}) div n AS INT)").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    exp = {tuple(r_) for r_ in plain.collect()}
+    got = {tuple(r_) for r_ in equidepth_bins_hist(df, bins=B).collect()}
+    assert got == exp, (seed, got ^ exp)

@@ -986,11 +986,14 @@ def test_t67_entropy_zero_shuffle_pure_codegen(spark):
     assert schemas == ["struct<doc_id:bigint,text:string>"], schemas
 
 
-def test_q106_equidepth_single_exchange_one_window_stack(spark):
-    """q106's scale contract: one hash exchange on event_type; rank
-    and partition-count share a single Window stack over one sort; the
-    final (type, bin) aggregate combines map-side under the same
-    partitioning."""
+def test_q106_equidepth_histogram_shape(spark):
+    """q106's scale contract (r10 histogram form): the only
+    event-volume exchange is the map-side-combinable (event_type,
+    value) histogram build — the old rank-window form sorted whole
+    groups in single tasks (15.7× on the 100× corpus). The cumulative
+    window and the bin explode run over the distinct-value relation:
+    ≤2 exchanges, partial aggregation present, and a composite
+    (event_type, value) hashpartitioning in the plan."""
     import re
 
     from pinot_pulsar_plugin_spark.operators import eventanalytics
@@ -998,10 +1001,10 @@ def test_q106_equidepth_single_exchange_one_window_stack(spark):
     df = eventanalytics.q106_equidepth_bins(spark, SF)
     assert n_shuffles(df) <= 2
     plan = formatted_plan(df)
-    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
     assert "partial" in plan.lower()
-    keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
-    assert keys <= {"event_type"}, keys
+    assert re.search(r"hashpartitioning\([^)]*event_type[^)]*value", plan), (
+        "no composite (event_type, value) exchange"
+    )
 
 
 def test_q107_attribution_single_user_exchange(spark):
