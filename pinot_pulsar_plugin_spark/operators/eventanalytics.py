@@ -2274,22 +2274,35 @@ def q209_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type user-activity Gini in exact integer milli (see block
     comment; the q196 form at user grain).
 
-    Scale shape: one (type, user)-keyed combinable count, a
-    type-partitioned rank window, and a per-type rollup."""
+    Scale shape (r10 histogram form — the q91/q106 argument at user
+    grain): the oracle ranks per-user counts with a user_id tiebreak,
+    but Σ i·n over a tie run of equal n is tie-invariant (the i's are
+    consecutive whatever the order), so the rank window over #users
+    rows collapses to per-distinct-ACTIVITY-VALUE user counts: a run
+    of c users at activity n ending at cumulative user count cum
+    contributes n·c·(2·cum−c+1) div 2 (the integer is exact — c or
+    2·cum−c+1 is even). Event-volume work stays on the (type, user)
+    count; the only per-type window now runs over distinct activity
+    values (bounded: activity counts repeat heavily) instead of every
+    user — at 100 TB that is thousands of rows, not billions.
+    Row-identical to the rank form (randomized differential) and the
+    DuckDB oracle at sf0.01/sf0.1."""
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "events")
     ua = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("event_type").orderBy("n", "user_id")
-    ranked = ua.select(
-        "event_type", "n", F.row_number().over(w).cast("long").alias("i")
+    h = ua.groupBy("event_type", "n").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("n")
+    cum = F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h2 = h.withColumn("cum", cum).withColumn(
+        "s_run", F.expr("n * (c * (2 * cum - c + 1) div 2)")
     )
-    return ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("n").alias("n_events"),
+    return h2.groupBy("event_type").agg(
+        F.sum("c").alias("n_users"),
+        F.sum(F.col("n") * F.col("c")).alias("n_events"),
         F.expr(
-            "(2 * sum(i * n) - (count(1) + 1) * sum(n)) * 1000 "
-            "div (count(1) * sum(n))"
+            "(2 * sum(s_run) - (sum(c) + 1) * sum(n * c)) * 1000 "
+            "div (sum(c) * sum(n * c))"
         ).alias("gini_milli"),
     )
 

@@ -2001,3 +2001,55 @@ def test_fuzz_equidepth_hist_equals_rank_form(seed, spark):
     exp = {tuple(r_) for r_ in plain.collect()}
     got = {tuple(r_) for r_ in equidepth_bins_hist(df, bins=B).collect()}
     assert got == exp, (seed, got ^ exp)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_gini_histogram_equals_rank_form(seed, spark):
+    """q209's histogram Gini must equal the oracle's rank form exactly:
+    sum(i*n) over a tie run of equal activity n is tie-invariant, and
+    the closed form n*c*(2cum-c+1) div 2 must hit it for every run
+    shape (planted: many tied activity counts, singleton users,
+    single-user types)."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        q209_engagement_gini,
+    )
+
+    rng = random.Random(5500 + seed)
+    rows = []
+    eid = 0
+    for g in range(4):
+        n_users = rng.choice([1, 2, rng.randrange(3, 30)])
+        for u in range(n_users):
+            # heavy ties: activity drawn from a tiny set
+            for _ in range(rng.choice([1, 1, 1, 2, 2, 5])):
+                rows.append((eid, f"t{g}", g * 1000 + u))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    # rank-form oracle on the same frame
+    ua = df.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("n", "user_id")
+    ranked = ua.select(
+        "event_type", "n", F.row_number().over(w).cast("long").alias("i")
+    )
+    plain = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.expr(
+            "(2 * sum(i * n) - (count(1) + 1) * sum(n)) * 1000 "
+            "div (count(1) * sum(n))"
+        ).alias("gini_milli"),
+    )
+    exp = {tuple(r) for r in plain.collect()}
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000)) \
+      .withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}")) \
+      .write.parquet(os.path.join(d, "events.parquet"))
+    got = {tuple(r) for r in q209_engagement_gini(spark, d).collect()}
+    assert got == exp, (seed, got ^ exp)
