@@ -2426,6 +2426,10 @@ def weighted_median_bucketed(
     weights, negative values, all-weight-zero groups)."""
     from pyspark.sql import Window as W
 
+    if bucket_width <= 0:
+        raise ValueError(
+            f"weighted_median_bucketed: bucket_width must be > 0, got {bucket_width}"
+        )
     w = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),

@@ -2414,6 +2414,8 @@ def scd2_chunked(events: DataFrame, chunk_us: int = 86_400_000_000) -> DataFrame
     """
     from pyspark.sql import Window as W
 
+    if chunk_us <= 0:
+        raise ValueError(f"scd2_chunked: chunk_us must be > 0, got {chunk_us}")
     e = events.select(
         "user_id",
         "event_type",
@@ -2489,6 +2491,8 @@ def equidepth_bins_hist(events: DataFrame, bins: int = _EQD_BINS) -> DataFrame:
     from pyspark.sql import Window as W
 
     B = int(bins)
+    if B <= 0:
+        raise ValueError(f"equidepth_bins_hist: bins must be > 0, got {bins}")
     e = events.select("event_type", "value")
     h = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
     wv = W.partitionBy("event_type").orderBy("value")

@@ -351,6 +351,8 @@ def sessionize_chunked(
     """
     if chunk_us is None:
         chunk_us = 4 * gap_us
+    if chunk_us <= 0:
+        raise ValueError(f"sessionize_chunked: chunk_us must be > 0, got {chunk_us}")
     e = events.select(
         "user_id",
         "event_id",

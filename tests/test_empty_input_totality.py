@@ -79,3 +79,28 @@ def test_runs_on_empty_corpus(name, spark, empty_dir, empty_con):
         assert not problems, "\n".join(problems)
     else:
         sdf.count()  # rows-only ops: must not crash
+
+
+def test_chunked_scale_paths_reject_nonpositive_params():
+    """The chunked/histogram scale paths must fail loudly on
+    non-positive chunk/bucket/bin parameters (a zero would otherwise
+    produce silent null chunks and empty output)."""
+    import pytest as _pytest
+
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        weighted_median_bucketed,
+    )
+    from pinot_pulsar_plugin_spark.operators.eventanalytics import (
+        equidepth_bins_hist,
+        scd2_chunked,
+    )
+    from pinot_pulsar_plugin_spark.operators.windows import sessionize_chunked
+
+    with _pytest.raises(ValueError):
+        sessionize_chunked(None, chunk_us=0)
+    with _pytest.raises(ValueError):
+        scd2_chunked(None, chunk_us=-5)
+    with _pytest.raises(ValueError):
+        weighted_median_bucketed(None, "g", "v", "wt", bucket_width=0.0)
+    with _pytest.raises(ValueError):
+        equidepth_bins_hist(None, bins=0)
