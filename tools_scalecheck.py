@@ -71,6 +71,11 @@ QUERIES = [
     "q29_sessionize",
     "q88_decayed_engagement",
     "q90_scd2_intervals",
+    # r10 histogram rewrites — slopes should stay flat (their old
+    # sorted forms measured ~15x slower at 100x; ROUND10_NOTES §9)
+    "q91_trimmed_mean",
+    "q106_equidepth_bins",
+    "q209_engagement_gini",
 ]
 
 
