@@ -9,7 +9,11 @@ from pinot_pulsar_plugin_spark.caching import persist_once
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+from pinot_pulsar_plugin_spark.operators.common import (
+    make_registry,
+    t,
+    value_histogram,
+)
 
 QUERIES, ORACLE, query = make_registry()
 
@@ -2365,17 +2369,37 @@ def trimmed_mean_hist(events: DataFrame, frac: float = 0.05) -> DataFrame:
     relation. Replaces q91's per-group sort of raw rows, whose cost is
     the largest group's row count. Row-identical to q91 on the events
     contract (randomized differential incl. raw-value ties that differ
-    in cents, and the driver oracle at sf0.01)."""
-    from pyspark.sql.window import Window
+    in cents, and the driver oracle at sf0.01).
 
-    e = events.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    Null/NaN parity (review r10): cast(round(NaN*100) as long) is null
+    — it would collapse onto null VALUES and sort first, while Spark
+    sorts nulls FIRST but NaN LAST. An explicit ordering class
+    (0 = null, 1 = finite, 2 = NaN) keeps Spark's sort order; null/NaN
+    rows count toward n and the trim ranks but contribute nothing to
+    the sum. Nulls are exact parity with the rank form; for NaN this
+    is a deliberate LENIENT SUPERSET — the rank form's
+    cast(round(NaN*100) as long) raises CAST_OVERFLOW under ANSI, so
+    NaN has no rank-form behavior to match and the histogram orders it
+    where Spark's sort would. frac must sit in [0, 0.5): at 0.5+ the rank form's keep
+    range is empty and the group vanishes, which a histogram cannot
+    reproduce — rejected loudly instead."""
+    if not (0 <= frac < 0.5):
+        raise ValueError(f"trimmed_mean_hist: frac must be in [0, 0.5), got {frac}")
+    ordc = (
+        F.when(F.col("value").isNull(), 0)
+        .when(F.isnan("value"), 2)
+        .otherwise(1)
+        .alias("ord")
     )
-    h = e.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    wv = Window.partitionBy("event_type").orderBy("v")
-    cum = F.sum("cnt").over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tot = F.sum("cnt").over(Window.partitionBy("event_type"))
-    h2 = h.withColumn("cum", cum).withColumn("n", tot)
+    e = events.select(
+        "event_type",
+        ordc,
+        F.when(
+            F.col("value").isNotNull() & ~F.isnan("value"),
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("v"),
+    )
+    h2 = value_histogram(e, ["event_type"], ["ord", "v"])
     lo = F.floor(F.col("n") * frac).cast("long")
     hi = F.col("n") - lo
     kept = F.greatest(
@@ -2423,7 +2447,18 @@ def weighted_median_bucketed(
     scans (bucket totals + winning-bucket rows) replace one scan + a
     full per-group sort — the q93 two-pass trade. Row-identical to the
     plain window form under the randomized differential (ties, zero
-    weights, negative values, all-weight-zero groups)."""
+    weights, negative values, NULL values, all-weight-zero and
+    all-value-null groups).
+
+    Null parity (review r10): null values bucket to null, which sorts
+    FIRST in the bucket window exactly as null v sorts first in q99's
+    value window, so the carry arithmetic absorbs them; when the
+    crossing lands inside the nulls, the plain form's min() skips to
+    the smallest non-null v, and min_by skipping null b picks the same
+    bucket. A group whose rows are ALL null-valued is emitted as
+    (g, null, total) directly — the fine join can never see it. NaN
+    values are OUT of contract (plain sorts NaN last; floor(NaN) does
+    not) — q99's money values cannot be NaN."""
     from pyspark.sql import Window as W
 
     if bucket_width <= 0:
@@ -2435,31 +2470,40 @@ def weighted_median_bucketed(
         F.col(value_col).alias("v"),
         F.col(weight_col).alias("wt") if isinstance(weight_col, str) else weight_col.alias("wt"),
     ).withColumn("b", F.floor(F.col("v") / F.lit(bucket_width)).cast("long"))
-    btot = w.groupBy("g", "b").agg(F.sum("wt").alias("bw"))
-    wb = W.partitionBy("g").orderBy("b")
-    cum = F.sum("bw").over(wb.rowsBetween(W.unboundedPreceding, W.currentRow))
-    tot = F.sum("bw").over(W.partitionBy("g"))
-    marked = btot.withColumn("cum", cum).withColumn("tot", tot)
+    marked = value_histogram(w.select("g", "b", "wt"), ["g"], ["b"], weight="wt")
+    qual = marked.where(F.col("cum") * 2 >= F.col("n"))
     win = (
-        marked.where(F.col("cum") * 2 >= F.col("tot"))
+        qual.where(F.col("b").isNotNull())
         .groupBy("g")
         .agg(
-            F.min_by(F.struct("b", "cum", "bw"), "b").alias("s"),
-            F.min("tot").alias("tot"),
+            F.min_by(F.struct("b", "cum", "cnt"), "b").alias("s"),
+            F.min("n").alias("tot"),
         )
         .select(
             "g",
             F.col("s.b").alias("b"),
-            (F.col("s.cum") - F.col("s.bw")).alias("carry"),
+            (F.col("s.cum") - F.col("s.cnt")).alias("carry"),
             "tot",
+        )
+    )
+    # groups with no non-null value at all: plain q99 emits (g, null, tot)
+    allnull = (
+        marked.groupBy("g")
+        .agg(F.max("b").alias("maxb"), F.min("n").alias("tot"))
+        .where(F.col("maxb").isNull())
+        .select(
+            "g",
+            F.lit(None).cast(w.schema["v"].dataType).alias("weighted_median"),
+            F.col("tot").cast("long").alias("total_weight"),
         )
     )
     inb = w.join(F.broadcast(win), ["g", "b"])
     wv = W.partitionBy("g").orderBy("v").rangeBetween(W.unboundedPreceding, 0)
     fine = inb.withColumn("cum_in", F.sum("wt").over(wv))
-    return fine.groupBy("g").agg(
+    picked = fine.groupBy("g").agg(
         F.min(
             F.when((F.col("carry") + F.col("cum_in")) * 2 >= F.col("tot"), F.col("v"))
         ).alias("weighted_median"),
         F.min("tot").cast("long").alias("total_weight"),
     )
+    return picked.unionByName(allnull)

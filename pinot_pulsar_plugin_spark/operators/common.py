@@ -38,3 +38,34 @@ def make_registry():
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shorthand table loader."""
     return load_table(spark, sf_dir, name)
+
+
+def value_histogram(
+    df: DataFrame, keys: list, vals: list, weight=None
+) -> DataFrame:
+    """The shared scaffold of the r10 histogram rewrites (q91, q106,
+    q209, weighted_median_bucketed): collapse rows to per-(keys, vals)
+    totals, then attach the within-key cumulative total (ordered by
+    vals, Spark null/NaN ordering) and the key total.
+
+    Returns df[keys + vals + (cnt, cum, n)] where cnt is the row count
+    (or ``sum(weight)`` when a weight column name/Column is given),
+    cum the running total ordered by vals inclusive of the current
+    row, and n the per-key total. All exact-rank selections downstream
+    (trim ranges, bin intervals, Gini rank runs, median crossings) are
+    integer arithmetic over (cnt, cum, n) — fixing the mechanism here
+    fixes every rewrite at once."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    agg = (
+        F.count(F.lit(1))
+        if weight is None
+        else F.sum(F.col(weight) if isinstance(weight, str) else weight)
+    )
+    h = df.groupBy(*keys, *vals).agg(agg.alias("cnt"))
+    wv = W.partitionBy(*keys).orderBy(*vals)
+    return h.withColumn(
+        "cum",
+        F.sum("cnt").over(wv.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).withColumn("n", F.sum("cnt").over(W.partitionBy(*keys)))

@@ -16,7 +16,11 @@ from pinot_pulsar_plugin_spark.caching import persist_once
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pinot_pulsar_plugin_spark.operators.common import make_registry, t
+from pinot_pulsar_plugin_spark.operators.common import (
+    make_registry,
+    t,
+    value_histogram,
+)
 
 QUERIES, ORACLE, query = make_registry()
 
@@ -2287,22 +2291,17 @@ def q209_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     user — at 100 TB that is thousands of rows, not billions.
     Row-identical to the rank form (randomized differential) and the
     DuckDB oracle at sf0.01/sf0.1."""
-    from pyspark.sql.window import Window
-
     e = t(spark, sf_dir, "events")
-    ua = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
-    h = ua.groupBy("event_type", "n").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("event_type").orderBy("n")
-    cum = F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    h2 = h.withColumn("cum", cum).withColumn(
-        "s_run", F.expr("n * (c * (2 * cum - c + 1) div 2)")
+    ua = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("act"))
+    h2 = value_histogram(ua, ["event_type"], ["act"]).withColumn(
+        "s_run", F.expr("act * (cnt * (2 * cum - cnt + 1) div 2)")
     )
     return h2.groupBy("event_type").agg(
-        F.sum("c").alias("n_users"),
-        F.sum(F.col("n") * F.col("c")).alias("n_events"),
+        F.sum("cnt").alias("n_users"),
+        F.sum(F.col("act") * F.col("cnt")).alias("n_events"),
         F.expr(
-            "(2 * sum(s_run) - (sum(c) + 1) * sum(n * c)) * 1000 "
-            "div (sum(c) * sum(n * c))"
+            "(2 * sum(s_run) - (sum(cnt) + 1) * sum(act * cnt)) * 1000 "
+            "div (sum(cnt) * sum(act * cnt))"
         ).alias("gini_milli"),
     )
 
@@ -2488,19 +2487,12 @@ def equidepth_bins_hist(events: DataFrame, bins: int = _EQD_BINS) -> DataFrame:
     Row-identical to the sorted form under the randomized differential
     (ties straddling bin edges, n < B, n div B remainders) and the
     DuckDB oracle."""
-    from pyspark.sql import Window as W
-
     B = int(bins)
     if B <= 0:
         raise ValueError(f"equidepth_bins_hist: bins must be > 0, got {bins}")
     e = events.select("event_type", "value")
-    h = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
-    wv = W.partitionBy("event_type").orderBy("value")
-    cum = F.sum("cnt").over(wv.rowsBetween(W.unboundedPreceding, W.currentRow))
-    tot = F.sum("cnt").over(W.partitionBy("event_type"))
     h2 = (
-        h.withColumn("cum", cum)
-        .withColumn("n", tot)
+        value_histogram(e, ["event_type"], ["value"])
         .withColumn("b1", F.expr(f"CAST(((cum - cnt) * {B}) div n AS INT)"))
         .withColumn("b2", F.expr(f"CAST(((cum - 1) * {B}) div n AS INT)"))
     )

@@ -476,8 +476,24 @@ def running_sum_chunked(
         F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__osum"),
         F.coalesce(F.sum("__bcnt").over(wb), F.lit(0)).alias("__ocnt"),
     )
+    # null-safe join on the bucket (review r10): a null leading order
+    # value maps to a null bucket, which sorts FIRST in both the plain
+    # window (nulls-first) and wb here — an equi-join would silently
+    # drop those rows instead of numbering them. The offs side derives
+    # from d2's lineage, so its columns are renamed before the join to
+    # avoid trivially-true self-join predicates.
+    o2 = offs.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        F.col("__bucket").alias("__bucket_r"),
+        "__osum",
+        "__ocnt",
+    )
+    cond = [F.col(k) == F.col(f"__r_{k}") for k in keys] + [
+        F.col("__bucket").eqNullSafe(F.col("__bucket_r"))
+    ]
+    joined = d2.join(o2, cond).drop("__bucket_r", *[f"__r_{k}" for k in keys])
     return (
-        d2.join(offs, [*keys, "__bucket"])
+        joined
         .withColumn(sum_name, F.col("__isum") + F.col("__osum"))
         .withColumn(seq_name, (F.col("__iseq") + F.col("__ocnt")).cast("int"))
         .drop("__bucket", "__v", "__isum", "__iseq", "__osum", "__ocnt")

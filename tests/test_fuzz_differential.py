@@ -1816,7 +1816,10 @@ def test_fuzz_running_sum_chunked_equals_plain_window(seed, spark):
     rid = 0
     for k in range(5):
         for _ in range(rng.randrange(0, 40)):
-            rows.append((k, rng.randrange(0, 50), rid, rng.randrange(-500, 500)))
+            # ~10% null order values: bucket must be null too, and the
+            # rows must survive with nulls-first numbering (review r10)
+            d = None if rng.random() < 0.1 else rng.randrange(0, 50)
+            rows.append((k, d, rid, rng.randrange(-500, 500)))
             rid += 1
     if not rows:
         rows = [(0, 0, 0, 1)]
@@ -1868,9 +1871,16 @@ def test_fuzz_trimmed_mean_hist_equals_q91_rank_trim(seed, spark):
     for g in range(4):
         n = rng.choice([1, 2, 19, 20, 21, rng.randrange(1, 80)])
         for _ in range(n):
-            base = rng.choice([-2.0, 0.0, 0.5, 0.5, 0.5, 1.25, 7.31])
-            # sub-cent jitter: distinct raw values, same cents
-            val = base + rng.choice([0.0, 0.001, -0.001, 0.004])
+            if rng.random() < 0.1:
+                val = None  # sorts FIRST in the rank form; kept exact.
+                # NaN is OUT of the comparison: the rank form's
+                # cast(round(NaN*100) as long) RAISES CAST_OVERFLOW
+                # under ANSI, so NaN has no plain-form behavior to
+                # match (see the dedicated NaN check below).
+            else:
+                base = rng.choice([-2.0, 0.0, 0.5, 0.5, 0.5, 1.25, 7.31])
+                # sub-cent jitter: distinct raw values, same cents
+                val = base + rng.choice([0.0, 0.001, -0.001, 0.004])
             rows.append((eid, f"t{g}", val))
             eid += 1
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
@@ -1899,6 +1909,18 @@ def test_fuzz_trimmed_mean_hist_equals_q91_rank_trim(seed, spark):
     got = {tuple(r_) for r_ in trimmed_mean_hist(df).collect()}
     assert got == exp, (seed, got ^ exp)
 
+    # NaN: the rank form crashes (ANSI CAST_OVERFLOW); the histogram
+    # is the documented lenient superset — NaN sorts LAST (Spark sort
+    # order), counts toward n/trim ranks, contributes nothing to the
+    # sum. Pin that: one NaN among 20 rows (lo=1) lands in the top
+    # trim, so the result equals the same frame without its max+NaN.
+    nan_rows = [(i, "z", 1.0) for i in range(19)] + [(99, "z", float("nan"))]
+    ndf = spark.createDataFrame(
+        nan_rows, "event_id long, event_type string, value double"
+    )
+    row = trimmed_mean_hist(ndf).collect()[0]
+    assert (row.n_total, row.n_kept) == (20, 18) and row.trimmed_mean == 1.0, row
+
 
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_weighted_median_bucketed_equals_plain_window(seed, spark):
@@ -1921,8 +1943,12 @@ def test_fuzz_weighted_median_bucketed_equals_plain_window(seed, spark):
     for g in range(5):
         n = rng.randrange(1, 40)
         allzero = g == 3
+        allnullv = g == 4
         for _ in range(n):
-            v = rng.choice([-7.5, -1.25, 0.0, 0.5, 0.5, 0.5, 2.25, 9.75, 13.5])
+            if allnullv or rng.random() < 0.1:
+                v = None  # null values sort first; crossing may land here
+            else:
+                v = rng.choice([-7.5, -1.25, 0.0, 0.5, 0.5, 0.5, 2.25, 9.75, 13.5])
             wt = 0 if allzero else rng.choice([0, 1, 1, 2, 5])
             rows.append((f"g{g}", v, wt))
     df = spark.createDataFrame(rows, "g string, v double, wt long")
@@ -2004,7 +2030,7 @@ def test_fuzz_equidepth_hist_equals_rank_form(seed, spark):
 
 
 @pytest.mark.parametrize("seed", range(3))
-def test_fuzz_gini_histogram_equals_rank_form(seed, spark):
+def test_fuzz_gini_histogram_equals_rank_form(seed, spark, tmp_path):
     """q209's histogram Gini must equal the oracle's rank form exactly:
     sum(i*n) over a tie run of equal activity n is tie-invariant, and
     the closed form n*c*(2cum-c+1) div 2 must hit it for every run
@@ -2046,10 +2072,8 @@ def test_fuzz_gini_histogram_equals_rank_form(seed, spark):
     )
     exp = {tuple(r) for r in plain.collect()}
 
-    import tempfile, os
-    d = tempfile.mkdtemp()
     df.withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000)) \
       .withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}")) \
-      .write.parquet(os.path.join(d, "events.parquet"))
-    got = {tuple(r) for r in q209_engagement_gini(spark, d).collect()}
+      .write.parquet(str(tmp_path / "events.parquet"))
+    got = {tuple(r) for r in q209_engagement_gini(spark, str(tmp_path)).collect()}
     assert got == exp, (seed, got ^ exp)
