@@ -46,11 +46,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Facts grow; everything else is a dimension and stays fixed. The key
 # stride keeps replica order keys disjoint (sf0.1 max o_orderkey is
-# 600k; int64 headroom to N ~ 9e11).
+# 600k; int64 headroom to N ~ 9e11). user_id is deliberately NOT
+# re-keyed (review r10): the docstring's growth shape is more orders
+# per customer and more EVENTS PER USER — shifting user_id per replica
+# would grow the user count instead and make the per-key sequence
+# queries (q29/q88/q90) blind to exactly the per-key growth this tool
+# exists to measure.
 FACT_KEYS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
-    "events": ["event_id", "user_id"],
+    "events": ["event_id"],
 }
 STRIDE = 10_000_000
 
