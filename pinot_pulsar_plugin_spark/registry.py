@@ -163,7 +163,30 @@ _BACKLOG_LANDING_ORDER = [
 ]
 
 
-def driver_green_rounds(root: str | None = None) -> dict[str, int]:
+# Registry implementations REPLACED after their last driver-green round
+# (VERDICT r10 #1): name → the round during which the rewrite landed. A
+# green row recorded in a round >= that value was scored against the NEW
+# implementation and clears the entry naturally; a green row from an
+# EARLIER round proves only the retired code, so the entry's green round
+# resets to 0 and it fronts the stalest-first padding — the same
+# mechanism that fronts driver-recorded hash mismatches (ADVICE r9 #4).
+# Maintained by hand at rewrite time: replacing a registry entry's
+# implementation without appending a row here leaves the driver's
+# correctness record claiming coverage of code that no longer exists
+# (gated by tests/test_registry_priority.py).
+_IMPL_REPLACED = {
+    # r10 per-group-sort eliminations (ROUND10_NOTES §9): rank-window
+    # forms replaced by tie-invariant value-histogram forms.
+    "q91_trimmed_mean": 10,
+    "q106_equidepth_bins": 10,
+    "q209_engagement_gini": 10,
+}
+
+
+def driver_green_rounds(
+    root: str | None = None,
+    impl_replaced: dict[str, int] | None = None,
+) -> dict[str, int]:
     """name → LATEST round with a driver-verified green row in
     CORRECTNESS_r*.json at ``root`` (default: the repo root):
     hash_match green, or a rows-only row whose err is absent / the
@@ -176,7 +199,14 @@ def driver_green_rounds(root: str | None = None) -> dict[str, int]:
     broken entry must sort to the FRONT of the stalest-first padding,
     not wait several rounds behind entries that are merely unverified-
     recently (ADVICE r9 #4). It stays scored (round 0), so it re-enters
-    via padding, not the never-scored backlog."""
+    via padding, not the never-scored backlog.
+
+    The same reset applies when the entry's implementation was REPLACED
+    after its latest green round (``impl_replaced``, default
+    ``_IMPL_REPLACED``): the old green row proved retired code
+    (VERDICT r10 #1)."""
+    if impl_replaced is None:
+        impl_replaced = _IMPL_REPLACED
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
@@ -204,6 +234,9 @@ def driver_green_rounds(root: str | None = None) -> dict[str, int]:
                 latest[name] = max(latest.get(name, 0), rnd)
     for name, bad_rnd in mismatch.items():
         if name in latest and bad_rnd > latest[name]:
+            latest[name] = 0
+    for name, replaced_rnd in impl_replaced.items():
+        if name in latest and 0 < latest[name] < replaced_rnd:
             latest[name] = 0
     return latest
 

@@ -19,6 +19,7 @@ import os
 
 from pinot_pulsar_plugin_spark.registry import (
     _BACKLOG_LANDING_ORDER,
+    _IMPL_REPLACED,
     _WINDOW,
     all_oracle_sql,
     all_queries,
@@ -58,14 +59,15 @@ _CATEGORY_REPS = {
 }
 
 
-def _driver_green_rounds() -> dict[str, int]:
-    """Independent reimplementation of registry.driver_green_rounds
-    (so a predicate bug there can't hide): hash-green rows, plus
-    rows-only rows whose err is absent or the deliberate "no_oracle"
-    marker. A failed run that still recorded spark_rows alongside a
-    real err does NOT count (ADVICE r7 #4), and neither does a row
-    with an explicit hash_match: false — a driver-recorded MISMATCH
-    must stay in the scored window until it turns green (ADVICE r8 #2)."""
+def _raw_green_rounds() -> dict[str, int]:
+    """Independent reimplementation of the green-row scan in
+    registry.driver_green_rounds (so a predicate bug there can't hide):
+    hash-green rows, plus rows-only rows whose err is absent or the
+    deliberate "no_oracle" marker. A failed run that still recorded
+    spark_rows alongside a real err does NOT count (ADVICE r7 #4), and
+    neither does a row with an explicit hash_match: false — a
+    driver-recorded MISMATCH must stay in the scored window until it
+    turns green (ADVICE r8 #2)."""
     import re as _re
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -82,6 +84,20 @@ def _driver_green_rounds() -> dict[str, int]:
                     and row.get("err") in (None, "no_oracle")
                 ):
                     latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_green_rounds() -> dict[str, int]:
+    """_raw_green_rounds plus the staleness resets. VERDICT r10 #1: a
+    green row older than the round that REPLACED the entry's
+    implementation proved retired code — reset to 0 so the entry fronts
+    the stalest-first padding (the data — which names, which rounds —
+    comes from registry._IMPL_REPLACED; the reset logic is
+    reimplemented here independently)."""
+    latest = _raw_green_rounds()
+    for name, replaced_rnd in _IMPL_REPLACED.items():
+        if name in latest and 0 < latest[name] < replaced_rnd:
+            latest[name] = 0
     return latest
 
 
@@ -147,6 +163,29 @@ def test_padding_is_stalest_first():
         assert max(pad_rounds) <= min(outside), (
             "a fresher entry padded the window while a staler one waited"
         )
+
+
+def test_impl_replaced_entries_front_window_until_rescored():
+    """VERDICT r10 #1 gate: every registry entry whose implementation
+    was REPLACED after its last driver-green round must hold a scored
+    slot, so the next driver round re-proves the NEW code hash-green.
+    Once a green row lands in a round >= the rewrite round the entry
+    clears naturally and this gate stops demanding a slot. Replacing an
+    implementation without a _IMPL_REPLACED row cannot be detected
+    mechanically — the dict is the hand-maintained contract this gate
+    enforces the consequences of."""
+    raw = _raw_green_rounds()
+    window = set(priority_window())
+    pending = [
+        n
+        for n, replaced_rnd in _IMPL_REPLACED.items()
+        if n in all_queries() and raw.get(n, 0) < replaced_rnd
+    ]
+    missing = [n for n in pending if n not in window]
+    assert not missing, (
+        f"rewritten-but-not-rescored entries missing from the scored "
+        f"window: {missing}"
+    )
 
 
 def test_categories_missing_from_window_are_already_driver_green():
@@ -288,11 +327,21 @@ def test_derive_priority_synthetic_rules(tmp_path):
         "e": {"hash_match": False, "err": None, "spark_rows": 5},
         "f": {"hash_match": True},
     }))
-    green = R.driver_green_rounds(root=str(tmp_path))
+    green = R.driver_green_rounds(root=str(tmp_path), impl_replaced={})
     # ADVICE r9 #4: e was green in r1 but its LATEST row is a MISMATCH
     # -> green round resets to 0 (stays scored, fronts the padding);
     # f's old mismatch is superseded by the r2 green -> keeps 2.
     assert green == {"a": 1, "b": 2, "r": 2, "e": 0, "f": 2}
+
+    # VERDICT r10 #1: an implementation replaced in round 2 resets a's
+    # r1 green (proved retired code) but not b's r2 green (scored
+    # against the new code); a never-scored name ("s") is unaffected
+    # (it is backlog, not padding); an already-0 entry stays 0.
+    green2 = R.driver_green_rounds(
+        root=str(tmp_path),
+        impl_replaced={"a": 2, "b": 2, "s": 2, "e": 2},
+    )
+    assert green2 == {"a": 0, "b": 2, "r": 2, "e": 0, "f": 2}
 
     queries = {n: (lambda s, d: None) for n in
                ["q01_pricing_summary", "a", "b", "c", "d", "r", "s", "e", "f"]}
