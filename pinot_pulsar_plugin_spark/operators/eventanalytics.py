@@ -2406,8 +2406,11 @@ def scd2_chunked(events: DataFrame, chunk_us: int = 86_400_000_000) -> DataFrame
 
     Default chunk is one day; any chunk_us > 0 is exact and only moves
     work between the event-volume phase and the #chunks-row merge.
-    Assumes non-negative epoch timestamps and non-null event_type
-    (the events contract). Same regime note as sessionize_chunked:
+    Assumes NON-NULL, non-negative epoch timestamps and non-null
+    event_type (the events contract) — a null ts would map to a null
+    chunk that the carry/nxt equi-joins drop, where plain q90 sorts it
+    nulls-first and keeps the row (ADVICE r10 #2). Same regime note as
+    sessionize_chunked:
     plain q90's single exchange wins on uniform keys; switch when one
     key's share approaches a core's share of the corpus.
     """

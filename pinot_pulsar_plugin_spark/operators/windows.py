@@ -346,8 +346,11 @@ def sessionize_chunked(
     enough that most sessions are chunk-internal, narrow enough to
     spread a hot key. Any chunk_us > 0 is EXACT (the merge window
     handles sessions spanning arbitrarily many empty chunks); it only
-    moves work between phase 1 and phase 2. Assumes non-negative
-    epoch timestamps (`div` truncates toward zero).
+    moves work between phase 1 and phase 2. Assumes NON-NULL,
+    non-negative epoch timestamps (the events contract): `div`
+    truncates toward zero, and a null ts would map to a null chunk
+    that the chunk/schunk equi-joins drop, where plain q29 sorts it
+    nulls-first and keeps the row (ADVICE r10 #2).
     """
     if chunk_us is None:
         chunk_us = 4 * gap_us
@@ -476,19 +479,20 @@ def running_sum_chunked(
         F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__osum"),
         F.coalesce(F.sum("__bcnt").over(wb), F.lit(0)).alias("__ocnt"),
     )
-    # null-safe join on the bucket (review r10): a null leading order
-    # value maps to a null bucket, which sorts FIRST in both the plain
-    # window (nulls-first) and wb here — an equi-join would silently
-    # drop those rows instead of numbering them. The offs side derives
-    # from d2's lineage, so its columns are renamed before the join to
-    # avoid trivially-true self-join predicates.
+    # null-safe join on the bucket (review r10) AND the keys (ADVICE
+    # r10 #1): a null leading order value maps to a null bucket, and a
+    # null KEY value forms its own partition in the plain window (and
+    # its own group in tots' groupBy) — an equi-join on either would
+    # silently drop those rows instead of numbering them. The offs side
+    # derives from d2's lineage, so its columns are renamed before the
+    # join to avoid trivially-true self-join predicates.
     o2 = offs.select(
         *[F.col(k).alias(f"__r_{k}") for k in keys],
         F.col("__bucket").alias("__bucket_r"),
         "__osum",
         "__ocnt",
     )
-    cond = [F.col(k) == F.col(f"__r_{k}") for k in keys] + [
+    cond = [F.col(k).eqNullSafe(F.col(f"__r_{k}")) for k in keys] + [
         F.col("__bucket").eqNullSafe(F.col("__bucket_r"))
     ]
     joined = d2.join(o2, cond).drop("__bucket_r", *[f"__r_{k}" for k in keys])

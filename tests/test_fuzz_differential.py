@@ -1803,7 +1803,9 @@ def test_fuzz_running_sum_chunked_equals_plain_window(seed, spark):
     window exactly (sum AND 1-based seq) for any bucket granularity,
     including bucket == order value (every row its own bucket) and one
     global bucket, with ties on the order column broken by the
-    tiebreak and negative values in the mix."""
+    tiebreak, negative values in the mix, and a NULL key group — the
+    plain window numbers null-key rows as their own partition, so the
+    chunked twin's key join must be null-safe (ADVICE r10 #1)."""
     import random
 
     from pyspark.sql import Window as W
@@ -1814,7 +1816,7 @@ def test_fuzz_running_sum_chunked_equals_plain_window(seed, spark):
     rng = random.Random(6600 + seed)
     rows = []
     rid = 0
-    for k in range(5):
+    for k in [None, 1, 2, 3, 4]:
         for _ in range(rng.randrange(0, 40)):
             # ~10% null order values: bucket must be null too, and the
             # rows must survive with nulls-first numbering (review r10)
