@@ -374,7 +374,16 @@ def q99_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort), and the final per-group pick is an aggregate over the same
     partitioning — no second exchange. The sort-per-group is the
     inherent cost of an exact quantile; for approximate serving use
-    q57's KLL sketch instead."""
+    q57's KLL sketch instead.
+
+    Kept-rank bound (ROUND10_NOTES §9): each of the 3 return-flag
+    groups sorts its full fact share in one task. The histogram
+    rewrite was measured and rejected — extendedprice is ~97% distinct
+    locally, so the distinct-value relation is ~the raw relation. When
+    group count is small AND values are near-distinct at scale, switch
+    to `weighted_median_bucketed` (the exact bucket-carry selection in
+    this module), which never holds more than one value bucket of one
+    group per task."""
     from pyspark.sql import Window as W
 
     li = t(spark, sf_dir, "lineitem")
@@ -1408,7 +1417,16 @@ def q196_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one fact-volume combinable aggregate to part grain
     (broadcast part dim), a type-partitioned rank window, and a
     per-type rollup — the q175 Pareto shape with a rank-weighted sum
-    instead of a cumulative cut."""
+    instead of a cumulative cut.
+
+    Kept-rank bound (ROUND10_NOTES §9 / VERDICT r10 #5): the window's
+    input is the PART-GRAIN aggregate, so a per-type sort task holds
+    ≤ #parts-of-that-type DIMENSION rows (|part|/150 under TPC-H type
+    uniformity), never fact rows — the histogram rewrite (q91/q209)
+    buys nothing here because part revenues are near-distinct. Gated by
+    tests/test_plan_quality.py::test_q196_rank_window_over_part_grain.
+    If part cardinality ever outgrows a task, the value_histogram
+    scaffold (operators/common.py) is the drop-in escape hatch."""
     from pyspark.sql.window import Window
 
     li = t(spark, sf_dir, "lineitem")

@@ -588,7 +588,16 @@ def q175_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part is a broadcast dim), then a type-partitioned running sum
     and a ≤3-cell-per-type rollup. The class boundary reads the
     PRE-row cumulative (cum − own), so a part straddling 80% is A —
-    deterministic under the (cents DESC, partkey) total order."""
+    deterministic under the (cents DESC, partkey) total order.
+
+    Kept-rank bound (ROUND10_NOTES §9 / VERDICT r10 #5): both windows
+    share one sort whose input is the PART-GRAIN aggregate — a per-type
+    task holds ≤ #parts-of-that-type DIMENSION rows (|part|/150 under
+    TPC-H type uniformity), never fact rows. An ABC cut NEEDS the
+    descending total order (the boundary is positional), so the
+    histogram rewrite does not apply; the bound is the dimension size.
+    Gated by
+    tests/test_plan_quality.py::test_q175_rank_window_over_part_grain."""
     from pyspark.sql.window import Window
 
     li = t(spark, sf_dir, "lineitem")

@@ -571,6 +571,42 @@ def test_q91_trimmed_mean_histogram_shape(spark):
     assert re.search(r"hashpartitioning\([^)]*event_type[^)]*\bv\b", plan), plan[:500]
 
 
+def test_q196_rank_window_over_part_grain(spark):
+    """q196's kept-rank bound (VERDICT r10 #5): the per-type rank
+    window is safe ONLY because its input is the part-grain aggregate
+    (a per-type sort task holds dimension rows, never fact rows). Gate
+    the evidence: exactly 2 shuffles — the combinable fact aggregate
+    keyed (p_type, l_partkey), then the window exchange on p_type over
+    the ≤|part|-row relation — with partial aggregation present. If a
+    refactor windows raw fact rows, the (p_type, l_partkey) exchange
+    disappears and this fails."""
+    from pinot_pulsar_plugin_spark.operators import aggregates2
+
+    df = aggregates2.q196_revenue_gini(spark, SF)
+    assert n_shuffles(df) == 2
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan
+    assert re.search(r"hashpartitioning\([^)]*p_type[^)]*l_partkey", plan)
+    assert re.search(r"hashpartitioning\(p_type#\d+, \d+\)", plan)
+
+
+def test_q175_rank_window_over_part_grain(spark):
+    """q175's kept-rank bound (VERDICT r10 #5): same contract as q196
+    — the Pareto running sum's input is the part-grain aggregate, and
+    its two windows (cumulative + type total) share ONE sort. Gate: 2
+    shuffles, part-grain aggregate exchange, p_type window exchange,
+    partial aggregation, and a single Sort node."""
+    from pinot_pulsar_plugin_spark.operators import curation
+
+    df = curation.q175_abc_classification(spark, SF)
+    assert n_shuffles(df) == 2
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan
+    assert re.search(r"hashpartitioning\([^)]*p_type[^)]*l_partkey", plan)
+    assert re.search(r"hashpartitioning\(p_type#\d+, \d+\)", plan)
+    assert len(re.findall(r"\n\s*(?:\+|:)- Sort ", plan)) == 1
+
+
 def test_q89_markov_heavy_exchange_is_user_keyed(spark):
     """q89's scale contract: the only event-volume-sized exchange is
     the per-user sequence shuffle; the transition-count and

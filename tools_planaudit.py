@@ -78,8 +78,19 @@ def audit_plan(plan: str) -> dict:
     node_ids = re.findall(r"\(\d+\) (\w+)", plan)
     row = {
         "exchanges": node_ids.count("Exchange"),
+        # ALL column names inside each hashpartitioning's argument list
+        # (up to its first nested close-paren — enough for plain column
+        # refs, which is what shuffle keys are), as one sorted set. The
+        # old first-column-only capture wobbled between regens on
+        # multi-distinct Expand plans, where Catalyst's distinct-group
+        # ordering is not stable across JVMs (q119: o_orderkey vs
+        # o_totalprice leading the same partitioning).
         "shuffle_keys": sorted(
-            {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
+            {
+                col
+                for m in re.finditer(r"hashpartitioning\(([^)]*)", plan)
+                for col in re.findall(r"(\w+)#\d+", m.group(1))
+            }
         ),
         "range_partitioning": "rangepartitioning" in plan,
         "broadcast_hash_joins": node_ids.count("BroadcastHashJoin"),
