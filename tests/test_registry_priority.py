@@ -72,18 +72,28 @@ def _raw_green_rounds() -> dict[str, int]:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
+    mismatch: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("hash_match") is False:
+                    mismatch[name] = max(mismatch.get(name, 0), rnd)
                     continue
                 if row.get("hash_match") or (
                     row.get("spark_rows") is not None
                     and row.get("err") in (None, "no_oracle")
                 ):
                     latest[name] = max(latest.get(name, 0), rnd)
+    # ADVICE r9 #4 mirror: a name whose LATEST row is a mismatch resets
+    # to round 0 (fronts the padding) — without this the staleness-order
+    # assertions would sort by the unreset round and diverge from the
+    # registry's actual window the first time the driver records a
+    # mismatch.
+    for name, bad_rnd in mismatch.items():
+        if name in latest and bad_rnd > latest[name]:
+            latest[name] = 0
     return latest
 
 
