@@ -147,6 +147,9 @@ HEADLINE = [
     "q201_overlapping_orders",
     "t84_term_burstiness",
     "s67_ivf_efficiency",
+    # r11: the third r10 histogram rewrite — q91/q106 were already
+    # headline; a replaced implementation should be driver-timed too
+    "q209_engagement_gini",
 ]
 
 # Most recent prior-round bench result (driver artifact), used for
