@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Mechanical implementation-hash ledger for the registry.
+
+VERDICT r10 #1 introduced `_IMPL_REPLACED` (registry.py): replacing a
+driver-green entry's implementation must reset its staleness so the
+driver re-proves the NEW code. The dict is hand-maintained, which
+leaves a hole: forget the row and the correctness record silently
+claims coverage of code that no longer exists. This tool closes the
+hole mechanically.
+
+For every registry entry it computes a content hash over:
+
+- the entry function's AST with docstrings stripped (so doc-only and
+  comment-only edits never trip the ledger),
+- every same-package plain function transitively reachable from it by
+  name (helpers like `value_histogram` or `equidepth_bins_hist`
+  carry real semantics; a rewrite there is a rewrite of the entry),
+- module-level literal constants the closure references (q197's SQL
+  text, _Q119_COLS, bin counts — behavior changes that touch no
+  function body),
+- the entry's DuckDB oracle SQL (an oracle edit equally invalidates a
+  prior green row).
+
+Out of scope, documented: class-based behavior (the pulsarlike source
+classes are covered by their own suites) and cross-package imports.
+
+Usage:
+  python tools_implhash.py            # check against IMPL_HASHES.json
+  python tools_implhash.py --update   # rewrite IMPL_HASHES.json
+
+--update REFUSES to bless a changed hash for an entry that has a
+driver-green row unless registry._IMPL_REPLACED[name] >= the CURRENT
+round (max recorded CORRECTNESS round + 1) — i.e. the ledger row that
+makes the driver re-score it must exist BEFORE the hash can move.
+Entries never driver-scored update freely (they are backlog; the
+window fronts them anyway). tests/test_impl_hash_ledger.py runs the
+check mode in the suite.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+import textwrap
+import types
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+LEDGER = os.path.join(HERE, "IMPL_HASHES.json")
+_PKG = "pinot_pulsar_plugin_spark"
+
+_LITERALS = (str, int, float, bool, bytes, tuple, list, dict, frozenset, set)
+
+
+class _DocStripper(ast.NodeTransformer):
+    def _strip(self, node):
+        self.generic_visit(node)
+        if (
+            node.body
+            and isinstance(node.body[0], ast.Expr)
+            and isinstance(node.body[0].value, ast.Constant)
+            and isinstance(node.body[0].value.value, str)
+        ):
+            node.body = node.body[1:] or [ast.Pass()]
+        return node
+
+    visit_FunctionDef = _strip
+    visit_AsyncFunctionDef = _strip
+    visit_ClassDef = _strip
+    visit_Module = _strip
+
+
+def _normalized_dump(fn) -> str:
+    src = textwrap.dedent(inspect.getsource(fn))
+    tree = ast.parse(src)
+    tree = _DocStripper().visit(tree)
+    return ast.dump(tree, include_attributes=False)
+
+
+def _names_in(fn) -> set[str]:
+    src = textwrap.dedent(inspect.getsource(fn))
+    tree = ast.parse(src)
+    out = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            out.add(node.id)
+    return out
+
+
+def _closure(fn) -> tuple[dict[str, str], dict[str, str]]:
+    """(qualname → normalized function dump, qualname → literal repr)
+    for the same-package transitive closure reachable from fn."""
+    funcs: dict[str, str] = {}
+    consts: dict[str, str] = {}
+    seen: set[types.FunctionType] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        if f in seen:
+            continue
+        seen.add(f)
+        qual = f"{f.__module__}.{f.__qualname__}"
+        funcs[qual] = _normalized_dump(f)
+        for name in sorted(_names_in(f)):
+            obj = f.__globals__.get(name)
+            if isinstance(obj, types.FunctionType) and obj.__module__.startswith(
+                _PKG
+            ):
+                stack.append(obj)
+            elif isinstance(obj, _LITERALS):
+                if isinstance(obj, (set, frozenset)):
+                    # set repr is hash-order dependent across processes
+                    rep = repr(sorted(repr(x) for x in obj))
+                else:
+                    rep = repr(obj)
+                consts[f"{f.__module__}.{name}"] = rep
+    return funcs, consts
+
+
+def compute_hashes() -> dict[str, str]:
+    from pinot_pulsar_plugin_spark.registry import all_oracle_sql, all_queries
+
+    oracle = all_oracle_sql()
+    out = {}
+    for name, fn in all_queries().items():
+        funcs, consts = _closure(fn)
+        h = hashlib.sha256()
+        for qual in sorted(funcs):
+            h.update(qual.encode())
+            h.update(funcs[qual].encode())
+        for qual in sorted(consts):
+            h.update(qual.encode())
+            h.update(consts[qual].encode())
+        h.update(oracle.get(name, "").encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def blocked_updates(
+    changed: list[str],
+    green: dict[str, int],
+    impl_replaced: dict[str, int],
+    current_round: int,
+) -> list[str]:
+    """Names whose hash change may NOT be blessed: driver-green entries
+    without an _IMPL_REPLACED row current enough (>= current_round) for
+    the driver to re-score the new code. Never-scored entries update
+    freely — they are backlog and the window fronts them anyway."""
+    return [
+        n
+        for n in changed
+        if n in green and impl_replaced.get(n, 0) < current_round
+    ]
+
+
+def _current_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def main() -> int:
+    update = "--update" in sys.argv
+    fresh = compute_hashes()
+    try:
+        with open(LEDGER) as fh:
+            recorded = json.load(fh)
+    except FileNotFoundError:
+        recorded = {}
+
+    changed = sorted(
+        n for n in fresh if n in recorded and recorded[n] != fresh[n]
+    )
+    added = sorted(n for n in fresh if n not in recorded)
+    removed = sorted(n for n in recorded if n not in fresh)
+
+    if not update:
+        if changed or added or removed:
+            print(
+                f"IMPL_HASHES.json stale — changed: {changed}, "
+                f"added: {added}, removed: {removed}. Run "
+                f"`python tools_implhash.py --update` (it enforces the "
+                f"_IMPL_REPLACED contract for driver-green entries)."
+            )
+            return 1
+        print(f"IMPL_HASHES.json current: {len(fresh)} entries")
+        return 0
+
+    from pinot_pulsar_plugin_spark.registry import (
+        _IMPL_REPLACED,
+        driver_green_rounds,
+    )
+
+    # raw green scan, no resets: "has this entry EVER been driver-
+    # recorded" is the question; the resets are the consequence.
+    green = driver_green_rounds(impl_replaced={})
+    cur = _current_round()
+    blocked = blocked_updates(changed, green, _IMPL_REPLACED, cur)
+    if blocked:
+        print(
+            f"REFUSED: {blocked} changed implementation but have driver-"
+            f"green rows and no current _IMPL_REPLACED entry (need round "
+            f">= {cur} in registry._IMPL_REPLACED so the driver re-scores "
+            f"the new code). Add the ledger rows first."
+        )
+        return 1
+    with open(LEDGER, "w") as fh:
+        json.dump(fresh, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        f"IMPL_HASHES.json written: {len(fresh)} entries "
+        f"(changed: {changed or 'none'}, added: {len(added)}, "
+        f"removed: {removed or 'none'})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
