@@ -27,6 +27,9 @@ def test_impl_hashes_current():
     before hashing)."""
     with open(os.path.join(HERE, "IMPL_HASHES.json")) as fh:
         recorded = json.load(fh)
+    assert recorded.pop(T._SCHEME_KEY, None) == T._SCHEME, (
+        "hashing scheme drifted — rerun `python tools_implhash.py --update`"
+    )
     fresh = T.compute_hashes()
     changed = sorted(n for n in fresh if recorded.get(n) != fresh[n])
     missing = sorted(n for n in recorded if n not in fresh)
@@ -74,6 +77,60 @@ def test_docstring_edit_does_not_trip():
     assert dump("def f():\n    return 1\n") != dump("def f():\n    return 2\n")
     # a docstring-only body stays a valid (empty) function
     assert "Pass" in dump('def f():\n    """only doc"""\n')
+
+
+def test_infra_excluded_from_entry_closures():
+    """Review r11 #1: shared plumbing (catalog/session/caching, the
+    `t` loader, the registration decorator) must NOT enter per-entry
+    hashes — one infra edit would otherwise flip all 311 ledger rows
+    and block every driver-green entry at once. It hashes under the
+    reserved __infra__ key instead, so drift there stays visible as
+    ONE row that blocked_updates never blocks (it is never
+    driver-green)."""
+    from pinot_pulsar_plugin_spark.registry import all_queries
+
+    funcs, consts = T._closure(all_queries()["q01_pricing_summary"])
+    infra_leak = [
+        n
+        for n in list(funcs) + list(consts)
+        if ".catalog." in n
+        or ".caching." in n
+        or ".session." in n
+        or n.endswith(".t")
+        or "make_registry" in n
+    ]
+    assert infra_leak == [], infra_leak
+    hashes = T.compute_hashes()
+    assert T._INFRA_KEY in hashes
+    assert T.blocked_updates([T._INFRA_KEY], {"q01_pricing_summary": 1}, {}, 99) == []
+
+
+def test_local_shadowing_does_not_pull_globals(tmp_path):
+    """Review r11 #2: a parameter or local that shares a name with a
+    module global must not pull that unrelated global into the hash —
+    _names_in filters fn's own co_varnames before resolution. Driven
+    through a REAL module on disk so inspect.getsource works."""
+    import importlib.util
+
+    mod_file = tmp_path / "shadow_probe.py"
+    mod_file.write_text(
+        "GLOBAL_CONST = 'unrelated'\n"
+        "def helper():\n    return 1\n"
+        "def probe(helper, other):\n"
+        "    GLOBAL_CONST = other\n"
+        "    return helper + GLOBAL_CONST\n"
+        "def probe_uses_global(x):\n"
+        "    return helper() + x, GLOBAL_CONST\n"
+    )
+    spec = importlib.util.spec_from_file_location("shadow_probe", mod_file)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # probe shadows both names -> neither resolves
+    assert "helper" not in T._names_in(mod.probe)
+    assert "GLOBAL_CONST" not in T._names_in(mod.probe)
+    # probe_uses_global genuinely references them -> both resolve
+    assert "helper" in T._names_in(mod.probe_uses_global)
+    assert "GLOBAL_CONST" in T._names_in(mod.probe_uses_global)
 
 
 def test_closure_reaches_helpers_and_constants():

@@ -77,51 +77,141 @@ class _DocStripper(ast.NodeTransformer):
     visit_Module = _strip
 
 
+# Shared plumbing that carries NO query semantics: table loading,
+# session config, persist plumbing, and the registration decorator.
+# Review r11 #1: with these inside every entry's closure, one infra
+# edit flips all 311 hashes at once and --update refuses every
+# driver-green entry — an unusable contract. They hash under the
+# reserved "__infra__" ledger key instead (drift stays visible, never
+# blocks; infra result-correctness is the anchor queries' and the
+# suites' job). Numeric helpers (functions/exact.py, value_histogram)
+# stay per-entry: a change there legitimately invalidates greens.
+_INFRA_MODULES = (
+    f"{_PKG}.catalog",
+    f"{_PKG}.session",
+    f"{_PKG}.caching",
+)
+_INFRA_QUALNAMES = {
+    (f"{_PKG}.operators.common", "t"),
+    (f"{_PKG}.operators.common", "make_registry"),
+}
+_INFRA_KEY = "__infra__"
+
+
+def _is_infra(f: types.FunctionType) -> bool:
+    if any(
+        f.__module__ == m or f.__module__.startswith(m + ".")
+        for m in _INFRA_MODULES
+    ):
+        return True
+    top = f.__qualname__.split(".")[0]
+    return (f.__module__, top) in _INFRA_QUALNAMES
+
+
+# memoized per function object (review r11 #4): shared helpers are
+# reached from hundreds of entries; parse/dump each once.
+_DUMP_CACHE: dict[types.FunctionType, str] = {}
+_NAMES_CACHE: dict[types.FunctionType, list[str]] = {}
+
+
 def _normalized_dump(fn) -> str:
-    src = textwrap.dedent(inspect.getsource(fn))
-    tree = ast.parse(src)
-    tree = _DocStripper().visit(tree)
-    return ast.dump(tree, include_attributes=False)
+    if fn not in _DUMP_CACHE:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = _DocStripper().visit(ast.parse(src))
+        _DUMP_CACHE[fn] = ast.dump(tree, include_attributes=False)
+    return _DUMP_CACHE[fn]
 
 
-def _names_in(fn) -> set[str]:
-    src = textwrap.dedent(inspect.getsource(fn))
-    tree = ast.parse(src)
-    out = set()
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Name):
-            out.add(node.id)
-    return out
+def _names_in(fn) -> list[str]:
+    """Module-scope candidate names referenced by fn: every ast.Name
+    except fn's own parameters/locals (review r11 #2 — a local that
+    shadows a module global must not pull the unrelated global into
+    the hash). Locals of NESTED defs aren't excluded, which can only
+    over-include, never miss."""
+    if fn not in _NAMES_CACHE:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        local = set(fn.__code__.co_varnames)
+        _NAMES_CACHE[fn] = sorted(
+            {
+                node.id
+                for node in ast.walk(tree)
+                if isinstance(node, ast.Name) and node.id not in local
+            }
+        )
+    return _NAMES_CACHE[fn]
+
+
+def _const_repr(obj) -> str:
+    if isinstance(obj, (set, frozenset)):
+        # set repr is hash-order dependent across processes
+        return repr(sorted(repr(x) for x in obj))
+    return repr(obj)
 
 
 def _closure(fn) -> tuple[dict[str, str], dict[str, str]]:
     """(qualname → normalized function dump, qualname → literal repr)
-    for the same-package transitive closure reachable from fn."""
+    for the same-package transitive closure reachable from fn,
+    EXCLUDING infra plumbing (hashed once under __infra__ instead)."""
     funcs: dict[str, str] = {}
     consts: dict[str, str] = {}
     seen: set[types.FunctionType] = set()
     stack = [fn]
     while stack:
         f = stack.pop()
-        if f in seen:
+        if f in seen or _is_infra(f):
             continue
         seen.add(f)
-        qual = f"{f.__module__}.{f.__qualname__}"
-        funcs[qual] = _normalized_dump(f)
-        for name in sorted(_names_in(f)):
+        funcs[f"{f.__module__}.{f.__qualname__}"] = _normalized_dump(f)
+        for name in _names_in(f):
             obj = f.__globals__.get(name)
             if isinstance(obj, types.FunctionType) and obj.__module__.startswith(
                 _PKG
             ):
                 stack.append(obj)
             elif isinstance(obj, _LITERALS):
-                if isinstance(obj, (set, frozenset)):
-                    # set repr is hash-order dependent across processes
-                    rep = repr(sorted(repr(x) for x in obj))
-                else:
-                    rep = repr(obj)
-                consts[f"{f.__module__}.{name}"] = rep
+                consts[f"{f.__module__}.{name}"] = _const_repr(obj)
     return funcs, consts
+
+
+def _infra_hash() -> str:
+    """One hash over the excluded plumbing: the named common helpers
+    plus every module-level function and literal constant of the infra
+    modules, so a drift there still surfaces as ONE ledger row."""
+    import importlib
+
+    funcs: dict[str, str] = {}
+    consts: dict[str, str] = {}
+    for modname in _INFRA_MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except ModuleNotFoundError:
+            continue
+        for attr in sorted(vars(mod)):
+            obj = getattr(mod, attr)
+            if attr.startswith("__"):
+                continue
+            if (
+                isinstance(obj, types.FunctionType)
+                and obj.__module__ == modname
+            ):
+                funcs[f"{modname}.{attr}"] = _normalized_dump(obj)
+            elif isinstance(obj, _LITERALS):
+                consts[f"{modname}.{attr}"] = _const_repr(obj)
+    from pinot_pulsar_plugin_spark.operators import common as _common
+
+    for modname, attr in sorted(_INFRA_QUALNAMES):
+        obj = getattr(_common, attr, None)
+        if isinstance(obj, types.FunctionType):
+            funcs[f"{modname}.{attr}"] = _normalized_dump(obj)
+    h = hashlib.sha256()
+    for qual in sorted(funcs):
+        h.update(qual.encode())
+        h.update(funcs[qual].encode())
+    for qual in sorted(consts):
+        h.update(qual.encode())
+        h.update(consts[qual].encode())
+    return h.hexdigest()
 
 
 def compute_hashes() -> dict[str, str]:
@@ -140,6 +230,7 @@ def compute_hashes() -> dict[str, str]:
             h.update(consts[qual].encode())
         h.update(oracle.get(name, "").encode())
         out[name] = h.hexdigest()
+    out[_INFRA_KEY] = _infra_hash()
     return out
 
 
@@ -169,14 +260,26 @@ def _current_round() -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
+# Bump when the HASHING SCHEME changes (what goes into a hash), never
+# for implementation changes. A scheme mismatch makes every recorded
+# hash incomparable, so --update regenerates without the refusal —
+# auditable in the same diff that changed this file; within one scheme
+# the refusal always applies. v2: infra plumbing moved to __infra__,
+# locals no longer resolve against module globals.
+_SCHEME = 2
+_SCHEME_KEY = "__scheme__"
+
+
 def main() -> int:
     update = "--update" in sys.argv
     fresh = compute_hashes()
+    fresh[_SCHEME_KEY] = _SCHEME
     try:
         with open(LEDGER) as fh:
             recorded = json.load(fh)
     except FileNotFoundError:
         recorded = {}
+    scheme_bump = recorded.get(_SCHEME_KEY) != _SCHEME
 
     changed = sorted(
         n for n in fresh if n in recorded and recorded[n] != fresh[n]
@@ -205,7 +308,9 @@ def main() -> int:
     # recorded" is the question; the resets are the consequence.
     green = driver_green_rounds(impl_replaced={})
     cur = _current_round()
-    blocked = blocked_updates(changed, green, _IMPL_REPLACED, cur)
+    blocked = [] if scheme_bump else blocked_updates(
+        changed, green, _IMPL_REPLACED, cur
+    )
     if blocked:
         print(
             f"REFUSED: {blocked} changed implementation but have driver-"

@@ -74,22 +74,45 @@ _SUSPECT_TRIAGE = {
 }
 
 
+def _hashpartitioning_args(plan: str) -> list[str]:
+    """Full argument text of every hashpartitioning(...) in the plan,
+    scanned to the MATCHING close paren (review r11 #3: a non-greedy
+    or first-paren regex drops key columns that follow an
+    expression-wrapped key)."""
+    out = []
+    marker = "hashpartitioning("
+    i = plan.find(marker)
+    while i != -1:
+        j = i + len(marker)
+        depth = 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        out.append(plan[i + len(marker) : j - 1])
+        i = plan.find(marker, j)
+    return out
+
+
 def audit_plan(plan: str) -> dict:
     node_ids = re.findall(r"\(\d+\) (\w+)", plan)
     row = {
         "exchanges": node_ids.count("Exchange"),
         # ALL column names inside each hashpartitioning's argument list
-        # (up to its first nested close-paren — enough for plain column
-        # refs, which is what shuffle keys are), as one sorted set. The
-        # old first-column-only capture wobbled between regens on
-        # multi-distinct Expand plans, where Catalyst's distinct-group
-        # ordering is not stable across JVMs (q119: o_orderkey vs
-        # o_totalprice leading the same partitioning).
+        # (balanced-paren scan, so keys wrapped in expressions — casts,
+        # knownfloatingpointnormalized — don't truncate the capture),
+        # as one sorted set. The old first-column-only capture wobbled
+        # between regens on multi-distinct Expand plans, where
+        # Catalyst's distinct-group ordering is not stable across JVMs
+        # (q119: o_orderkey vs o_totalprice leading the same
+        # partitioning).
         "shuffle_keys": sorted(
             {
                 col
-                for m in re.finditer(r"hashpartitioning\(([^)]*)", plan)
-                for col in re.findall(r"(\w+)#\d+", m.group(1))
+                for args in _hashpartitioning_args(plan)
+                for col in re.findall(r"(\w+)#\d+", args)
             }
         ),
         "range_partitioning": "rangepartitioning" in plan,
