@@ -1449,9 +1449,19 @@ def q196_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("p_type").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("cents").alias("total_cents"),
+        # DECIMAL(38,0), not BIGINT (r11 scale fix): the all-long form
+        # hit ANSI ARITHMETIC_OVERFLOW on the 100x-replicated corpus —
+        # the (2*sum(i*cents) - (n+1)*sum(cents)) * 1000 bracket
+        # reaches ~2.0e19 > int64; at true 100 TB sum(i*cents) alone
+        # exceeds int64. Decimal sums are exact to 38 digits (~1e25 at
+        # SF100k — wide margin) and still partially aggregate
+        # map-side; the DuckDB oracle was already exact via its
+        # int128 SUM, so values are unchanged wherever the long form
+        # didn't overflow (pinned by the randomized fuzz).
         F.expr(
-            "(2 * sum(i * cents) - (count(1) + 1) * sum(cents)) * 1000 "
-            "div (count(1) * sum(cents))"
+            "CAST((2 * sum(CAST(i AS DECIMAL(38,0)) * cents)"
+            " - (count(1) + 1) * CAST(sum(cents) AS DECIMAL(38,0))) * 1000"
+            " div (count(1) * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_milli"),
     )
 

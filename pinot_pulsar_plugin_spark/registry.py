@@ -180,6 +180,10 @@ _IMPL_REPLACED = {
     "q91_trimmed_mean": 10,
     "q106_equidepth_bins": 10,
     "q209_engagement_gini": 10,
+    # r11 overflow fix (ROUND11_NOTES §11): gini_milli arithmetic
+    # lifted from BIGINT to exact DECIMAL(38,0) — the long form hit
+    # ANSI overflow on the 100x-replicated corpus.
+    "q196_revenue_gini": 11,
 }
 
 

@@ -2079,3 +2079,87 @@ def test_fuzz_gini_histogram_equals_rank_form(seed, spark, tmp_path):
       .write.parquet(str(tmp_path / "events.parquet"))
     got = {tuple(r) for r in q209_engagement_gini(spark, str(tmp_path)).collect()}
     assert got == exp, (seed, got ^ exp)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_q196_decimal_gini_equals_long_form(seed, spark):
+    """The r11 overflow fix (gini_milli arithmetic lifted to
+    DECIMAL(38,0)) must be value-identical to the original all-BIGINT
+    expression wherever the long form doesn't overflow — same rounded
+    milli for every group, including single-part groups (gini 0) and
+    all-equal revenues."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(9600 + seed)
+    rows = []
+    for g in range(5):
+        n = rng.choice([1, 2, 3, 17, rng.randrange(1, 60)])
+        equal = rng.random() < 0.3
+        base = rng.randrange(1, 10**9)
+        for k in range(n):
+            cents = base if equal else rng.randrange(1, 10**9)
+            rows.append((f"t{g}", k, cents))
+    df = spark.createDataFrame(rows, "p_type string, l_partkey long, cents long")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    ranked = df.select(
+        "p_type",
+        "cents",
+        F.row_number()
+        .over(w.partitionBy("p_type").orderBy("cents", "l_partkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    long_form = F.expr(
+        "(2 * sum(i * cents) - (count(1) + 1) * sum(cents)) * 1000 "
+        "div (count(1) * sum(cents))"
+    ).alias("g")
+    dec_form = F.expr(
+        "CAST((2 * sum(CAST(i AS DECIMAL(38,0)) * cents)"
+        " - (count(1) + 1) * CAST(sum(cents) AS DECIMAL(38,0))) * 1000"
+        " div (count(1) * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"
+    ).alias("g")
+    a = {tuple(r) for r in ranked.groupBy("p_type").agg(long_form).collect()}
+    b = {tuple(r) for r in ranked.groupBy("p_type").agg(dec_form).collect()}
+    assert a == b, (seed, a ^ b)
+
+
+def test_q196_decimal_gini_survives_long_overflow(spark):
+    """The regime that motivated the fix, pinned: cents magnitudes
+    where (2*sum(i*cents) - (n+1)*sum(cents)) * 1000 exceeds int64
+    (measured ~2.0e19 on the 100x corpus) make the BIGINT form raise
+    ANSI ARITHMETIC_OVERFLOW while the DECIMAL form returns the exact
+    milli (verified against Python's arbitrary-precision ints)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    n, scale = 40, 10**15
+    rows = [("t", k, (k + 1) * scale) for k in range(n)]
+    df = spark.createDataFrame(rows, "p_type string, l_partkey long, cents long")
+    ranked = df.select(
+        "p_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("p_type").orderBy("cents", "l_partkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    dec_form = F.expr(
+        "CAST((2 * sum(CAST(i AS DECIMAL(38,0)) * cents)"
+        " - (count(1) + 1) * CAST(sum(cents) AS DECIMAL(38,0))) * 1000"
+        " div (count(1) * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"
+    ).alias("g")
+    got = ranked.groupBy("p_type").agg(dec_form).collect()[0].g
+    cents = [(k + 1) * scale for k in range(n)]
+    sic = sum((k + 1) * c for k, c in enumerate(sorted(cents)))
+    sc = sum(cents)
+    exp = (2 * sic - (n + 1) * sc) * 1000 // (n * sc)
+    assert (2 * sic - (n + 1) * sc) * 1000 > 2**63 - 1  # long form overflows
+    assert got == exp
+    long_form = F.expr(
+        "(2 * sum(i * cents) - (count(1) + 1) * sum(cents)) * 1000 "
+        "div (count(1) * sum(cents))"
+    ).alias("g")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        ranked.groupBy("p_type").agg(long_form).collect()

@@ -81,6 +81,11 @@ QUERIES = [
     "q91_trimmed_mean",
     "q106_equidepth_bins",
     "q209_engagement_gini",
+    # r11 kept-rank windows — their docstrings claim the per-type sort
+    # input is the part-grain aggregate (dimension-bounded), so fact
+    # growth should cost only the combinable aggregate stage
+    "q196_revenue_gini",
+    "q175_abc_classification",
 ]
 
 
