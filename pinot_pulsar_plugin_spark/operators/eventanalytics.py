@@ -167,8 +167,8 @@ _N_CENTERS = 10
     f"""
     WITH ev AS (
       SELECT event_id,
-             (user_id * 2654435761) % 1000 AS x,
-             (event_id * 2246822519) % 1000 AS y
+             ((user_id % 1000) * 2654435761) % 1000 AS x,
+             ((event_id % 1000) * 2246822519) % 1000 AS y
       FROM events),
     c AS (
       SELECT i AS center_id, (i * 97) % 1000 AS cx, (i * 131) % 1000 AS cy
@@ -188,10 +188,14 @@ def q86_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS; the point side maps to its one cell and equi-joins —
     the points never shuffle, never meet centers outside their cell,
     and the exact integer-distance refine runs on candidates only."""
+    # key % 1000 BEFORE the Knuth multiply (r11 overflow rule): the
+    # product ring-reduces — ((k % B)·M) % B ≡ (k·M) % B — so values
+    # are identical, but the intermediate stays ≤ 999·M instead of
+    # overflowing int64 once ids pass ~3.5e9 (ANSI would raise).
     ev = t(spark, sf_dir, "events").select(
         "event_id",
-        F.pmod(F.col("user_id") * 2654435761, F.lit(1000)).alias("x"),
-        F.pmod(F.col("event_id") * 2246822519, F.lit(1000)).alias("y"),
+        F.pmod(F.pmod(F.col("user_id"), F.lit(1000)) * 2654435761, F.lit(1000)).alias("x"),
+        F.pmod(F.pmod(F.col("event_id"), F.lit(1000)) * 2246822519, F.lit(1000)).alias("y"),
     )
     ev = ev.withColumn("cellx", (F.col("x") / _GRID).cast("long")).withColumn(
         "celly", (F.col("y") / _GRID).cast("long")
@@ -437,9 +441,13 @@ def q100_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-reduced global min broadcast back (q88's
     one-row crossJoin), then ONE combinable aggregate keyed on
     event_type carrying five integers — the same exchange budget as a
-    count. Overflow headroom: x ≤ 1e4 hours, y ≤ 1e8 → Σxy terms ≤
-    1e12, int64-safe beyond 1e6-row groups per the q81 analysis; the
-    n·Σxy products are computed in double deliberately."""
+    count. Overflow (the q196 DECIMAL rule, r11): per-row x·x / x·y
+    terms are int64-tiny (≤ ~1e13), but their SUMS grow with group
+    size — at ~2e11 rows/type Σx² ≈ 6e20 > int64 — so the two product
+    sums accumulate in exact DECIMAL(38,0) (still map-side-combinable);
+    the n·Σxy products are computed in double deliberately, and
+    DECIMAL→double is the same correctly-rounded conversion as the
+    oracle's int128→double."""
     e = t(spark, sf_dir, "events")
     mn = e.agg(F.min("ts").alias("t0"))
     xy = e.crossJoin(F.broadcast(mn)).select(
@@ -451,8 +459,8 @@ def q100_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     slope = (
@@ -1691,7 +1699,7 @@ def q167_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q169 = """
     WITH assign AS (
       SELECT user_id,
-             CASE WHEN (user_id * 2654435761) % 100 < 50
+             CASE WHEN ((user_id % 100) * 2654435761) % 100 < 50
                   THEN 'control' ELSE 'treatment' END AS variant,
              CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
                                       THEN 1 ELSE 0 END) >= 13
@@ -1737,7 +1745,7 @@ def q169_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     assign = e.groupBy(
         "user_id",
-        F.when(F.expr("(user_id * 2654435761) % 100 < 50"), "control")
+        F.when(F.expr("((user_id % 100) * 2654435761) % 100 < 50"), "control")
         .otherwise("treatment")
         .alias("variant"),
     ).agg(
@@ -1806,8 +1814,8 @@ _Q189_GRID = 50
 
 _Q189 = f"""
     WITH pts AS (
-      SELECT (user_id * 2654435761) % 1000 AS x,
-             (event_id * 2246822519) % 1000 AS y
+      SELECT ((user_id % 1000) * 2654435761) % 1000 AS x,
+             ((event_id % 1000) * 2246822519) % 1000 AS y
       FROM events),
     cells AS (
       SELECT x // {_Q189_GRID} AS cx, y // {_Q189_GRID} AS cy,
@@ -1843,9 +1851,11 @@ def q189_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     regroups — cost is 9·#cells rows no matter how many events landed
     in them. No window, no self-join, no point ever compared to
     another point."""
+    # key % 1000 before the Knuth multiply — identical values, no
+    # int64 overflow at 1e12-scale ids (the q86 r11 rule).
     ev = t(spark, sf_dir, "events").select(
-        F.pmod(F.col("user_id") * 2654435761, F.lit(1000)).alias("x"),
-        F.pmod(F.col("event_id") * 2246822519, F.lit(1000)).alias("y"),
+        F.pmod(F.pmod(F.col("user_id"), F.lit(1000)) * 2654435761, F.lit(1000)).alias("x"),
+        F.pmod(F.pmod(F.col("event_id"), F.lit(1000)) * 2246822519, F.lit(1000)).alias("y"),
     )
     cells = ev.groupBy(
         F.expr(f"x div {_Q189_GRID}").alias("cx"),
@@ -2290,18 +2300,38 @@ def q209_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     values (bounded: activity counts repeat heavily) instead of every
     user — at 100 TB that is thousands of rows, not billions.
     Row-identical to the rank form (randomized differential) and the
-    DuckDB oracle at sf0.01/sf0.1."""
+    DuckDB oracle at sf0.01/sf0.1.
+
+    Overflow (the q196 DECIMAL rule, r11): at 1e10+ users per type the
+    all-BIGINT bracket dies — cnt·(2·cum−cnt+1) alone reaches ~4e20
+    and (Σcnt+1)·Σact·cnt ~1e22 > int64 — so the run contributions and
+    the gini bracket run in exact DECIMAL(38,0) (headroom ~1e38; still
+    map-side-combinable). The run term stores the DOUBLED contribution
+    s_run2 = act·cnt·(2·cum−cnt+1) ≡ 2·Σᵢ(i·act over the run), which
+    removes the `div 2` halving entirely — load-bearing, because
+    Spark's `div` on DECIMAL operands narrows to BIGINT and silently
+    wraps past int64 EVEN UNDER ANSI (pinned in
+    tests/test_overflow_100tb.py); the only remaining div is the final
+    milli ratio whose result is ≤ ~1000. The DuckDB oracle was already
+    int128-exact; values are unchanged wherever the long form didn't
+    overflow (randomized fuzz + the overflow-regime pin)."""
     e = t(spark, sf_dir, "events")
     ua = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("act"))
     h2 = value_histogram(ua, ["event_type"], ["act"]).withColumn(
-        "s_run", F.expr("act * (cnt * (2 * cum - cnt + 1) div 2)")
+        "s_run2",
+        F.expr(
+            "CAST(act AS DECIMAL(38,0))"
+            " * (CAST(cnt AS DECIMAL(38,0)) * (2 * cum - cnt + 1))"
+        ),
     )
     return h2.groupBy("event_type").agg(
         F.sum("cnt").alias("n_users"),
         F.sum(F.col("act") * F.col("cnt")).alias("n_events"),
         F.expr(
-            "(2 * sum(s_run) - (sum(cnt) + 1) * sum(act * cnt)) * 1000 "
-            "div (sum(cnt) * sum(act * cnt))"
+            "CAST((sum(s_run2)"
+            " - (sum(cnt) + 1) * CAST(sum(act * cnt) AS DECIMAL(38,0))) * 1000"
+            " div (sum(cnt) * CAST(sum(act * cnt) AS DECIMAL(38,0)))"
+            " AS BIGINT)"
         ).alias("gini_milli"),
     )
 

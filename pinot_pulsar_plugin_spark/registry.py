@@ -179,11 +179,23 @@ _IMPL_REPLACED = {
     # forms replaced by tie-invariant value-histogram forms.
     "q91_trimmed_mean": 10,
     "q106_equidepth_bins": 10,
-    "q209_engagement_gini": 10,
+    # q209: r10 histogram rewrite, then the r11 DECIMAL lift below —
+    # latest replacement round wins (the r11 row is in the audit block)
     # r11 overflow fix (ROUND11_NOTES §11): gini_milli arithmetic
     # lifted from BIGINT to exact DECIMAL(38,0) — the long form hit
     # ANSI overflow on the 100x-replicated corpus.
     "q196_revenue_gini": 11,
+    # r11 100-TB arithmetic audit (SCALING.md §7 / ROUND11_NOTES §12):
+    # sums-of-products lifted to DECIMAL(38,0), ppm shares of cent
+    # sums lifted to DECIMAL, Knuth-hash injections ring-reduced
+    # (key % B before the multiply). Values identical at every tested
+    # SF; the long forms raise (or, for decimal `div`, silently wrap)
+    # at the 100-TB design point.
+    "q209_engagement_gini": 11,
+    "q100_value_drift": 11,
+    "q86_geo_radius_join": 11,
+    "q169_abtest_ztest": 11,
+    "q189_grid_hotspots": 11,
 }
 
 
