@@ -179,9 +179,13 @@ def q81_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree on both engines (sqrt is IEEE-correctly-rounded;
     pow is avoided). Same single map-side-combinable aggregate shape as
     any SUM — at 100 TB the moments merge hierarchically like every
-    other partial agg. Overflow headroom: q^3 <= 1.25e11 per row —
-    ~7e7 rows/group within int64; beyond that, widen to DECIMAL(38,0)
-    sums or aggregate per-shard then combine moments."""
+    other partial agg. Overflow (the q196 DECIMAL rule, r11): q² and
+    q³ terms are per-row int64-tiny, but at ~2e11 rows per returnflag
+    Σq³ ≈ 3e23 (and Σq² ≈ 1.7e18 is within 6× of the cliff), so those
+    two moment sums accumulate in exact DECIMAL(38,0); the remaining
+    sums stay provably ≤ ~1e16 (d ≤ 1e3, q·d ≤ 5e6 per row). The
+    DECIMAL→double cast is the same correctly-rounded conversion as
+    the oracle's int128→double."""
     li = t(spark, sf_dir, "lineitem")
     q = F.round(F.col("l_quantity") * 100).cast("long")
     d = F.round(F.col("l_discount") * 100).cast("long")
@@ -191,8 +195,14 @@ def q81_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("q").cast("double").alias("s1"),
-            F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
-            F.sum(F.col("q") * F.col("q") * F.col("q")).cast("double").alias("s3"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+            F.sum(
+                (F.col("q") * F.col("q") * F.col("q")).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("s3"),
             F.sum("d").cast("double").alias("t1"),
             F.sum(F.col("d") * F.col("d")).cast("double").alias("t2"),
             F.sum(F.col("q") * F.col("d")).cast("double").alias("x1"),
@@ -630,7 +640,13 @@ def q177_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, supplier) grain — everything after runs at that reduced
     grain: a type-partitioned rank, two broadcast-sized rollups.
     Σshare² caveat: the double squares are deterministic IEEE chains
-    on exact int64s on both engines regardless of magnitude."""
+    on exact int64s on both engines regardless of magnitude.
+
+    Overflow (r11 audit): cents·1e6 and top4_cents·1e6 overflow int64
+    once a supplier/top-4 slice of a type's revenue passes ~9.2e12
+    cents (certain under skew at 100 TB), so both ppm numerators lift
+    to DECIMAL(38,0); each resulting SHARE is ≤ 1e6, so the share
+    squares and Σshare² (≤ 1e12) stay long."""
     from pyspark.sql.window import Window
 
     li = t(spark, sf_dir, "lineitem")
@@ -657,8 +673,8 @@ def q177_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "t_cents", "n_suppliers")
         .agg(
             F.sum(
-                F.expr("(cents * 1000000 div t_cents)")
-                * F.expr("(cents * 1000000 div t_cents)")
+                F.expr("(CAST(cents AS DECIMAL(38,0)) * 1000000 div t_cents)")
+                * F.expr("(CAST(cents AS DECIMAL(38,0)) * 1000000 div t_cents)")
             ).alias("hhi_fp"),
             F.sum(F.when(F.col("rk") <= 4, F.col("cents")).otherwise(0)).alias(
                 "top4_cents"
@@ -669,7 +685,9 @@ def q177_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "n_suppliers",
         (F.col("hhi_fp").cast("double") / F.lit(100000000.0)).alias("hhi_points"),
-        F.expr("top4_cents * 1000000 div t_cents").alias("cr4_ppm"),
+        F.expr(
+            "CAST(top4_cents AS DECIMAL(38,0)) * 1000000 div t_cents"
+        ).alias("cr4_ppm"),
     )
 
 
@@ -728,7 +746,14 @@ def q179_topn_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     small aggregate; the top-5 set joins back as a broadcast. The fact
     table is scanned exactly once; ``agg1`` is persisted because both
     the election and the final regroup consume it (the q114 persist
-    rationale)."""
+    rationale).
+
+    Overflow (r11 audit): per-(brand, month) rev_fp sums are safe
+    (~1e17 at 100 TB), but the brand TOTALS and the OTHERS regroup
+    re-sum them to ~9e18 — exactly the int64 cliff under the 1e-4
+    fixed-point convention — so both re-sums run in DECIMAL(38,0)
+    (the election compares decimals; the output double is the same
+    correctly-rounded conversion)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     fp = F.round(
@@ -747,7 +772,9 @@ def q179_topn_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("fp").alias("rev_fp"))
         .transform(persist_once)
     )
-    btot = agg1.groupBy("brand").agg(F.sum("rev_fp").alias("tot_fp"))
+    btot = agg1.groupBy("brand").agg(
+        F.sum(F.col("rev_fp").cast("decimal(38,0)")).alias("tot_fp")
+    )
     a, b = btot.alias("a"), btot.alias("b")
     better = (F.col("b.tot_fp") > F.col("a.tot_fp")) | (
         (F.col("b.tot_fp") == F.col("a.tot_fp"))
@@ -770,7 +797,12 @@ def q179_topn_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_fp",
         )
         .groupBy("month_bucket", "series")
-        .agg((F.sum("rev_fp").cast("double") / 10000.0).alias("revenue"))
+        .agg(
+            (
+                F.sum(F.col("rev_fp").cast("decimal(38,0)")).cast("double")
+                / 10000.0
+            ).alias("revenue")
+        )
     )
 
 
@@ -933,7 +965,12 @@ def q185_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE combinable aggregate collapses the fact to
     #months rows; every forecast join, the band aggregate, and the
     scoring run on that tiny relation (broadcast by AQE). At 100 TB
-    the fact pass is the whole cost — the backtest itself is free."""
+    the fact pass is the whole cost — the backtest itself is free.
+
+    Overflow (r11 audit): monthly cents reach ~3e16 at 100 TB, so
+    ae·1e6 (~1e22) and Σae·1000 overflow int64 — both ratios lift
+    their numerators to DECIMAL(38,0); ae itself, Σae, and the ppm
+    results stay long."""
     o = t(spark, sf_dir, "orders")
     mrev = (
         o.groupBy(
@@ -964,13 +1001,17 @@ def q185_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(method).alias("method"),
             "m",
             ae.alias("ae"),
-            F.expr("abs(actual - fc) * 1000000 div actual").alias("ape_ppm"),
+            F.expr(
+                "CAST(abs(actual - fc) AS DECIMAL(38,0)) * 1000000 div actual"
+            ).alias("ape_ppm"),
         )
     scored = score(naive, "naive_1").unionByName(score(ma3, "ma_3"))
     return scored.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_backtests"),
         F.sum("ae").alias("sum_abs_err_cents"),
-        F.expr("sum(ae) * 1000 div count(1)").alias("mae_milli"),
+        F.expr(
+            "CAST(sum(ae) AS DECIMAL(38,0)) * 1000 div count(1)"
+        ).alias("mae_milli"),
         F.expr("sum(ape_ppm) div count(1)").alias("mape_ppm"),
     )
 
@@ -1084,7 +1125,12 @@ def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact aggregates once at the leaf (nation) grain
     after broadcast dim joins; the region and total levels are sums
     OF THE LEAF AGGREGATE (#nations rows), then broadcast back — the
-    fact is scanned exactly once for the whole hierarchy."""
+    fact is scanned exactly once for the whole hierarchy.
+
+    Overflow (r11 audit): nation/region cent sums reach ~1e17/5e17 at
+    100 TB (nation count is FIXED — these sums grow with total
+    volume), so both ·1e6 ppm numerators lift to DECIMAL(38,0); the
+    ppm results and the nation_cents output stay long."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation")
@@ -1114,10 +1160,12 @@ def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"),
             F.col("n_name").alias("nation"),
             F.col("n_cents").alias("nation_cents"),
-            F.expr("n_cents * 1000000 div r_cents").alias("share_of_region_ppm"),
-            F.expr("r_cents * 1000000 div t_cents").alias(
-                "region_share_of_total_ppm"
-            ),
+            F.expr(
+                "CAST(n_cents AS DECIMAL(38,0)) * 1000000 div r_cents"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST(r_cents AS DECIMAL(38,0)) * 1000000 div t_cents"
+            ).alias("region_share_of_total_ppm"),
         )
     )
 
@@ -1242,7 +1290,14 @@ def q192_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE fact pass builds the (half, brand) aggregate
     (the midpoint rides along as a broadcast scalar); the election,
     top-k cut, and diff join all run on the ~2x#brands-row aggregate.
-    The fact is never scanned per half."""
+    The fact is never scanned per half.
+
+    Overflow (r11 audit): a (half, brand) cell holds ~1/50 of total
+    revenue — ~4.6e18 in 1e-4 fixed-point at 100 TB, within 2× of the
+    int64 cliff — so the cell sums accumulate in DECIMAL(38,0) and
+    the election compares decimals. The rev_fp output columns cast
+    back to BIGINT (ANSI-checked: they fit at the design point; the
+    1e-4 convention itself runs out of int64 at ~2× beyond it)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     mb = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(
@@ -1261,7 +1316,7 @@ def q192_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("day") < F.col("mid"), 1).otherwise(2).alias("half"),
             "brand",
         )
-        .agg(F.sum("fp").alias("rev_fp"))
+        .agg(F.sum(F.col("fp").cast("decimal(38,0)")).alias("rev_fp"))
         .transform(persist_once)
     )
     a, b = halves.alias("a"), halves.alias("b")
@@ -1282,12 +1337,12 @@ def q192_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1 = ranked.filter(F.col("half") == 1).select(
         F.col("brand").alias("brand1"),
         F.col("rk").alias("rank_h1"),
-        F.col("rev_fp").alias("rev_fp_h1"),
+        F.col("rev_fp").cast("long").alias("rev_fp_h1"),
     )
     h2 = ranked.filter(F.col("half") == 2).select(
         F.col("brand").alias("brand2"),
         F.col("rk").alias("rank_h2"),
-        F.col("rev_fp").alias("rev_fp_h2"),
+        F.col("rev_fp").cast("long").alias("rev_fp_h2"),
     )
     return h1.join(h2, F.col("brand2") == F.col("brand1"), "full").select(
         F.coalesce("brand1", "brand2").alias("brand"),
@@ -1471,10 +1526,12 @@ def q196_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pairwise Pearson correlations between the four lineitem measures —
 # quantity, price (whole dollars), discount (bps), tax (bps) — from
 # ONE scan of integer sufficient statistics (n, Σx, Σx², Σxy for all
-# pairs): the q150 pattern widened to a matrix. Each Σ is an exact
-# order-independent int64 (dollar/bps scaling keeps Σx² under ~1e15
-# at sf0.1; at much larger corpora shard or lift to DECIMAL — the t84
-# note); every r is then a pure double chain on those exact integers
+# pairs): the q150 pattern widened to a matrix. Each Σ is exact and
+# order-independent; the four price-bearing product sums (pp, qp, pd,
+# pt) accumulate in DECIMAL(38,0) — Σp² alone reaches ~1.3e21 at
+# 6e11 rows (r11 audit; per-row products stay int64-tiny) — while the
+# provably-bounded sums stay int64; every r is then a pure double
+# chain on those exact integers
 # — deterministic cross-engine, unlike built-in corr() whose double
 # accumulation is order-dependent on BOTH engines.
 
@@ -1537,11 +1594,15 @@ def q197_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("q").alias("sq"), F.sum("p").alias("sp"),
         F.sum("d").alias("sd"), F.sum("t").alias("st"),
-        F.sum(F.expr("q*q")).alias("qq"), F.sum(F.expr("p*p")).alias("pp"),
+        F.sum(F.expr("q*q")).alias("qq"),
+        F.sum(F.expr("CAST(p*p AS DECIMAL(38,0))")).alias("pp"),
         F.sum(F.expr("d*d")).alias("dd"), F.sum(F.expr("t*t")).alias("tt"),
-        F.sum(F.expr("q*p")).alias("qp"), F.sum(F.expr("q*d")).alias("qd"),
-        F.sum(F.expr("q*t")).alias("qt2"), F.sum(F.expr("p*d")).alias("pd"),
-        F.sum(F.expr("p*t")).alias("pt"), F.sum(F.expr("d*t")).alias("dt"),
+        F.sum(F.expr("CAST(q*p AS DECIMAL(38,0))")).alias("qp"),
+        F.sum(F.expr("q*d")).alias("qd"),
+        F.sum(F.expr("q*t")).alias("qt2"),
+        F.sum(F.expr("CAST(p*d AS DECIMAL(38,0))")).alias("pd"),
+        F.sum(F.expr("CAST(p*t AS DECIMAL(38,0))")).alias("pt"),
+        F.sum(F.expr("d*t")).alias("dt"),
     )
 
     def r(nxy, sx, sy, sxx, syy):
@@ -1622,9 +1683,11 @@ def q204_acquisition_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_new, 0).otherwise(F.col("cents"))).alias(
                 "returning_cents"
             ),
+            # DECIMAL numerator (r11 audit): a month's new-customer
+            # cents reach ~3e16 at 100 TB; ·1e6 would pass int64
             F.expr(
-                "sum(case when m = fm then cents else 0 end) * 1000000 "
-                "div sum(cents)"
+                "CAST(sum(case when m = fm then cents else 0 end)"
+                " AS DECIMAL(38,0)) * 1000000 div sum(cents)"
             ).alias("new_revenue_ppm"),
         )
     )

@@ -196,6 +196,14 @@ _IMPL_REPLACED = {
     "q86_geo_radius_join": 11,
     "q169_abtest_ztest": 11,
     "q189_grid_hotspots": 11,
+    "q81_stats_moments": 11,
+    "q177_market_concentration": 11,
+    "q179_topn_others_rollup": 11,
+    "q185_forecast_backtest": 11,
+    "q187_percent_of_parent": 11,
+    "q192_topk_drift": 11,
+    "q197_correlation_matrix": 11,
+    "q204_acquisition_mix": 11,
 }
 
 

@@ -254,3 +254,271 @@ def test_q209_gini_bracket_survives_long_overflow(spark):
                 "div (sum(cnt) * sum(act * cnt))"
             ).alias("g")
         ).collect()
+
+
+# --- Batch 2: aggregates2 monetary sums lifted to DECIMAL(38,0) --------------
+#
+# Each test drives the REAL registry operator on synthetic tables with
+# planted revenue magnitudes from the 100-TB regime (per-group cent
+# sums past 9.2e12 so ·1e6 exceeds int64, or product sums past int64
+# directly) and checks the exact values Python bigints imply.
+
+
+def _pq(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def _orders(spark, tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, day_index, o_totalprice)."""
+    df = spark.createDataFrame(
+        [(k, c, d, p) for (k, c, d, p) in rows],
+        "o_orderkey long, o_custkey long, day long, o_totalprice double",
+    )
+    df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.timestamp_micros(F.col("day") * 86_400_000_000).alias(
+            "o_orderdate"
+        ),
+        "o_totalprice",
+        F.lit("O").alias("o_orderstatus"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_q204_acquisition_ppm_survives_100tb_month_cents(spark, tmp_path):
+    """Month cents past 9.2e12: new_revenue_ppm must come back as the
+    exact floor Python computes (the long ·1e6 would overflow)."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q204_acquisition_mix,
+    )
+
+    big = 2.0e11  # dollars -> 2e13 cents per order
+    # customer 1: first order month 0, returns month 1; customer 2 new in month 1
+    _orders(
+        spark,
+        tmp_path,
+        [(1, 1, 0, big), (2, 1, 35, big), (3, 2, 36, big), (4, 2, 37, big)],
+    )
+    out = {r.month_bucket: r for r in q204_acquisition_mix(spark, str(tmp_path)).collect()}
+    cents = round(big * 100)
+    assert cents * 1_000_000 > 2**63 - 1  # the pre-fix numerator regime
+    # month 0: all revenue new
+    assert out[0].new_revenue_ppm == 1_000_000
+    # month 1: customer 1 returning (1 order), customer 2 new (2 orders)
+    exp = (2 * cents) * 1_000_000 // (3 * cents)
+    assert out[1].new_revenue_ppm == exp
+    assert out[1].new_orders == 2 and out[1].returning_orders == 1
+
+
+def test_q187_shares_survive_100tb_nation_cents(spark, tmp_path):
+    """Nation/region cent sums past 9.2e12: both ppm shares exact."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q187_percent_of_parent,
+    )
+
+    _orders(spark, tmp_path, [(1, 1, 0, 3.0e11), (2, 2, 1, 1.0e11)])
+    _pq(
+        spark,
+        tmp_path,
+        "customer",
+        [(1, 10), (2, 20)],
+        "c_custkey long, c_nationkey long",
+    )
+    _pq(
+        spark,
+        tmp_path,
+        "nation",
+        [(10, 100, "ALPHA"), (20, 100, "BETA")],
+        "n_nationkey long, n_regionkey long, n_name string",
+    )
+    _pq(
+        spark,
+        tmp_path,
+        "region",
+        [(100, "R1")],
+        "r_regionkey long, r_name string",
+    )
+    out = {r.nation: r for r in q187_percent_of_parent(spark, str(tmp_path)).collect()}
+    a, b = round(3.0e11 * 100), round(1.0e11 * 100)
+    assert a * 1_000_000 > 2**63 - 1
+    assert out["ALPHA"].share_of_region_ppm == a * 1_000_000 // (a + b)
+    assert out["BETA"].share_of_region_ppm == b * 1_000_000 // (a + b)
+    assert out["ALPHA"].region_share_of_total_ppm == 1_000_000
+
+
+def test_q177_cr4_survives_100tb_type_cents(spark, tmp_path):
+    """A type whose top-4 slice exceeds 9.2e12 cents: cr4_ppm exact."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q177_market_concentration,
+    )
+
+    prices = [4.0e11, 3.0e11, 2.0e11, 1.0e11, 0.5e11, 0.25e11]
+    _pq(
+        spark,
+        tmp_path,
+        "lineitem",
+        [(i + 1, i + 1, p, 0.0) for i, p in enumerate(prices)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    _pq(
+        spark,
+        tmp_path,
+        "part",
+        [(i + 1, "TYPE_A") for i in range(len(prices))],
+        "p_partkey long, p_type string",
+    )
+    # join key is l_partkey — mirror suppkey as partkey
+    spark.read.parquet(str(tmp_path / "lineitem.parquet")).withColumn(
+        "l_partkey", F.col("l_orderkey")
+    ).write.mode("overwrite").parquet(str(tmp_path / "li2.parquet"))
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "lineitem.parquet"))
+    shutil.move(str(tmp_path / "li2.parquet"), str(tmp_path / "lineitem.parquet"))
+
+    out = q177_market_concentration(spark, str(tmp_path)).collect()
+    cents = [round(p * 100) for p in prices]
+    top4, tot = sum(sorted(cents, reverse=True)[:4]), sum(cents)
+    assert top4 * 1_000_000 > 2**63 - 1
+    r = out[0]
+    assert r.cr4_ppm == top4 * 1_000_000 // tot
+    shares = [c * 1_000_000 // tot for c in cents]
+    assert r.hhi_points == float(sum(s * s for s in shares)) / 1e8
+
+
+def test_q185_backtest_survives_100tb_month_cents(spark, tmp_path):
+    """Monthly cents ~2e13: ape_ppm and mae_milli exact where the
+    long forms would overflow."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q185_forecast_backtest,
+    )
+
+    # two months, naive-1 only (not enough history for MA-3)
+    _orders(spark, tmp_path, [(1, 1, 5, 2.0e11), (2, 1, 35, 3.0e11)])
+    out = {r.method: r for r in q185_forecast_backtest(spark, str(tmp_path)).collect()}
+    c0, c1 = round(2.0e11 * 100), round(3.0e11 * 100)
+    ae = abs(c1 - c0)
+    assert ae * 1_000_000 > 2**63 - 1
+    r = out["naive_1"]
+    assert r.sum_abs_err_cents == ae
+    assert r.mae_milli == ae * 1000 // 1
+    assert r.mape_ppm == (ae * 1_000_000 // c1) // 1
+
+
+def test_q81_moments_survive_100tb_sum_of_cubes(spark, tmp_path):
+    """Σq³ past int64 from planted large quantities: the decimal
+    moment sums land on the Python-bigint double chain."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q81_stats_moments,
+    )
+
+    # per-row q³ must stay int64 (the operator's per-row products
+    # are long by design — only the SUMS are decimal); three rows
+    # near the per-row cap push Σq³ past int64
+    quantities = [2.0e4, 2.0e4, 1.0e4]
+    _pq(
+        spark,
+        tmp_path,
+        "lineitem",
+        [("N", q_, d_) for q_, d_ in zip(quantities, (0.04, 0.05, 0.06))],
+        "l_returnflag string, l_quantity double, l_discount double",
+    )
+    out = q81_stats_moments(spark, str(tmp_path)).collect()[0]
+    qs = [round(q_ * 100) for q_ in quantities]
+    ds = [4, 5, 6]
+    n = len(qs)
+    s1, s2, s3 = sum(qs), sum(x * x for x in qs), sum(x**3 for x in qs)
+    t1, t2 = sum(ds), sum(d * d for d in ds)
+    x1 = sum(a * b for a, b in zip(qs, ds))
+    assert s3 > 2**63 - 1
+    nf = float(n)
+    s1f, s2f, s3f = float(s1), float(s2), float(s3)
+    exp_var = round((s2f - s1f * s1f / nf) / (nf - 1) / 10000.0, 6)
+    assert out.var_qty == exp_var
+    exp_mean = round(s1f / nf / 100.0, 6)
+    assert out.mean_qty == exp_mean
+
+
+def test_q179_q192_survive_100tb_brand_totals(spark, tmp_path):
+    """Brand totals past int64 in 1e-4 fixed-point: the election and
+    series both complete and land on Python values."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q179_topn_others_rollup,
+        q192_topk_drift,
+    )
+
+    # two brands; brand A's total fp ~1.2e19 > int64
+    rows, parts = [], []
+    for i in range(3):
+        rows.append((i + 1, i + 1, 4.0e14, 0.0, i * 40))  # brand A rows
+        parts.append((i + 1, "Brand#A"))
+    rows.append((4, 4, 1.0e14, 0.0, 10))
+    parts.append((4, "Brand#B"))
+    df = spark.createDataFrame(
+        [(k, pk, p, d) for (k, pk, p, d, _day) in rows],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double",
+    )
+    days = {k: day for (k, _pk, _p, _d, day) in rows}
+    m = F.create_map(*[x for k, day in days.items() for x in (F.lit(k), F.lit(day))])
+    df.withColumn(
+        "l_shipdate", F.timestamp_micros(m[F.col("l_orderkey")] * 86_400_000_000)
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    _pq(spark, tmp_path, "part", parts, "p_partkey long, p_brand string")
+
+    fps = {k: round(p * 10000) for (k, _pk, p, _d, _day) in rows}
+    tot_a = fps[1] + fps[2] + fps[3]
+    assert tot_a > 2**63 - 1  # per-brand total passes int64
+
+    # q179: brand A is top-5 (so is B — only 2 brands); series sums per month
+    out179 = q179_topn_others_rollup(spark, str(tmp_path)).collect()
+    got = {(r.month_bucket, r.series): r.revenue for r in out179}
+    assert got[(0, "Brand#A")] == float(fps[1]) / 10000.0
+    assert got[(1, "Brand#A")] == float(fps[2]) / 10000.0
+
+    # q192: halves split at mid-day; totals per (half, brand) exact
+    out192 = {r.brand: r for r in q192_topk_drift(spark, str(tmp_path)).collect()}
+    # mid = (0 + 80 + 1) div 2 = 40 -> half1 days 0,10; half2 days 40,80
+    assert out192["Brand#A"].rev_fp_h1 == fps[1]
+    assert out192["Brand#A"].rev_fp_h2 == fps[2] + fps[3]
+    assert out192["Brand#B"].rev_fp_h1 == fps[4]
+
+
+def test_q197_correlation_survives_100tb_price_squares(spark, tmp_path):
+    """Σp² past int64 from planted large prices: the decimal
+    sufficient statistics land on the Python-bigint double chain."""
+    from pinot_pulsar_plugin_spark.operators.aggregates2 import (
+        q197_correlation_matrix,
+    )
+
+    # per-row p² must stay int64 (per-row products are long by
+    # design; real prices are ~1e5 — the regime is the SUM): three
+    # rows near the per-row cap push Σp² to ~1.9e19
+    rows = [
+        (10.0, 2.0e9, 0.05, 0.02),
+        (20.0, 2.5e9, 0.06, 0.03),
+        (30.0, 3.0e9, 0.04, 0.05),
+    ]
+    _pq(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    out = q197_correlation_matrix(spark, str(tmp_path)).collect()[0]
+    q_ = [round(r[0]) for r in rows]
+    p_ = [round(r[1]) for r in rows]
+    n = len(rows)
+    pp = sum(x * x for x in p_)
+    qp = sum(a * b for a, b in zip(q_, p_))
+    sq, sp = sum(q_), sum(p_)
+    qq = sum(x * x for x in q_)
+    assert pp > 2**63 - 1
+    num = float(n) * float(qp) - float(sq) * float(sp)
+    den = (
+        (float(n) * float(qq) - float(sq) * float(sq))
+        * (float(n) * float(pp) - float(sp) * float(sp))
+    ) ** 0.5
+    assert out.r_qty_price == num / den
