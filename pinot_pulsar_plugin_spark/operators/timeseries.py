@@ -537,11 +537,12 @@ def q92_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exactness: weights are exact integer µs (lead-difference), values
 # are 1e-2 fixed-point (the q100 convention), the weighted sum is an
-# int64 Σ(cents·dt_us) — order-independent — and the final TWAP is a
-# pure double chain (no rounding step). Headroom: cents ≤ 1e7,
-# dt ≤ 3e9 µs ⇒ terms ≤ 3e16 — int64-safe to ~300 events/type at the
-# extreme spacing, and real spacing (~seconds) leaves 1e6× margin;
-# lift to DECIMAL(38) past that (the q81 note).
+# exact Σ(cents·dt_us) — order-independent — and the final TWAP is a
+# pure double chain (no rounding step). Headroom (r11 audit): per-row
+# terms cents·dt ≤ 3e16 stay int64, but the SUM is bounded only by
+# max_cents·span (~3e21 for high-valued sparse series over a decade),
+# so it accumulates in DECIMAL(38,0); DECIMAL→double is the same
+# correctly-rounded conversion as the oracle's int128→double.
 
 _Q147 = """
     WITH seq AS (
@@ -588,7 +589,12 @@ def q147_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.sum(F.col("cents") * F.col("dt_us")).alias("wsum"),
+            # the PER-ROW product is decimal too: a year-long holding
+            # gap (~3e13 µs) times high-valued cents passes int64 on a
+            # single row — unlike the x·y regressions, dt is not bounded
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dt_us")).alias(
+                "wsum"
+            ),
             F.sum("dt_us").alias("span_us"),
         )
     )
@@ -619,13 +625,15 @@ def q147_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exactness: x = days since 1995-01-01 (int, ≤ ~2500), y = daily
 # revenue in cents (presum: per-line ROUND before the integer sum).
-# slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²): numerator/denominator are
-# int64-exact (headroom at sf0.1: nΣxy ≤ 2.5e18; lift the products
-# to DECIMAL(38) past ~sf0.3, the q81 note), the division is one
-# double op. r² = cov²/(varx·vary) is a pure double chain on the
-# same exact integers — deterministic cross-engine even where the
-# intermediate products exceed 2^53 (identical IEEE ops on identical
-# inputs).
+# slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), the division one double op;
+# r² = cov²/(varx·vary) is a pure double chain on the same exact
+# integers — deterministic cross-engine even where intermediates
+# exceed 2^53 (identical IEEE ops on identical inputs). Overflow (r11
+# audit): y is itself a per-day aggregate (~4e13/brand-day at 100 TB),
+# so y·y overflows int64 PER ROW — the y-bearing products (y², x·y,
+# and the Σx·Σy / Σy·Σy brackets) run in exact DECIMAL(38,0); the
+# x-side stats are provably small and stay long. The DuckDB oracle is
+# already int128-exact.
 
 _Q150 = """
     WITH daily AS (
@@ -681,15 +689,19 @@ def q150_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(cents).alias("y"))
     )
+    yd = F.col("y").cast("decimal(38,0)")
     stats = daily.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * yd).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(yd * F.col("y")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    num = (
+        F.col("n") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vary = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
         "sy"
@@ -870,17 +882,23 @@ def q153_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.crossJoin(F.broadcast(lags)).join(
         b, F.col("b_day") == F.col("a_day") + F.col("lag")
     )
+    # x and y are per-day aggregates (~5e11 cents/day at 100 TB), so
+    # every product — per-row AND bracket — runs in DECIMAL(38,0)
+    # (r11 audit; the long forms overflow per row at scale)
+    xd, yd2 = F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)")
     stats = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd2 * F.col("y")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    num = (F.col("n") * F.col("sxy") - sxd * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - sxd * F.col("sx"))
+    vary = (F.col("n") * F.col("syy") - syd * F.col("sy"))
     return (
         stats.where((F.col("n") >= 3) & (varx > 0) & (vary > 0))
         .select(
@@ -1015,9 +1033,13 @@ def q155_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shift is spelled identically
 # on both engines rather than relying on either engine's dow()
 # convention); means are nested integer floor-divisions (positive ⇒
-# Spark div ≡ DuckDB //). Headroom: per-event cents ≤ 1e7 ⇒
-# avg_micro ≤ 1e13, ×1e6 ≤ 1e19 — within int64 for this corpus;
-# lift to DECIMAL for larger per-event values (q81 note).
+# Spark div ≡ DuckDB //). Overflow (r11 audit): the (type, dow) cent
+# SUM reaches ~3e14 at 100 TB, so s·1e6 overflows int64, and the
+# resulting avg_micro (≤ per-event cents·1e6 ~1e13) overflows again
+# when re-multiplied by 1e6 — every product in the chain lifts to
+# DECIMAL(38,0); the div results themselves stay ≤ ~1e13 (div on
+# decimal narrows to BIGINT — safe only because each quotient is
+# provably small, the q209 rule).
 
 _Q166 = """
     WITH daily AS (
@@ -1070,9 +1092,11 @@ def q166_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "dow",
         "n",
-        F.expr("(s * 1000000 div n) * 1000000 div (ts_ * 1000000 div tn)").alias(
-            "index_ppm"
-        ),
+        F.expr(
+            "CAST((CAST(s AS DECIMAL(38,0)) * 1000000 div n) AS DECIMAL(38,0))"
+            " * 1000000"
+            " div (CAST(ts_ AS DECIMAL(38,0)) * 1000000 div tn)"
+        ).alias("index_ppm"),
     )
 
 
@@ -1331,7 +1355,12 @@ def q181_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         ((F.col("day") + 3) % 7).alias("weekday"),
-        F.expr("cents * 7000000 div trend_sum").alias("ratio_ppm"),
+        # DECIMAL numerator (r11 audit): a (type, day) cent sum
+        # reaches ~5e11 at 100 TB; ·7e6 would pass int64. The ratio
+        # itself is ≤ 7e6 (cents is inside its own window sum).
+        F.expr(
+            "CAST(cents AS DECIMAL(38,0)) * 7000000 div trend_sum"
+        ).alias("ratio_ppm"),
     )
     return ratios.groupBy("event_type", "weekday").agg(
         F.expr("sum(ratio_ppm) div count(1)").alias("seasonal_ppm"),
@@ -1418,7 +1447,10 @@ def q198_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         ((F.col("day") + 3) % 7).alias("weekday"),
         "cents",
-        F.expr("cents * 7000000 div trend_sum").alias("ratio_ppm"),
+        # DECIMAL numerator — the q181 r11 rule
+        F.expr(
+            "CAST(cents AS DECIMAL(38,0)) * 7000000 div trend_sum"
+        ).alias("ratio_ppm"),
     ).transform(persist_once)
     idx = ratios.groupBy("event_type", "weekday").agg(
         F.expr("sum(ratio_ppm) div count(1)").alias("seasonal_ppm")

@@ -204,6 +204,12 @@ _IMPL_REPLACED = {
     "q192_topk_drift": 11,
     "q197_correlation_matrix": 11,
     "q204_acquisition_mix": 11,
+    "q147_twap": 11,
+    "q150_trend_slope": 11,
+    "q153_lag_correlation": 11,
+    "q166_weekday_seasonality": 11,
+    "q181_seasonal_decomposition": 11,
+    "q198_seasonal_anomalies": 11,
 }
 
 

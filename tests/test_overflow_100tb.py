@@ -522,3 +522,170 @@ def test_q197_correlation_survives_100tb_price_squares(spark, tmp_path):
         * (float(n) * float(pp) - float(sp) * float(sp))
     ) ** 0.5
     assert out.r_qty_price == num / den
+
+
+# --- Batch 3: timeseries arithmetic lifted to DECIMAL(38,0) ------------------
+
+
+def test_q147_twap_survives_high_value_sparse_series(spark, tmp_path):
+    """Σ(cents·dt) past int64 (bounded by max_cents·span, not rows):
+    the decimal weighted sum lands on the Python-bigint TWAP chain."""
+    from pinot_pulsar_plugin_spark.operators.timeseries import q147_twap
+
+    day_us = 86_400_000_000
+    # values ~5e9 dollars -> 5e11 cents; gaps ~11.6 days -> per-row
+    # terms ~5e17 (int64-safe); four observations push the sum past it
+    ts_us = [0, 10**15, 2 * 10**15, 3 * 10**15, 4 * 10**15]
+    vals = [5.0e9, 6.0e9, 4.0e9, 7.0e9, 1.0]
+    rows = [
+        (i, "sensor", 1, t_, v) for i, (t_, v) in enumerate(zip(ts_us, vals))
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = q147_twap(spark, str(tmp_path)).collect()[0]
+    cents = [round(v * 100) for v in vals]
+    dts = [b - a for a, b in zip(ts_us, ts_us[1:])]
+    wsum = sum(c * d for c, d in zip(cents, dts))
+    span = sum(dts)
+    assert wsum > 2**63 - 1
+    assert out.n_obs == 4 and out.span_us == span
+    assert out.twap == float(wsum) / float(span) / 100.0
+
+
+def test_q150_slope_survives_100tb_daily_revenue(spark, tmp_path):
+    """Per-day brand revenue ~1e14 cents: y², x·y and the ΣxΣy
+    bracket all pass int64; the decimal chain lands on Python."""
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q150_trend_slope,
+    )
+
+    day_us = 86_400_000_000
+    epoch_1995 = 9131  # days from 1970-01-01 to 1995-01-01
+    days = [epoch_1995 + d for d in (10, 20, 30)]
+    prices = [1.0e12, 2.0e12, 1.5e12]
+    df = spark.createDataFrame(
+        [(i + 1, i + 1, p, 0.0) for i, p in enumerate(prices)],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double",
+    )
+    m = F.create_map(
+        *[
+            x
+            for k, d in zip((1, 2, 3), days)
+            for x in (F.lit(k), F.lit(d))
+        ]
+    )
+    df.withColumn(
+        "l_shipdate", F.timestamp_micros(m[F.col("l_orderkey")] * day_us)
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    _pq(
+        spark,
+        tmp_path,
+        "part",
+        [(1, "B#1"), (2, "B#1"), (3, "B#1")],
+        "p_partkey long, p_brand string",
+    )
+    out = q150_trend_slope(spark, str(tmp_path)).collect()[0]
+    xs = [10, 20, 30]
+    ys = [round(p * 100) for p in prices]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    assert syy > 2**63 - 1
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx)
+    assert out.slope_cents_per_day == num / den
+    vary = float(n) * float(syy) - float(sy) * float(sy)
+    assert out.r2 == (num * num) / (den * vary)
+
+
+def test_q153_lag_corr_survives_100tb_daily_values(spark, tmp_path):
+    """Two event types with ~5e11-cent days: all product sums pass
+    int64 per row; r at lag 0 matches the Python double chain."""
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q153_lag_correlation,
+    )
+
+    day_us = 86_400_000_000
+    a_vals = [5.0e9, 7.0e9, 6.0e9, 9.0e9]
+    b_vals = [4.0e9, 6.5e9, 5.0e9, 8.0e9]
+    rows = []
+    for d, (av, bv) in enumerate(zip(a_vals, b_vals)):
+        rows.append((2 * d, "alpha", 1, d * day_us + 1, av))
+        rows.append((2 * d + 1, "beta", 2, d * day_us + 2, bv))
+    _write_events(spark, tmp_path, rows)
+    out = {r.lag: r for r in q153_lag_correlation(spark, str(tmp_path)).collect()}
+    xs = [round(v * 100) for v in a_vals]
+    ys = [round(v * 100) for v in b_vals]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    assert min(a * b for a, b in zip(xs, ys)) > 0
+    assert sxx > 2**63 - 1  # per the pre-fix long sums
+    num = float(n * sxy - sx * sy)
+    den = (float(n * sxx - sx * sx) * float(n * syy - sy * sy)) ** 0.5
+    assert out[0].n == n
+    assert out[0].r == num / den
+
+
+def test_q166_q181_q198_survive_100tb_cell_cents(spark, tmp_path):
+    """(type, dow)/(type, day) cent sums past 9.2e12 reached the
+    production way — many moderate events per day — so the seasonality
+    chain's decimal products land on Python's nested floor divs while
+    every intermediate quotient stays int64."""
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q166_weekday_seasonality,
+        q181_seasonal_decomposition,
+        q198_seasonal_anomalies,
+    )
+
+    day_us = 86_400_000_000
+    n_days, per_day = 21, 10_000
+    # every event of day d is worth (d+1)e7 dollars -> (d+1)e9 cents;
+    # a day's sum is 1e13(d+1) — past the ·1e6 int64 cliff
+    df = spark.range(n_days * per_day).select(
+        F.col("id").alias("event_id"),
+        F.lit("load").alias("event_type"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(
+            F.expr(f"id div {per_day}") * day_us + F.pmod(F.col("id"), per_day)
+        ).alias("ts"),
+        ((F.expr(f"id div {per_day}") + 1) * 1.0e7).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    day_cents = [per_day * (d + 1) * 10**9 for d in range(n_days)]
+    assert max(day_cents) * 1_000_000 > 2**63 - 1
+
+    from collections import defaultdict
+
+    # q166: index_ppm per dow vs Python
+    out166 = {
+        r.dow: r for r in q166_weekday_seasonality(spark, str(tmp_path)).collect()
+    }
+    by_dow = defaultdict(list)
+    for d, c in enumerate(day_cents):
+        by_dow[(d + 3) % 7].extend([(d + 1) * 10**9] * per_day)
+    tn, ts_ = n_days * per_day, sum(day_cents)
+    for dow, cs in by_dow.items():
+        avg_micro = sum(cs) * 1_000_000 // len(cs)
+        exp = avg_micro * 1_000_000 // (ts_ * 1_000_000 // tn)
+        assert out166[dow].index_ppm == exp, dow
+
+    # q181: seasonal_ppm per weekday vs Python (7-day centered MA)
+    out181 = {
+        r.weekday: r
+        for r in q181_seasonal_decomposition(spark, str(tmp_path)).collect()
+    }
+    ratios = defaultdict(list)
+    for d in range(3, n_days - 3):
+        trend = sum(day_cents[d - 3 : d + 4])
+        ratios[(d + 3) % 7].append(day_cents[d] * 7_000_000 // trend)
+    for wd, rs in ratios.items():
+        assert out181[wd].seasonal_ppm == sum(rs) // len(rs), wd
+
+    # q198 completes (its ratio rides the same decimal numerator)
+    q198_seasonal_anomalies(spark, str(tmp_path)).collect()
