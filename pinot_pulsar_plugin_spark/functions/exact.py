@@ -13,10 +13,15 @@ is exact 64-bit integer arithmetic (commutative — order can't matter),
 and the final division by a power of ten is a single IEEE-deterministic
 double op. The same formula is emitted as ANSI SQL for the oracle.
 
-Overflow headroom: with d=4, terms up to 9.2e14 and 1e9 rows per group
-stay within int64 — fine for the 100 TB design point per-group; for
-global sums over trillions of rows switch d down or aggregate
-hierarchically.
+Overflow headroom (r11 audit, SCALING.md §7): with d=4, terms up to
+9.2e14 and 1e9 rows per group stay within int64 — fine for
+scaling-key grains (order/supplier/part/…), where per-key fan-in
+bounds the group. For FIXED-grain groups (global/brand/nation/year…),
+whose row count grows with the corpus past 1e10, use
+``exact_sum_wide``/``exact_avg_wide``: identical per-row rounding, a
+DECIMAL(38,0) accumulator, and the same correctly-rounded
+integer→double conversion the DuckDB oracle applies to its int128
+sum.
 
 Also here: sequential left-to-right fold helpers for array dot products
 (``F.aggregate`` in Spark ≡ ``list_reduce`` in DuckDB), which make
@@ -57,6 +62,45 @@ def exact_avg_sql(sql_expr: str, name: str, digits: int = 4) -> str:
         f"SUM(CAST(ROUND(({sql_expr}) * {scale}) AS BIGINT)) / COUNT({sql_expr})"
         f" / {scale}.0 AS {name}"
     )
+
+
+def exact_sum_wide(expr: Column, name: str, digits: int = 4) -> Column:
+    """:func:`exact_sum` with a DECIMAL(38,0) accumulator, for groups
+    at FIXED grain (global / flag / brand / nation / year / priority
+    …) whose term count grows with the corpus (r11 100-TB audit,
+    SCALING.md §7).
+
+    At the 100 TB design point a fixed-grain group holds 1e10-6e11
+    rows; with d=4 the int64 accumulator of :func:`exact_sum` passes
+    9.2e18 (q01's sum_base_price measures ~3.6e19) and raises ANSI
+    ARITHMETIC_OVERFLOW. Here each term is still rounded once to a
+    double-exact integer (per-row fixed-point values are bounded far
+    below 2^53 by the money/quantity domains), the sum is exact
+    decimal — order-independent, map-side combinable, ~1e34 headroom
+    — and DECIMAL→double is the same correctly-rounded conversion the
+    DuckDB oracle applies to its int128 sum, so the final division is
+    the identical IEEE op on the identical integer. Keep plain
+    :func:`exact_sum` for scaling-key grains (order/supplier/part/…),
+    where per-group magnitude is bounded by per-key fan-in."""
+    scale = 10**digits
+    return (
+        F.sum(F.round(expr * scale).cast("decimal(38,0)")).cast("double")
+        / float(scale)
+    ).alias(name)
+
+
+def exact_avg_wide(expr: Column, name: str, digits: int = 4) -> Column:
+    """:func:`exact_avg` with the :func:`exact_sum_wide` accumulator.
+
+    Division order matches the oracle SQL exactly: (double)sum /
+    (double)count / scale — two IEEE divides on correctly-rounded
+    conversions of the exact integers."""
+    scale = 10**digits
+    return (
+        F.sum(F.round(expr * scale).cast("decimal(38,0)")).cast("double")
+        / F.count(expr)
+        / float(scale)
+    ).alias(name)
 
 
 def fold_dot(a: Column | str, b: Column | str) -> Column:

@@ -10,7 +10,11 @@ from pinot_pulsar_plugin_spark.caching import persist_once
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pinot_pulsar_plugin_spark.functions.exact import exact_sum_sql, exact_sum
+from pinot_pulsar_plugin_spark.functions.exact import (
+    exact_sum,
+    exact_sum_sql,
+    exact_sum_wide,
+)
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
@@ -53,11 +57,17 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% deterministic hash sample (Knuth multiplicative hash on the
     key) — reproducible across engines and runs, unlike TABLESAMPLE.
-    At 100 TB this is a scan-side filter: no shuffle, prunes early."""
+    At 100 TB this is a scan-side filter: no shuffle, prunes early.
+
+    r11 audit: the key ring-reduces BEFORE the multiply — (k % 100) ·
+    KNUTH stays ≤ 2.6e11 where the raw product overflows int64 past
+    k ~ 3.47e9 (snowflake-scale ids); ((k % B)·M) % B ≡ (k·M) % B is
+    exact (test_knuth_mod_reduce_identity_exhaustive), so values are
+    unchanged and the DuckDB oracle (int128-exact) still matches."""
     o = t(spark, sf_dir, "orders")
-    return o.filter(F.pmod(F.col("o_orderkey") * 2654435761, 100) < 10).select(
-        "o_orderkey", "o_totalprice"
-    )
+    return o.filter(
+        F.pmod(F.pmod(F.col("o_orderkey"), F.lit(100)) * 2654435761, 100) < 10
+    ).select("o_orderkey", "o_totalprice")
 
 
 @query(
@@ -312,7 +322,9 @@ def q87_bloom_subquery_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            exact_sum(F.col("o_totalprice"), "total_price"),
+            # priority is FIXED grain (5 values) — ~4.5e19 per group
+            # in d=4 fixed point at 100 TB → wide accumulator (r11)
+            exact_sum_wide(F.col("o_totalprice"), "total_price"),
         )
     )
 
@@ -523,11 +535,18 @@ def q110_pmi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = cell.groupBy("seg").agg(F.sum("n_xy").alias("n_x"))
     my = cell.groupBy("nat").agg(F.sum("n_xy").alias("n_y"))
     tot = cell.agg(F.sum("n_xy").alias("n"))
+    # r11 audit: the marginal product n_x·n_y runs in DECIMAL(38,0) —
+    # with customers past 1e10 a dominant (segment, nation) pair puts
+    # the long product over int64; DECIMAL→double is the same
+    # correctly-rounded conversion as the oracle's int128→double, so
+    # the ln argument is bit-identical.
     pmi = F.round(
         F.log(
             F.col("n").cast("double")
             * F.col("n_xy")
-            / (F.col("n_x") * F.col("n_y"))
+            / (
+                F.col("n_x").cast("decimal(38,0)") * F.col("n_y")
+            ).cast("double")
         )
         * 1000000
     ).cast("long")

@@ -21,7 +21,10 @@ from pinot_pulsar_plugin_spark.caching import persist_once
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pinot_pulsar_plugin_spark.functions.exact import exact_sum, exact_sum_sql
+from pinot_pulsar_plugin_spark.functions.exact import (
+    exact_sum_sql,
+    exact_sum_wide,
+)
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
@@ -154,7 +157,11 @@ def q95_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit, so each map task forwards at most K rows per
     language before the single hash exchange on lang."""
     d = t(spark, sf_dir, "documents")
-    u = F.pmod(F.col("doc_id") * _SP_MULT, F.lit(_SP_MOD)) + 1
+    # r11 audit: ring-reduce the id before the Knuth multiply —
+    # (id % B)·M ≤ 2.7e15 where the raw product overflows int64 past
+    # id ~ 3.47e9; ((k % B)·M) % B ≡ (k·M) % B exactly, so the value
+    # (and the int128-exact DuckDB oracle) is unchanged.
+    u = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SP_MOD)) * _SP_MULT, F.lit(_SP_MOD)) + 1
     priority = (u.cast("double") / F.col("n_chars").cast("double")).alias(
         "priority"
     )
@@ -209,7 +216,10 @@ def q96_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "n_items": F.count(F.lit(1)),
             "sum_qty": F.sum(F.round(F.col("l_quantity")).cast("long")),
-            "revenue": exact_sum(
+            # (flag, status) + rollup grand total are FIXED grain —
+            # the d=4 revenue sum passes int64 at 100 TB (the q01
+            # finding) → wide accumulator (r11 audit)
+            "revenue": exact_sum_wide(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
             ),
         },
@@ -622,17 +632,16 @@ def q175_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(wcum).alias("cum_cents"),
         F.sum("cents").over(wtyp).alias("type_cents"),
     )
+    # r11 audit: the Pareto-cut comparisons run in DECIMAL(38,0) —
+    # type-grain cent totals reach ~1.4e16 at 100 TB under type
+    # uniformity (×100 ≈ 1.4e18, only ~6× inside int64) and pass it
+    # outright under revenue skew; the comparison itself is exact
+    # either way, so values are unchanged.
+    pre_cum = (F.col("cum_cents") - F.col("cents")).cast("decimal(38,0)") * 100
+    tot_dec = F.col("type_cents").cast("decimal(38,0)")
     abc = (
-        F.when(
-            (F.col("cum_cents") - F.col("cents")) * 100
-            < F.col("type_cents") * 80,
-            "A",
-        )
-        .when(
-            (F.col("cum_cents") - F.col("cents")) * 100
-            < F.col("type_cents") * 95,
-            "B",
-        )
+        F.when(pre_cum < tot_dec * 80, "A")
+        .when(pre_cum < tot_dec * 95, "B")
         .otherwise("C")
     )
     return (
@@ -747,16 +756,23 @@ def q195_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm = base.groupBy("p_type", "l_partkey", "m").agg(
         F.sum("q").alias("q"), F.sum("cents").alias("cents")
     )
+    # r11 audit: the CV² bracket runs in DECIMAL(38,0) — per-part
+    # monthly demand is bounded only by per-key fan-in, and a hot part
+    # (1e9 lines) puts q² and qt² past int64; the milli quotient is
+    # ≤ mm·1000 so the IntegralDivide's long result cannot wrap.
     per_part = pm.groupBy("p_type", "l_partkey").agg(
         F.sum("q").alias("qt"),
-        F.sum(F.col("q") * F.col("q")).alias("sq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sq"),
         F.sum("cents").alias("cents"),
     )
     xyz = per_part.crossJoin(F.broadcast(months)).select(
         "p_type",
         "l_partkey",
         "cents",
-        F.expr("(mm * sq - qt * qt) * 1000 div (qt * qt)").alias("cv2_milli"),
+        F.expr(
+            "(mm * sq - CAST(qt AS DECIMAL(38,0)) * qt) * 1000"
+            " div (CAST(qt AS DECIMAL(38,0)) * qt)"
+        ).alias("cv2_milli"),
     )
     wcum = Window.partitionBy("p_type").orderBy(
         F.desc("cents"), F.asc("l_partkey")
@@ -769,9 +785,12 @@ def q195_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(wcum).alias("cum"),
         F.sum("cents").over(wtyp).alias("tot"),
     )
+    # same DECIMAL(38,0) Pareto-cut lift as q175 (r11 audit)
+    pre_cum = (F.col("cum") - F.col("cents")).cast("decimal(38,0)") * 100
+    tot_dec = F.col("tot").cast("decimal(38,0)")
     abc = (
-        F.when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 80, "A")
-        .when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 95, "B")
+        F.when(pre_cum < tot_dec * 80, "A")
+        .when(pre_cum < tot_dec * 95, "B")
         .otherwise("C")
     )
     xyz_cls = (

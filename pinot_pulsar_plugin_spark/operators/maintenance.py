@@ -626,7 +626,12 @@ def q171_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     keyed = li.select(
         F.col("l_suppkey").alias("k"),
-        F.expr(f"(l_suppkey * 2654435761) % {_Q171_B}").alias("bucket"),
+        # r11 audit: ring-reduce before the Knuth multiply (the q44
+        # fix) — (k % B)·M ≤ 8.3e10 where the raw product overflows
+        # int64 past k ~ 3.47e9; values unchanged for every key
+        F.expr(
+            f"((l_suppkey % {_Q171_B}) * 2654435761) % {_Q171_B}"
+        ).alias("bucket"),
     )
     per_key = keyed.groupBy("bucket", "k").agg(F.count(F.lit(1)).alias("n"))
     wh = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("k"))

@@ -181,10 +181,24 @@ def d51_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Knuth multiplicative hash: deterministic, engine-agnostic (pure
-# BIGINT arithmetic), uniform enough for split bucketing. 800/100/100.
+# Knuth multiplicative hash: deterministic, engine-agnostic, uniform
+# enough for split bucketing. 800/100/100.
 _SPLIT_MULT = 2654435761
 _SPLIT_MOD = 1 << 32
+
+
+def _split_hash(key):
+    """(key · KNUTH) mod 2^32, the product in exact DECIMAL(38,0).
+
+    r11 audit: the raw BIGINT product overflows int64 once the id
+    passes ~3.47e9 (snowflake-scale), and because the modulus is 2^32
+    the prime-site ring-reduction doesn't help — (k mod 2^32)·KNUTH
+    still reaches ~1.8e19. The decimal product (≤ ~2.5e28) is exact,
+    the mod result is < 2^32, and the value equals the int128-exact
+    DuckDB oracle's for every id."""
+    return F.pmod(
+        key.cast("decimal(38,0)") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD)
+    ).cast("long")
 
 
 @query(
@@ -205,7 +219,7 @@ def q74_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that matters when splitting 100 TB). 80/10/10 by bucket
     ranges; stratification composes by hashing (doc_id, stratum)."""
     d = t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD)) % 1000
+    bucket = _split_hash(F.col("doc_id")) % 1000
     return d.select(
         "doc_id",
         bucket.cast("int").alias("bucket"),
@@ -412,7 +426,7 @@ def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
-    order_hash = F.pmod(F.col("doc_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD))
+    order_hash = _split_hash(F.col("doc_id"))
     w = W.partitionBy("lang").orderBy(order_hash, "doc_id")
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
@@ -544,7 +558,7 @@ def q80_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        F.pmod(F.col("doc_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD)).alias("h"),
+        _split_hash(F.col("doc_id")).alias("h"),
     )
     return (
         docs.join(F.broadcast(probs), "source")
@@ -598,7 +612,7 @@ def q101_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins of the three tiny marginals back onto the
     #splits x #labels cell table. The corpus is touched once."""
     em = t(spark, sf_dir, "embeddings")
-    h = F.pmod(F.pmod(F.col("vec_id") * _SPLIT_MULT, F.lit(_SPLIT_MOD)), 1000)
+    h = F.pmod(_split_hash(F.col("vec_id")), 1000)
     assigned = em.select(
         "vec_id",
         "label",
@@ -1267,7 +1281,10 @@ def q165_quota_sample_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.expr(
-            f"(pmod(doc_id * {_SP_MULT}, {_SP_MOD}) + 1) * 1000000 div n_chars"
+            # r11 audit: ring-reduce before the Knuth multiply (the
+            # q95 fix) — exact for every id, unchanged values
+            f"(pmod(pmod(doc_id, {_SP_MOD}) * {_SP_MULT}, {_SP_MOD}) + 1)"
+            " * 1000000 div n_chars"
         ).alias("priority"),
     )
     wlane = Window.partitionBy("lang", "source").orderBy(

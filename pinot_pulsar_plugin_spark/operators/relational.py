@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 from pinot_pulsar_plugin_spark.functions.exact import (
     exact_avg,
     exact_avg_sql,
+    exact_avg_wide,
     exact_sum,
     exact_sum_sql,
+    exact_sum_wide,
 )
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
@@ -62,6 +64,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scan → pushed-down timestamp filter → hash agg (partial+final) →
     sort. One shuffle (by the 2 group keys), one tiny sort.
+
+    100-TB arithmetic (r11 audit, SCALING.md §7): the 6 groups are
+    FIXED grain, so each holds ~1e11 rows at the design point —
+    sum_base_price measures ~3.6e19 in d=4 fixed point, past int64.
+    All sums/avgs use the DECIMAL(38,0) wide accumulator; values are
+    identical wherever the long form doesn't overflow.
     """
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -70,13 +78,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact_sum(F.col("l_quantity"), "sum_qty"),
-            exact_sum(F.col("l_extendedprice"), "sum_base_price"),
-            exact_sum(disc_price, "sum_disc_price"),
-            exact_sum(charge, "sum_charge"),
-            exact_avg(F.col("l_quantity"), "avg_qty"),
-            exact_avg(F.col("l_extendedprice"), "avg_price"),
-            exact_avg(F.col("l_discount"), "avg_disc"),
+            exact_sum_wide(F.col("l_quantity"), "sum_qty"),
+            exact_sum_wide(F.col("l_extendedprice"), "sum_base_price"),
+            exact_sum_wide(disc_price, "sum_disc_price"),
+            exact_sum_wide(charge, "sum_charge"),
+            exact_avg_wide(F.col("l_quantity"), "avg_qty"),
+            exact_avg_wide(F.col("l_extendedprice"), "avg_price"),
+            exact_avg_wide(F.col("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -224,14 +232,18 @@ def q07_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08_join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim with explicit broadcast hint: at 100 TB the `part` dim
     ships to every executor once; the lineitem side never shuffles for
-    the join (only the tiny per-brand agg shuffles)."""
+    the join (only the tiny per-brand agg shuffles). Brand is FIXED
+    grain (~25 values → ~8e18 per group in d=4 fixed point at 100 TB),
+    so the sum takes the wide accumulator (r11 audit)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            exact_sum_wide(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -270,7 +282,13 @@ def q09_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
-        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        # (region, nation) is FIXED grain — ~2.3e18 per group in d=4
+        # fixed point at 100 TB → wide accumulator (r11 audit)
+        .agg(
+            exact_sum_wide(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
     )
 
 
@@ -312,15 +330,17 @@ def q10_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global (no-group) aggregate: min/max/count/distinct/sum/avg."""
+    """Global (no-group) aggregate: min/max/count/distinct/sum/avg.
+    The single group IS the corpus (~2.2e18 in d=2 fixed point at
+    100 TB) → wide accumulators (r11 audit)."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        exact_sum(F.col("l_extendedprice"), "sum_price", 2),
-        exact_avg(F.col("l_discount"), "avg_disc", 4),
+        exact_sum_wide(F.col("l_extendedprice"), "sum_price", 2),
+        exact_avg_wide(F.col("l_discount"), "avg_disc", 4),
     )
 
 
@@ -367,10 +387,13 @@ def q13_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy: (flag,status) → (flag) → () with NULL fill."""
+    """ROLLUP hierarchy: (flag,status) → (flag) → () with NULL fill.
+    The () grand total spans the corpus (~1.5e17 in d=4 fixed point
+    at 100 TB) → wide accumulator (r11 audit)."""
     li = t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), exact_sum(F.col("l_quantity"), "sum_qty")
+        F.count(F.lit(1)).alias("n"),
+        exact_sum_wide(F.col("l_quantity"), "sum_qty"),
     )
 
 
@@ -385,10 +408,13 @@ def q14_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 2^k grouping-set combinations."""
+    """CUBE: all 2^k grouping-set combinations. The () cell spans all
+    orders (~2.2e18 in d=2 fixed point at 100 TB) → wide accumulator
+    (r11 audit)."""
     o = t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), exact_sum(F.col("o_totalprice"), "sum_price", 2)
+        F.count(F.lit(1)).alias("n"),
+        exact_sum_wide(F.col("o_totalprice"), "sum_price", 2),
     )
 
 
@@ -512,7 +538,12 @@ def q113_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), and leaves only the cross-clause residual on the join. The
     part side stays broadcast-sized after pruning; revenue is the
     fixed-point presum so the single output row is bit-equal
-    cross-engine."""
+    cross-engine.
+
+    100-TB arithmetic bound (r11 audit): the single group is post-
+    filter — Q19's conjunctive clauses select ~2e-5 of the fact, so
+    the d=4 sum measures ~4e15 at the design point, 2000× inside
+    int64; the long accumulator stays."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     clause = None
@@ -639,5 +670,7 @@ def q118_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(exact_sum(F.col("volume"), "revenue"))
+        # (nation, nation, year) is FIXED grain — ~5e16 per group in
+        # d=4 fixed point at 100 TB → wide accumulator (r11 audit)
+        .agg(exact_sum_wide(F.col("volume"), "revenue"))
     )

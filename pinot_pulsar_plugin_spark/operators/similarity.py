@@ -894,10 +894,11 @@ def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: term weights are integer micro-units (tf ×
     ROUND(ln(N/df)·1e6) — the t68 presum rule), dot products and
-    norms are exact int64 sums, and the final cosine is a fixed
-    sequence of IEEE double ops (sqrt/×/÷ are correctly rounded) on
-    identical integers — bit-identical cross-engine, so ranking
-    cannot diverge.
+    norms are exact DECIMAL(38,0) sums (r11 audit: wt² passes int64
+    on common terms of long documents), and the final cosine is a
+    fixed sequence of IEEE double ops (sqrt/×/÷ are correctly
+    rounded) on identical integers — bit-identical cross-engine, so
+    ranking cannot diverge.
 
     Scale shape: the probe side is a handful of docs, so the posting
     join fans out as |probe terms ∩ posting lists| — linear in corpus
@@ -923,7 +924,14 @@ def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(persist_once)
     )
     w.count()  # materialize: norms + probes + posting join read the cache
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("norm2"))
+    # r11 audit: the weight products run in DECIMAL(38,0) — wt = tf ·
+    # idf_micro reaches ~2.8e9 on common terms of long documents, so
+    # wt² sits at the int64 edge PER ROW and the per-doc sum passes it;
+    # DECIMAL→double before sqrt is the oracle's int128→double, so the
+    # cosine chain is bit-identical.
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("norm2")
+    )
     probes = (
         w.filter(F.col("doc_id") < _S57_PROBES)
         .select(
@@ -939,7 +947,11 @@ def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_id") != F.col("probe_id")),
         )
         .groupBy("probe_id", F.col("doc_id").alias("cand_id"))
-        .agg(F.sum(F.col("q_wt") * F.col("wt")).alias("dot"))
+        .agg(
+            F.sum(F.col("q_wt").cast("decimal(38,0)") * F.col("wt")).alias(
+                "dot"
+            )
+        )
     )
     nq = norms.select(
         F.col("doc_id").alias("nq_id"), F.col("norm2").alias("q_norm2")

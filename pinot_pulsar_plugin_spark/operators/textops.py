@@ -1611,16 +1611,28 @@ def t73_chi2_term_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    diff_d = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    # r11 audit: the cross products run in DECIMAL(38,0) — a,b,c,d are
+    # corpus doc counts (1e11+ at 100 TB), so a·d reaches ~1e24, far
+    # past int64; DECIMAL→double is the same correctly-rounded
+    # conversion as the oracle's int128→double, so chi2 is unchanged.
+    diff_d = (
+        F.col("a").cast("decimal(38,0)") * F.col("d")
+        - F.col("b").cast("decimal(38,0)") * F.col("c")
+    ).cast("double")
     denom = (
         (F.col("a") + F.col("b")).cast("double")
         * (F.col("c") + F.col("d")).cast("double")
         * (F.col("a") + F.col("c")).cast("double")
         * (F.col("b") + F.col("d")).cast("double")
     )
+    # the marginals are non-negative, so x·y = 0 ⇔ x = 0 ∨ y = 0 —
+    # the factored test avoids the oracle SQL's product (which would
+    # itself overflow int64 at corpus scale; r11 audit)
     zero_marg = (
-        ((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) == 0)
-        | ((F.col("c") + F.col("d")) * (F.col("b") + F.col("d")) == 0)
+        ((F.col("a") + F.col("b")) == 0)
+        | ((F.col("a") + F.col("c")) == 0)
+        | ((F.col("c") + F.col("d")) == 0)
+        | ((F.col("b") + F.col("d")) == 0)
     )
     return cells.select(
         "term",

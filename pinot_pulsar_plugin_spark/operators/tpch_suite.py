@@ -26,7 +26,10 @@ from pinot_pulsar_plugin_spark.caching import persist_once
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pinot_pulsar_plugin_spark.functions.exact import exact_sum, exact_sum_sql
+from pinot_pulsar_plugin_spark.functions.exact import (
+    exact_sum_sql,
+    exact_sum_wide,
+)
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
@@ -123,8 +126,12 @@ def q126_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
         .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
     )
+    # nation is FIXED grain — ~9e16 per group in d=4 fixed point at
+    # 100 TB → wide accumulator (r11 audit, SCALING.md §7)
     return joined.groupBy("n_name").agg(
-        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        exact_sum_wide(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        )
     )
 
 
@@ -159,7 +166,12 @@ def q127_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            # single global group: ~2.2e17 post-filter in d=4 fixed
+            # point at 100 TB — inside int64 but within the audit's
+            # 1e16-9e18 lift band → wide accumulator (r11 audit)
+            exact_sum_wide(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -241,17 +253,23 @@ def q128_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    nation_fp = F.sum(
-        F.when(F.col("supp_nation") == "NATION_12", F.col("vol_fp")).otherwise(0)
+    # 100-TB arithmetic (r11 audit): o_year is FIXED grain — the d=4
+    # per-year sums measure ~1.8e18 (int64 edge) and the ppm numerator
+    # sum·1e6 ~1.8e24 → exact DECIMAL(38,0) accumulators; the ppm
+    # quotient (≤1e6) and output types stay as before.
+    agg = av.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_12", F.col("vol_fp"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("nation_fp"),
+        F.sum(F.col("vol_fp").cast("decimal(38,0)")).alias("tot_fp"),
     )
-    total_fp = F.sum("vol_fp")
-    return av.groupBy("o_year").agg(
-        (nation_fp / 10000.0).alias("nation_rev"),
-        (total_fp / 10000.0).alias("total_rev"),
-        F.expr(
-            "(sum(CASE WHEN supp_nation = 'NATION_12' THEN vol_fp ELSE 0 END)"
-            " * 1000000) div sum(vol_fp)"
-        ).alias("share_ppm"),
+    return agg.select(
+        "o_year",
+        (F.col("nation_fp").cast("double") / 10000.0).alias("nation_rev"),
+        (F.col("tot_fp").cast("double") / 10000.0).alias("total_rev"),
+        F.expr("(nation_fp * 1000000) div tot_fp").alias("share_ppm"),
     )
 
 
@@ -311,7 +329,9 @@ def q129_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             profit.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(exact_sum(F.col("amount"), "profit"))
+        # (nation, year) is FIXED grain — ~5e17 per group in d=4
+        # fixed point at 100 TB → wide accumulator (r11 audit)
+        .agg(exact_sum_wide(F.col("amount"), "profit"))
     )
 
 
@@ -525,7 +545,13 @@ def q133_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ratchet test exists to block).
 
     Scale shape: the month filter prunes the fact scan; part
-    broadcasts; numerator and denominator ride ONE aggregate pass."""
+    broadcasts; numerator and denominator ride ONE aggregate pass.
+
+    100-TB arithmetic (r11 audit): one month of the corpus is ~7e9
+    rows → the global d=4 sums measure ~2.4e18 (int64 edge) and the
+    ppm numerator sum·1e6 ~2.4e24 — both accumulate in exact
+    DECIMAL(38,0); the ppm quotient (≤1e6) and output types stay as
+    before."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -537,15 +563,18 @@ def q133_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(
         fp.alias("vol_fp"), (F.col("p_type") == "PROMO").alias("is_promo")
     )
-    return joined.agg(
-        (F.sum(F.when(F.col("is_promo"), F.col("vol_fp")).otherwise(0)) / 10000.0).alias(
-            "promo_rev"
-        ),
-        (F.sum("vol_fp") / 10000.0).alias("total_rev"),
-        F.expr(
-            "(sum(CASE WHEN is_promo THEN vol_fp ELSE 0 END) * 1000000)"
-            " div sum(vol_fp)"
-        ).alias("promo_ppm"),
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("is_promo"), F.col("vol_fp"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("promo_fp"),
+        F.sum(F.col("vol_fp").cast("decimal(38,0)")).alias("tot_fp"),
+    )
+    return agg.select(
+        (F.col("promo_fp").cast("double") / 10000.0).alias("promo_rev"),
+        (F.col("tot_fp").cast("double") / 10000.0).alias("total_rev"),
+        F.expr("(promo_fp * 1000000) div tot_fp").alias("promo_ppm"),
     )
 
 

@@ -210,6 +210,42 @@ _IMPL_REPLACED = {
     "q166_weekday_seasonality": 11,
     "q181_seasonal_decomposition": 11,
     "q198_seasonal_anomalies": 11,
+    # r11 audit, second pass (ROUND11_NOTES §12): the exact.py
+    # fixed-point family at FIXED grain moved to the DECIMAL(38,0)
+    # wide accumulator (q01's sum_base_price measures ~3.6e19 at the
+    # design point), the fixed-grain ppm shares of fixed-point sums
+    # lifted to DECIMAL, the remaining Knuth-hash injections
+    # ring-reduced (prime moduli) or decimal-multiplied (the 2^32
+    # modulus, where ring reduction is insufficient), and the
+    # count×count / qty² / wt² product sums lifted to DECIMAL. Values
+    # identical at every tested SF (paritycheck green for all 27).
+    "q01_pricing_summary": 11,
+    "q08_join_broadcast_agg": 11,
+    "q09_join_multiway": 11,
+    "q11_agg_global": 11,
+    "q14_agg_rollup": 11,
+    "q15_agg_cube": 11,
+    "q118_nation_pair_volume": 11,
+    "q126_local_supplier_volume": 11,
+    "q127_forecast_revenue": 11,
+    "q128_national_market_share": 11,
+    "q129_product_type_profit": 11,
+    "q133_promo_revenue_share": 11,
+    "q87_bloom_subquery_prune": 11,
+    "q96_rollup_serving": 11,
+    "q110_pmi_association": 11,
+    "q44_deterministic_sample": 11,
+    "q95_weighted_sample": 11,
+    "q74_train_split": 11,
+    "q78_stratified_sample": 11,
+    "q80_domain_resample": 11,
+    "q101_split_balance_audit": 11,
+    "q165_quota_sample_execution": 11,
+    "q171_shuffle_skew_report": 11,
+    "q175_abc_classification": 11,
+    "q195_abc_xyz_matrix": 11,
+    "t73_chi2_term_assoc": 11,
+    "s57_tfidf_similar_docs": 11,
 }
 
 

@@ -57,7 +57,7 @@ def _write_events(spark, tmp_path, rows):
 def test_knuth_mod_reduce_identity_exhaustive():
     """The ring-homomorphism identity behind the r11 hash fix, checked
     in Python bigints across bucket counts and snowflake-scale keys."""
-    for b in (100, 1000, 1000003):
+    for b in (32, 100, 1000, 1000003):
         for k in (0, 1, 7, b - 1, 3_470_000_000, 10**12, 2**62):
             assert ((k % b) * KNUTH) % b == (k * KNUTH) % b
             assert ((k % b) * KNUTH2) % b == (k * KNUTH2) % b
@@ -689,3 +689,255 @@ def test_q166_q181_q198_survive_100tb_cell_cents(spark, tmp_path):
 
     # q198 completes (its ratio rides the same decimal numerator)
     q198_seasonal_anomalies(spark, str(tmp_path)).collect()
+
+
+# --- r11 second pass: exact.py wide accumulators, split hashes, products ---
+#
+# SCALING.md §7's registry-wide sweep (the q196-class audit extended to
+# every module). Same two shapes as above: end-to-end where the regime
+# is reachable from planted values/ids, expression-level on fabricated
+# aggregate frames where the dangerous magnitudes are COUNT/SUM results.
+
+SPLIT_MULT = 2654435761
+SPLIT_MOD = 1 << 32
+
+
+def test_exact_sum_wide_survives_fixed_grain_totals(spark):
+    """The q01 class: d=4 fixed-point terms summing past int64. The
+    wide accumulators land on the Python bigint value; plain
+    exact_sum/exact_avg raise on the same frame."""
+    from pinot_pulsar_plugin_spark.functions.exact import (
+        exact_avg,
+        exact_avg_wide,
+        exact_sum,
+        exact_sum_wide,
+    )
+
+    # integral doubles: ROUND(v·1e4) is exact on both engines, each
+    # term ≈ 9.1e18 stays inside int64, the 3-term sum does not
+    vals = [912_000_000_000_000.0, 905_000_000_000_000.0, 890_000_000_000_000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = df.agg(
+        exact_sum_wide(F.col("v"), "s"), exact_avg_wide(F.col("v"), "a")
+    ).collect()[0]
+    terms = [int(v) * 10_000 for v in vals]
+    assert max(terms) < 2**63 - 1 and sum(terms) > 2**63 - 1
+    assert row.s == float(sum(terms)) / 10_000.0
+    assert row.a == float(sum(terms)) / float(len(vals)) / 10_000.0
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(exact_sum(F.col("v"), "s")).collect()
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(exact_avg(F.col("v"), "a")).collect()
+
+
+def test_q01_pricing_summary_survives_100tb_magnitudes(spark, tmp_path):
+    """The flagship end-to-end in its overflow regime: planted
+    extendedprice magnitudes put the per-group d=4 sums past int64
+    (the production way a 1e11-row fixed-grain group does); every
+    aggregate lands on the Python-bigint-implied double."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.relational import (
+        q01_pricing_summary,
+    )
+
+    ship = datetime.datetime(1995, 6, 1)
+    prices = [9.1e14, 9.05e14, 8.9e14]  # Σ ROUND(p·1e4) > int64
+    rows = [
+        ("R", "F", 10.0 * (i + 1), p, 0.0, 0.0, ship)
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = q01_pricing_summary(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    terms = [int(p) * 10_000 for p in prices]
+    assert sum(terms) > 2**63 - 1
+    assert r.sum_base_price == float(sum(terms)) / 10_000.0
+    assert r.avg_price == float(sum(terms)) / 3.0 / 10_000.0
+    assert r.sum_qty == float(sum(int(10 * (i + 1)) * 10_000 for i in range(3))) / 10_000.0
+    assert r.count_order == 3
+
+
+def test_q133_promo_share_survives_100tb_magnitudes(spark, tmp_path):
+    """Q14-shape global sums and the ppm numerator (sum·1e6) in their
+    overflow regime, against Python bigints."""
+    import datetime
+
+    from pinot_pulsar_plugin_spark.operators.tpch_suite import (
+        q133_promo_revenue_share,
+    )
+
+    ship = datetime.datetime(1997, 3, 15)
+    li = [
+        (1, 9.1e14, 0.0, ship),
+        (2, 9.05e14, 0.0, ship),
+        (1, 8.9e14, 0.0, ship),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_partkey long, l_extendedprice double, l_discount double,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    r = q133_promo_revenue_share(spark, str(tmp_path)).collect()[0]
+    promo = (int(9.1e14) + int(8.9e14)) * 10_000
+    tot = promo + int(9.05e14) * 10_000
+    assert tot > 2**63 - 1
+    assert r.promo_rev == float(promo) / 10_000.0
+    assert r.total_rev == float(tot) / 10_000.0
+    assert r.promo_ppm == promo * 1_000_000 // tot
+
+
+def test_split_hash_sites_survive_snowflake_ids(spark, tmp_path):
+    """The 2^32-modulus split hash (q74/q78/q80/q101): ring reduction
+    is insufficient there, so the product runs in DECIMAL(38,0). The
+    real q74 lands every id in the bucket Python's exact arithmetic
+    picks; the raw long multiply raises."""
+    from pinot_pulsar_plugin_spark.operators.pipelines import q74_train_split
+
+    ids = [10**12 + 7, 2**61 + 3, 4_000_000_001, 4_294_967_295, 5]
+    spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: (r.bucket, r.split) for r in q74_train_split(spark, str(tmp_path)).collect()}
+    for i in ids:
+        b = (i * SPLIT_MULT) % SPLIT_MOD % 1000
+        exp = "train" if b < 800 else ("val" if b < 900 else "test")
+        assert got[i] == (b, exp), i
+    with pytest.raises(Exception, match="(?i)overflow"):
+        spark.read.parquet(str(tmp_path / "documents.parquet")).select(
+            (F.col("doc_id") * SPLIT_MULT).alias("boom")
+        ).collect()
+
+
+def test_q44_q95_prime_hash_sites_survive_snowflake_keys(spark, tmp_path):
+    """The prime-modulus sites ring-reduce (the q86 rule): q44's ~10%
+    sample keeps exactly the keys Python keeps; q95's PPS priority is
+    the Python value for every snowflake doc id."""
+    from pinot_pulsar_plugin_spark.operators.advanced import (
+        q44_deterministic_sample,
+    )
+    from pinot_pulsar_plugin_spark.operators.curation import (
+        _SP_MOD,
+        _SP_MULT,
+        q95_weighted_sample,
+    )
+
+    keys = [10**12 + k for k in range(40)] + [2**61 + 1, 3_470_000_001, 9]
+    spark.createDataFrame(
+        [(k, 100.0 + k % 7) for k in keys],
+        "o_orderkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {r.o_orderkey for r in q44_deterministic_sample(spark, str(tmp_path)).collect()}
+    assert got == {k for k in keys if (k * 2654435761) % 100 < 10}
+
+    docs = [(10**12 + d, "en", 50 + d) for d in range(6)] + [(2**62 + 11, "fr", 99)]
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.priority for r in q95_weighted_sample(spark, str(tmp_path)).collect()}
+    for doc_id, _lang, n_chars in docs:
+        u = (doc_id * _SP_MULT) % _SP_MOD + 1
+        assert out[doc_id] == float(u) / float(n_chars), doc_id
+
+
+def test_q171_bucket_ring_reduce_survives_snowflake_suppkeys(spark, tmp_path):
+    """q171's skew-report bucket on huge supplier keys: runs, and each
+    key hashes to Python's bucket."""
+    from pinot_pulsar_plugin_spark.operators.maintenance import (
+        _Q171_B,
+        q171_shuffle_skew_report,
+    )
+
+    keys = [10**12 + 1, 2**61 + 5, 3_470_000_077, 13]
+    spark.createDataFrame(
+        [(k,) for k in keys for _ in range(2)], "l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = q171_shuffle_skew_report(spark, str(tmp_path)).collect()
+    exp_buckets = {(k * 2654435761) % _Q171_B for k in keys}
+    assert {r.bucket for r in out} <= exp_buckets and len(out) > 0
+
+
+def test_count_product_lifts_match_python_bigints(spark):
+    """Expression-level pins for the fabricated-frame sites (the q209
+    precedent): t73's a·d−b·c, q110's n_x·n_y, q175/q195's Pareto
+    cuts, q195's CV² bracket, and s57's wt² — each decimal form lands
+    on the Python bigint value on magnitudes where the long form
+    raises."""
+    # t73: contingency counts at 1e12 doc scale
+    a, b, c, d = 10**12, 3 * 10**11, 7 * 10**11, 10**12 + 17
+    df = spark.createDataFrame([(a, b, c, d)], "a long, b long, c long, d long")
+    got = df.select(
+        (
+            F.col("a").cast("decimal(38,0)") * F.col("d")
+            - F.col("b").cast("decimal(38,0)") * F.col("c")
+        ).cast("double").alias("diff")
+    ).collect()[0].diff
+    assert got == float(a * d - b * c)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.select((F.col("a") * F.col("d")).alias("boom")).collect()
+
+    # q110: marginal product at 1e10-customer scale
+    nx, ny = 7 * 10**9, 6 * 10**9
+    df2 = spark.createDataFrame([(nx, ny)], "n_x long, n_y long")
+    got2 = df2.select(
+        (F.col("n_x").cast("decimal(38,0)") * F.col("n_y"))
+        .cast("double")
+        .alias("p")
+    ).collect()[0].p
+    assert got2 == float(nx * ny)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df2.select((F.col("n_x") * F.col("n_y")).alias("boom")).collect()
+
+    # q175/q195: Pareto cut on skewed type totals (~2e18 cents)
+    cum, cents, tot = 2 * 10**18, 5 * 10**17, 2 * 10**18
+    df3 = spark.createDataFrame(
+        [(cum, cents, tot)], "cum long, cents long, tot long"
+    )
+    got3 = df3.select(
+        (
+            (F.col("cum") - F.col("cents")).cast("decimal(38,0)") * 100
+            < F.col("tot").cast("decimal(38,0)") * 80
+        ).alias("is_a")
+    ).collect()[0].is_a
+    assert got3 == ((cum - cents) * 100 < tot * 80)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df3.select(((F.col("cum") - F.col("cents")) * 100).alias("boom")).collect()
+
+    # q195: CV² bracket on a hot part (qt² > int64)
+    from decimal import Decimal
+
+    mm, sq, qt = 84, 10**19 // 84 * 84, 25 * 10**9
+    df4 = spark.createDataFrame(
+        [(mm, Decimal(sq), qt)], "mm long, sq decimal(38,0), qt long"
+    )
+    got4 = df4.select(
+        F.expr(
+            "(mm * sq - CAST(qt AS DECIMAL(38,0)) * qt) * 1000"
+            " div (CAST(qt AS DECIMAL(38,0)) * qt)"
+        ).alias("cv2")
+    ).collect()[0].cv2
+    assert got4 == (mm * sq - qt * qt) * 1000 // (qt * qt)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df4.select((F.col("qt") * F.col("qt")).alias("boom")).collect()
+
+    # s57: wt² sums at common-term/long-document scale
+    wts = [2_800_000_000, 2_700_000_000, 2_600_000_000]
+    df5 = spark.createDataFrame([(w,) for w in wts], "wt long")
+    got5 = df5.agg(
+        F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("n2")
+    ).collect()[0].n2
+    assert int(got5) == sum(w * w for w in wts)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df5.agg(F.sum(F.col("wt") * F.col("wt")).alias("boom")).collect()
