@@ -64,29 +64,51 @@ def exact_avg_sql(sql_expr: str, name: str, digits: int = 4) -> str:
     )
 
 
+# Split unit for the wide accumulators: each fixed-point term t
+# decomposes as t = hi·1e6 + lo with BOTH partial sums int64-safe at
+# the 100 TB design point (|Σhi| ≤ n·(T/1e6 + 1), |Σlo| ≤ n·(1e6+T/1e6)
+# — for money/qty domains T ≤ ~1.3e9 and n ≤ ~1e12 that is ≤ ~1.3e15
+# and ~1e18). The decomposition need not be canonical, only EXACT:
+# hi comes from a double divide (±1 ulp of the true quotient is fine)
+# and lo = t − hi·1e6 is computed in long, so hi·1e6 + lo ≡ t always.
+_WIDE_SPLIT = 10**6
+
+
+def wide_fp_total(term: Column) -> Column:
+    """Exact DECIMAL(38,0) total of a long fixed-point term over a
+    group whose row count outgrows int64 accumulation (r11 100-TB
+    audit, SCALING.md §7).
+
+    The hot path stays pure long whole-stage codegen — two long sums
+    per group — and the only decimal arithmetic is ONE recombine per
+    OUTPUT GROUP (measured on q01 at sf0.1: +0.09s vs the long form,
+    where a per-row DECIMAL(38,0) accumulator cost +1.6s). The result
+    equals the Python-bigint sum exactly; DECIMAL→double downstream is
+    the same correctly-rounded conversion the DuckDB oracle applies to
+    its int128 sum."""
+    hi = (term / _WIDE_SPLIT).cast("long")
+    lo = term - hi * _WIDE_SPLIT
+    return F.sum(hi).cast("decimal(38,0)") * _WIDE_SPLIT + F.sum(lo)
+
+
 def exact_sum_wide(expr: Column, name: str, digits: int = 4) -> Column:
-    """:func:`exact_sum` with a DECIMAL(38,0) accumulator, for groups
-    at FIXED grain (global / flag / brand / nation / year / priority
-    …) whose term count grows with the corpus (r11 100-TB audit,
-    SCALING.md §7).
+    """:func:`exact_sum` for groups at FIXED grain (global / flag /
+    brand / nation / year / priority …) whose term count grows with
+    the corpus (r11 100-TB audit, SCALING.md §7).
 
     At the 100 TB design point a fixed-grain group holds 1e10-6e11
     rows; with d=4 the int64 accumulator of :func:`exact_sum` passes
     9.2e18 (q01's sum_base_price measures ~3.6e19) and raises ANSI
     ARITHMETIC_OVERFLOW. Here each term is still rounded once to a
     double-exact integer (per-row fixed-point values are bounded far
-    below 2^53 by the money/quantity domains), the sum is exact
-    decimal — order-independent, map-side combinable, ~1e34 headroom
-    — and DECIMAL→double is the same correctly-rounded conversion the
-    DuckDB oracle applies to its int128 sum, so the final division is
-    the identical IEEE op on the identical integer. Keep plain
-    :func:`exact_sum` for scaling-key grains (order/supplier/part/…),
-    where per-group magnitude is bounded by per-key fan-in."""
+    below 2^53 by the money/quantity domains) and totaled exactly via
+    :func:`wide_fp_total` — order-independent, map-side combinable,
+    long-codegen hot path. Keep plain :func:`exact_sum` for
+    scaling-key grains (order/supplier/part/…), where per-group
+    magnitude is bounded by per-key fan-in."""
     scale = 10**digits
-    return (
-        F.sum(F.round(expr * scale).cast("decimal(38,0)")).cast("double")
-        / float(scale)
-    ).alias(name)
+    term = F.round(expr * scale).cast("long")
+    return (wide_fp_total(term).cast("double") / float(scale)).alias(name)
 
 
 def exact_avg_wide(expr: Column, name: str, digits: int = 4) -> Column:
@@ -96,10 +118,9 @@ def exact_avg_wide(expr: Column, name: str, digits: int = 4) -> Column:
     (double)count / scale — two IEEE divides on correctly-rounded
     conversions of the exact integers."""
     scale = 10**digits
+    term = F.round(expr * scale).cast("long")
     return (
-        F.sum(F.round(expr * scale).cast("decimal(38,0)")).cast("double")
-        / F.count(expr)
-        / float(scale)
+        wide_fp_total(term).cast("double") / F.count(expr) / float(scale)
     ).alias(name)
 
 

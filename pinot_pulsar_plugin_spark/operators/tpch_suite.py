@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pinot_pulsar_plugin_spark.functions.exact import (
     exact_sum_sql,
     exact_sum_wide,
+    wide_fp_total,
 )
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
@@ -258,12 +259,11 @@ def q128_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum·1e6 ~1.8e24 → exact DECIMAL(38,0) accumulators; the ppm
     # quotient (≤1e6) and output types stay as before.
     agg = av.groupBy("o_year").agg(
-        F.sum(
+        wide_fp_total(
             F.when(F.col("supp_nation") == "NATION_12", F.col("vol_fp"))
             .otherwise(0)
-            .cast("decimal(38,0)")
         ).alias("nation_fp"),
-        F.sum(F.col("vol_fp").cast("decimal(38,0)")).alias("tot_fp"),
+        wide_fp_total(F.col("vol_fp")).alias("tot_fp"),
     )
     return agg.select(
         "o_year",
@@ -564,12 +564,10 @@ def q133_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("vol_fp"), (F.col("p_type") == "PROMO").alias("is_promo")
     )
     agg = joined.agg(
-        F.sum(
-            F.when(F.col("is_promo"), F.col("vol_fp"))
-            .otherwise(0)
-            .cast("decimal(38,0)")
+        wide_fp_total(
+            F.when(F.col("is_promo"), F.col("vol_fp")).otherwise(0)
         ).alias("promo_fp"),
-        F.sum(F.col("vol_fp").cast("decimal(38,0)")).alias("tot_fp"),
+        wide_fp_total(F.col("vol_fp")).alias("tot_fp"),
     )
     return agg.select(
         (F.col("promo_fp").cast("double") / 10000.0).alias("promo_rev"),
