@@ -66,11 +66,17 @@ def exact_avg_sql(sql_expr: str, name: str, digits: int = 4) -> str:
 
 # Split unit for the wide accumulators: each fixed-point term t
 # decomposes as t = hi·1e6 + lo with BOTH partial sums int64-safe at
-# the 100 TB design point (|Σhi| ≤ n·(T/1e6 + 1), |Σlo| ≤ n·(1e6+T/1e6)
-# — for money/qty domains T ≤ ~1.3e9 and n ≤ ~1e12 that is ≤ ~1.3e15
-# and ~1e18). The decomposition need not be canonical, only EXACT:
-# hi comes from a double divide (±1 ulp of the true quotient is fine)
-# and lo = t − hi·1e6 is computed in long, so hi·1e6 + lo ≡ t always.
+# the 100 TB design point: |Σhi| ≤ n·(T/1e6 + 1) and |Σlo| ≤ n·2e6
+# (|lo| < 1e6 canonically, < 2e6 if the double divide slips the
+# quotient by one). Envelope covering every current call site:
+# per-row terms T ≤ ~5.6e9 (o_totalprice ≈ 5.6e5 at d=4 — the largest
+# money domain; line-level d=4 terms are ≤ ~1.3e9, quantities far
+# less) and n ≤ ~1e12 rows/group ⇒ |Σhi| ≤ ~5.6e15, |Σlo| ≤ ~2e18 —
+# both inside int64. A new call site must re-check T·n/1e6 + n·2e6
+# against 9.2e18. The decomposition need not be canonical, only
+# EXACT: hi comes from a double divide (±1 of the true quotient is
+# fine) and lo = t − hi·1e6 is computed in long, so hi·1e6 + lo ≡ t
+# always.
 _WIDE_SPLIT = 10**6
 
 

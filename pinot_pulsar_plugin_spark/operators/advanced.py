@@ -15,6 +15,7 @@ from pinot_pulsar_plugin_spark.functions.exact import (
     exact_sum_sql,
     exact_sum_wide,
 )
+from pinot_pulsar_plugin_spark.functions.hashing import knuth_bucket
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
@@ -51,7 +52,7 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE (o_orderkey * 2654435761) % 100 < 10
+    WHERE ((o_orderkey % 100) * 2654435761) % 100 < 10
     """,
 )
 def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,15 +60,16 @@ def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) — reproducible across engines and runs, unlike TABLESAMPLE.
     At 100 TB this is a scan-side filter: no shuffle, prunes early.
 
-    r11 audit: the key ring-reduces BEFORE the multiply — (k % 100) ·
-    KNUTH stays ≤ 2.6e11 where the raw product overflows int64 past
-    k ~ 3.47e9 (snowflake-scale ids); ((k % B)·M) % B ≡ (k·M) % B is
-    exact (test_knuth_mod_reduce_identity_exhaustive), so values are
-    unchanged and the DuckDB oracle (int128-exact) still matches."""
+    r11 audit: the key ring-reduces BEFORE the multiply
+    (functions/hashing.py) — ((k % B)·M) % B ≡ (k·M) % B exactly,
+    where the raw product overflows int64 past k ~ 3.47e9 on BOTH
+    engines (DuckDB's BIGINT multiply is overflow-checked too — no
+    int128 promotion for products — so the oracle carries the same
+    reduction)."""
     o = t(spark, sf_dir, "orders")
-    return o.filter(
-        F.pmod(F.pmod(F.col("o_orderkey"), F.lit(100)) * 2654435761, 100) < 10
-    ).select("o_orderkey", "o_totalprice")
+    return o.filter(knuth_bucket(F.col("o_orderkey"), 100) < 10).select(
+        "o_orderkey", "o_totalprice"
+    )
 
 
 @query(
@@ -671,7 +673,11 @@ def q112_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .hint("shuffle_hash")
     )
     joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    # r11 audit (review finding): this operator's PREMISE is the
+    # unbounded hot key — a 30%-of-corpus supplier re-accumulates
+    # ~6.6e19 d=4 fixed point in the final regroup, past int64 — so
+    # the scaling-key exemption does not apply and the sum is wide.
     return joined.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("n_items"),
-        exact_sum(F.col("rev"), "revenue"),
+        exact_sum_wide(F.col("rev"), "revenue"),
     )

@@ -25,6 +25,7 @@ from pinot_pulsar_plugin_spark.functions.exact import (
     exact_sum_sql,
     exact_sum_wide,
 )
+from pinot_pulsar_plugin_spark.functions.hashing import knuth_bucket
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
@@ -126,7 +127,7 @@ _SP_KEEP = 40  # docs kept per language
     f"""
     WITH pr AS (
       SELECT doc_id, lang, n_chars,
-             CAST((doc_id * {_SP_MULT}) % {_SP_MOD} + 1 AS DOUBLE)
+             CAST(((doc_id % {_SP_MOD}) * {_SP_MULT}) % {_SP_MOD} + 1 AS DOUBLE)
                / CAST(n_chars AS DOUBLE) AS priority
       FROM documents),
     ranked AS (
@@ -157,11 +158,12 @@ def q95_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit, so each map task forwards at most K rows per
     language before the single hash exchange on lang."""
     d = t(spark, sf_dir, "documents")
-    # r11 audit: ring-reduce the id before the Knuth multiply —
-    # (id % B)·M ≤ 2.7e15 where the raw product overflows int64 past
-    # id ~ 3.47e9; ((k % B)·M) % B ≡ (k·M) % B exactly, so the value
-    # (and the int128-exact DuckDB oracle) is unchanged.
-    u = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SP_MOD)) * _SP_MULT, F.lit(_SP_MOD)) + 1
+    # r11 audit: ring-reduce the id before the Knuth multiply
+    # (functions/hashing.py) — ((k % B)·M) % B ≡ (k·M) % B exactly,
+    # where the raw product overflows past id ~3.47e9 on BOTH engines
+    # (DuckDB's BIGINT multiply is overflow-checked too, so the oracle
+    # carries the same reduction).
+    u = knuth_bucket(F.col("doc_id"), _SP_MOD) + 1
     priority = (u.cast("double") / F.col("n_chars").cast("double")).alias(
         "priority"
     )

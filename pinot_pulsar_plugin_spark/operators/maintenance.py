@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from pinot_pulsar_plugin_spark.functions.hashing import knuth_bucket_sql
+
 from pinot_pulsar_plugin_spark.operators.common import make_registry, t
 
 QUERIES, ORACLE, query = make_registry()
@@ -585,7 +587,7 @@ _Q171_B = 32
 _Q171 = f"""
     WITH keyed AS (
       SELECT l_suppkey AS k,
-             (l_suppkey * 2654435761) % {_Q171_B} AS bucket
+             ((l_suppkey % {_Q171_B}) * 2654435761) % {_Q171_B} AS bucket
       FROM lineitem),
     per_key AS (
       SELECT bucket, k, CAST(COUNT(*) AS BIGINT) AS n
@@ -627,11 +629,8 @@ def q171_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = li.select(
         F.col("l_suppkey").alias("k"),
         # r11 audit: ring-reduce before the Knuth multiply (the q44
-        # fix) — (k % B)·M ≤ 8.3e10 where the raw product overflows
-        # int64 past k ~ 3.47e9; values unchanged for every key
-        F.expr(
-            f"((l_suppkey % {_Q171_B}) * 2654435761) % {_Q171_B}"
-        ).alias("bucket"),
+        # fix, functions/hashing.py) — values unchanged for every key
+        F.expr(knuth_bucket_sql("l_suppkey", _Q171_B)).alias("bucket"),
     )
     per_key = keyed.groupBy("bucket", "k").agg(F.count(F.lit(1)).alias("n"))
     wh = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("k"))

@@ -25,6 +25,10 @@ iterative min-label propagation).
 from __future__ import annotations
 
 from pinot_pulsar_plugin_spark.caching import persist_once, persist_scoped
+from pinot_pulsar_plugin_spark.functions.hashing import (
+    knuth_bucket_sql,
+    split_hash32,
+)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -182,32 +186,23 @@ def d51_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Knuth multiplicative hash: deterministic, engine-agnostic, uniform
-# enough for split bucketing. 800/100/100.
+# enough for split bucketing. 800/100/100. The Spark side computes the
+# mod-2^32 product in pure-long 16-bit limbs (functions/hashing.py —
+# the raw product overflows int64 past id ~3.47e9); the oracle SQL
+# casts to HUGEINT, since DuckDB's BIGINT multiply is overflow-checked
+# too. Both are value-identical to the naive product for every id.
 _SPLIT_MULT = 2654435761
 _SPLIT_MOD = 1 << 32
-
-
-def _split_hash(key):
-    """(key · KNUTH) mod 2^32, the product in exact DECIMAL(38,0).
-
-    r11 audit: the raw BIGINT product overflows int64 once the id
-    passes ~3.47e9 (snowflake-scale), and because the modulus is 2^32
-    the prime-site ring-reduction doesn't help — (k mod 2^32)·KNUTH
-    still reaches ~1.8e19. The decimal product (≤ ~2.5e28) is exact,
-    the mod result is < 2^32, and the value equals the int128-exact
-    DuckDB oracle's for every id."""
-    return F.pmod(
-        key.cast("decimal(38,0)") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD)
-    ).cast("long")
+_SPLIT_HASH_SQL = f"(CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) % {_SPLIT_MOD}"
 
 
 @query(
     "q74_train_split",
     f"""
     SELECT doc_id,
-           CAST((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 AS INTEGER) AS bucket,
-           CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 800 THEN 'train'
-                WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 900 THEN 'val'
+           CAST({_SPLIT_HASH_SQL} % 1000 AS INTEGER) AS bucket,
+           CASE WHEN {_SPLIT_HASH_SQL} % 1000 < 800 THEN 'train'
+                WHEN {_SPLIT_HASH_SQL} % 1000 < 900 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -219,7 +214,7 @@ def q74_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that matters when splitting 100 TB). 80/10/10 by bucket
     ranges; stratification composes by hashing (doc_id, stratum)."""
     d = t(spark, sf_dir, "documents")
-    bucket = _split_hash(F.col("doc_id")) % 1000
+    bucket = split_hash32(F.col("doc_id")) % 1000
     return d.select(
         "doc_id",
         bucket.cast("int").alias("bucket"),
@@ -406,7 +401,7 @@ _STRATUM_CAP = 40  # max docs kept per language
       SELECT doc_id, lang,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}, doc_id
+               ORDER BY {_SPLIT_HASH_SQL}, doc_id
              ) AS INTEGER) AS pick_rank
       FROM documents)
     SELECT doc_id, lang, pick_rank
@@ -426,7 +421,7 @@ def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
-    order_hash = _split_hash(F.col("doc_id"))
+    order_hash = split_hash32(F.col("doc_id"))
     w = W.partitionBy("lang").orderBy(order_hash, "doc_id")
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
@@ -538,7 +533,7 @@ def q79_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs AS (
       SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-             (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} AS h
+             {_SPLIT_HASH_SQL} AS h
       FROM documents)
     SELECT d.doc_id, d.source, d.n_tokens
     FROM docs d JOIN probs p ON p.source = d.source
@@ -558,7 +553,7 @@ def q80_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        _split_hash(F.col("doc_id")).alias("h"),
+        split_hash32(F.col("doc_id")).alias("h"),
     )
     return (
         docs.join(F.broadcast(probs), "source")
@@ -575,9 +570,9 @@ def q80_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH assigned AS (
       SELECT vec_id, label,
-             CASE WHEN (vec_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 800
+             CASE WHEN (CAST(vec_id AS HUGEINT) * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 800
                     THEN 'train'
-                  WHEN (vec_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 900
+                  WHEN (CAST(vec_id AS HUGEINT) * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 900
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM embeddings),
@@ -612,7 +607,7 @@ def q101_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins of the three tiny marginals back onto the
     #splits x #labels cell table. The corpus is touched once."""
     em = t(spark, sf_dir, "embeddings")
-    h = F.pmod(_split_hash(F.col("vec_id")), 1000)
+    h = F.pmod(split_hash32(F.col("vec_id")), 1000)
     assigned = em.select(
         "vec_id",
         "label",
@@ -1222,7 +1217,7 @@ _Q165 = f"""
       FROM quo q JOIN leftover l ON l.lang = q.lang),
     pri AS (
       SELECT doc_id, lang, source, n_chars,
-             (((doc_id * {_SP_MULT}) % {_SP_MOD} + 1) * 1000000)
+             ((((doc_id % {_SP_MOD}) * {_SP_MULT}) % {_SP_MOD} + 1) * 1000000)
                // n_chars AS priority
       FROM documents),
     ranked AS (
@@ -1282,8 +1277,8 @@ def q165_quota_sample_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.expr(
             # r11 audit: ring-reduce before the Knuth multiply (the
-            # q95 fix) — exact for every id, unchanged values
-            f"(pmod(pmod(doc_id, {_SP_MOD}) * {_SP_MULT}, {_SP_MOD}) + 1)"
+            # q95 fix, functions/hashing.py) — exact for every id
+            f"({knuth_bucket_sql('doc_id', _SP_MOD)} + 1)"
             " * 1000000 div n_chars"
         ).alias("priority"),
     )

@@ -246,6 +246,11 @@ _IMPL_REPLACED = {
     "q195_abc_xyz_matrix": 11,
     "t73_chi2_term_assoc": 11,
     "s57_tfidf_similar_docs": 11,
+    # r11 audit, review pass: q112's premise IS the unbounded hot key
+    # (a 30%-of-corpus supplier re-accumulates ~6.6e19 in the final
+    # regroup), so the scaling-key exemption did not apply — its
+    # revenue sum moved to the wide accumulator.
+    "q112_salted_supplier_revenue": 11,
 }
 
 

@@ -146,3 +146,52 @@ def test_closure_reaches_helpers_and_constants():
     assert any(".value_histogram" in n for n in funcs)
     _, consts = T._closure(q["q197_correlation_matrix"])
     assert any(k.endswith("._Q197") for k in consts)
+
+
+def test_dict_subscript_capture_is_key_granular(tmp_path):
+    """Scheme 3 (r11 second pass): a dict referenced ONLY via
+    constant-string subscripts captures just the accessed keys, so an
+    edit to an UNRELATED key no longer flips the entry's hash (the
+    d51/pipelines.ORACLE over-capture); a bare (non-subscript) use
+    still captures the whole dict."""
+    import importlib.util
+
+    mod_file = tmp_path / "subscript_probe.py"
+    mod_file.write_text(
+        "TABLE = {'mine': 'a', 'other': 'b'}\n"
+        "def probe_subscript():\n"
+        "    return TABLE['mine']\n"
+        "def probe_bare():\n"
+        "    return len(TABLE)\n"
+        "def probe_mixed(k):\n"
+        "    return TABLE['mine'] + TABLE[k]\n"
+    )
+    spec = importlib.util.spec_from_file_location("subscript_probe", mod_file)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    _, consts = T._closure(mod.probe_subscript)
+    assert "subscript_probe.TABLE['mine']" in consts
+    assert not any("other" in k for k in consts)
+
+    _, consts_bare = T._closure(mod.probe_bare)
+    assert "subscript_probe.TABLE" in consts_bare
+
+    # a dynamic-key use alongside the constant one -> whole capture
+    _, consts_mixed = T._closure(mod.probe_mixed)
+    assert "subscript_probe.TABLE" in consts_mixed
+
+    # and the granular capture still SEES a change to the used key
+    mod_file.write_text(
+        "TABLE = {'mine': 'CHANGED', 'other': 'b'}\n"
+        "def probe_subscript():\n"
+        "    return TABLE['mine']\n"
+    )
+    spec2 = importlib.util.spec_from_file_location("subscript_probe2", mod_file)
+    mod2 = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(mod2)
+    _, consts2 = T._closure(mod2.probe_subscript)
+    assert (
+        consts2["subscript_probe2.TABLE['mine']"]
+        != consts["subscript_probe.TABLE['mine']"]
+    )

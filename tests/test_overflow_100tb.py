@@ -800,9 +800,10 @@ def test_q133_promo_share_survives_100tb_magnitudes(spark, tmp_path):
 
 def test_split_hash_sites_survive_snowflake_ids(spark, tmp_path):
     """The 2^32-modulus split hash (q74/q78/q80/q101): ring reduction
-    is insufficient there, so the product runs in DECIMAL(38,0). The
-    real q74 lands every id in the bucket Python's exact arithmetic
-    picks; the raw long multiply raises."""
+    is insufficient there, so the product runs in pure-long 16-bit
+    limbs (functions/hashing.py::split_hash32). The real q74 lands
+    every id in the bucket Python's exact arithmetic picks; the raw
+    long multiply raises."""
     from pinot_pulsar_plugin_spark.operators.pipelines import q74_train_split
 
     ids = [10**12 + 7, 2**61 + 3, 4_000_000_001, 4_294_967_295, 5]

@@ -149,6 +149,43 @@ def _const_repr(obj) -> str:
     return repr(obj)
 
 
+# memoized per function object, like _NAMES_CACHE
+_SUBSCRIPT_CACHE: dict[types.FunctionType, dict[str, set | None]] = {}
+
+
+def _subscript_keys(fn, name: str) -> set | None:
+    """The constant string keys under which fn reads dict ``name``, or
+    None if any reference is NOT a constant-key subscript (then the
+    whole dict must be captured).
+
+    Scheme 3 (review r11 second pass): a module-wide dict like
+    pipelines.ORACLE is referenced as ORACLE["d49…"] from one entry's
+    oracle f-string; hashing the WHOLE dict made that entry's hash
+    flip whenever ANY other key changed — the same over-capture class
+    as the scheme-2 infra fix, one dict-granularity down."""
+    if fn not in _SUBSCRIPT_CACHE:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        by_name: dict[str, set | None] = {}
+        sub_value_ids: set[int] = set()
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Subscript)
+                and isinstance(node.value, ast.Name)
+                and isinstance(node.slice, ast.Constant)
+                and isinstance(node.slice.value, str)
+            ):
+                nm = node.value.id
+                sub_value_ids.add(id(node.value))
+                if by_name.get(nm, set()) is not None:
+                    by_name.setdefault(nm, set()).add(node.slice.value)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and id(node) not in sub_value_ids:
+                by_name[node.id] = None  # a bare use → whole-object capture
+        _SUBSCRIPT_CACHE[fn] = by_name
+    return _SUBSCRIPT_CACHE[fn].get(name)
+
+
 def _closure(fn) -> tuple[dict[str, str], dict[str, str]]:
     """(qualname → normalized function dump, qualname → literal repr)
     for the same-package transitive closure reachable from fn,
@@ -170,7 +207,17 @@ def _closure(fn) -> tuple[dict[str, str], dict[str, str]]:
             ):
                 stack.append(obj)
             elif isinstance(obj, _LITERALS):
-                consts[f"{f.__module__}.{name}"] = _const_repr(obj)
+                keys = (
+                    _subscript_keys(f, name) if isinstance(obj, dict) else None
+                )
+                if keys is not None:
+                    for k in sorted(keys):
+                        if k in obj:
+                            consts[f"{f.__module__}.{name}[{k!r}]"] = (
+                                _const_repr(obj[k])
+                            )
+                else:
+                    consts[f"{f.__module__}.{name}"] = _const_repr(obj)
     return funcs, consts
 
 
@@ -266,7 +313,7 @@ def _current_round() -> int:
 # auditable in the same diff that changed this file; within one scheme
 # the refusal always applies. v2: infra plumbing moved to __infra__,
 # locals no longer resolve against module globals.
-_SCHEME = 2
+_SCHEME = 3
 _SCHEME_KEY = "__scheme__"
 
 
