@@ -942,3 +942,74 @@ def test_count_product_lifts_match_python_bigints(spark):
     assert int(got5) == sum(w * w for w in wts)
     with pytest.raises(Exception, match="(?i)overflow"):
         df5.agg(F.sum(F.col("wt") * F.col("wt")).alias("boom")).collect()
+
+
+def test_wide_accumulators_match_long_forms_on_random_frames(spark):
+    """Within the long form's own domain the wide accumulators are
+    IDENTICAL (not just overflow-safe): random magnitudes, signs,
+    nulls, and group sizes, exact equality on sums and avgs."""
+    import random
+
+    from pinot_pulsar_plugin_spark.functions.exact import (
+        exact_avg,
+        exact_avg_wide,
+        exact_sum,
+        exact_sum_wide,
+    )
+
+    for seed in (11, 1213, 990017):
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(300):
+            g = rng.choice("abc")
+            if rng.random() < 0.1:
+                rows.append((g, None))
+            else:
+                mag = 10 ** rng.randint(0, 9)
+                rows.append((g, rng.uniform(-mag, mag)))
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r.g: r
+            for r in df.groupBy("g")
+            .agg(
+                exact_sum(F.col("v"), "s_long"),
+                exact_sum_wide(F.col("v"), "s_wide"),
+                exact_avg(F.col("v"), "a_long"),
+                exact_avg_wide(F.col("v"), "a_wide"),
+                exact_sum(F.col("v"), "s2_long", 2),
+                exact_sum_wide(F.col("v"), "s2_wide", 2),
+            )
+            .collect()
+        }
+        for g, r in got.items():
+            assert r.s_long == r.s_wide, (seed, g)
+            assert r.a_long == r.a_wide, (seed, g)
+            assert r.s2_long == r.s2_wide, (seed, g)
+
+
+def test_split_hash32_matches_python_on_random_keys(spark):
+    """functions/hashing.py::split_hash32 ≡ (k·KNUTH) mod 2^32 for
+    random 63-bit keys, checked against Python bigints in bulk."""
+    import random
+
+    from pinot_pulsar_plugin_spark.functions.hashing import (
+        knuth_bucket,
+        split_hash32,
+    )
+
+    rng = random.Random(20260816)
+    keys = [rng.randrange(0, 2**63) for _ in range(1000)] + [
+        0, 1, 2**32 - 1, 2**32, 2**63 - 1
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: (r.h32, r.b)
+        for r in df.select(
+            "k",
+            split_hash32(F.col("k")).alias("h32"),
+            knuth_bucket(F.col("k"), 1000003).alias("b"),
+        ).collect()
+    }
+    for k in keys:
+        assert got[k][0] == (k * SPLIT_MULT) % (1 << 32), k
+        assert got[k][1] == (k * SPLIT_MULT) % 1000003, k
