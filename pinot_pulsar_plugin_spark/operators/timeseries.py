@@ -370,8 +370,19 @@ def q83_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "v",
         F.count(F.lit(1)).over(w).alias("n"),
+        # Σv cliffs only past ~1.8e14 events/user (v ≤ 1e5) — long is
+        # fine; Σv² reaches int64 at ~3.7e9 events for a bot-grade hot
+        # key (r11 audit, the q112-premise class), so it accumulates
+        # in exact DECIMAL(38,0) and converts ONCE to double — the
+        # same correctly-rounded conversion as the oracle's
+        # int128-sum→double, so the z chain stays bit-identical. The
+        # PER-ROW product stays long (cliff v > 3e9, i.e. value > 3e7
+        # — 3e4× above the events value domain).
         F.sum("v").over(w).cast("double").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("s2"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
     )
     n, s1, s2, v = F.col("n"), F.col("s1"), F.col("s2"), F.col("v")
     var_pop = (s2 - s1 * s1 / n) / n

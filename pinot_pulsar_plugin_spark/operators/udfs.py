@@ -69,18 +69,15 @@ def q53_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r12 TODO (r11 review #2 class): ring-reduce this ORACLE's hash to
-# ((o_orderkey % 1000) * 2654435761) % 1000 — DuckDB's BIGINT multiply
-# is overflow-checked, so the oracle raises on ids past ~3.47e9 (no
-# test SF produces them; the Spark side is a Python-bigint UDF, exact
-# at any id, and the ring identity keeps the values equal). Deferred:
-# the r11 window is saturated at 50 pending rewrites and an oracle
-# edit needs an _IMPL_REPLACED row to front q54 for re-scoring.
+# r11 review #2 class: the ORACLE ring-reduces (DuckDB's BIGINT
+# multiply is overflow-checked, so the raw product raises on ids past
+# ~3.47e9); the Spark side is a Python-bigint UDF — exact at any id —
+# and the ring identity keeps the two equal everywhere.
 @query(
     "q54_python_udf_row",
     """
     SELECT o_orderkey,
-           (o_orderkey * 2654435761) % 1000 AS key_hash,
+           ((o_orderkey % 1000) * 2654435761) % 1000 AS key_hash,
            CASE WHEN o_totalprice > 200000 THEN 'H' ELSE 'L' END AS band
     FROM orders
     """,

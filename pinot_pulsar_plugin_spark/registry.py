@@ -251,6 +251,19 @@ _IMPL_REPLACED = {
     # regroup), so the scaling-key exemption did not apply — its
     # revenue sum moved to the wide accumulator.
     "q112_salted_supplier_revenue": 11,
+    # r11 audit, third pass (variance brackets): q83's running Σv²
+    # passes int64 at ~3.7e9 events for a bot-grade hot user (the
+    # q112-premise class) — the window sum now accumulates in exact
+    # DECIMAL(38,0); and q54's ORACLE ring-reduces its Knuth hash
+    # (DuckDB BIGINT multiply is overflow-checked, so the raw-product
+    # oracle raised on snowflake ids while the Python-bigint UDF was
+    # exact). With these two the pending-rewrite set EXCEEDS the
+    # 50-slot window for the first time; the window saturates with
+    # pending entries and the remainder self-fronts in r12 via the
+    # same staleness reset (see test_impl_replaced_entries_front_
+    # window_until_rescored's saturation branch).
+    "q83_running_zscore": 11,
+    "q54_python_udf_row": 11,
 }
 
 

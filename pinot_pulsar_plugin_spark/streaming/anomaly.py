@@ -64,7 +64,21 @@ def _moments_pass(key, chunks, n, s1, s2):
     cn = n + np.arange(1, len(v) + 1, dtype="int64")
     c1 = s1 + np.cumsum(v)
     c2 = s2 + np.cumsum(v * v)
-    var_pop = (c2 - (c1 * c1) / cn) / cn
+    # r11 audit: the variance bracket runs in float64 — numpy int64
+    # WRAPS SILENTLY, and c1·c1 passes int64 at c1 > ~3e9, i.e. only
+    # ~60k events of a typical-magnitude user. float64 here is the
+    # batch twin q83's exact double chain (s1/s2 cast to double, then
+    # the identical IEEE expression), so batch and stream still agree
+    # row for row. The int64 STATE fields stay exact; their own cliff
+    # is Σv² > 9.2e18 (~3.7e9 events/user at typical magnitudes) —
+    # documented contract, with q83's decimal accumulation as the
+    # unbounded-history batch answer.
+    c1f, c2f, cnf = (
+        c1.astype("float64"),
+        c2.astype("float64"),
+        cn.astype("float64"),
+    )
+    var_pop = (c2f - (c1f * c1f) / cnf) / cnf
     with np.errstate(divide="ignore", invalid="ignore"):
         z = (v - c1 / cn) / np.sqrt(var_pop)
     valid = (cn >= _WARMUP) & (var_pop > 0)

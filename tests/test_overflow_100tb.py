@@ -1013,3 +1013,103 @@ def test_split_hash32_matches_python_on_random_keys(spark):
     for k in keys:
         assert got[k][0] == (k * SPLIT_MULT) % (1 << 32), k
         assert got[k][1] == (k * SPLIT_MULT) % 1000003, k
+
+
+def test_q83_zscore_survives_hot_key_history(spark, tmp_path):
+    """q83's running Σv² in its overflow regime: planted magnitudes
+    put the window sum past int64 within one user's history (the
+    production way a ~3.7e9-event bot does); every z matches the
+    Python-bigint-exact double chain, and the long-form window sum
+    raises on the same table."""
+    from pinot_pulsar_plugin_spark.operators.timeseries import (
+        q83_running_zscore,
+    )
+
+    # the production way into the regime: MANY moderate events (per-row
+    # v² stays long-safe; only the accumulation crosses int64)
+    import random
+
+    rng = random.Random(83)
+    vals = [float(rng.randrange(20_000_000, 29_000_001)) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(i, "click", 7, float(x)) for i, x in enumerate(vals)],
+        "event_id long, event_type string, user_id long, value double",
+    ).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.timestamp_micros(F.col("event_id") * 1_000_000 + 1).alias("ts"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    vs = [int(x) * 100 for x in vals]
+    assert max(v * v for v in vs) < 2**63 - 1  # per-row product: safe
+    assert sum(v * v for v in vs) > 2**63 - 1  # the long SUM's cliff
+    out = {r.event_id: r for r in q83_running_zscore(spark, str(tmp_path)).collect()}
+    s1i = s2i = 0
+    for i, v in enumerate(vs):
+        s1i += v
+        s2i += v * v
+        n = i + 1
+        s1, s2 = float(s1i), float(s2i)
+        var = (s2 - s1 * s1 / n) / n
+        exp = (
+            round((v - s1 / n) / var**0.5, 6) if n >= 5 and var > 0 else None
+        )
+        got = out[i].z
+        assert (got == exp) or (got is None and exp is None), (i, got, exp)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        spark.read.parquet(str(tmp_path / "events.parquet")).select(
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        ).select(
+            F.sum(F.col("v") * F.col("v")).over(w).alias("boom")
+        ).collect()
+
+
+def test_streaming_zscore_bracket_survives_large_c1():
+    """The streaming twin's variance bracket (streaming/anomaly.py
+    _moments_pass) on state where c1 > 3e9: numpy's int64 c1·c1 WRAPS
+    SILENTLY there (no ANSI net in pandas land) — the float64 bracket
+    returns exactly the batch twin's double chain. Unit-level against
+    the shared function, the same one transformWithStateInPandas
+    rides."""
+    import numpy as np
+    import pandas as pd
+
+    from pinot_pulsar_plugin_spark.streaming.anomaly import _moments_pass
+
+    n0, s1_0, s2_0 = 100_000, 5_000_000_000, 260_000_000_000_000
+    assert s1_0 * s1_0 > 2**63 - 1  # the silent-wrap regime
+    assert np.int64(s1_0) * np.int64(s1_0) != s1_0 * s1_0  # wraps
+    chunk = pd.DataFrame(
+        {
+            "ts_us": [10, 20, 30],
+            "event_id": [1, 2, 3],
+            "v": [52_000, 49_000, 51_500],
+        }
+    )
+    frame, (n, s1, s2) = _moments_pass((7,), [chunk], n0, s1_0, s2_0)
+    assert (n, s1, s2) == (
+        n0 + 3,
+        s1_0 + 152_500,
+        s2_0 + 52_000**2 + 49_000**2 + 51_500**2,
+    )
+    for i, v in enumerate([52_000, 49_000, 51_500]):
+        cn = n0 + i + 1
+        c1 = s1_0 + sum([52_000, 49_000, 51_500][: i + 1])
+        c2 = s2_0 + sum(x * x for x in [52_000, 49_000, 51_500][: i + 1])
+        var = (float(c2) - float(c1) * float(c1) / float(cn)) / float(cn)
+        exp_z = round((v - c1 / cn) / var**0.5, 6)
+        assert frame.iloc[i]["z"] == exp_z, i

@@ -191,11 +191,27 @@ def test_impl_replaced_entries_front_window_until_rescored():
         for n, replaced_rnd in _IMPL_REPLACED.items()
         if n in all_queries() and raw.get(n, 0) < replaced_rnd
     ]
-    missing = [n for n in pending if n not in window]
-    assert not missing, (
-        f"rewritten-but-not-rescored entries missing from the scored "
-        f"window: {missing}"
-    )
+    if len(pending) <= len(window):
+        missing = [n for n in pending if n not in window]
+        assert not missing, (
+            f"rewritten-but-not-rescored entries missing from the scored "
+            f"window: {missing}"
+        )
+    else:
+        # Saturation (first reached by the r11 overflow audit, whose
+        # rewrite set outgrew the 50-slot window): every scored slot
+        # must go to a pending rewrite — none may be wasted on an
+        # already-trusted entry — and the leftover pending entries
+        # self-front next round via the same staleness reset, so the
+        # invariant "a rewrite is re-scored before it is trusted"
+        # still converges, one driver round later.
+        wasted = [n for n in window if n not in pending]
+        assert not wasted, (
+            f"window slots given to non-pending entries while rewrites "
+            f"overflow the window: {wasted}"
+        )
+        leftover = [n for n in pending if n not in window]
+        assert len(leftover) == len(pending) - len(window)
 
 
 def test_categories_missing_from_window_are_already_driver_green():
