@@ -855,11 +855,13 @@ _S57 = f"""
                                 * 1000000) AS BIGINT) AS wt
       FROM tf JOIN stats ON stats.term = tf.term CROSS JOIN n),
     norms AS (
-      SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS norm2 FROM w
+      SELECT doc_id,
+             SUM(CAST(wt AS HUGEINT) * CAST(wt AS HUGEINT)) AS norm2
+      FROM w
       GROUP BY doc_id),
     dots AS (
       SELECT q.doc_id AS probe_id, c.doc_id AS cand_id,
-             CAST(SUM(q.wt * c.wt) AS BIGINT) AS dot
+             SUM(CAST(q.wt AS HUGEINT) * CAST(c.wt AS HUGEINT)) AS dot
       FROM w q JOIN w c ON c.term = q.term AND c.doc_id <> q.doc_id
       WHERE q.doc_id < {_S57_PROBES}
       GROUP BY q.doc_id, c.doc_id),

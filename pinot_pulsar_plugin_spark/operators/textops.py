@@ -1536,12 +1536,16 @@ def t72_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outside s, d = the rest; χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
 #
 # Exactness: a/b/c/d are exact int64 counts from one distinct
-# (doc, term) relation plus two broadcast marginals. ad−bc is
-# computed in int64 (≤ N² — exact to ~3e9 docs); the SQUARE and the
-# 4-marginal product are pure double chains on those exact integers
-# (N⁴ would overflow int64 long before int64 counts do), which is
-# deterministic cross-engine: identical IEEE ops on identical inputs.
-# df filter ≥ 5 keeps the report to terms with evidence.
+# (doc, term) relation plus two broadcast marginals. ad−bc is an
+# exact WIDE product (Spark DECIMAL(38,0) / DuckDB HUGEINT — counts
+# reach 1e11+ docs at 100 TB, so a·d ≈ 1e22+ passes int64; r11
+# audit) converted once to double; the SQUARE and the 4-marginal
+# product are pure double chains on those exact integers, which is
+# deterministic cross-engine: identical IEEE ops on identical
+# inputs. The zero-marginal test is FACTORED (x·y = 0 ⇔ x=0 ∨ y=0
+# for non-negative marginals) on both sides so no engine ever forms
+# an int64 product of two ~N-sized marginals. df filter ≥ 5 keeps
+# the report to terms with evidence.
 
 _T73_MIN_DF = 5
 
@@ -1566,9 +1570,12 @@ _T73 = f"""
       CROSS JOIN n_total
       WHERE df >= {_T73_MIN_DF})
     SELECT term, source, a, b, c, d,
-           CASE WHEN (a+b) * (a+c) = 0 OR (c+d) * (b+d) = 0 THEN 0.0
+           CASE WHEN a+b = 0 OR a+c = 0 OR c+d = 0 OR b+d = 0 THEN 0.0
                 ELSE CAST(n AS DOUBLE)
-                     * (CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE))
+                     * (CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c
+                             AS DOUBLE)
+                        * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c
+                               AS DOUBLE))
                      / (CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)
                         * CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE))
            END AS chi2

@@ -63,7 +63,32 @@ def _moments_pass(key, chunks, n, s1, s2):
     v = pdf["v"].to_numpy(dtype="int64")
     cn = n + np.arange(1, len(v) + 1, dtype="int64")
     c1 = s1 + np.cumsum(v)
+    # loud-fail overflow guard (ADVICE r11): numpy int64 WRAPS
+    # SILENTLY — there is no ANSI net in pandas/numpy land — so the
+    # documented Σv² state cliff (~9.2e18, reached at ~3.7e9 events of
+    # a typical-magnitude user) must raise, not corrupt. Two checks
+    # make the wrap detectable: (1) bound |v| so each v² is exact
+    # int64 (3037000499² is the last square under 2^63); (2) with
+    # every increment then exact and non-negative, ANY wrap in the
+    # running chain s2 → c2[0] → … → c2[-1] strictly decreases it
+    # (a wrap subtracts 2^64, larger than any valid step), so the
+    # monotonicity scan below is a complete detector, and it is one
+    # vectorized pass — no per-row Python.
+    if len(v) and int(np.abs(v).max()) > 3_037_000_499:
+        raise OverflowError(
+            "running_zscore_stream: |v| exceeds the exact-int64 square "
+            "bound (3037000499); per-event v*v would wrap silently. "
+            "Use the batch q83 decimal path for this value domain."
+        )
     c2 = s2 + np.cumsum(v * v)
+    if len(c2) and (c2[0] < s2 or bool(np.any(np.diff(c2) < 0))):
+        raise OverflowError(
+            "running_zscore_stream: per-user running sum of squares "
+            "crossed the int64 state cliff (~9.2e18; ~3.7e9 events of "
+            "a typical-magnitude user). State would wrap silently — "
+            "documented contract is to fail loudly; use the batch q83 "
+            "decimal accumulation for unbounded histories."
+        )
     # r11 audit: the variance bracket runs in float64 — numpy int64
     # WRAPS SILENTLY, and c1·c1 passes int64 at c1 > ~3e9, i.e. only
     # ~60k events of a typical-magnitude user. float64 here is the
@@ -71,8 +96,8 @@ def _moments_pass(key, chunks, n, s1, s2):
     # the identical IEEE expression), so batch and stream still agree
     # row for row. The int64 STATE fields stay exact; their own cliff
     # is Σv² > 9.2e18 (~3.7e9 events/user at typical magnitudes) —
-    # documented contract, with q83's decimal accumulation as the
-    # unbounded-history batch answer.
+    # enforced loudly by the OverflowError guard above, with q83's
+    # decimal accumulation as the unbounded-history batch answer.
     c1f, c2f, cnf = (
         c1.astype("float64"),
         c2.astype("float64"),

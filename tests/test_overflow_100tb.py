@@ -1113,3 +1113,37 @@ def test_streaming_zscore_bracket_survives_large_c1():
         var = (float(c2) - float(c1) * float(c1) / float(cn)) / float(cn)
         exp_z = round((v - c1 / cn) / var**0.5, 6)
         assert frame.iloc[i]["z"] == exp_z, i
+
+
+def test_streaming_zscore_state_cliff_fails_loudly():
+    """ADVICE r11: the int64 running state (s2 + cumsum(v*v)) used to
+    wrap SILENTLY past its documented ~9.2e18 cliff — a wrong-answer
+    class with no runtime signal. The guard in _moments_pass must now
+    raise OverflowError in both regimes: (a) a per-event v whose
+    square passes int64, and (b) accumulated state crossing the cliff
+    mid-batch. Normal-magnitude data must keep flowing untouched."""
+    import pandas as pd
+    import pytest
+
+    from pinot_pulsar_plugin_spark.streaming.anomaly import _moments_pass
+
+    # (a) |v| past the exact-square bound: v*v wraps per-element
+    big_v = pd.DataFrame(
+        {"ts_us": [10], "event_id": [1], "v": [3_100_000_000]}
+    )
+    with pytest.raises(OverflowError, match="exact-int64 square"):
+        _moments_pass((1,), [big_v], 0, 0, 0)
+
+    # (b) state one increment below the cliff: the next v*v wraps the
+    # running chain — the monotonicity scan must catch it
+    near_cliff = (2**63 - 1) - 10
+    chunk = pd.DataFrame(
+        {"ts_us": [10, 20], "event_id": [1, 2], "v": [50_000, 51_000]}
+    )
+    with pytest.raises(OverflowError, match="state cliff"):
+        _moments_pass((1,), [chunk], 1_000_000, 50_000_000, near_cliff)
+
+    # sanity: typical magnitudes pass through and update state exactly
+    frame, (n, s1, s2) = _moments_pass((1,), [chunk], 10, 500_000, 2**40)
+    assert (n, s1, s2) == (12, 601_000, 2**40 + 50_000**2 + 51_000**2)
+    assert len(frame) == 2
