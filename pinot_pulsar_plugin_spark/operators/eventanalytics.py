@@ -801,7 +801,8 @@ def q121_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame
 #
 # Exactness: the ECDF difference is exact INTEGER rational arithmetic
 # — at each distinct value v, |cum_early(v) * n_late - cum_late(v) *
-# n_early| is an int64 expression and D's numerator is an integer MAX
+# n_early| is an exact wide-integer expression (DECIMAL(38,0) /
+# HUGEINT) and D's numerator is an exact integer MAX
 # (order-independent); only the final normalized statistic and the
 # sqrt threshold are doubles, and both are fixed chains of
 # correctly-rounded IEEE ops on identical integers — bit-equal on
@@ -810,10 +811,16 @@ def q121_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame
 # histogram so the window never orders a NULL key (Spark and DuckDB
 # disagree on default NULL placement).
 #
-# Overflow headroom: cum * n products are int64-safe while each
-# (type, period) stays under ~3e9 rows; past that, pre-bucket the
-# fixed-point values coarser or lift the two products to DECIMAL(38)
-# — documented, not guarded, per the q81 precedent.
+# Overflow (r12 gate): cum·n products pass int64 once a (type,
+# period) exceeds ~3e9 rows — routine at the 100-TB design point
+# (events ~1e12 over a handful of types) — so both cross products
+# run in exact DECIMAL(38,0) / HUGEINT (cum ≤ n ≤ 1e12 ⇒ products
+# ≤ 1e24 ≪ 1e38). They price per HISTOGRAM row (value-range-sized,
+# never event-count-sized), so the lift is off the hot path. d_num
+# itself then outgrows int64, so it is emitted as DOUBLE via ONE
+# correctly-rounded conversion of the exact integer — the identical
+# conversion both engines apply (DECIMAL→double ≡ int128→double),
+# keeping the statistic bit-equal cross-engine at any scale.
 
 _Q140 = """
     WITH b AS (
@@ -844,16 +851,18 @@ _Q140 = """
       WINDOW w AS (PARTITION BY event_type ORDER BY y)),
     d AS (
       SELECT c.event_type,
-             CAST(MAX(ABS(c.cum_early * t.n_late - c.cum_late * t.n_early))
-                  AS BIGINT) AS d_num
+             MAX(ABS(CAST(c.cum_early AS HUGEINT) * t.n_late
+                     - CAST(c.cum_late AS HUGEINT) * t.n_early))
+               AS d_num_w
       FROM cum c JOIN tot t ON c.event_type = t.event_type
       WHERE t.n_early > 0 AND t.n_late > 0
       GROUP BY c.event_type)
-    SELECT d.event_type, t.n_early, t.n_late, d.d_num,
-           CAST(d.d_num AS DOUBLE)
+    SELECT d.event_type, t.n_early, t.n_late,
+           CAST(d.d_num_w AS DOUBLE) AS d_num,
+           CAST(d.d_num_w AS DOUBLE)
              / (CAST(t.n_early AS DOUBLE) * CAST(t.n_late AS DOUBLE))
              AS ks_stat,
-           CAST(CAST(d.d_num AS DOUBLE)
+           CAST(CAST(d.d_num_w AS DOUBLE)
                   / (CAST(t.n_early AS DOUBLE) * CAST(t.n_late AS DOUBLE))
                 > 1.358 * sqrt(CAST(t.n_early + t.n_late AS DOUBLE)
                   / (CAST(t.n_early AS DOUBLE) * CAST(t.n_late AS DOUBLE)))
@@ -913,20 +922,20 @@ def q140_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_early") * F.col("n_late")
-                    - F.col("cum_late") * F.col("n_early")
+                    F.col("cum_early").cast("decimal(38,0)") * F.col("n_late")
+                    - F.col("cum_late").cast("decimal(38,0)") * F.col("n_early")
                 )
-            ).alias("d_num")
+            ).alias("d_num_w")
         )
     )
     nn = F.col("n_early").cast("double") * F.col("n_late").cast("double")
-    ks = F.col("d_num").cast("double") / nn
+    ks = F.col("d_num_w").cast("double") / nn
     thresh = F.lit(1.358) * F.sqrt((F.col("n_early") + F.col("n_late")).cast("double") / nn)
     return d.join(F.broadcast(tot), "event_type").select(
         "event_type",
         "n_early",
         "n_late",
-        "d_num",
+        F.col("d_num_w").cast("double").alias("d_num"),
         ks.alias("ks_stat"),
         (ks > thresh).cast("int").alias("reject_05"),
     )

@@ -2033,7 +2033,8 @@ _T79 = """
       GROUP BY term),
     scal AS (SELECT MAX(doc_id) AS maxid FROM documents),
     ms AS (
-      SELECT CAST(r.k AS BIGINT) AS k, scal.maxid * r.k // 10 AS m
+      SELECT CAST(r.k AS BIGINT) AS k,
+             CAST(CAST(scal.maxid AS HUGEINT) * r.k // 10 AS BIGINT) AS m
       FROM range(1, 11) r(k) CROSS JOIN scal),
     dstats AS (
       SELECT ms.k, CAST(COUNT(*) AS BIGINT) AS docs,
@@ -2072,11 +2073,20 @@ def t79_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("first_doc"))
     )
     scal = d.agg(F.max("doc_id").alias("maxid"))
+    # r12 overflow gate: maxid is an id (snowflake-scale ids reach
+    # 2^62 — SCALING.md §7 table), so maxid·k overflows int64 the
+    # moment ids are not dense. The product runs in DECIMAL(38,0) on
+    # this 10-row broadcast relation (zero hot-path cost); the
+    # quotient is ≤ maxid, so the integral divide's BIGINT result is
+    # exact (the §7 rule-3 quotient-bound discipline).
     ms = (
         spark.range(1, 11)
         .select(F.col("id").alias("k"))
         .crossJoin(F.broadcast(scal))
-        .select("k", F.expr("maxid * k div 10").alias("m"))
+        .select(
+            "k",
+            F.expr("cast(maxid as decimal(38,0)) * k div 10").alias("m"),
+        )
     )
     dstats = (
         doctok.join(F.broadcast(ms), F.col("doc_id") <= F.col("m"))
@@ -2528,9 +2538,18 @@ def t83_heldout_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # df-weighting (complements t58's idf and t68's keyword scores).
 # Population VMR over ALL N docs (zeros included) has the exact
 # integer form VMR = (N·Σtf² − (Σtf)²) / (N·Σtf), emitted as a
-# floored milli ratio: 1000 = Poisson, above = bursty. int64-safe
-# while Σtf < ~3e9 (per-term corpus frequency; at larger scale shard
-# the corpus or lift to DECIMAL).
+# floored milli ratio: 1000 = Poisson, above = bursty.
+#
+# Overflow (r12 gate): Σtf² for a head term reaches ~1e19 at the
+# 100-TB design point (tf ≤ doc length ~1e4 ⇒ tf² ≤ 1e8 per doc,
+# over ~1e11 docs) — past int64 — so the square sum accumulates via
+# the wide hi/lo split (exact.py::wide_fp_total: per-row terms stay
+# long codegen, one DECIMAL recombine per term), and the per-term VMR
+# bracket runs in DECIMAL(38,0) (N·Σtf² ≈ 1e31 ≪ 1e38). The
+# integral divide's BIGINT result is exact: the quotient is
+# milli-VMR ≤ 1000·max tf ≈ 1e7 (§7 rule-3 quotient bound). The
+# DuckDB twin is HUGEINT throughout; DECIMAL→int128 parity is exact
+# integer arithmetic on both sides.
 
 _T84_MIN_TF = 5
 
@@ -2544,12 +2563,12 @@ _T84 = f"""
     stats AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
              CAST(SUM(f) AS BIGINT) AS tf_total,
-             CAST(SUM(f * f) AS BIGINT) AS sq
+             SUM(CAST(f AS HUGEINT) * f) AS sq
       FROM tf GROUP BY w),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
     SELECT s.w AS term, s.df, s.tf_total,
-           CAST((n.n_docs * s.sq - s.tf_total * s.tf_total) * 1000
-                // (n.n_docs * s.tf_total) AS BIGINT) AS vmr_milli
+           CAST((n.n_docs * s.sq - CAST(s.tf_total AS HUGEINT) * s.tf_total)
+                * 1000 // (n.n_docs * s.tf_total) AS BIGINT) AS vmr_milli
     FROM stats s CROSS JOIN n
     WHERE s.tf_total >= {_T84_MIN_TF}
 """
@@ -2568,11 +2587,17 @@ def t84_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
+    from pinot_pulsar_plugin_spark.functions.exact import wide_fp_total
+
     tf = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("f"))
+    # r12 gate: Σf² passes int64 for head terms at 100 TB — wide
+    # split accumulator (long hot path, one DECIMAL recombine per
+    # term); VMR bracket in DECIMAL(38,0), quotient bound ≤ ~1e7
+    # keeps the BIGINT integral divide exact (see block comment).
     stats = tf.groupBy("w").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("f").alias("tf_total"),
-        F.sum(F.col("f") * F.col("f")).alias("sq"),
+        wide_fp_total(F.col("f") * F.col("f")).alias("sq"),
     )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
@@ -2583,8 +2608,10 @@ def t84_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
             "tf_total",
             F.expr(
-                "(n_docs * sq - tf_total * tf_total) * 1000 "
-                "div (n_docs * tf_total)"
+                "cast((cast(n_docs as decimal(38,0)) * sq"
+                " - cast(tf_total as decimal(38,0)) * tf_total) * 1000"
+                " div (cast(n_docs as decimal(38,0)) * tf_total)"
+                " as bigint)"
             ).alias("vmr_milli"),
         )
     )

@@ -244,8 +244,8 @@ _IMPL_REPLACED = {
     "q171_shuffle_skew_report": 11,
     "q175_abc_classification": 11,
     "q195_abc_xyz_matrix": 11,
-    "t73_chi2_term_assoc": 11,
-    "s57_tfidf_similar_docs": 11,
+    # t73/s57: r11 lifts, then r12 oracle-side HUGEINT lifts below —
+    # latest replacement round wins (the r12 rows are in the r12 block)
     # r11 audit, review pass: q112's premise IS the unbounded hot key
     # (a 30%-of-corpus supplier re-accumulates ~6.6e19 in the final
     # regroup), so the scaling-key exemption did not apply — its
@@ -264,6 +264,22 @@ _IMPL_REPLACED = {
     # window_until_rescored's saturation branch).
     "q83_running_zscore": 11,
     "q54_python_udf_row": 11,
+    # r12: the MECHANICAL overflow gate (tools_overflowaudit.py —
+    # VERDICT r11 #4) flagged three sites the r11 manual sweep left
+    # "documented, not guarded", all real int64 crossings at the
+    # design point, all lifted off the hot path: q140's cum·n ECDF
+    # cross products (per-histogram-row DECIMAL/HUGEINT; d_num now
+    # emitted as one exact→double conversion), t84's Σtf² (wide hi/lo
+    # accumulator) + DECIMAL VMR bracket, and t79's maxid·k milestone
+    # product (snowflake ids pass 2^62/10).
+    "q140_ks_drift_test": 12,
+    "t84_term_burstiness": 12,
+    "t79_vocab_growth": 12,
+    # r12 ADVICE fixes: s57/t73 oracle SQL lifted to HUGEINT to match
+    # the already-wide Spark side (oracle-only change, values
+    # identical where both run).
+    "s57_tfidf_similar_docs": 12,
+    "t73_chi2_term_assoc": 12,
 }
 
 

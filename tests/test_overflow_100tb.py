@@ -1147,3 +1147,71 @@ def test_streaming_zscore_state_cliff_fails_loudly():
     frame, (n, s1, s2) = _moments_pass((1,), [chunk], 10, 500_000, 2**40)
     assert (n, s1, s2) == (12, 601_000, 2**40 + 50_000**2 + 51_000**2)
     assert len(frame) == 2
+
+
+def test_r12_gate_lifts_match_python_bigints(spark):
+    """Expression-level pins for the three sites the r12 MECHANICAL
+    overflow gate (tools_overflowaudit.py) flagged out of the r11
+    manual sweep's "documented, not guarded" bucket: q140's cum·n ECDF
+    cross products, t84's Σtf² + VMR bracket, and t79's maxid·k
+    milestone product. Each lifted form lands on the Python-bigint
+    value on magnitudes where the long form raises."""
+    from decimal import Decimal
+
+    # q140: ECDF cross products at 1e12-events-per-type scale
+    ce, cl, ne, nl = 4 * 10**11, 9 * 10**11, 5 * 10**11, 5 * 10**11 + 7
+    df = spark.createDataFrame(
+        [(ce, cl, ne, nl)], "ce long, cl long, ne long, nl long"
+    )
+    got = df.select(
+        F.abs(
+            F.col("ce").cast("decimal(38,0)") * F.col("nl")
+            - F.col("cl").cast("decimal(38,0)") * F.col("ne")
+        )
+        .cast("double")
+        .alias("d_num")
+    ).collect()[0].d_num
+    assert got == float(abs(ce * nl - cl * ne))
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.select((F.col("ce") * F.col("nl")).alias("boom")).collect()
+
+    # t84: Σtf² for a head term (tf ~1e4 over ~1e11 docs) via the wide
+    # accumulator, then the DECIMAL VMR bracket; quotient stays BIGINT
+    from pinot_pulsar_plugin_spark.functions.exact import wide_fp_total
+
+    fs = [9_999, 9_998, 9_997, 5]
+    reps = 40_000  # Σf² ≈ 1.2e13 here; the BOUND check is the decimal bracket
+    tf = spark.createDataFrame(
+        [(f,) for f in fs * reps], "f long"
+    )
+    sq_got = tf.agg(wide_fp_total(F.col("f") * F.col("f")).alias("sq")).collect()[
+        0
+    ].sq
+    assert int(sq_got) == sum(f * f for f in fs) * reps
+    n_docs, sq, tf_total = 10**12, 97 * 10**17, 4 * 10**13
+    df2 = spark.createDataFrame(
+        [(n_docs, Decimal(sq), tf_total)],
+        "n_docs long, sq decimal(38,0), tf_total long",
+    )
+    got2 = df2.select(
+        F.expr(
+            "cast((cast(n_docs as decimal(38,0)) * sq"
+            " - cast(tf_total as decimal(38,0)) * tf_total) * 1000"
+            " div (cast(n_docs as decimal(38,0)) * tf_total) as bigint)"
+        ).alias("vmr_milli")
+    ).collect()[0].vmr_milli
+    assert got2 == (n_docs * sq - tf_total * tf_total) * 1000 // (
+        n_docs * tf_total
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df2.select((F.col("tf_total") * F.col("tf_total")).alias("boom")).collect()
+
+    # t79: milestone product on a snowflake-scale max doc id
+    maxid = 2**62 + 12345
+    df3 = spark.createDataFrame([(maxid, 7)], "maxid long, k long")
+    got3 = df3.select(
+        F.expr("cast(maxid as decimal(38,0)) * k div 10").alias("m")
+    ).collect()[0].m
+    assert got3 == maxid * 7 // 10
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df3.select((F.col("maxid") * F.col("k")).alias("boom")).collect()
