@@ -306,6 +306,7 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     runs_used: dict[str, int] = {}
+    noise_events: dict[str, dict] = {}
     for name in HEADLINE:
         samples = [run(name) for _ in range(n_runs)]
         while (
@@ -316,6 +317,22 @@ def main() -> None:
         times[name] = round(min(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
         runs_used[name] = len(samples)
+        if spread[name] > max(min(samples), 0.1):
+            # Noise burst survived the extra samples: record the raw
+            # sample list + a host-load snapshot so a spread outlier
+            # in the committed artifact is attributable without
+            # re-running (r11's d48 sample stalled 82s under a loaded
+            # host; the min was unaffected but the cause took a full
+            # reproduction session to pin — ROUND12_NOTES).
+            try:
+                with open("/proc/loadavg") as lf:
+                    load = lf.read().split()[:3]
+            except OSError:
+                load = []
+            noise_events[name] = {
+                "samples": [round(s, 3) for s in samples],
+                "loadavg": load,
+            }
 
     total = round(sum(times.values()), 3)
     # Emission contract (VERDICT r6 "what's wrong" #1, second failure):
@@ -337,6 +354,7 @@ def main() -> None:
         "spread": spread,
         "verdict_vs_prior": _verdicts(times, spread, _load_prior(), sf),
         "data_fingerprint": _data_fingerprint(sf_dir),
+        "noise_events": noise_events,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_details.json"), "w") as f:
