@@ -918,8 +918,20 @@ def q184_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # naive-1 (last month) and MA-3 (mean of the three prior months, only
 # where all three exist) — by MAE and MAPE. Integer exact: monthly
 # cents are int64, the MA-3 forecast is a floor-divided mean, absolute
-# errors are int64, MAE is a floored milli-cents mean, and MAPE floors
-# each month's |err|·1e6/actual BEFORE the mean (presum rule).
+# errors are int64, MAE is a floored CENTS mean, and MAPE floors each
+# month's |err|·1e6/actual BEFORE the mean (presum rule).
+#
+# r12 overflow gate (decimal_div_quotient): the former mae_milli
+# quotient (Σae·1000 div n ≈ mean-err·1000 ≈ 3e19 at 100-TB monthly
+# magnitudes) passed int64 — and a decimal `div` NARROWS TO BIGINT
+# with a silent wrap, not an ANSI raise. The ×1000 display scaling
+# was the only thing past the cliff, so MAE is now exact integer
+# CENTS (Σae ≤ ~90 calendar months · 3e16 ≈ 2.7e18 stays long;
+# quotient ≤ 3e16). ape_ppm's quotient is bounded by 1e6·(fc/actual
+# + 1) — the month-over-month dynamic range — and wraps only on a
+# ≥9.2e12× single-month collapse; documented, with the near-zero-
+# actual MAPE pathology being a statistics problem before an
+# arithmetic one.
 #
 # The series is the tiny (#months) aggregate, but a partition-less
 # ORDER BY window is gated at ANY size (q153/q158 rule), so both
@@ -951,7 +963,7 @@ _Q185 = """
     SELECT method,
            CAST(COUNT(*) AS BIGINT) AS n_backtests,
            CAST(SUM(ae) AS BIGINT) AS sum_abs_err_cents,
-           CAST(SUM(ae) * 1000 // COUNT(*) AS BIGINT) AS mae_milli,
+           CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_cents,
            CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm
     FROM scored GROUP BY method
 """
@@ -968,9 +980,10 @@ def q185_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact pass is the whole cost — the backtest itself is free.
 
     Overflow (r11 audit): monthly cents reach ~3e16 at 100 TB, so
-    ae·1e6 (~1e22) and Σae·1000 overflow int64 — both ratios lift
-    their numerators to DECIMAL(38,0); ae itself, Σae, and the ppm
-    results stay long."""
+    ae·1e6 (~1e22) overflows int64 — the ppm ratio lifts its
+    numerator to DECIMAL(38,0); ae, Σae (calendar-bounded month
+    count), the MAE cents quotient, and the ppm results stay long
+    (r12 gate: see block comment for why MAE is cents, not milli)."""
     o = t(spark, sf_dir, "orders")
     mrev = (
         o.groupBy(
@@ -1009,9 +1022,7 @@ def q185_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_backtests"),
         F.sum("ae").alias("sum_abs_err_cents"),
-        F.expr(
-            "CAST(sum(ae) AS DECIMAL(38,0)) * 1000 div count(1)"
-        ).alias("mae_milli"),
+        F.expr("sum(ae) div count(1)").alias("mae_cents"),
         F.expr("sum(ape_ppm) div count(1)").alias("mape_ppm"),
     )
 

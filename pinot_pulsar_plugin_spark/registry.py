@@ -199,7 +199,8 @@ _IMPL_REPLACED = {
     "q81_stats_moments": 11,
     "q177_market_concentration": 11,
     "q179_topn_others_rollup": 11,
-    "q185_forecast_backtest": 11,
+    # q185: r11 lift, then the r12 mae_cents rewrite below — latest
+    # replacement round wins (the r12 row is in the r12 gate block)
     "q187_percent_of_parent": 11,
     "q192_topk_drift": 11,
     "q197_correlation_matrix": 11,
@@ -280,6 +281,12 @@ _IMPL_REPLACED = {
     # identical where both run).
     "s57_tfidf_similar_docs": 12,
     "t73_chi2_term_assoc": 12,
+    # r12 gate, decimal_div_quotient category's first catch: q185's
+    # mae_milli quotient (mean-err·1000 ≈ 3e19 at 100-TB monthly
+    # magnitudes) passed int64, and decimal `div` narrows to BIGINT
+    # with a SILENT wrap — MAE is now exact integer cents (the ×1000
+    # display scaling was the only thing past the cliff).
+    "q185_forecast_backtest": 12,
 }
 
 

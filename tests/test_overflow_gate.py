@@ -119,3 +119,39 @@ def test_planted_violations_flagged(spark):
 
     # double arithmetic never trips the integer detectors
     assert not cats(df.groupBy().agg(F.sum(F.col("x") * F.col("x")).alias("sx")))
+
+    # decimal `div` (silent BIGINT narrow) — flagged; long div — clean
+    assert "decimal_div_quotient" in cats(
+        df.select(
+            F.expr("cast(a as decimal(38,0)) * 1000 div (b + 1)").alias("q")
+        )
+    )
+    assert "decimal_div_quotient" not in cats(
+        df.select(F.expr("a div (b + 1)").alias("q"))
+    )
+
+
+def test_q185_mae_cents_stays_long_where_milli_wrapped(spark):
+    """The decimal_div_quotient category's first catch, pinned: at
+    100-TB monthly magnitudes (mean abs error ~3e16 cents) the former
+    Σae·1000 div n quotient is ~3e19 — past int64, and Spark's
+    IntegralDivide on decimals NARROWS TO BIGINT with a silent wrap
+    (no ANSI raise). The rewritten pure-long cents quotient is exact
+    and equals the Python-bigint value."""
+    import pyspark.sql.utils  # noqa: F401
+
+    months = [(3 * 10**16 + i, 1) for i in range(12)]
+    df = spark.createDataFrame(months, "ae long, one int")
+    got = df.agg(F.expr("sum(ae) div count(1)").alias("mae_cents")).collect()[
+        0
+    ].mae_cents
+    exp = sum(a for a, _ in months) // 12
+    assert got == exp and exp < 2**63 - 1
+    # the retired milli form's quotient does not fit int64
+    assert exp * 1000 > 2**63 - 1
+    wrapped = df.agg(
+        F.expr("CAST(sum(ae) AS DECIMAL(38,0)) * 1000 div count(1)").alias("m")
+    ).collect()[0].m
+    # silent-wrap class: no exception, wrong value — the reason the
+    # gate demands a quotient bound for every decimal div
+    assert wrapped != exp * 1000

@@ -31,6 +31,13 @@ audit classified as overflow-prone at the 100-TB design point:
   xxhash-prime constants: the id·KNUTH class that aborts past
   id ≈ 3.47e9 (§7 rule 4). Ring-reduced (``pmod(...) * KNUTH``) and
   16-bit-limb forms have compound operands and never match.
+- ``decimal_div_quotient`` — an integral divide whose DIVIDEND is a
+  decimal expression. Spark's IntegralDivide on decimals returns
+  BIGINT and WRAPS SILENTLY (no ANSI raise) when the quotient itself
+  passes int64 — the one wrong-answer-not-abort class in §7 rule 3 —
+  so EVERY decimal ``div`` site must state its quotient bound in the
+  exemption ledger (the r11 audit stated them in docstrings; the
+  ledger makes the statement mechanical).
 
 Every finding must carry either the exact-lift shape (in which case it
 does not fire at all — decimal casts and compound limb operands are
@@ -286,6 +293,32 @@ def audit_plan_text(text: str) -> list[dict]:
                     findings.append(
                         {"category": "agg_times_bigliteral", "snippet": snip(m)}
                     )
+    # decimal integral divides: walk left from each ` div ` to the
+    # opening paren of the binary expression; a dividend containing a
+    # decimal cast is the silent-wrap class (quotient past int64 wraps
+    # with no ANSI raise) and must state its quotient bound.
+    seen_div: set[str] = set()
+    for m in re.finditer(r" div ", text):
+        i, depth = m.start() - 1, 0
+        while i >= 0:
+            c = text[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            i -= 1
+        dividend = text[i + 1 : m.start()]
+        if "decimal" in dividend and dividend not in seen_div:
+            seen_div.add(dividend)
+            findings.append(
+                {
+                    "category": "decimal_div_quotient",
+                    "snippet": dividend[-90:] + " div …",
+                }
+            )
+
     for s, e, dec in spans:
         if dec:
             continue
@@ -330,6 +363,54 @@ def audit_plan_text(text: str) -> list[dict]:
 #   rows, ~9× headroom. Flagged only because the count flows through
 #   a pivot/conditional the count-class tracker cannot see through.
 _DOCUMENTED_BOUNDS: dict[str, str] = {
+    # --- decimal_div_quotient: every decimal `div` narrows to BIGINT
+    # and WRAPS silently past int64, so each site states its quotient
+    # bound (§7 rule 3's q209 discipline, now mechanical). q185's
+    # former mae_milli FAILED this bound and was rewritten to exact
+    # cents in r12 — the category's first real catch.
+    "q128_national_market_share:decimal_div_quotient": (
+        "share ppm: part ≤ whole ⇒ quotient ≤ 1e6"
+    ),
+    "q133_promo_revenue_share:decimal_div_quotient": (
+        "share ppm: part ≤ whole ⇒ quotient ≤ 1e6"
+    ),
+    "q166_weekday_seasonality:decimal_div_quotient": (
+        "per-event-scale micro averages: quotients ≤ ~1e13 (docstring; "
+        "avg_micro ≤ per-event cents·1e6)"
+    ),
+    "q177_market_concentration:decimal_div_quotient": (
+        "CR4/share ppm: part ≤ whole ⇒ quotient ≤ 1e6"
+    ),
+    "q181_seasonal_decomposition:decimal_div_quotient": (
+        "day-vs-7-day-trend ratio: cents ≤ trend_sum ⇒ quotient ≤ 7e6"
+    ),
+    "q185_forecast_backtest:decimal_div_quotient": (
+        "ape_ppm ≤ 1e6·(fc/actual + 1): wraps only on a ≥9.2e12× "
+        "single-month revenue collapse (block comment); MAE itself was "
+        "moved OFF this class to pure-long cents in r12"
+    ),
+    "q187_percent_of_parent:decimal_div_quotient": (
+        "share ppm: child ≤ parent ⇒ quotient ≤ 1e6"
+    ),
+    "q195_abc_xyz_matrix:decimal_div_quotient": (
+        "CV² milli ≤ (n−1)·1000 ≤ ~2.5e6 (n = calendar-bounded day "
+        "count; Cauchy-Schwarz upper bound)"
+    ),
+    "q196_revenue_gini:decimal_div_quotient": "gini ∈ [0,1] ⇒ milli ≤ 1000",
+    "q198_seasonal_anomalies:decimal_div_quotient": (
+        "ratio_ppm ≤ 7e6 (day ≤ 7-day trend), anomaly quotient ≤ "
+        "7e12/seasonal_ppm with seasonal_ppm ≥ 1"
+    ),
+    "q204_acquisition_mix:decimal_div_quotient": (
+        "mix share ppm: part ≤ whole ⇒ quotient ≤ 1e6"
+    ),
+    "q209_engagement_gini:decimal_div_quotient": "gini ∈ [0,1] ⇒ milli ≤ 1000",
+    "t79_vocab_growth:decimal_div_quotient": (
+        "milestone m = maxid·k div 10 ≤ maxid — fits int64 by identity"
+    ),
+    "t84_term_burstiness:decimal_div_quotient": (
+        "milli-VMR ≤ 1000·max tf ≈ 1e7 (block comment)"
+    ),
     "d58_lsh_band_sweep:agg_times_bigliteral": "[COUNT-PPM] n_true pair counts",
     "q169_abtest_ztest:agg_times_bigliteral": (
         "[COUNT-PPM] c1/c2 are per-variant conversion counts pivoted "
