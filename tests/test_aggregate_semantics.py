@@ -375,7 +375,7 @@ def test_q185_backtest_hand_series(spark, tmp_path):
     ).write.parquet(str(tmp_path / "orders.parquet"))
 
     got = {
-        r.method: (r.n_backtests, r.sum_abs_err_cents, r.mae_milli, r.mape_ppm)
+        r.method: (r.n_backtests, r.sum_abs_err_cents, r.mae_cents, r.mape_ppm)
         for r in q185_forecast_backtest(spark, str(tmp_path)).collect()
     }
     # naive: m1 |200-100|=100 ape 500000; m2 |400-200|=200 ape 500000;
@@ -383,8 +383,8 @@ def test_q185_backtest_hand_series(spark, tmp_path):
     naive_mape = (500000 + 500000 + 333333) // 3
     # ma3: m3 fc=(100+200+400)//3=233, ae=67, ape=67*1e6//300=223333
     assert got == {
-        "naive_1": (3, 400, 400 * 1000 // 3, naive_mape),
-        "ma_3": (1, 67, 67000, 223333),
+        "naive_1": (3, 400, 400 // 3, naive_mape),
+        "ma_3": (1, 67, 67, 223333),
     }
 
 

@@ -389,8 +389,10 @@ def test_q177_cr4_survives_100tb_type_cents(spark, tmp_path):
 
 
 def test_q185_backtest_survives_100tb_month_cents(spark, tmp_path):
-    """Monthly cents ~2e13: ape_ppm and mae_milli exact where the
-    long forms would overflow."""
+    """Monthly cents ~2e13: ape_ppm exact where the long form would
+    overflow; mae is pure-long CENTS since r12 (the milli quotient
+    itself passed int64 at design-point magnitudes — the
+    decimal_div_quotient gate catch, pinned in test_overflow_gate)."""
     from pinot_pulsar_plugin_spark.operators.aggregates2 import (
         q185_forecast_backtest,
     )
@@ -403,7 +405,7 @@ def test_q185_backtest_survives_100tb_month_cents(spark, tmp_path):
     assert ae * 1_000_000 > 2**63 - 1
     r = out["naive_1"]
     assert r.sum_abs_err_cents == ae
-    assert r.mae_milli == ae * 1000 // 1
+    assert r.mae_cents == ae
     assert r.mape_ppm == (ae * 1_000_000 // c1) // 1
 
 

@@ -49,6 +49,16 @@ artifact is stale against the implementation-hash ledger — so a NEW
 registry entry with an unlifted corpus-scale product cannot land
 silently.
 
+Known out-of-scope (documented, not detected): a FIRST-level d=4
+fixed-point long sum at fixed grain (the q01 class r11 lifted to
+``exact_sum_wide``) is not flagged — distinguishing fixed from
+scaling grain mechanically needs a grouping-key-name heuristic whose
+false positives would swamp the ledger (every d=2 first-level cent
+sum is legitimately long, bounded at the §7 table's 2.2e18 edge).
+The r11 manual sweep covered every existing site with pins; a NEW
+entry adding a d=4 fixed-grain sum must follow exact.py's module
+docstring rule. Everything SECOND-level (rollup-of-sums) IS detected.
+
 Run after operator changes: ``python tools_overflowaudit.py``.
 """
 
