@@ -86,6 +86,13 @@ QUERIES = [
     # growth should cost only the combinable aggregate stage
     "q196_revenue_gini",
     "q175_abc_classification",
+    # r12 overflow-gate lifts on fact tables — slopes should stay in
+    # the sublinear band (lifted products price per histogram/month
+    # row, not per fact row) and the run doubles as the 100x
+    # ARITHMETIC_OVERFLOW smoke for the new decimal forms (t84/t79
+    # are documents-side and out of scalecheck scope by design)
+    "q140_ks_drift_test",
+    "q185_forecast_backtest",
 ]
 
 
