@@ -1541,7 +1541,10 @@ def q196_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order-independent; the four price-bearing product sums (pp, qp, pd,
 # pt) accumulate in DECIMAL(38,0) — Σp² alone reaches ~1.3e21 at
 # 6e11 rows (r11 audit; per-row products stay int64-tiny) — while the
-# provably-bounded sums stay int64; every r is then a pure double
+# provably-bounded sums stay int64. The ORACLE keeps those four sums
+# in DuckDB's native int128 (no BIGINT narrow — the narrow would
+# RAISE exactly where the Spark side was hardened; the r12 s57-class
+# symmetry sweep); every r is then a pure double
 # chain on those exact integers
 # — deterministic cross-engine, unlike built-in corr() whose double
 # accumulation is order-dependent on BOTH engines.
@@ -1557,11 +1560,11 @@ _Q197 = """
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
              CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(t) AS BIGINT) AS st,
-             CAST(SUM(q*q) AS BIGINT) AS qq, CAST(SUM(p*p) AS BIGINT) AS pp,
+             CAST(SUM(q*q) AS BIGINT) AS qq, SUM(p*p) AS pp,
              CAST(SUM(d*d) AS BIGINT) AS dd, CAST(SUM(t*t) AS BIGINT) AS tt,
-             CAST(SUM(q*p) AS BIGINT) AS qp, CAST(SUM(q*d) AS BIGINT) AS qd,
-             CAST(SUM(q*t) AS BIGINT) AS qt2, CAST(SUM(p*d) AS BIGINT) AS pd,
-             CAST(SUM(p*t) AS BIGINT) AS pt, CAST(SUM(d*t) AS BIGINT) AS dt
+             SUM(q*p) AS qp, CAST(SUM(q*d) AS BIGINT) AS qd,
+             CAST(SUM(q*t) AS BIGINT) AS qt2, SUM(p*d) AS pd,
+             SUM(p*t) AS pt, CAST(SUM(d*t) AS BIGINT) AS dt
       FROM m)
     SELECT n,
       (CAST(n AS DOUBLE)*qp - CAST(sq AS DOUBLE)*sp)

@@ -684,12 +684,13 @@ _Q195 = """
     per_part AS (
       SELECT p_type, l_partkey,
              CAST(SUM(q) AS BIGINT) AS qt,
-             CAST(SUM(q * q) AS BIGINT) AS sq,
+             SUM(CAST(q AS HUGEINT) * q) AS sq,
              CAST(SUM(cents) AS BIGINT) AS cents
       FROM pm GROUP BY 1, 2),
     xyz AS (
       SELECT p.p_type, p.l_partkey, p.cents,
-             (n.mm * p.sq - p.qt * p.qt) * 1000 // (p.qt * p.qt)
+             CAST((n.mm * p.sq - CAST(p.qt AS HUGEINT) * p.qt) * 1000
+                  // (CAST(p.qt AS HUGEINT) * p.qt) AS BIGINT)
                AS cv2_milli
       FROM per_part p CROSS JOIN months n),
     ranked AS (

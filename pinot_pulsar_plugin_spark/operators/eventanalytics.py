@@ -409,8 +409,8 @@ def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             SUM(x * x) AS sxx,
+             SUM(x * y) AS sxy
       FROM xy GROUP BY event_type)
     SELECT event_type, n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)

@@ -565,7 +565,7 @@ _Q147 = """
     agg AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_obs,
-             CAST(SUM(cents * dt_us) AS BIGINT) AS wsum,
+             SUM(CAST(cents AS HUGEINT) * dt_us) AS wsum,
              CAST(SUM(dt_us) AS BIGINT) AS span_us
       FROM seq WHERE dt_us IS NOT NULL
       GROUP BY event_type)
@@ -660,15 +660,15 @@ _Q150 = """
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             SUM(x * y) AS sxy,
              CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             SUM(CAST(y AS HUGEINT) * y) AS syy
       FROM daily GROUP BY p_brand)
     SELECT p_brand, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
              / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
-           (CAST(n * sxy - sx * sy AS DOUBLE)
-              * CAST(n * sxy - sx * sy AS DOUBLE))
+           (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
              / (CAST(n * sxx - sx * sx AS DOUBLE)
                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
@@ -835,16 +835,17 @@ _Q153 = f"""
       SELECT lag,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
       FROM pairs GROUP BY lag)
     SELECT CAST(lag AS BIGINT) AS lag, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS r
     FROM stats
-    WHERE n >= 3 AND n * sxx > sx * sx AND n * syy > sy * sy
+    WHERE n >= 3 AND n * sxx > CAST(sx AS HUGEINT) * sx
+      AND n * syy > CAST(sy AS HUGEINT) * sy
 """
 
 

@@ -192,7 +192,6 @@ _IMPL_REPLACED = {
     # SF; the long forms raise (or, for decimal `div`, silently wrap)
     # at the 100-TB design point.
     "q209_engagement_gini": 11,
-    "q100_value_drift": 11,
     "q86_geo_radius_join": 11,
     "q169_abtest_ztest": 11,
     "q189_grid_hotspots": 11,
@@ -203,11 +202,7 @@ _IMPL_REPLACED = {
     # replacement round wins (the r12 row is in the r12 gate block)
     "q187_percent_of_parent": 11,
     "q192_topk_drift": 11,
-    "q197_correlation_matrix": 11,
     "q204_acquisition_mix": 11,
-    "q147_twap": 11,
-    "q150_trend_slope": 11,
-    "q153_lag_correlation": 11,
     "q166_weekday_seasonality": 11,
     "q181_seasonal_decomposition": 11,
     "q198_seasonal_anomalies": 11,
@@ -244,7 +239,6 @@ _IMPL_REPLACED = {
     "q165_quota_sample_execution": 11,
     "q171_shuffle_skew_report": 11,
     "q175_abc_classification": 11,
-    "q195_abc_xyz_matrix": 11,
     # t73/s57: r11 lifts, then r12 oracle-side HUGEINT lifts below —
     # latest replacement round wins (the r12 rows are in the r12 block)
     # r11 audit, review pass: q112's premise IS the unbounded hot key
@@ -287,6 +281,18 @@ _IMPL_REPLACED = {
     # with a SILENT wrap — MAE is now exact integer cents (the ×1000
     # display scaling was the only thing past the cliff).
     "q185_forecast_backtest": 12,
+    # r12 s57-class symmetry sweep: six oracles whose Spark side is
+    # DECIMAL-wide but whose SQL narrowed the matching sums/products
+    # back to BIGINT (DuckDB BIGINT arithmetic is overflow-CHECKED, so
+    # the oracle would RAISE exactly in the regimes the Spark side was
+    # hardened for). Sums/products lifted to HUGEINT; values identical
+    # wherever both run (their r11 rows are superseded — latest wins).
+    "q100_value_drift": 12,
+    "q147_twap": 12,
+    "q150_trend_slope": 12,
+    "q153_lag_correlation": 12,
+    "q195_abc_xyz_matrix": 12,
+    "q197_correlation_matrix": 12,
 }
 
 
