@@ -73,15 +73,22 @@ def _moments_pass(key, chunks, n, s1, s2):
     # running chain s2 → c2[0] → … → c2[-1] strictly decreases it
     # (a wrap subtracts 2^64, larger than any valid step), so the
     # monotonicity scan below is a complete detector, and it is one
-    # vectorized pass — no per-row Python.
-    if len(v) and int(np.abs(v).max()) > 3_037_000_499:
+    # vectorized pass — no per-row Python. The scan must be a DIRECT
+    # elementwise signed comparison (c2[1:] < c2[:-1]) — np.diff is a
+    # wrapping int64 subtraction that always recovers the positive
+    # increment even across a wrap, so it can never observe one
+    # (ADVICE r12); likewise the |v| bound checks both ends without
+    # np.abs, which wraps at int64 min (|-2^63| → -2^63).
+    if len(v) and (
+        int(v.max()) > 3_037_000_499 or int(v.min()) < -3_037_000_499
+    ):
         raise OverflowError(
             "running_zscore_stream: |v| exceeds the exact-int64 square "
             "bound (3037000499); per-event v*v would wrap silently. "
             "Use the batch q83 decimal path for this value domain."
         )
     c2 = s2 + np.cumsum(v * v)
-    if len(c2) and (c2[0] < s2 or bool(np.any(np.diff(c2) < 0))):
+    if len(c2) and (c2[0] < s2 or bool(np.any(c2[1:] < c2[:-1]))):
         raise OverflowError(
             "running_zscore_stream: per-user running sum of squares "
             "crossed the int64 state cliff (~9.2e18; ~3.7e9 events of "

@@ -1145,6 +1145,32 @@ def test_streaming_zscore_state_cliff_fails_loudly():
     with pytest.raises(OverflowError, match="state cliff"):
         _moments_pass((1,), [chunk], 1_000_000, 50_000_000, near_cliff)
 
+    # (b') ADVICE r12: wrap on the SECOND increment — c2[0] stays valid
+    # so only the elementwise monotonicity scan can see it. np.diff's
+    # wrapping subtraction recovered the positive increment here and
+    # let the corrupted (negative) state through silently.
+    below_cliff = 9_000_000_000_000_000_000
+    chunk2 = pd.DataFrame(
+        {
+            "ts_us": [10, 20],
+            "event_id": [1, 2],
+            "v": [316_227_766, 600_000_000],
+        }
+    )
+    assert below_cliff + 316_227_766**2 < 2**63  # first step valid
+    assert below_cliff + 316_227_766**2 + 600_000_000**2 >= 2**63  # wraps
+    with pytest.raises(OverflowError, match="state cliff"):
+        _moments_pass((1,), [chunk2], 1_000_000, 50_000_000, below_cliff)
+
+    # (a') ADVICE r12: v == int64 min — np.abs wraps (|-2^63| → -2^63)
+    # so the old abs-based bound passed it and v*v evaluated to 0. The
+    # both-ends check must reject it as out of the exact-square domain.
+    int64_min = pd.DataFrame(
+        {"ts_us": [10], "event_id": [1], "v": [-(2**63)]}
+    )
+    with pytest.raises(OverflowError, match="exact-int64 square"):
+        _moments_pass((1,), [int64_min], 0, 0, 0)
+
     # sanity: typical magnitudes pass through and update state exactly
     frame, (n, s1, s2) = _moments_pass((1,), [chunk], 10, 500_000, 2**40)
     assert (n, s1, s2) == (12, 601_000, 2**40 + 50_000**2 + 51_000**2)
