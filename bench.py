@@ -264,12 +264,41 @@ def _data_fingerprint(sf_dir: str) -> dict[str, str]:
     return out
 
 
-def compact_headline_line(total: float, n_queries: int, sf: float) -> str:
+def _read_load1m() -> float | None:
+    """One-minute loadavg reading (None where /proc is unavailable)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def compact_headline_line(
+    total: float,
+    n_queries: int,
+    sf: float,
+    wall: float | None = None,
+    load_1m: dict | None = None,
+) -> str:
     """The single stdout line the driver parses. Fixed field set —
     size is independent of how many headline queries run, so the
     driver's 2,000-byte tail window can never truncate it (it did in
     r5 AND r6 when the per-query map rode along). Per-query times,
-    spread, runs and verdicts live in bench_details.json."""
+    spread, runs and verdicts live in bench_details.json.
+
+    VERDICT r12 #2: ``value`` has always been the sum of per-query
+    min-of-N samples — a partially load-insensitive figure — but three
+    rounds of wall-vs-wall arbitration showed that is not self-evident
+    from the artifact. The line now says so explicitly
+    (``sum_of_mins`` == ``value``), and carries the two signals that
+    let a reader attribute an elevated round to host load WITHOUT
+    re-deriving anything: ``wall_sec`` (true end-to-end elapsed,
+    including every extra noise-hunting sample — load-SENSITIVE) and
+    ``load_1m`` (min/mean/max of the 1-minute loadavg sampled before
+    each query). An elevated wall_sec with flat sum_of_mins and high
+    load_1m is a loaded host; an elevated sum_of_mins at idle load_1m
+    is code. All fields are fixed-size: the line stays <1 KB at any
+    headline count."""
     return json.dumps(
         {
             "metric": "headline_suite_wall",
@@ -277,6 +306,9 @@ def compact_headline_line(total: float, n_queries: int, sf: float) -> str:
             "unit": "sec",
             "sf": sf,
             "n_queries": n_queries,
+            "sum_of_mins": total,
+            "wall_sec": wall,
+            "load_1m": load_1m,
         },
         separators=(",", ":"),
     )
@@ -294,6 +326,7 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    t_suite0 = time.perf_counter()
     run("q01_pricing_summary")  # warm-up (JVM, codegen, file listing)
 
     # Adaptive sampling (VERDICT r4 #4): host noise bursts last whole
@@ -307,7 +340,11 @@ def main() -> None:
     spread: dict[str, float] = {}
     runs_used: dict[str, int] = {}
     noise_events: dict[str, dict] = {}
+    load_series: dict[str, float] = {}
     for name in HEADLINE:
+        load = _read_load1m()
+        if load is not None:
+            load_series[name] = load
         samples = [run(name) for _ in range(n_runs)]
         while (
             len(samples) < max_runs
@@ -335,6 +372,17 @@ def main() -> None:
             }
 
     total = round(sum(times.values()), 3)
+    wall = round(time.perf_counter() - t_suite0, 3)
+    loads = sorted(load_series.values())
+    load_1m = (
+        {
+            "min": round(loads[0], 2),
+            "mean": round(sum(loads) / len(loads), 2),
+            "max": round(loads[-1], 2),
+        }
+        if loads
+        else None
+    )
     # Emission contract (VERDICT r6 "what's wrong" #1, second failure):
     # the driver captures only the LAST 2,000 bytes of stdout and
     # parses the final line. r5 kept the per-query map "compact"; at
@@ -355,11 +403,15 @@ def main() -> None:
         "verdict_vs_prior": _verdicts(times, spread, _load_prior(), sf),
         "data_fingerprint": _data_fingerprint(sf_dir),
         "noise_events": noise_events,
+        "wall_sec": wall,
+        "sum_of_mins": total,
+        "load_1m": load_1m,
+        "load_1m_series": {k: round(v, 2) for k, v in load_series.items()},
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_details.json"), "w") as f:
         json.dump(details, f, indent=1)
-    line = compact_headline_line(total, len(times), sf)
+    line = compact_headline_line(total, len(times), sf, wall, load_1m)
     sys.stdout.flush()
     print(line, flush=True)
 

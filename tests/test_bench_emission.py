@@ -33,9 +33,33 @@ def test_line_is_one_json_object_with_driver_fields():
         "unit": "sec",
         "sf": 0.1,
         "n_queries": 106,
+        "sum_of_mins": 72.345,
+        "wall_sec": None,
+        "load_1m": None,
     }
     # the per-query map must NOT be on stdout (the r5/r6 failure mode)
     assert "queries" not in obj
+
+
+def test_line_carries_load_attribution_fields():
+    """VERDICT r12 #2: the parsed stdout block must let a reader
+    distinguish host load from code drift without bench_details —
+    sum_of_mins (load-insensitive headline, == value), wall_sec (true
+    elapsed, load-sensitive), and a fixed-size loadavg summary. The
+    line must stay under the 1 KB ceiling with all fields populated."""
+    load = {"min": 1.02, "mean": 5.37, "max": 12.81}
+    line = bench.compact_headline_line(123456.789, 100_000, 0.1, 987654.321, load)
+    obj = json.loads(line)
+    assert obj["sum_of_mins"] == obj["value"] == 123456.789
+    assert obj["wall_sec"] == 987654.321
+    assert obj["load_1m"] == load
+    assert len(line.encode()) < 1024
+    assert "\n" not in line
+
+
+def test_read_load1m_returns_float_or_none():
+    load = bench._read_load1m()
+    assert load is None or (isinstance(load, float) and load >= 0.0)
 
 
 def test_line_survives_a_2000_byte_tail_window():
