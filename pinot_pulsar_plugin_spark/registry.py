@@ -293,6 +293,13 @@ _IMPL_REPLACED = {
     "q153_lag_correlation": 12,
     "q195_abc_xyz_matrix": 12,
     "q197_correlation_matrix": 12,
+    # r13 (VERDICT r12 #4): d49/d51 oracle-only rewrite — the
+    # connected-components recursion moved from all-labels closure
+    # (O(component²) rows, 670 s/query at sf0.1) to delta-iteration
+    # min propagation (GROUP BY in the recursive term, 0.9 s), outputs
+    # proven identical at sf0.001/sf0.01/sf0.1.
+    "d49_neardup_components": 13,
+    "d51_cluster_keeper_quality": 13,
 }
 
 
