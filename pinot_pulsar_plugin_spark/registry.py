@@ -402,13 +402,21 @@ def derive_priority(
         (n for n in queries if n not in scored and n not in oracle),
         need_oracle=False,
     )
-    # Backlog drained: pad with oracle-backed re-verification anchors,
-    # STALEST first — the entry whose last driver-green round is oldest
-    # gets re-checked before anything fresher, so the full registry
-    # cycles through driver re-verification on a ~6-round period
-    # instead of re-scoring the same early-registry names every round
-    # (VERDICT r8 #3). sorted() is stable: ties stay in registry order.
-    _take(sorted((n for n in queries if n in oracle), key=lambda n: green.get(n, 0)))
+    # Backlog drained: pad with re-verification anchors, STALEST first —
+    # the entry whose last driver-green round is oldest gets re-checked
+    # before anything fresher, so the full registry cycles through
+    # driver re-verification on a ~6-round period instead of re-scoring
+    # the same early-registry names every round (VERDICT r8 #3).
+    # sorted() is stable: ties stay in registry order. VERDICT r12 #3
+    # extension: scored ROWS-ONLY entries rotate through padding too —
+    # the old "yields its slot forever" rule left d45/d46/q13/s49 with
+    # r1-r2 evidence only, never re-scored against the modern tree; a
+    # periodic fresh rows-only row is real driver evidence and the
+    # entry rotates back out for a full staleness cycle once it lands.
+    _take(
+        sorted(queries, key=lambda n: green.get(n, 0)),
+        need_oracle=False,
+    )
     return window
 
 

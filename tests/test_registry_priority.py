@@ -159,15 +159,16 @@ def test_padding_is_stalest_first():
     must appear in non-decreasing last-green-round order."""
     names = priority_window()
     green = _driver_green_rounds()
-    oracle = all_oracle_sql()
     pad_rounds = [green[n] for n in names[1:] if n in green]
     if not pad_rounds:
         return  # backlog fills the whole window — nothing padded
     assert pad_rounds == sorted(pad_rounds), "pads not in staleness order"
+    # r13: rows-only scored entries rotate through padding too
+    # (VERDICT r12 #3), so the outside set is ALL scored entries.
     outside = [
         green[n]
         for n in all_queries()
-        if n in oracle and n in green and n not in names
+        if n in green and n not in names
     ]
     if outside:
         assert max(pad_rounds) <= min(outside), (
@@ -232,19 +233,25 @@ def test_priority_names_resolve_and_lead():
     assert names[: len(window)] == window
 
 
-def test_scored_window_is_fully_oracle_checked():
-    """A rows-only entry may hold a scored slot ONLY while it has never
-    been driver-recorded: its one clean ``no_oracle`` row is the
-    strongest driver check it can ever earn (VERDICT r8 #2 — q116),
-    after which it yields the slot forever (the round-3 rule, VERDICT
-    r2 — s49 sat in the window as a permanent err). All other window
-    entries must have a DuckDB oracle so their slots can turn
-    hash-green."""
+def test_rows_only_rescores_are_staleness_justified():
+    """VERDICT r12 #3 policy change: a scored rows-only entry may
+    re-enter the window as a re-verification pad (the old
+    yields-forever rule left d45/d46/q13/s49 with r1-r2 evidence only,
+    never re-proved on the modern tree) — but ONLY via the stalest-
+    first padding. Every rows-only re-score slot must therefore be at
+    least as stale as every scored entry left OUTSIDE the window;
+    rows-only entries may never displace a fresher-evidence slot out
+    of turn."""
     names = list(all_queries())[:50]
     oracle = all_oracle_sql()
-    scored = _driver_green_names()
-    rows_only_rescore = [n for n in names if n not in oracle and n in scored]
-    assert rows_only_rescore == [], rows_only_rescore
+    green = _driver_green_rounds()
+    rows_only_rescore = [n for n in names if n not in oracle and n in green]
+    outside = [green[n] for n in all_queries() if n in green and n not in names]
+    for n in rows_only_rescore:
+        assert not outside or green[n] <= min(outside), (
+            f"rows-only {n} (last green r{green[n]}) padded ahead of a "
+            f"staler scored entry (oldest outside: r{min(outside)})"
+        )
 
 
 def test_round_of_quotient_is_ratcheted():
@@ -375,8 +382,13 @@ def test_derive_priority_synthetic_rules(tmp_path):
               ["q01_pricing_summary", "a", "b", "c", "d", "e", "f"]}
     window = R.derive_priority(queries, oracle, green=green)
     # c (mismatch) and d (failed run) are NOT scored -> lead in
-    # registry order; s (rows-only, never scored) pads next; r
-    # (rows-only, already recorded) never re-enters; then stalest
-    # pads: e (known-broken, round 0) before a (r1) before b/f (r2).
-    assert window[:8] == ["q01_pricing_summary", "c", "d", "s", "e", "a", "b", "f"]
-    assert "r" not in window[: window.index("a")]  # no rows-only re-score
+    # registry order; s (rows-only, never scored) pads next; then
+    # stalest pads over ALL scored entries — rows-only included
+    # (VERDICT r12 #3): e (known-broken, round 0) before a (r1),
+    # then the round-2 tie b/r/f in registry order.
+    assert window[:9] == [
+        "q01_pricing_summary", "c", "d", "s", "e", "a", "b", "r", "f"
+    ]
+    # r (rows-only, r2) re-enters strictly by staleness: never before
+    # the staler a (r1), always alongside its round-2 peers.
+    assert window.index("r") > window.index("a")
