@@ -439,27 +439,47 @@ def q109_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units (count·1e6 div denominator), so output is
     bit-deterministic.
 
-    Scale shape: the basket table is one distinct on (order, brand);
-    candidate pairs come from the self equi-join ON THE ORDER KEY —
-    fanout is bounded by (brands per order)² (≤13² here, single
-    digits in any real basket), never #orders² — then one combinable
-    pair count. Marginals are a #brands-sized aggregate broadcast
-    back. This is d44's collision-join shape applied to transactions:
-    cost tracks co-occurrence, not the catalog square."""
+    Scale shape (r13 rewrite): the basket collapses to ONE row per
+    order carrying its sorted distinct brand set — a single
+    order-keyed exchange — and candidate pairs are generated IN-ROW
+    from that array (explode of the (brands per order choose 2)
+    combinations, ≤13² here, single digits in any real basket), never
+    a basket self-join. The r12 form self-joined the (order, brand)
+    table on the order key: same pair fanout, but it shuffled the
+    basket twice more (both join legs) and paid a join for what is a
+    per-row array expansion. Marginals (brand counts) and the order
+    total come from the same cached per-order relation. Cost still
+    tracks co-occurrence, not the catalog square; a pathological
+    giant order is bounded by its own lineitem count either way."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    basket = (
+    bset = (
         li.join(part, li["l_partkey"] == part["p_partkey"])
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set(F.col("p_brand"))).alias("brands"))
         .transform(persist_once)
     )
-    n = basket.agg(F.countDistinct("okey").alias("n_orders"))
-    item = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = basket.alias("a"), basket.alias("b")
+    n = bset.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        bset.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    # all ordered pairs (brand_a < brand_b) of the sorted distinct set,
+    # generated in-row: slice() clamps at the array end, so element i
+    # (0-based) pairs with every later element exactly once.
     pair = (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        bset.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= _BASKET_MIN_BOTH)
     )

@@ -281,50 +281,75 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     an in-row explode. At 100 TB the profile costs one read; the naive
     per-column loop costs five.
 
-    The exact multi-DISTINCT is planned as one Expand (#profiled
-    columns × rows through the first aggregate phase) — the honest
-    price of exactness. Measured tradeoff at sf0.1: this fused
-    single-read form runs 3.4s; splitting into a distinct-only pass +
-    a plain stats pass halves that (1.7s) but reads the table TWICE —
-    the fused form is kept because at 100 TB the scan, not the
-    aggregate CPU, is the budget, and a second full read loses.
+    r13 shape — still ONE scan, but no Expand: each row explodes
+    IN-ROW into five (col_name, value) entries (numeric values in a
+    long lane — doubles fixed-pointed to cents first — strings in a
+    string lane, exactly one lane non-null for a non-null source
+    value), then a two-phase aggregate: per-(column, value) counts
+    (the only data-volume exchange — Σ per-column distinct
+    cardinality, the same bytes the multi-DISTINCT Expand shuffled),
+    then a #columns-sized rollup where n_rows = Σcnt, n_null = the
+    all-null lane's cnt, n_distinct = the non-null group count, and
+    min/max fold per lane. The r12 fused multi-countDistinct form
+    planned as one Expand (×6 row multiplication through a 25-buffer
+    aggregate) and measured 3.4s at sf0.1; a distinct+stats two-pass
+    halved that but read the table TWICE (loses at 100 TB where the
+    scan is the budget); this form keeps the single read AND drops
+    the Expand (measured vs the fused form in OPTIMIZATION_r13.md).
     When estimates suffice, approx_count_distinct / HLL sketches
-    (q13, q116) drop the expand entirely. Min/max of the double
-    column is fixed-pointed to cents BEFORE the string representation
-    so no engine-specific float formatting can diverge."""
+    (q13, q116) drop the distinct shuffle entirely. Min/max aggregate
+    on the native/long value (never the string representation) so
+    ordering is numeric and no engine-specific float formatting can
+    diverge."""
     o = t(spark, sf_dir, "orders")
-    aggs = []
-    for c, kind in _Q119_COLS:
-        val = (
-            F.round(F.col(c) * 100).cast("long") if kind == "cents" else F.col(c)
+
+    def _entry(c: str, kind: str) -> str:
+        # one lane per type family; the DISTINCT must count the RAW
+        # value (the oracle spells COUNT(DISTINCT c)), so the double
+        # column rides a double lane unrounded — cents conversion
+        # happens AFTER min/max (ROUND(x·100) is monotonic, so
+        # min/max commute with it)
+        vl = f"CAST({c} AS BIGINT)" if kind == "int" else "CAST(NULL AS BIGINT)"
+        vd = f"CAST({c} AS DOUBLE)" if kind == "cents" else "CAST(NULL AS DOUBLE)"
+        vs = c if kind == "str" else "CAST(NULL AS STRING)"
+        return (
+            f"named_struct('col_name', '{c}', 'val_long', {vl}, "
+            f"'val_dbl', {vd}, 'val_str', CAST({vs} AS STRING))"
         )
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
-            F.countDistinct(c).alias(f"{c}__dist"),
-            F.min(val).alias(f"{c}__min"),
-            F.max(val).alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
 
-    def _rep(name: str, kind: str):
-        col = F.col(name)
-        return col if kind == "str" else col.cast("string")
-
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__rows").alias("n_rows"),
-                F.col(f"{c}__null").alias("n_null"),
-                F.col(f"{c}__dist").alias("n_distinct"),
-                _rep(f"{c}__min", kind).alias("min_repr"),
-                _rep(f"{c}__max", kind).alias("max_repr"),
-            )
-            for c, kind in _Q119_COLS
-        ]
+    entries_sql = (
+        "array(" + ", ".join(_entry(c, k) for c, k in _Q119_COLS) + ")"
     )
-    return wide.select(F.explode(entries).alias("p")).select("p.*")
+    pairs = o.select(F.explode(F.expr(entries_sql)).alias("p")).select("p.*")
+    g1 = pairs.groupBy("col_name", "val_long", "val_dbl", "val_str").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    has_val = (
+        F.col("val_long").isNotNull()
+        | F.col("val_dbl").isNotNull()
+        | F.col("val_str").isNotNull()
+    )
+
+    def _cents_repr(agg: F.Column) -> F.Column:
+        return F.round(agg * 100).cast("long").cast("string")
+
+    return g1.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(~has_val, F.col("cnt")).otherwise(F.lit(0))).alias("n_null"),
+        F.count(F.when(has_val, F.lit(1))).alias("n_distinct"),
+        # exactly one lane is populated per column, so the coalesce
+        # picks that lane's (natively ordered) representation
+        F.coalesce(
+            F.min("val_long").cast("string"),
+            _cents_repr(F.min("val_dbl")),
+            F.min("val_str"),
+        ).alias("min_repr"),
+        F.coalesce(
+            F.max("val_long").cast("string"),
+            _cents_repr(F.max("val_dbl")),
+            F.max("val_str"),
+        ).alias("max_repr"),
+    )
 
 
 # --- q172: decile lift / gains table --------------------------------

@@ -223,44 +223,43 @@ def d45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    mins = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * _PERM_A[i] + _PERM_B[i], F.lit(_MERSENNE))).alias(
-                f"m{i}"
-            )
-            for i in range(_MINHASH_PERMS)
-        ]
-    )
+    # The 64 per-permutation MIN aggregates and the band structs are
+    # emitted as ONE SQL string each (r13): building them as nested
+    # pyspark Column calls cost ~5,000 py4j round trips (~1s of driver
+    # time PER BUILD, measured via cProfile — the bench pays it on
+    # every sample, and a real pipeline pays it per job submission);
+    # one F.expr parses in the JVM in one hop. The parsed expression
+    # tree — and therefore the arithmetic and the result — is identical
+    # (pmod/xxhash64 over the same operand types and order).
+    mins_sql = "array(" + ", ".join(
+        f"min(pmod(h * {_PERM_A[i]}L + {_PERM_B[i]}L, {_MERSENNE}L))"
+        for i in range(_MINHASH_PERMS)
+    ) + ")"
     # Signatures are referenced four times (both sides of the band
     # self-join + both verification rejoins); persist so the 64-way
     # min-agg runs once — the local analog of materializing a signature
     # table, which is what a 100 TB pipeline does between stages.
-    sig = mins.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_PERMS)]).alias("mh")
-    ).transform(persist_once)
+    sig = (
+        shingles.groupBy("doc_id")
+        .agg(F.expr(mins_sql).alias("mh"))
+        .transform(persist_once)
+    )
     n_bands = _MINHASH_PERMS // _BAND_ROWS
     # band join carries only (doc_id, band, sig) — the 64-wide signature
     # arrays rejoin AFTER pair dedup, so the shuffle stays narrow and
     # the verification cost tracks the (few) candidates, not the corpus
+    bands_sql = "array(" + ", ".join(
+        "struct({i} AS band, xxhash64({i}, {els}) AS sig)".format(
+            i=i,
+            els=", ".join(
+                f"element_at(mh, {i * _BAND_ROWS + j + 1})"
+                for j in range(_BAND_ROWS)
+            ),
+        )
+        for i in range(n_bands)
+    ) + ")"
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.lit(i),
-                            *[
-                                F.element_at("mh", i * _BAND_ROWS + j + 1)
-                                for j in range(_BAND_ROWS)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
+        "doc_id", F.explode(F.expr(bands_sql)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.alias("a")
     b = bands.alias("b")

@@ -300,6 +300,22 @@ _IMPL_REPLACED = {
     # proven identical at sf0.001/sf0.01/sf0.1.
     "d49_neardup_components": 13,
     "d51_cluster_keeper_quality": 13,
+    # r13 optimization round (OPTIMIZATION_r13.md): plan- and
+    # driver-side rewrites, outputs proven identical (frame-equality
+    # A/B old-vs-new + oracle parity at sf0.001/sf0.01, and sf0.1 for
+    # q119):
+    # - q109: basket self-join on the order key → per-order sorted
+    #   distinct brand set + in-row pair explode (8 → 4 exchanges).
+    "q109_basket_cooccurrence": 13,
+    # - q119: multi-DISTINCT Expand (×6 row multiplication) → in-row
+    #   typed-lane explode + two-phase aggregate; still ONE scan;
+    #   2.29 s → 0.66 s at sf0.1.
+    "q119_column_profile": 13,
+    # - d45: the 64 per-permutation MIN columns and band structs are
+    #   emitted as single SQL strings (one JVM parse instead of ~5,000
+    #   py4j round trips per build); physical plan identical modulo
+    #   plan ids (plans/r13/), output frame-equal.
+    "d45_minhash_lsh_candidates": 13,
 }
 
 

@@ -1096,9 +1096,11 @@ def test_t68_keywords_group_limited_bounded_exchanges(spark):
 
 
 def test_q109_basket_pairs_keyed_on_order(spark):
-    """q109's scale contract: candidate pairs come from the self
-    equi-join on the ORDER key (fanout bounded by basket size, never
-    catalog²); marginals and the total are broadcast; pair counting
+    """q109's scale contract (r13 shape): the basket collapses to one
+    row per order (sorted distinct brand set) on a single order-keyed
+    exchange; candidate pairs are generated IN-ROW from that array
+    (fanout bounded by basket size, never catalog²) — no basket
+    self-join; marginals and the total are broadcast; pair counting
     combines map-side."""
     import re
 
@@ -1252,17 +1254,21 @@ def test_q118_all_dims_broadcast_one_fact_shuffle(spark):
     assert n_shuffles(df) <= 3, plan
 
 
-def test_q119_profile_single_scan_expand(spark):
+def test_q119_profile_single_scan_no_expand(spark):
     """The whole-table profile reads the parquet ONCE: every column's
-    aggregates ride one scan, the exact multi-DISTINCT lowers to a
-    single Expand, and the unpivot is an in-row explode of the one-row
-    result — no per-column scans, no Python, no cartesian."""
+    values ride one scan through an IN-ROW explode into typed lanes
+    (r13 shape), then a two-phase aggregate — per-(column, value)
+    counts followed by the #columns rollup. No multi-DISTINCT Expand
+    (the r12 form's ×6 row multiplication), no per-column scans, no
+    Python, no cartesian."""
     from pinot_pulsar_plugin_spark.operators import curation
 
     df = curation.q119_column_profile(spark, SF)
     plan = formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
-    assert "Expand" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "Generate" in plan, plan  # the in-row unpivot explode
+    assert n_shuffles(df) <= 2, plan
     assert "Python" not in plan, plan
 
 
