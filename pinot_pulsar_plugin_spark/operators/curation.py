@@ -333,7 +333,7 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _cents_repr(agg: F.Column) -> F.Column:
         return F.round(agg * 100).cast("long").cast("string")
 
-    return g1.groupBy("col_name").agg(
+    prof = g1.groupBy("col_name").agg(
         F.sum("cnt").alias("n_rows"),
         F.sum(F.when(~has_val, F.col("cnt")).otherwise(F.lit(0))).alias("n_null"),
         F.count(F.when(has_val, F.lit(1))).alias("n_distinct"),
@@ -349,6 +349,26 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents_repr(F.max("val_dbl")),
             F.max("val_str"),
         ).alias("max_repr"),
+    )
+    # Totality on an EMPTY table: the oracle's per-column global
+    # aggregates emit one zero-count row per column even over zero
+    # input rows, but the explode above emits nothing — so a column
+    # group can only go missing when the table is empty. A 5-row
+    # literal skeleton left-joined over the 5-row profile restores
+    # those rows (broadcast, #columns-sized — free at any scale).
+    skeleton = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c, _ in _Q119_COLS])
+        ).alias("col_name")
+    )
+    zero = F.lit(0).cast("long")
+    return skeleton.join(prof, "col_name", "left").select(
+        "col_name",
+        F.coalesce("n_rows", zero).alias("n_rows"),
+        F.coalesce("n_null", zero).alias("n_null"),
+        F.coalesce("n_distinct", zero).alias("n_distinct"),
+        "min_repr",
+        "max_repr",
     )
 
 

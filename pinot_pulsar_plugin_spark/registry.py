@@ -316,6 +316,10 @@ _IMPL_REPLACED = {
     #   py4j round trips per build); physical plan identical modulo
     #   plan ids (plans/r13/), output frame-equal.
     "d45_minhash_lsh_candidates": 13,
+    # - d44: shingle cache pre-partitioned on the shingle hash so the
+    #   stop-list aggregate and both self-join legs reuse the cached
+    #   partitioning (11 → 9 exchanges; frame-equal, parity OK).
+    "d44_ngram_jaccard_pairs": 13,
 }
 
 

@@ -45,6 +45,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Joins (optimization guide §3.1): let the planner pick
+        # shuffled-hash over sort-merge when its size conditions hold
+        # (skips the per-partition sorts), and let AQE rewrite a
+        # planned sort-merge to shuffled-hash at runtime when every
+        # post-shuffle partition is under the threshold. Both knobs are
+        # env-parameterised: SHJ trades the sort for a per-partition
+        # hash build, so a cluster with lean executor memory can set
+        # SPARK_GRAFT_PREFER_SORTMERGE=true /
+        # SPARK_GRAFT_SHJ_THRESHOLD=0 to restore the spill-graceful
+        # default. Local A/B at sf0.1 in OPTIMIZATION_r13.md.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SORTMERGE", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS); read as long then convert

@@ -48,10 +48,13 @@ COMMENTARY = {
     "d44_ngram_jaccard_pairs": (
         "Candidate pairs come from an equi-join keyed on the shingle "
         "itself — work tracks shingle collisions, never n². The persisted "
-        "distinct-shingle stage feeds the stop-list aggregation, both "
-        "join sides, and the per-doc counts; stop-shingles (df > 10% of "
-        "the corpus — the hot keys whose collisions are quadratic) are "
-        "removed by a broadcast LeftAnti join before the self-join."
+        "distinct-shingle stage is cached PRE-PARTITIONED on the shingle "
+        "hash (r13) so the stop-list aggregation and both self-join legs "
+        "reuse the cached partitioning — the corpus-sized relation "
+        "shuffles once at materialization, not per consumer; stop-"
+        "shingles (df > 10% of the corpus — the hot keys whose collisions "
+        "are quadratic) are removed by a broadcast LeftAnti join before "
+        "the self-join."
     ),
     "s48_cosine_topk": (
         "The 10-query side is broadcast; the corpus is scanned once, "
