@@ -513,11 +513,23 @@ def d48_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cos = fold_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # r13: the exact rerank is the same sequential-fold cosine, but
+    # vectorized ACROSS pairs through Arrow (guide §4): the 64-term
+    # interpreted-HOF eval per pair becomes 64 numpy column ops per
+    # Arrow batch, bit-identical by construction (see
+    # functions/vectorized.py). Measured at sf0.1: 2.40s → 1.83s.
+    from pinot_pulsar_plugin_spark.functions.vectorized import cos_seq_fold
+
     return (
         cand.join(na, "vec_a")
         .join(nb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cos_seq_fold(
+                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= _COS_MIN)
     )
 
@@ -925,6 +937,12 @@ def d55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
+        # r13 (the d44 rule): cache pre-partitioned on the shingle hash
+        # — the stop-list aggregate and both delta×corpus join legs all
+        # hash-partition on h, so the cached partitioning is reused and
+        # the shingle relation shuffles once at cache build, not per
+        # consumer
+        .repartition("h")
         .transform(persist_once)
     )
     shingles.count()  # materialize: the stop-list aggregate, the
@@ -1377,6 +1395,15 @@ def d58_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = d.where(F.col("text").contains("dup")).select(
         "doc_id", F.split(F.lower("text"), " ").alias("tk")
     )
+    # r13 NEGATIVE RESULT (kept as the explode form deliberately): an
+    # in-row variant computed sig+bands as nested transforms over the
+    # per-doc shingle array — 2 exchanges fewer on paper — but nested
+    # HOFs evaluate INTERPRETED while this explode form runs md5 in
+    # WholeStageCodegen with the (doc, hi) MIN combined map-side (all
+    # of a doc's shingles share a partition, so only H rows per doc
+    # ever cross the exchange). Warm A/B at sf0.1: explode 1.19-1.35s
+    # vs in-row 1.44-1.63s. The codegen boundary beats the exchange
+    # count here at every scale.
     sh = probe.select(
         "doc_id",
         F.explode(

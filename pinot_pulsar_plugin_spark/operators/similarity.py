@@ -908,12 +908,21 @@ def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     these K seeds"; for all-pairs similarity use d44/d48 (blocked
     candidates), not this operator. (This synthetic corpus's 31-term
     vocabulary makes every posting list dense; on Zipfian real text a
-    df stop-filter — the d44 pattern — caps the hot lists.)"""
+    df stop-filter — the d44 pattern — caps the hot lists.)
+
+    r13: the (doc, term, tf) triples are computed IN-ROW (sorted-run
+    fold over each document's token array — functions/arrays.py), so
+    the token occurrence stream never explodes into rows and the
+    (doc, term) count exchange disappears; same triples, same
+    downstream plan."""
+    from pinot_pulsar_plugin_spark.functions.arrays import runs_expr
+
     d = t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    tf = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+        .select("doc_id", F.explode(F.expr(runs_expr("tk"))).alias("r"))
+        .select("doc_id", F.col("r.g").alias("term"), F.col("r.c").alias("tf"))
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     idf_micro = F.round(

@@ -663,34 +663,47 @@ def t62_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage, keep=true; a top gram occurring once scores 0 (unique
     text is not repetition).
 
-    Scale shape (100 TB): explode → map-side-combinable count keyed
-    (doc_id, gram) → per-doc top-1 window (WindowGroupLimit pushes the
-    rank-1 cut map-side) → broadcast-or-shuffle join back to the doc
-    spine. Two keyed exchanges plus the window; nothing quadratic, no
-    driver state."""
-    from pyspark.sql import Window as W
-
+    Scale shape (100 TB): the whole computation is PER-DOCUMENT, so it
+    runs as a ZERO-SHUFFLE narrow map (r13): each row's 3-gram array is
+    sorted and a single linear fold finds the best (count × length)
+    run — the explode → (doc_id, gram) count exchange → per-doc window
+    → spine join of the previous form all collapse into the scan
+    projection. Tie-break is preserved structurally: runs are visited
+    in ascending gram order and only a STRICTLY greater score replaces
+    the champion, which is exactly ORDER BY cnt*length(gram) DESC,
+    gram ASC rank 1. (Measured at sf0.1: 1.21s → 0.94s; plan 2
+    exchanges + window + join → 0 exchanges.)"""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars"), F.split(F.lower("text"), " ").alias("tk")
     )
-    # n_chars rides the spine join at the end, NOT the gram shuffle:
-    # the count/window exchanges carry only (doc_id, gram, cnt)
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(tk) >= 3 THEN "
-                "transform(sequence(1, size(tk) - 2), "
-                "i -> concat_ws(' ', slice(tk, i, 3))) ELSE array() END"
-            )
-        ).alias("gram"),
+    # in-row champion fold over the sorted gram array: acc carries the
+    # current run (prev, run) and the best-so-far (bs=score, bc=count,
+    # bg=gram); a run is scored when the next run starts and once more
+    # at finish
+    top = F.expr(
+        "aggregate("
+        "  array_sort(CASE WHEN size(tk) >= 3 THEN "
+        "    transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3))) "
+        "    ELSE array() END),"
+        "  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,"
+        "               'bs', -1L, 'bc', 0L, 'bg', CAST(NULL AS STRING)),"
+        "  (acc, g) -> IF(g <=> acc.prev,"
+        "    named_struct('prev', acc.prev, 'run', acc.run + 1L,"
+        "                 'bs', acc.bs, 'bc', acc.bc, 'bg', acc.bg),"
+        "    IF(acc.prev IS NOT NULL AND acc.run * length(acc.prev) > acc.bs,"
+        "      named_struct('prev', g, 'run', 1L,"
+        "                   'bs', acc.run * length(acc.prev), 'bc', acc.run, 'bg', acc.prev),"
+        "      named_struct('prev', g, 'run', 1L,"
+        "                   'bs', acc.bs, 'bc', acc.bc, 'bg', acc.bg))),"
+        "  acc -> IF(acc.prev IS NOT NULL AND acc.run * length(acc.prev) > acc.bs,"
+        "    named_struct('cnt', acc.run, 'gram', acc.prev),"
+        "    named_struct('cnt', acc.bc, 'gram', acc.bg)))"
     )
-    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.partitionBy("doc_id").orderBy(
-        F.desc(F.col("cnt") * F.length("gram")), F.asc("gram")
+    withtop = d.select(
+        "doc_id", "n_chars",
+        top.getField("gram").alias("top_gram"),
+        top.getField("cnt").alias("cnt"),
     )
-    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    spine = d.select("doc_id", "n_chars")
     # a gram seen once is not repetition: coverage only counts when the
     # top gram actually repeats (count >= 2) — otherwise every short
     # document fails the cut on its own unique words
@@ -698,24 +711,13 @@ def t62_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt") >= 2,
         (F.col("cnt") * F.length("top_gram")).cast("double") / F.col("n_chars"),
     ).otherwise(F.lit(0.0))
-    return (
-        spine.join(
-            top.select(
-                F.col("doc_id").alias("t_doc_id"),
-                F.col("gram").alias("top_gram"),
-                "cnt",
-            ),
-            F.col("doc_id") == F.col("t_doc_id"),
-            "left",
-        )
-        .select(
-            "doc_id",
-            "n_chars",
-            "top_gram",
-            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("top_count"),
-            frac.alias("top_char_frac"),
-            (frac <= F.lit(_T62_MAX_TOP3_FRAC)).alias("keep_top_ngram"),
-        )
+    return withtop.select(
+        "doc_id",
+        "n_chars",
+        "top_gram",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("top_count"),
+        frac.alias("top_char_frac"),
+        (frac <= F.lit(_T62_MAX_TOP3_FRAC)).alias("keep_top_ngram"),
     )
 
 
@@ -763,12 +765,17 @@ def t63_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode until the count tables), both count tables are map-side-
     combinable aggregates, the rejoin keys are the bigram/token strings
     (the same keyed-equi-join shape as t61), and V broadcasts as one
-    row. Nothing quadratic, no Python."""
+    row. Nothing quadratic, no Python. r13: the per-doc surprisal sum
+    re-joins DISTINCT (doc, bigram) rows weighted by their in-doc count
+    — occurrence volume never crosses the count-table joins (integer
+    identity: Σ_occurrences fp ≡ Σ_distinct c·fp) — and V is |uni| (the
+    unigram group count), dropping the second full token pass that
+    COUNT(DISTINCT w) cost."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
     tok = toks.select(F.explode("tk").alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
-    v = tok.agg(F.countDistinct("w").alias("vs"))
+    v = uni.agg(F.count(F.lit(1)).alias("vs"))
     bg = toks.select(
         "doc_id",
         F.explode(
@@ -780,7 +787,8 @@ def t63_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c_ab"))
+    bgc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c_doc"))
+    cb = bgc.groupBy("b").agg(F.sum("c_doc").alias("c_ab"))
     term_fp = F.round(
         F.log(
             (F.col("c_a").cast("double") + F.col("vs").cast("double"))
@@ -789,13 +797,13 @@ def t63_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
     ).cast("long")
     return (
-        bg.join(cb, "b")
+        bgc.join(cb, "b")
         .join(uni, F.col("w") == F.substring_index("b", " ", 1))
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(term_fp).alias("_s_fp"),
+            F.sum("c_doc").alias("n_bigrams"),
+            F.sum(F.col("c_doc") * term_fp).alias("_s_fp"),
         )
         # integer micro-units division — no ROUND boundary for the
         # engines to disagree on (S/n landed exactly on a 1e-6
@@ -1792,11 +1800,17 @@ def t76_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix against the stored labels.
 
     Scale shape: trigram extraction is a zero-shuffle in-row explode
-    (the t64 substr pattern); the two count aggregates are combinable;
-    the lang profiles are a ≤|langs|×{pm}-row BROADCAST, so scoring is
-    a per-doc-trigram map — the corpus-volume work never pairs with
+    (the t64 substr pattern); the trigram stream is aggregated ONCE
+    (r13) into per-(doc, lang, trigram) counts — cached pre-partitioned
+    on doc_id so the per-doc top-{dn} window reuses the cached
+    partitioning — and the lang profiles are DERIVED from those counts
+    (Σ over docs ≡ the direct corpus count), so the corpus-volume
+    stream crosses one combinable aggregate instead of two; the lang
+    profiles are a ≤|langs|×{pm}-row BROADCAST, so scoring is a
+    per-doc-trigram map — the corpus-volume work never pairs with
     more than the 5-row lang list (bounded broadcast product). Doc and
-    profile top-k ranks are WindowGroupLimit rewrites."""
+    profile top-k ranks are WindowGroupLimit rewrites. (Measured at
+    sf0.1: 1.96s → 0.65s warm.)"""
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
@@ -1809,20 +1823,25 @@ def t76_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> substr(lower(text), i, 3))"
             )
         ).alias("g"),
-    ).transform(persist_once)
+    )
+    doc_counts = (
+        tri.groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .repartition("doc_id")
+        .transform(persist_once)
+    )
+    doc_counts.count()  # materialize before fan-out (the r8 rule)
     wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
     prof = (
-        tri.groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        doc_counts.groupBy("lang", "g")
+        .agg(F.sum("c").alias("c"))
         .withColumn("pr", F.row_number().over(wl))
         .where(F.col("pr") <= _T76_PROF_M)
         .select(F.col("lang").alias("cand"), "g", "pr")
     )
     wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
     dm = (
-        tri.groupBy("doc_id", "lang", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("dr", F.row_number().over(wd))
+        doc_counts.withColumn("dr", F.row_number().over(wd))
         .where(F.col("dr") <= _T76_DOC_N)
     )
     langs = d.select(F.col("lang").alias("cand")).distinct()

@@ -320,6 +320,29 @@ _IMPL_REPLACED = {
     #   stop-list aggregate and both self-join legs reuse the cached
     #   partitioning (11 → 9 exchanges; frame-equal, parity OK).
     "d44_ngram_jaccard_pairs": 13,
+    # r13 optimization wave 3 (OPTIMIZATION_r13.md; all parity-OK at
+    # sf0.001/sf0.01/sf0.1):
+    # - t62: per-doc top-gram via in-row sorted-run champion fold —
+    #   zero shuffles (was 2 exchanges + window + spine join).
+    "t62_top_ngram_coverage": 13,
+    # - t63: per-doc surprisal sum re-joins DISTINCT (doc, bigram)
+    #   rows weighted by count; V derived from |uni| (one fewer full
+    #   token pass).
+    "t63_bigram_surprisal": 13,
+    # - t76: ONE aggregation pass over the trigram stream (profile
+    #   derived from cached per-doc counts, pre-partitioned on doc_id
+    #   for the top-N window); 1.96 s → 0.65 s warm at sf0.1.
+    "t76_charngram_langid": 13,
+    # - s57: (doc, term, tf) computed in-row (sorted-run fold), the
+    #   token occurrence stream never explodes through an exchange.
+    "s57_tfidf_similar_docs": 13,
+    # - d55: shingle cache pre-partitioned on the shingle hash (the
+    #   d44 rule).
+    "d55_incremental_dedup": 13,
+    # - d48: exact rerank cosine vectorized across pairs via Arrow
+    #   (functions/vectorized.py), bit-identical sequential-fold
+    #   order; 2.40 s → 1.83 s at sf0.1.
+    "d48_embedding_neardup_lsh": 13,
 }
 
 

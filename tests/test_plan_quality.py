@@ -130,18 +130,18 @@ def test_d52_three_narrow_shuffles(spark):
 
 
 def test_t62_top_ngram_shape(spark):
-    """t62's scale contract: explode → combinable count keyed
-    (doc_id, gram) → per-doc top-1 window with a WindowGroupLimit
-    (rank-1 pushed map-side) → join back to the doc spine. No Python
-    eval, no cartesian join, bounded exchanges."""
+    """t62's scale contract (r13): the whole computation is
+    per-document, so it compiles to a ZERO-shuffle narrow map — one
+    scan, no exchange, no window, no join; the top gram comes from an
+    in-row sorted-run champion fold. No Python eval, no cartesian."""
     from pinot_pulsar_plugin_spark.operators import textops
 
     df = textops.t62_top_ngram_coverage(spark, SF)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "WindowGroupLimit" in plan
-    assert n_shuffles(df) <= 4
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert n_shuffles(df) == 0, plan
 
 
 def test_q88_decay_single_keyed_aggregate(spark):
