@@ -555,10 +555,15 @@ def _slice_l2(emb_a, emb_b, m):
 def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, code, dist): nearest codeword per subspace.
     Codebook = a broadcast _PQ_K-row product (bounded fan-out, the
-    s50/s53 shape); argmin lowers to a map-side WindowGroupLimit
-    before the (vec_id, m) exchange."""
-    from pyspark.sql import Window as W
-
+    s50/s53 shape); argmin is a combinable MIN over (dist, cid)
+    structs (r13: replaces the windowed rank-1 — lexicographic struct
+    MIN ≡ ORDER BY dist, cid rank 1, frame-equal-proven — so the
+    per-group sort disappears and the reduction combines map-side).
+    r13 negative result, kept as-is deliberately: computing all 8
+    slice distances in-row per (vec, codeword) pair (640k pair rows,
+    nested transform/aggregate) measured ~50% SLOWER than this
+    explode+join form — nested HOF lambdas evaluate interpreted while
+    the exploded form pipelines through codegen (the d58 lesson)."""
     em = t(spark, sf_dir, "embeddings")
     cb = em.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
@@ -576,11 +581,15 @@ def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
     return (
-        d.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"), "dist")
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("mn"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("mn.cid").alias("code"),
+            F.col("mn.dist").alias("dist"),
+        )
     )
 
 

@@ -6,6 +6,7 @@ they run at scan speed inside whole-stage codegen at any scale.
 from __future__ import annotations
 
 from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.functions.arrays import runs_expr
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1026,12 +1027,16 @@ def t67_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tk = F.split(F.lower("text"), " ")
     base = d.select("doc_id", tk.alias("tk"))
-    cnts = F.transform(
-        F.array_sort(F.array_distinct("tk")),
-        lambda tkn: F.size(F.filter(F.col("tk"), lambda x: x == tkn)).cast("long"),
-    )
+    # r13: counts from the sorted-run fold (functions/arrays.py) —
+    # O(n log n) per row instead of the O(distinct × n)
+    # filter-per-distinct-token scan; runs are emitted in ascending
+    # token order, exactly the order array_sort(array_distinct(tk))
+    # produced, so the fixed-point entropy fold sees identical values
+    # in the identical sequence. Measured at sf0.1: 0.61 → 0.36 s.
     c = base.select(
-        "doc_id", F.size("tk").cast("long").alias("n_tokens"), cnts.alias("cnts")
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.expr(f"transform({runs_expr('tk')}, r -> r.c)").alias("cnts"),
     )
     sum_micro = F.aggregate(
         F.transform(
@@ -2180,19 +2185,21 @@ def t80_crosscorpus_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-key fan-out — the skew-safe shape either way."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(tk) >= {_T80_K} THEN "
-                f"array_distinct(transform(sequence(1, size(tk) - {_T80_K - 1}), "
-                f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_T80_K}))))) "
-                f"ELSE array() END"
-            )
-        ).alias("h"),
-    )
-    train = sh.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
-    test = sh.filter(F.col("doc_id") % 2 == 1)
+    # r13: the parity split filters BEFORE shingling — the previous
+    # form built one shingle stream and filtered it twice (two
+    # consumers of an unpersisted explode ⇒ every doc tokenized and
+    # hashed TWICE per execution); each doc now shingles exactly once,
+    # in whichever leg owns it
+    sh_expr = F.explode(
+        F.expr(
+            f"CASE WHEN size(tk) >= {_T80_K} THEN "
+            f"array_distinct(transform(sequence(1, size(tk) - {_T80_K - 1}), "
+            f"i -> xxhash64(concat_ws(' ', slice(tk, i, {_T80_K}))))) "
+            f"ELSE array() END"
+        )
+    ).alias("h")
+    train = toks.filter(F.col("doc_id") % 2 == 0).select(sh_expr).distinct()
+    test = toks.filter(F.col("doc_id") % 2 == 1).select("doc_id", sh_expr)
     hits = (
         test.join(
             train.withColumnRenamed("h", "th"),

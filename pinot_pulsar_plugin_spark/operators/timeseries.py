@@ -782,14 +782,25 @@ def q151_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = obs.select(
         "event_type",
         "user_id",
-        F.col("day").alias("obs_day"),
         F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
     )
-    return contrib.groupBy("event_type", "wday").agg(
-        F.countDistinct("user_id").alias("n_users_7d"),
-        F.countDistinct(
-            F.when(F.col("obs_day") == F.col("wday"), F.col("user_id"))
-        ).alias("n_today"),
+    # r13: the two distinct-counts split by grain — the dual
+    # countDistinct planned as an Expand (×2 over the ×7 contribute
+    # relation, 14×|obs| aggregate input); n_today needs no distinct
+    # at all (obs is already (type, user, day)-distinct, so the
+    # same-day distinct-user count is a plain COUNT), and the 7-day
+    # count runs as a single-distinct aggregate (8×|obs| total).
+    n7 = contrib.groupBy("event_type", "wday").agg(
+        F.countDistinct("user_id").alias("n_users_7d")
+    )
+    ntoday = obs.groupBy("event_type", F.col("day").alias("wday")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    return n7.join(ntoday, ["event_type", "wday"], "left").select(
+        "event_type",
+        "wday",
+        "n_users_7d",
+        F.coalesce("nt", F.lit(0).cast("long")).alias("n_today"),
     )
 
 

@@ -343,6 +343,24 @@ _IMPL_REPLACED = {
     #   (functions/vectorized.py), bit-identical sequential-fold
     #   order; 2.40 s → 1.83 s at sf0.1.
     "d48_embedding_neardup_lsh": 13,
+    # r13 optimization wave 4 (all parity-OK at sf0.001/sf0.01/sf0.1):
+    # - s54/s55: the shared PQ-encode argmin is a combinable
+    #   MIN(struct(dist, cid)) instead of a windowed rank-1 (per-group
+    #   sort gone; lexicographic struct MIN ≡ ORDER BY dist, cid).
+    "s54_pq_encode": 13,
+    "s55_pq_adc_topk": 13,
+    # - t80: parity split filters BEFORE shingling — each doc is
+    #   tokenized+hashed once instead of twice (two consumers of an
+    #   unpersisted explode).
+    "t80_crosscorpus_ngram_recall": 13,
+    # - t67: per-doc token counts from the sorted-run fold
+    #   (functions/arrays.py) — O(n log n) per row vs the
+    #   O(distinct × n) filter scan; same values, same order.
+    "t67_token_entropy": 13,
+    # - q151: the dual countDistinct (planned as Expand ×2 over the
+    #   ×7 contribute relation) split by grain — n_today is a plain
+    #   COUNT on the already-distinct obs relation.
+    "q151_sliding_distinct": 13,
 }
 
 

@@ -905,19 +905,27 @@ def test_q100_drift_single_keyed_aggregate(spark):
 def test_s54_s55_pq_bounded_products_and_group_limits(spark):
     """PQ scale contract: the only products are broadcasts of the
     K-row codebook / the probes-x-M-x-K LUT (conditionless, bounded);
-    both argmin and top-k lower to WindowGroupLimit; shuffles key on
-    ids only (vector payloads never shuffle)."""
+    the encode argmin is a combinable MIN over (dist, cid) structs
+    (r13 — no per-group sort), the s55 top-k lowers to
+    WindowGroupLimit; shuffles key on ids only (vector payloads never
+    shuffle)."""
     import re
 
     from pinot_pulsar_plugin_spark.operators import similarity
 
-    for fn in (similarity.s54_pq_encode, similarity.s55_pq_adc_topk):
+    for fn, needs_wgl in (
+        (similarity.s54_pq_encode, False),
+        (similarity.s55_pq_adc_topk, True),
+    ):
         df = fn(spark, SF)
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
             assert "<" not in plan[m.end() : m.end() + 120]
-        assert "WindowGroupLimit" in plan
+        if needs_wgl:
+            assert "WindowGroupLimit" in plan
+        else:
+            assert "Window" not in plan, plan  # argmin is an aggregate now
         keys = {m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)#", plan)}
         assert keys <= {"vec_id", "m", "p_id"}, keys
 
