@@ -143,11 +143,12 @@ COMMENTARY = {
         "semi join that follows."
     ),
     "t62_top_ngram_coverage": (
-        "Explode to (doc_id, gram) → map-side-combinable count → "
-        "per-doc top-1 window where WindowGroupLimit forwards one row "
-        "per doc before the exchange → join back to the doc spine. "
-        "Two keyed combinable exchanges plus the group-limited window; "
-        "nothing quadratic, no Python."
+        "ZERO-shuffle narrow map (r13): the top gram is found by an "
+        "in-row sorted-run champion fold over each row's 3-gram array "
+        "— the old explode → count exchange → per-doc window → spine "
+        "join collapsed into the scan projection. Tie-break preserved "
+        "structurally (runs visited in ascending gram order, strict-> "
+        "replacement). No exchange at any corpus size, no Python."
     ),
     "d53_dup_span_fraction": (
         "Span hashes are computed in-row (xxhash64 over the token slice, "
@@ -318,10 +319,10 @@ COMMENTARY = {
     ),
     "t67_token_entropy": (
         "Entire entropy computation is an in-row expression over a "
-        "column-pruned scan: counts from filtering the token array "
-        "against its own sorted distinct list, per-term fixed-pointing "
-        "(presum), integer division at the end. Zero exchanges at any "
-        "corpus size."
+        "column-pruned scan: per-token counts from the sorted-run fold "
+        "(r13 — O(n log n) per row, was O(distinct·n) filter scans), "
+        "per-term fixed-pointing (presum), integer division at the "
+        "end. Zero exchanges at any corpus size."
     ),
     "q106_equidepth_bins": (
         "One event_type exchange; row_number and the partition count "
@@ -509,7 +510,9 @@ COMMENTARY = {
         "one-exchange-per-layout."
     ),
     "s57_tfidf_similar_docs": (
-        "Inverted index: tf→df aggregates, integer micro-unit weights "
+        "Inverted index: (doc, term, tf) computed IN-ROW by the "
+        "sorted-run fold (r13 — the token stream never explodes into "
+        "an exchange), df aggregates, integer micro-unit weights "
         "persisted (computed once for postings AND norms), probe side "
         "broadcast into a TERM-keyed equi-join — fanout is Σ probe-term "
         "df, linear in corpus, never docs². Norm join is broadcast "
@@ -599,9 +602,11 @@ COMMENTARY = {
     "q151_sliding_distinct": (
         "One combinable distinct to (type, user, day) grain is the only "
         "event-volume exchange; the ×7 window-membership explode runs "
-        "on the REDUCED relation, and the final distinct-count keys on "
-        "(type, day). No per-day rescans of raw events; window length "
-        "is a fanout constant, not a plan change."
+        "on the REDUCED relation; the 7-day count is a single-distinct "
+        "aggregate and the same-day count a plain COUNT on the already-"
+        "distinct relation (r13 — no Expand, aggregate input 8×|obs| "
+        "not 14×). No per-day rescans; window length is a fanout "
+        "constant, not a plan change."
     ),
     "q152_theta_sketch_setops": (
         "14 exchanges, but all except the first distinct and the exact "
