@@ -63,6 +63,19 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
         )
+        # r13 (guide §7.3 driver-side serial overhead): the PySpark
+        # DataFrame-debugging origin capture does ~3 py4j round trips
+        # per DataFrame method (conf.get + PySparkCurrentOrigin
+        # set/clear) purely to decorate error messages with the Python
+        # call site. Measured over the 107 headline builds at sf0.1:
+        # 16.4 s → 11.7 s of per-sample construction time. Diagnostic
+        # only — no query result or plan depends on it; flip
+        # SPARK_GRAFT_DF_DEBUG=true to restore call-site-annotated
+        # errors when developing.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS); read as long then convert
