@@ -4,7 +4,7 @@ aggregates, extended string family, percent_rank/cume_dist.
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import persist_materialized, persist_once
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -325,10 +325,11 @@ def q93_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("d")
-    ).transform(persist_once)
-    dev.count()  # the MAD aggregate and the outlier count both consume
-    # dev; materializing keeps the fact at exactly the documented two
-    # scans (median pass + deviation pass) instead of three (r8).
+    ).transform(persist_materialized)
+    # materialized at persist (owned-only count, r13): the MAD
+    # aggregate and the outlier count both consume dev; materializing
+    # keeps the fact at exactly the documented two scans (median pass +
+    # deviation pass) instead of three (r8).
     # Session-scoped by design (ADVICE r8 #3): dev feeds the returned
     # lazy result, so it cannot unpersist here; persist_once bounds the
     # footprint at one narrow event-sized entry per distinct sf_dir,

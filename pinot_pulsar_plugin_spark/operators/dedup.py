@@ -26,7 +26,7 @@ and jaccard ≥ 0.8.
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import persist_materialized, persist_once
 
 import random
 
@@ -155,11 +155,11 @@ def d44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scale — this is what materializing a signature table
         # partitioned by key does in a 100 TB pipeline)
         .repartition("h")
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    shingles.count()  # materialize: the stop-list aggregate, the
-    # per-doc counts and both join sides otherwise race the cache fill
-    # and re-run the tokenize+xxhash explode (the r8 rule)
+    # materialized at persist (owned-only count, r13): the stop-list
+    # aggregate, the per-doc counts and both join sides otherwise race
+    # the cache fill and re-run the tokenize+xxhash explode (r8 rule)
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     stop = (
         shingles.groupBy("h")
@@ -943,11 +943,11 @@ def d55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the shingle relation shuffles once at cache build, not per
         # consumer
         .repartition("h")
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    shingles.count()  # materialize: the stop-list aggregate, the
-    # per-doc counts and both join sides otherwise race the cache fill
-    # and re-run the tokenize+xxhash explode (the r8 rule)
+    # materialized at persist (owned-only count, r13): the stop-list
+    # aggregate, the per-doc counts and both join sides otherwise race
+    # the cache fill and re-run the tokenize+xxhash explode (r8 rule)
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     stop = (
         shingles.groupBy("h")

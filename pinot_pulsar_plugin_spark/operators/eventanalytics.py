@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import persist_materialized, persist_once
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -689,9 +689,10 @@ def q108_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev").isNotNull())
         .groupBy("prev", "curr")
         .agg(F.count(F.lit(1)).alias("n"))
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    edges.count()  # materialize so the loop scans the cache, not the fact
+    # materialized at persist (owned-only count, r13): the loop scans
+    # the cache, not the fact
     # The view must outlive this call (the returned DataFrame resolves
     # it lazily at collect time), so it cannot be dropped here. Key the
     # name by sf_dir instead: concurrent/interleaved callers on

@@ -24,7 +24,11 @@ iterative min-label propagation).
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once, persist_scoped
+from pinot_pulsar_plugin_spark.caching import (
+    persist_materialized,
+    persist_once,
+    persist_scoped,
+)
 from pinot_pulsar_plugin_spark.functions.hashing import (
     knuth_bucket_sql,
     split_hash32,
@@ -739,8 +743,9 @@ def q105_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    adj = edges.join(deg, "src").transform(persist_once)  # (src, dst, d) — reused per iter
-    adj.count()  # materialize: seed + iterations read the cache only
+    # (src, dst, d) — reused per iter; materialized at persist
+    # (owned-only count, r13): seed + iterations read the cache only
+    adj = edges.join(deg, "src").transform(persist_materialized)
     rank = (
         adj.select("src")
         .distinct()
@@ -937,9 +942,10 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    edges.count()  # one fact read; nodes + self-loop union read the cache
+    # one fact read (materialized at persist, owned-only count, r13);
+    # nodes + self-loop union read the cache
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lab"))
     # self-contribution: augment the edge relation with self-loops so
@@ -947,8 +953,9 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comment — the bipartite-oscillation fix)
     aug = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).transform(persist_once)
-    aug.count()  # materialize before the two propagation rounds
+    ).transform(persist_materialized)
+    # materialized at persist (owned-only count, r13) before the two
+    # propagation rounds
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
     for _ in range(_LPA_ROUNDS):
         counts = (
@@ -1061,9 +1068,10 @@ def q149_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    edges.count()  # one fact read; every BFS round scans the cache
+    # one fact read (materialized at persist, owned-only count, r13);
+    # every BFS round scans the cache
     seeds = (
         sup.where(F.expr("s_suppkey % 5 = 0"))
         .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))

@@ -13,7 +13,7 @@ data-derived and fully deterministic, so it is exact-oracle-checkable.
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import persist_materialized, persist_once
 
 import random
 
@@ -941,9 +941,10 @@ def s57_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(stats), "term")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", (F.col("tf") * idf_micro).alias("wt"))
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    w.count()  # materialize: norms + probes + posting join read the cache
+    # materialized at persist (owned-only count, r13): norms + probes +
+    # posting join read the cache
     # r11 audit: the weight products run in DECIMAL(38,0) — wt = tf ·
     # idf_micro reaches ~2.8e9 on common terms of long documents, so
     # wt² sits at the int64 edge PER ROW and the per-doc sum passes it;
@@ -2127,8 +2128,7 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str):
     em = t(spark, sf_dir, "embeddings")
     n = em.select(
         "vec_id", "embedding", F.sqrt(fold_dot("embedding", "embedding")).alias("nrm")
-    ).transform(persist_once)
-    n.count()
+    ).transform(persist_materialized)
     cent = n.filter(
         (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
     ).select(
@@ -2141,8 +2141,9 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str):
         "vec_id", "embedding", "nrm", "c_id", ccos.alias("ccos")
     )
     wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(wq)).transform(persist_once)
-    ranked.count()
+    ranked = scored.withColumn("rn", F.row_number().over(wq)).transform(
+        persist_materialized
+    )
     return n, ranked
 
 
@@ -2175,9 +2176,10 @@ def s67_ivf_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(cell.withColumnRenamed("vec_id", "n_id"), "c_id")
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", qcos.alias("cosine"))
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    cand.count()  # materialize before the top-1 + count double consumption
+    # materialized at persist (owned-only count, r13) before the top-1
+    # + count double consumption
     wtop = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     ivf_top = (
         cand.withColumn("rk", F.row_number().over(wtop))
@@ -2332,9 +2334,10 @@ def s68_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(cell, "c_id")
         .filter(F.col("n_id") != F.col("q_id"))
         .select("np", "q_id", "n_id", qcos.alias("cosine"))
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    cand.count()  # materialize before the top-1 + count double consumption
+    # materialized at persist (owned-only count, r13) before the top-1
+    # + count double consumption
     wtop = Window.partitionBy("np", "q_id").orderBy(
         F.desc("cosine"), F.asc("n_id")
     )

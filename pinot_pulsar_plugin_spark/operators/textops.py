@@ -5,7 +5,7 @@ they run at scan speed inside whole-stage codegen at any scale.
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import persist_materialized, persist_once
 from pinot_pulsar_plugin_spark.functions.arrays import runs_expr
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1833,9 +1833,9 @@ def t76_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.groupBy("doc_id", "lang", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .repartition("doc_id")
-        .transform(persist_once)
+        .transform(persist_materialized)
     )
-    doc_counts.count()  # materialize before fan-out (the r8 rule)
+    # materialized at persist (owned-only count, r13; the r8 rule)
     wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
     prof = (
         doc_counts.groupBy("lang", "g")

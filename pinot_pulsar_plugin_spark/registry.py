@@ -361,6 +361,20 @@ _IMPL_REPLACED = {
     #   ×7 contribute relation) split by grain — n_today is a plain
     #   COUNT on the already-distinct obs relation.
     "q151_sliding_distinct": 13,
+    # r13 wave 5 (persist_materialized, caching.py): the persist+count
+    # materialization pairs skip the materializing count when an
+    # equivalent plan is ALREADY cached — the cache re-scan on every
+    # warm rebuild was pure overhead (107-build construction total
+    # 11.5-13.1 s → 8.0 s). Plans and results unchanged; parity OK at
+    # sf0.001/sf0.01 for every affected entry.
+    "q93_mad_outliers": 13,
+    "q105_pagerank_transactions": 13,
+    "q108_journey_paths": 13,
+    "q145_label_propagation": 13,
+    "q149_bfs_reachability": 13,
+    "s67_ivf_efficiency": 13,
+    "s68_nprobe_sweep": 13,
+    "s69_mrr_eval": 13,
 }
 
 

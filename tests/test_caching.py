@@ -70,3 +70,28 @@ def test_scd2_write_batch_preserves_foreign_cache(spark, tmp_path):
         assert _cached(outer), "write_batch evicted the outer owner's cache"
     finally:
         outer.unpersist()
+
+
+def test_persist_materialized_counts_only_when_owned(spark):
+    """r13: persist_materialized materializes (counts) exactly when it
+    CREATES the cache entry; a plan-equivalent later call must skip
+    both the persist and the materializing count (the per-build cache
+    re-scan it eliminates), and results are identical either way."""
+    from unittest.mock import patch
+
+    from pinot_pulsar_plugin_spark.caching import persist_materialized
+
+    a = spark.range(30).select((F.col("id") * 3).alias("v"))
+    b = spark.range(30).select((F.col("id") * 3).alias("v"))  # same plan
+    try:
+        with patch.object(
+            type(a), "count", autospec=True, side_effect=type(a).count
+        ) as counted:
+            persist_materialized(a)
+            assert _cached(a)
+            assert counted.call_count == 1  # owner materializes
+            persist_materialized(b)  # equivalent plan: already cached
+            assert counted.call_count == 1  # non-owner skips the scan
+        assert sorted(r.v for r in b.collect()) == [i * 3 for i in range(30)]
+    finally:
+        a.unpersist()
