@@ -337,8 +337,8 @@ _IMPL_REPLACED = {
     #   token occurrence stream never explodes through an exchange.
     "s57_tfidf_similar_docs": 13,
     # - d55: shingle cache pre-partitioned on the shingle hash (the
-    #   d44 rule).
-    "d55_incremental_dedup": 13,
+    #   d44 rule), then the r14 prefix-filter rewrite below — latest
+    #   replacement round wins (the r14 row is in the r14 block).
     # - d48: exact rerank cosine vectorized across pairs via Arrow
     #   (functions/vectorized.py), bit-identical sequential-fold
     #   order; 2.40 s → 1.83 s at sf0.1.
@@ -375,6 +375,14 @@ _IMPL_REPLACED = {
     "s67_ivf_efficiency": 13,
     "s68_nprobe_sweep": 13,
     "s69_mrr_eval": 13,
+    # r14 optimization round (OPTIMIZATION_r14.md):
+    # - d55: the delta×corpus collision join + pair-count aggregate
+    #   replaced by d52's rarity-order prefix filter (exact pruning —
+    #   full recall is a theorem at tau=0.5) + in-row array_intersect
+    #   verification; 632,754 collision rows → 214,880 prefix rows,
+    #   1.24-1.32 s → 0.71 s at sf0.1. Frame-equal, oracle parity OK
+    #   at sf0.001/sf0.01/sf0.1, brute-force fuzz test added.
+    "d55_incremental_dedup": 14,
 }
 
 

@@ -619,3 +619,65 @@ def test_fuzz_d52_prefix_filter_exact_recall_across_thresholds(
         for k, (c, j) in exp.items():
             gc, gj = got[k]
             assert gc == c and abs(gj - j) < 1e-12, (tau, k, got[k], exp[k])
+
+
+def test_fuzz_d55_prefix_path_matches_brute_force(spark, tmp_path):
+    """r14 moved d55's delta×corpus collision join onto d52's
+    rarity-order prefix filter; full recall there is a theorem (the
+    d52 fuzz above sweeps it), but the NEW interaction is the
+    stop-filter (df > 10% of the corpus) feeding both the rarity order
+    and the per-doc set sizes. Fuzz random small-vocab corpora (dense
+    collisions + real stop-shingles) against a brute-force Python
+    oracle of the full verdict semantics: exact-dup by normalized md5,
+    near-dup by Jaccard >= 0.5 over STOP-FILTERED shingle sets,
+    delta = odd ids vs corpus = even ids."""
+    import hashlib
+    import random
+    import re as _re
+    from collections import Counter
+
+    from pinot_pulsar_plugin_spark.operators.dedup import d55_incremental_dedup
+
+    for case in range(4):
+        rng = random.Random(5500 + case)
+        rows = _fuzz_d52_corpus(rng)
+        out = tmp_path / f"c{case}"
+        out.mkdir()
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(out / "documents.parquet")
+        )
+        spark.catalog.clearCache()
+        got = {
+            r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+            for r in d55_incremental_dedup(spark, str(out)).collect()
+        }
+        n_docs = len(rows)
+        sh = {i: _py_shingles(d) for i, d in rows}
+        df_counts = Counter(x for s in sh.values() for x in s)
+        stop = {x for x, c in df_counts.items() if c > n_docs * 0.10}
+        kept = {i: s - stop for i, s in sh.items()}
+
+        def norm(t):
+            return hashlib.md5(
+                _re.sub(r"\s+", " ", t.lower()).strip().encode()
+            ).hexdigest()
+
+        corpus_sigs = {norm(d) for i, d in rows if i % 2 == 0}
+        exp = {}
+        for i, d in rows:
+            if i % 2 == 0:
+                continue
+            exact = norm(d) in corpus_sigs
+            near = False
+            for j, _ in rows:
+                if j % 2 != 0:
+                    continue
+                a, b = kept[i], kept[j]
+                if not a or not b:
+                    continue
+                c = len(a & b)
+                if c and c / (len(a) + len(b) - c) >= 0.5:
+                    near = True
+                    break
+            exp[i] = (exact, near, not exact and not near)
+        assert got == exp, (case, got, exp)
