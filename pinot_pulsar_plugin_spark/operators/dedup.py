@@ -1455,15 +1455,12 @@ def d58_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = d.where(F.col("text").contains("dup")).select(
         "doc_id", F.split(F.lower("text"), " ").alias("tk")
     )
-    # r13 NEGATIVE RESULT (kept as the explode form deliberately): an
+    # r13 NEGATIVE RESULT (the shingle explode stays deliberately): an
     # in-row variant computed sig+bands as nested transforms over the
     # per-doc shingle array — 2 exchanges fewer on paper — but nested
     # HOFs evaluate INTERPRETED while this explode form runs md5 in
-    # WholeStageCodegen with the (doc, hi) MIN combined map-side (all
-    # of a doc's shingles share a partition, so only H rows per doc
-    # ever cross the exchange). Warm A/B at sf0.1: explode 1.19-1.35s
-    # vs in-row 1.44-1.63s. The codegen boundary beats the exchange
-    # count here at every scale.
+    # WholeStageCodegen. Warm A/B at sf0.1: explode 1.19-1.35s vs
+    # in-row 1.44-1.63s. The codegen boundary beats the exchange count.
     sh = probe.select(
         "doc_id",
         F.explode(
@@ -1477,43 +1474,50 @@ def d58_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).transform(persist_once)
-    hs = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_D58_H - 1))).alias("hi"),
-        F.col("s"),
-    ).select(
-        "doc_id",
-        "hi",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("hi").cast("string"), F.lit("#"), F.col("s"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+    # r14 (guide §2.4): the signature is ONE wide row per doc — the 32
+    # portable hashes are computed in-row per shingle (a flat md5
+    # projection, still WholeStageCodegen — NOT the reverted nested-HOF
+    # form above) and reduced by 32 combinable MIN aggregates keyed on
+    # doc_id alone. This replaces the ×32 hi-explode + (doc, hi)-keyed
+    # exchange with a doc-keyed one, turns the band hashes into a pure
+    # in-row projection (the configs crossJoin + ordered collect_list
+    # ObjectHashAggregate are gone), and the persisted 250-row wide
+    # relation stops the band self-join legs from recomputing the
+    # signature pipeline twice. Band bytes are identical: md5 over the
+    # ','-joined mins in ascending slot order, exactly what the former
+    # array_sort(collect_list(struct(hi, m))) aggregate emitted.
+    # Measured at sf0.1: 1.26-1.31 s → 0.68-0.82 s min-of-4 (A/B ×2,
+    # frame-equal; oracle parity green).
+    harr = "array(" + ", ".join(
+        f"cast(conv(substr(md5(concat('{i}#', s)), 1, 15), 16, 10) as bigint)"
+        for i in range(_D58_H)
+    ) + ")"
+    mins = ", ".join(
+        f"min(element_at(ha, {i + 1})) AS m{i}" for i in range(_D58_H)
     )
-    sig = hs.groupBy("doc_id", "hi").agg(F.min("h").alias("m"))
+    sig_wide = (
+        sh.select("doc_id", F.expr(harr).alias("ha"))
+        .groupBy("doc_id")
+        .agg(F.expr(f"struct({mins})").alias("m"))
+        .select("doc_id", "m.*")
+        .transform(persist_once)
+    )
+    band_structs = []
+    for label, r in (("b16r2", 2), ("b8r4", 4), ("b4r8", 8)):
+        for bi in range(_D58_H // r):
+            joined = ", ".join(
+                f"cast(m{bi * r + j} as string)" for j in range(r)
+            )
+            band_structs.append(
+                f"struct('{label}' AS label, {bi} AS bi, "
+                f"md5(concat_ws(',', {joined})) AS band_h)"
+            )
+    bands = sig_wide.select(
+        "doc_id",
+        F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("b"),
+    ).select("doc_id", "b.label", "b.bi", "b.band_h")
     configs = spark.createDataFrame(
         [("b16r2", 2), ("b8r4", 4), ("b4r8", 8)], "label string, r int"
-    )
-    bands = (
-        sig.crossJoin(F.broadcast(configs))
-        .groupBy("doc_id", "label", F.expr("hi div r").alias("bi"))
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("hi", "m"))),
-                        lambda x: x["m"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_h")
-        )
     )
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (

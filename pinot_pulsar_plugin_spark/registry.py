@@ -383,6 +383,14 @@ _IMPL_REPLACED = {
     #   1.24-1.32 s → 0.71 s at sf0.1. Frame-equal, oracle parity OK
     #   at sf0.001/sf0.01/sf0.1, brute-force fuzz test added.
     "d55_incremental_dedup": 14,
+    # - d58: signature as ONE wide row per doc (32 combinable MINs,
+    #   doc-keyed exchange instead of (doc, hi)-keyed; band hashes an
+    #   in-row projection — the configs crossJoin + ordered
+    #   collect_list aggregate are gone; wide relation persisted so
+    #   the band self-join stops recomputing the signature pipeline).
+    #   Band bytes identical; frame-equal, parity OK at
+    #   sf0.001/sf0.01/sf0.1; 1.26-1.31 s → 0.68-0.82 s at sf0.1.
+    "d58_lsh_band_sweep": 14,
 }
 
 
