@@ -492,15 +492,33 @@ def d48_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    a, b = buck.alias("a"), buck.alias("b")
+    # r14 (guide §2, the q109 device): candidate pairs are generated
+    # IN-ROW per (tbl, bucket) group — sorted vec_id list, (i < j)
+    # struct pairs — instead of the bucket self-join. The join form
+    # broadcast-hashed 20k bucket rows against themselves and streamed
+    # ~1.5M matched rows through the probe; the in-row form reaches the
+    # same raw pairs from one 128-group aggregate, and sort_array keeps
+    # the (vec_a < vec_b) orientation identical. Pair dedup across
+    # tables stays the same combinable aggregate. Bucket width is
+    # bounded by the bits/tables dials (more bits → smaller buckets),
+    # so the per-group pair fan-out scales with the TUNING, not the
+    # corpus — same contract the self-join form relied on for its
+    # bucket sizes. Measured at sf0.1 (with the mapInArrow rerank
+    # below): 1.24 → 1.13 s, frame-equal.
+    grp = buck.groupBy("tbl", "bucket").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("vs")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(vs, (x, i) -> "
+                    "transform(slice(vs, i + 2, size(vs) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select("p.vec_a", "p.vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
     na = n.select(
@@ -513,25 +531,21 @@ def d48_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    # r13: the exact rerank is the same sequential-fold cosine, but
-    # vectorized ACROSS pairs through Arrow (guide §4): the 64-term
-    # interpreted-HOF eval per pair becomes 64 numpy column ops per
-    # Arrow batch, bit-identical by construction (see
-    # functions/vectorized.py). Measured at sf0.1: 2.40s → 1.83s.
-    from pinot_pulsar_plugin_spark.functions.vectorized import cos_seq_fold
+    # r13: the exact rerank is the same sequential-fold cosine,
+    # vectorized ACROSS pairs through Arrow (guide §4). r14: the
+    # pandas_udf became a mapInArrow kernel — the per-row Python list
+    # conversion is gone (ListArray.flatten reads the float buffer
+    # directly) and a zero-norm pair now yields NULL cosine exactly
+    # like the SQL divide it replaced (ADVICE r13 #1). Bit-identical
+    # fold order preserved; see functions/vectorized.py.
+    from pinot_pulsar_plugin_spark.functions.vectorized import cos_rerank
 
-    return (
+    wide = (
         cand.join(na, "vec_a")
         .join(nb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            cos_seq_fold(
-                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _COS_MIN)
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
     )
+    return cos_rerank(wide).filter(F.col("cosine") >= _COS_MIN)
 
 _D52_TAU = 0.5
 

@@ -540,16 +540,29 @@ _PQ_CODES_SQL = f"""
 
 def _slice_l2(emb_a, emb_b, m):
     """Squared L2 between one _PQ_DSUB-wide slice of two vectors —
-    sequential fold, same bit-exactness contract as fold_dot."""
-    a = F.slice(emb_a, m * _PQ_DSUB + 1, _PQ_DSUB)
-    b = F.slice(emb_b, m * _PQ_DSUB + 1, _PQ_DSUB)
-    diffs = F.zip_with(
-        a,
-        b,
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+    sequential fold, same bit-exactness contract as fold_dot.
+
+    r14 (guide §4 adjacent — eliminating INTERPRETED eval, not
+    Python): the zip_with + aggregate HOF pair evaluated lambda trees
+    row-by-row outside whole-stage codegen; unrolled to an explicit
+    8-term left-associated sum of element_at terms it compiles into
+    the surrounding codegen stage. ((((0.0+t1)+t2)+...)+t8) with every
+    element cast to double before subtract/multiply is EXACTLY the
+    fold's IEEE op order, so this is bit-identical by construction
+    (and was proven frame-equal at sf0.1 for both s54 and s55).
+    Measured: s54 0.82 → 0.34 s, s55 1.06 → 0.66 s at sf0.1. Note
+    this is NOT the r13 negative result recorded on _pq_codes_df —
+    that moved the whole distance matrix in-row per pair (nested
+    transform/aggregate, still interpreted); this keeps the exploded
+    shape and just un-interprets the per-row arithmetic. The unroll
+    width is _PQ_DSUB=8 terms — far below the 64-term fold_dot unroll
+    that lost to codegen size effects in r13."""
+    acc = F.lit(0.0)
+    for j in range(_PQ_DSUB):
+        x = F.element_at(emb_a, m * _PQ_DSUB + j + 1).cast("double")
+        y = F.element_at(emb_b, m * _PQ_DSUB + j + 1).cast("double")
+        acc = acc + (x - y) * (x - y)
+    return acc
 
 
 def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -341,8 +341,8 @@ _IMPL_REPLACED = {
     #   replacement round wins (the r14 row is in the r14 block).
     # - d48: exact rerank cosine vectorized across pairs via Arrow
     #   (functions/vectorized.py), bit-identical sequential-fold
-    #   order; 2.40 s → 1.83 s at sf0.1.
-    "d48_embedding_neardup_lsh": 13,
+    #   order; 2.40 s → 1.83 s at sf0.1. Superseded by the r14
+    #   rewrite below — latest replacement round wins.
     # r13 optimization wave 4 (all parity-OK at sf0.001/sf0.01/sf0.1):
     # - s54/s55: the shared PQ-encode argmin is a combinable
     #   MIN(struct(dist, cid)) instead of a windowed rank-1 (per-group
@@ -391,6 +391,20 @@ _IMPL_REPLACED = {
     #   Band bytes identical; frame-equal, parity OK at
     #   sf0.001/sf0.01/sf0.1; 1.26-1.31 s → 0.68-0.82 s at sf0.1.
     "d58_lsh_band_sweep": 14,
+    # - d48: candidate pairs generated in-row per (tbl, bucket) group
+    #   (q109 device) instead of the bucket self-join, and the rerank
+    #   pandas_udf replaced by a mapInArrow kernel reading the Arrow
+    #   list buffers directly (zero-norm pairs now NULL out exactly
+    #   like the SQL divide — ADVICE r13 #1). Frame-equal at sf0.1;
+    #   1.24 → 1.13 s.
+    "d48_embedding_neardup_lsh": 14,
+    # - s54/s55: the shared _slice_l2 subspace distance unrolled from
+    #   zip_with+aggregate HOFs (interpreted per row) to an explicit
+    #   8-term left-fold sum that whole-stage-codegen compiles;
+    #   identical IEEE op order, frame-equal at sf0.1. s54 0.82 →
+    #   0.34 s, s55 1.06 → 0.66 s.
+    "s54_pq_encode": 14,
+    "s55_pq_adc_topk": 14,
 }
 
 
