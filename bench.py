@@ -279,6 +279,7 @@ def compact_headline_line(
     sf: float,
     wall: float | None = None,
     load_1m: dict | None = None,
+    details_sha: str | None = None,
 ) -> str:
     """The single stdout line the driver parses. Fixed field set —
     size is independent of how many headline queries run, so the
@@ -298,7 +299,16 @@ def compact_headline_line(
     each query). An elevated wall_sec with flat sum_of_mins and high
     load_1m is a loaded host; an elevated sum_of_mins at idle load_1m
     is code. All fields are fixed-size: the line stays <1 KB at any
-    headline count."""
+    headline count.
+
+    VERDICT r13 #2: the per-query map stays banned from this line,
+    but the line now carries a deterministic POINTER to it —
+    ``details`` names the sibling file holding the full per-query
+    payload and ``details_sha256`` is the first 12 hex chars of that
+    file's content hash, so a consumer can bind the committed
+    bench_details.json to THIS run (an overwritten or stale details
+    file fails the hash). Additions-only: ``value`` semantics and
+    every pre-existing field are unchanged."""
     return json.dumps(
         {
             "metric": "headline_suite_wall",
@@ -309,6 +319,8 @@ def compact_headline_line(
             "sum_of_mins": total,
             "wall_sec": wall,
             "load_1m": load_1m,
+            "details": "bench_details.json",
+            "details_sha256": details_sha,
         },
         separators=(",", ":"),
     )
@@ -354,6 +366,18 @@ def main() -> None:
         times[name] = round(min(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
         runs_used[name] = len(samples)
+        # VERDICT r13 #2 (belt-and-braces): one compact per-query line
+        # as the run progresses. These scroll — only the FINAL line is
+        # the driver contract and it stays fixed-size — but a consumer
+        # reading full stdout (or the tail, for the last ~25 queries)
+        # gets per-query numbers without bench_details.json.
+        print(
+            json.dumps(
+                {"q": name, "sec": times[name], "spread": spread[name]},
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
         if spread[name] > max(min(samples), 0.1):
             # Noise burst survived the extra samples: record the raw
             # sample list + a host-load snapshot so a spread outlier
@@ -409,9 +433,16 @@ def main() -> None:
         "load_1m_series": {k: round(v, 2) for k, v in load_series.items()},
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_details.json"), "w") as f:
+    details_path = os.path.join(here, "bench_details.json")
+    with open(details_path, "w") as f:
         json.dump(details, f, indent=1)
-    line = compact_headline_line(total, len(times), sf, wall, load_1m)
+    import hashlib
+
+    with open(details_path, "rb") as f:
+        details_sha = hashlib.sha256(f.read()).hexdigest()[:12]
+    line = compact_headline_line(
+        total, len(times), sf, wall, load_1m, details_sha
+    )
     sys.stdout.flush()
     print(line, flush=True)
 

@@ -18,14 +18,17 @@ def test_line_under_1kb_regardless_of_headline_count():
     # bar (2,000-byte window -> <=200 bytes ... we assert <1,024 as
     # directed, and <200 for the actual shape).
     for n in (1, 106, 500, 100_000):
-        line = bench.compact_headline_line(987654.321, n, 0.1)
+        line = bench.compact_headline_line(987654.321, n, 0.1, details_sha="a" * 12)
         assert len(line.encode()) < 1024
-        assert len(line.encode()) < 200
+        # r14 added the fixed-size details pointer + 12-hex content
+        # hash (VERDICT r13 #2): the shape bound moves 200 -> 300,
+        # still >6x headroom under the 2,000-byte tail window.
+        assert len(line.encode()) < 300
         assert "\n" not in line
 
 
 def test_line_is_one_json_object_with_driver_fields():
-    line = bench.compact_headline_line(72.345, 106, 0.1)
+    line = bench.compact_headline_line(72.345, 106, 0.1, details_sha="beef00112233")
     obj = json.loads(line)
     assert obj == {
         "metric": "headline_suite_wall",
@@ -36,6 +39,8 @@ def test_line_is_one_json_object_with_driver_fields():
         "sum_of_mins": 72.345,
         "wall_sec": None,
         "load_1m": None,
+        "details": "bench_details.json",
+        "details_sha256": "beef00112233",
     }
     # the per-query map must NOT be on stdout (the r5/r6 failure mode)
     assert "queries" not in obj
