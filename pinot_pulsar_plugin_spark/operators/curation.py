@@ -282,9 +282,10 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column loop costs five.
 
     r13 shape — still ONE scan, but no Expand: each row explodes
-    IN-ROW into five (col_name, value) entries (numeric values in a
-    long lane — doubles fixed-pointed to cents first — strings in a
-    string lane, exactly one lane non-null for a non-null source
+    IN-ROW into five (col_name, value) entries (integers in a long
+    lane, doubles in an UNROUNDED double lane — cents conversion
+    happens only after min/max, see _entry — strings in a string
+    lane, exactly one lane non-null for a non-null source
     value), then a two-phase aggregate: per-(column, value) counts
     (the only data-volume exchange — Σ per-column distinct
     cardinality, the same bytes the multi-DISTINCT Expand shuffled),

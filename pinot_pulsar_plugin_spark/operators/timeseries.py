@@ -17,7 +17,10 @@ q77: gap-fill with forward interpolation (LOCF) over a date spine.
 
 from __future__ import annotations
 
-from pinot_pulsar_plugin_spark.caching import persist_once
+from pinot_pulsar_plugin_spark.caching import (
+    persist_materialized,
+    persist_once,
+)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1271,26 +1274,34 @@ def q180_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment for the sweep semantics and the segmented-prefix-sum
     rationale).
 
-    Scale shape: the interval build is one orderkey-keyed aggregate
-    (map-side combinable MAX); the sweep relation is 2 rows per order
-    with 3 narrow int64 columns. The running sum partitions by bucket
-    — every task sorts only its bucket — and the cross-bucket carry-in
-    is a #buckets-row triangular join, broadcast back. The argmin-ts
-    resolution re-reads the persisted narrow (bucket, ts, conc)
-    projection against the broadcast per-bucket maxima; nothing
-    event-sized is ever globally sorted."""
+    Scale shape: the interval build pre-aggregates lineitem to its
+    per-orderkey MAX ship date BEFORE the orders join (r14, guide §2.2
+    — aggregate below the join: o_orderkey is unique in orders, so
+    max-per-l_orderkey-then-join is exactly max-per-(okey, s_us)-
+    after-join, and the join input drops from |lineitem| to |orders|
+    rows); the sweep relation is 2 rows per order with 3 narrow int64
+    columns. The running sum partitions by bucket — every task sorts
+    only its bucket — and the cross-bucket carry-in is a #buckets-row
+    triangular join, broadcast back. The argmin-ts resolution re-reads
+    the persisted narrow (bucket, ts, conc) projection against the
+    broadcast per-bucket maxima; nothing event-sized is ever globally
+    sorted."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.expr("unix_micros(o_orderdate)").alias("s_us"),
     )
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.expr("unix_micros(l_shipdate)").alias("ship_us")
+    li_max = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", F.expr("unix_micros(l_shipdate)").alias("ship_us")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("ship_us").alias("e_us"))
     )
     iv = (
-        li.join(o, li["l_orderkey"] == o["okey"])
-        .groupBy("okey", "s_us")
-        .agg(F.max("ship_us").alias("e_us"))
+        li_max.join(o, li_max["l_orderkey"] == o["okey"])
         .filter(F.col("e_us") > F.col("s_us"))
+        .select("okey", "s_us", "e_us")
     )
     from pinot_pulsar_plugin_spark.functions.rollup import (
         max_concurrency_sweep,
@@ -1528,24 +1539,35 @@ def q201_overlapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-customer order pairs with overlapping open intervals and
     their exact overlap duration (see block comment).
 
-    Scale shape: the interval build is one order-keyed combinable
-    aggregate; the pair join is an equi-join on the customer key with
-    the overlap predicate inside the join's codegen — per-key fan-out
-    is a customer's concurrent-order count, never orders²; AQE
-    skew-split covers a pathological bulk buyer."""
+    Scale shape: the interval build pre-aggregates lineitem to its
+    per-orderkey MAX ship date BEFORE the orders join (r14, guide
+    §2.2 — o_orderkey is unique in orders so the aggregate commutes
+    with the join exactly, and the join input drops from |lineitem|
+    to |orders| rows), and the interval relation is persisted so the
+    self-join's two legs share ONE lineage computation instead of
+    re-reading and re-aggregating lineitem per leg; the pair join is
+    an equi-join on the customer key with the overlap predicate
+    inside the join's codegen — per-key fan-out is a customer's
+    concurrent-order count, never orders²; AQE skew-split covers a
+    pathological bulk buyer."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c"),
         F.col("o_orderkey").alias("okey"),
         F.expr("unix_micros(o_orderdate)").alias("s_us"),
     )
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.expr("unix_micros(l_shipdate)").alias("ship_us")
+    li_max = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", F.expr("unix_micros(l_shipdate)").alias("ship_us")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("ship_us").alias("e_us"))
     )
     iv = (
-        li.join(o, li["l_orderkey"] == o["okey"])
-        .groupBy("c", "okey", "s_us")
-        .agg(F.max("ship_us").alias("e_us"))
+        li_max.join(o, li_max["l_orderkey"] == o["okey"])
         .filter(F.col("e_us") > F.col("s_us"))
+        .select("c", "okey", "s_us", "e_us")
+        .transform(persist_materialized)
     )
     a, b = iv.alias("a"), iv.alias("b")
     return a.join(
