@@ -51,6 +51,14 @@ def table_path(sf_dir, name: str) -> str:
 # a class, not a module-level dict: the impl-hash ledger content-hashes
 # module-level literals of infra modules, and a mutating cache would
 # destabilize the digest.)
+#
+# ASSUMPTION (ADVICE r13 #3): an sf_dir is immutable for the lifetime of
+# one application. spark.read.parquet resolves the file listing at
+# DataFrame creation, so regenerating the parquet under a memoized
+# sf_dir within one application would read stale/deleted files. No
+# engine path rewrites testdata in-session; a fixture that must do so
+# should call _PlanMemo.by_key.clear() (the invalidation hook) after
+# rewriting.
 class _PlanMemo:
     by_key: dict = {}  # (appId, sf_dir, table) -> DataFrame
     app: str | None = None
